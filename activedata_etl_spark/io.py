@@ -1,0 +1,53 @@
+"""Table loading for the testdata star schema + extension tables.
+
+The reference's ETL surface reads gz JSON-lines blocks from S3 and writes
+to Elasticsearch rollover indexes (reference: pyLibrary/aws/s3.py,
+pyLibrary/env/rollover_index.py — see SURVEY.md §2.1). Our engine
+standardizes on Parquet: columnar scan + predicate pushdown + partition
+pruning replace the inverted index, and `spark.read.parquet` on a
+date-partitioned layout replaces index rollover.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import ensure_runtime_confs
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing types where parquet physical
+    types don't map cleanly onto Spark SQL types.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark rejects;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` it reads as LongType
+    nanoseconds, converted here to a microsecond timestamp. The conversion is
+    lossless for this data (sub-microsecond digits are zero — FIXTURES.md)
+    and uses integer division so no precision is lost at ~1.7e18 magnitudes.
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

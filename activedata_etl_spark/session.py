@@ -1,0 +1,76 @@
+"""SparkSession construction with the engine's required configuration.
+
+Scale posture: these defaults are written for a real cluster (AQE on,
+skew-join handling, partition coalescing); locally they run on
+``local[$SPARK_GRAFT_CPUS]``. Configs that must hold even when the caller
+owns the session (e.g. the verify driver) are applied at runtime via
+:func:`ensure_runtime_confs`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# SQL confs that are runtime-settable and REQUIRED for correctness on the
+# testdata (see FIXTURES.md: events.parquet stores timestamp[ns], which
+# Spark's vectorized parquet reader rejects outright without the legacy
+# nanos-as-long flag).
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+DEFAULT_CONFS = {
+    **RUNTIME_CONFS,
+    # AQE: runtime re-planning — coalesce small shuffle partitions, convert
+    # sort-merge→broadcast when a side turns out small, split skewed joins.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf path (similarity / multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "activedata_etl_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    ``spark.sql.shuffle.partitions`` is sized to the local core count rather
+    than Spark's default 200: at local scale 200 partitions of a 60k-row
+    shuffle is pure scheduling overhead, and on a cluster AQE coalescing
+    makes the static number a ceiling, not a target.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+    )
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply correctness-critical confs to a session we did not build.
+
+    The verify driver passes its own SparkSession to ``entry``/``queries``;
+    without the nanos flag, reading ``events.parquet`` raises
+    ``[PARQUET_TYPE_ILLEGAL]``. All keys here are runtime-settable SQL confs.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this session build; reads may still work
+    return spark
