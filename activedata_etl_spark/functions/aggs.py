@@ -1,0 +1,134 @@
+"""jx aggregate semantics as Spark aggregate Column builders.
+
+The reference accepts these names in ``select.aggregate`` (canonical list in
+``vendor/jx_base/query.py :: canonical_aggregates``; python accumulators in
+``vendor/jx_python/windows.py``; ES lowering in
+``vendor/jx_elasticsearch/es52/aggs.py``): count, sum, min/max, avg, median,
+percentile, cardinality, stats, union, first/last, one.
+
+Float-valued aggregates route through the exact-decimal pattern
+(``functions/exact.py``) so results are order-independent. The ``stats``
+aggregate follows the reference's zero-moment design
+(``vendor/mo_math/stats.py :: ZeroMoment``): accumulate raw moments
+Z0..Z4 — which ARE partial-aggregatable, exactly why the reference chose
+them — then derive mean/variance/skew/kurtosis. We accumulate the moments
+exactly (decimal sums) and derive with textually identical arithmetic on
+both engine and oracle, so the IEEE result is bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .exact import davg, dsum, sql_davg, sql_dsum
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def count_(col) -> Column:
+    """Count of non-missing values (jx count is per-value, not COUNT(*))."""
+    return F.count(_c(col))
+
+
+def union_(col) -> Column:
+    """Distinct set of values per group (jx ``union``), sorted for
+    determinism — collect_set order is partition-dependent."""
+    return F.array_sort(F.collect_set(_c(col)))
+
+
+def list_(col, order_by) -> Column:
+    """Ordered list of values per group (jx window ``List`` aggregate)."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(_c(order_by).alias("o"), _c(col).alias("v")))),
+        lambda s: s.getField("v"),
+    )
+
+
+def first_(value, order) -> Column:
+    """First value in explicit encounter order. The reference's ``first``
+    depends on document order; under parallelism that's only meaningful
+    with an explicit sort key (SURVEY.md §7.5 #7), so we require one."""
+    return F.min_by(_c(value), _c(order))
+
+
+def last_(value, order) -> Column:
+    return F.max_by(_c(value), _c(order))
+
+
+def cardinality(col) -> Column:
+    """Exact distinct count. The reference's ES backend uses HLL (≈);
+    ``approx_cardinality`` below is that scale path."""
+    return F.countDistinct(_c(col))
+
+
+def approx_cardinality(col) -> Column:
+    return F.approx_count_distinct(_c(col))
+
+
+def median(col) -> Column:
+    """Exact median, linear interpolation — same as DuckDB percentile_cont
+    (verified; cast DECIMAL inputs to DOUBLE on the oracle side)."""
+    return F.median(_c(col))
+
+
+def percentile(col, p: float) -> Column:
+    return F.percentile(_c(col), F.lit(p))
+
+
+# --- stats (zero-moment) ------------------------------------------------
+
+#: Moment accumulators: n plus exact decimal sums of x^1..x^4 (as double).
+def stats_moments(col, prec: int = 38, scale: int = 6) -> list[Column]:
+    c = _c(col)
+    return [
+        F.count(c).alias("n"),
+        F.sum(c.cast(f"decimal({prec},{scale})")).cast("double").alias("s1"),
+        F.sum((c * c).cast(f"decimal({prec},{scale})")).cast("double").alias("s2"),
+        F.sum((c * c * c).cast(f"decimal({prec},{scale})")).cast("double").alias("s3"),
+        F.sum((c * c * c * c).cast(f"decimal({prec},{scale})")).cast("double").alias("s4"),
+    ]
+
+
+def sql_stats_moments(expr: str, prec: int = 38, scale: int = 6) -> str:
+    def m(e):
+        return f"CAST(SUM(CAST({e} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+
+    return (
+        f"COUNT({expr}) AS n, "
+        f"{m(expr)} AS s1, "
+        f"{m(f'({expr}) * ({expr})')} AS s2, "
+        f"{m(f'({expr}) * ({expr}) * ({expr})')} AS s3, "
+        f"{m(f'({expr}) * ({expr}) * ({expr}) * ({expr})')} AS s4"
+    )
+
+
+#: Derived stats over the moment columns — the SAME SQL text is evaluated by
+#: Spark (selectExpr) and DuckDB, so float results are bit-identical.
+#: Definitions follow mo_math/stats.py ZeroMoment2Stats: population
+#: variance/std; skew = m3/var^1.5; kurtosis is EXCESS kurtosis (m4/var²-3).
+_M = "(s1 / n)"
+_VAR = f"((s2 / n) - ({_M} * {_M}))"
+_M3 = f"((s3 / n) - (3 * {_M} * (s2 / n)) + (2 * {_M} * {_M} * {_M}))"
+_M4 = (
+    f"((s4 / n) - (4 * {_M} * (s3 / n)) + (6 * {_M} * {_M} * (s2 / n))"
+    f" - (3 * {_M} * {_M} * {_M} * {_M}))"
+)
+STATS_DERIVED_SQL = [
+    "n AS stat_count",
+    "s1 AS stat_sum",
+    f"{_M} AS stat_mean",
+    f"{_VAR} AS stat_var",
+    f"sqrt({_VAR}) AS stat_std",
+    # var^1.5 spelled as var*sqrt(var): sqrt is correctly-rounded IEEE in
+    # both engines, while pow(x, 1.5) differs by 1 ulp between Java and libm.
+    f"({_M3} / ({_VAR} * sqrt({_VAR}))) AS stat_skew",
+    f"(({_M4} / ({_VAR} * {_VAR})) - 3.0) AS stat_kurtosis",
+]
+
+
+def stats_struct(df_with_moments: DataFrame, keys: list[str]) -> DataFrame:
+    """Project moment columns into the full jx ``stats`` output."""
+    extras = [c for c in ["min", "max"] if c in df_with_moments.columns]
+    return df_with_moments.selectExpr(*keys, *extras, *STATS_DERIVED_SQL)

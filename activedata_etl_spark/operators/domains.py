@@ -1,0 +1,101 @@
+"""Edge domains — the reference's dimension/bucketing system.
+
+A jx ``edges`` query groups over a COMPLETE domain: the output has a cell
+for every domain part, even parts no row fell into (count=0), unlike SQL
+GROUP BY which only emits observed keys (reference:
+``vendor/jx_base/domains.py`` for the domain types,
+``vendor/jx_elasticsearch/es52/decoders.py`` for the per-type lowering —
+SURVEY.md §2.5).
+
+Spark lowering: generate the domain as a (tiny) DataFrame — literal rows
+for ``set`` domains, ``sequence()``+``explode`` for ``time``/``range``
+domains — and LEFT-join the grouped aggregate onto it, coalescing count
+cells to 0 (sum/avg cells stay NULL, matching the reference). The domain
+side is always small: Spark broadcast-joins it, so dense completion adds
+no shuffle at any scale. Bounds for data-driven domains are computed
+distributively (1-row agg cross-joined into the generator) — no collect
+on the data path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def _complete(domain: DataFrame, agged: DataFrame, keys: list[str],
+              zero_fill: Sequence[str] = ()) -> DataFrame:
+    """LEFT-join grouped results onto the dense domain; count cells → 0."""
+    out = domain.join(F.broadcast(agged), on=keys, how="left") if _prefer_bcast_right(agged) \
+        else domain.join(agged, on=keys, how="left")
+    for c in zero_fill:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+def _prefer_bcast_right(agged: DataFrame) -> bool:
+    # Grouped aggregates over edge domains are low-cardinality by
+    # construction; broadcasting avoids shuffling the domain join entirely.
+    # AQE would usually get there on its own — the hint makes it a guarantee.
+    return True
+
+
+def set_domain(spark: SparkSession, col: str, parts: Sequence, dtype: str = "string") -> DataFrame:
+    """Explicit partition list ({"type":"set","partitions":[...]})."""
+    return spark.createDataFrame([(p,) for p in parts], f"{col} {dtype}")
+
+
+def range_domain(spark: SparkSession, col: str, lo: float, hi: float, interval: float) -> DataFrame:
+    """Numeric bins [lo, hi) of width ``interval`` ({"type":"range"})."""
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(lo), F.lit(hi - interval), F.lit(interval))).alias(col)
+    )
+
+
+def time_domain_from_bounds(bounds: DataFrame, col: str, unit_interval: str) -> DataFrame:
+    """Calendar-aware time buckets between per-data min/max bounds.
+
+    ``bounds`` is a 1-row frame with ``lo``/``hi`` truncated timestamps;
+    built by an aggregate so the whole pipeline stays distributed.
+    """
+    return bounds.select(
+        F.explode(F.expr(f"sequence(lo, hi, interval {unit_interval})")).alias(col)
+    )
+
+
+def edges_set(df: DataFrame, spark: SparkSession, col: str, parts: Sequence,
+              aggs: dict[str, Column], zero_fill: Sequence[str] = (),
+              dtype: str = "string") -> DataFrame:
+    """edges with a set domain: every listed part appears in the output."""
+    agged = df.groupBy(col).agg(*[c.alias(n) for n, c in aggs.items()])
+    return _complete(set_domain(spark, col, parts, dtype), agged, [col], zero_fill)
+
+
+def edges_range(df: DataFrame, spark: SparkSession, value: Column, col: str,
+                lo: float, hi: float, interval: float,
+                aggs: dict[str, Column], zero_fill: Sequence[str] = ()) -> DataFrame:
+    """edges with a range domain = dense histogram: bucket by
+    floor(x/interval)*interval, complete over [lo, hi)."""
+    bucket = (F.floor(value / interval) * interval).cast("double").alias(col)
+    agged = (
+        df.filter((value >= lo) & (value < hi))
+        .groupBy(bucket)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    dom = range_domain(spark, col, lo, hi, interval).select(F.col(col).cast("double").alias(col))
+    return _complete(dom, agged, [col], zero_fill)
+
+
+def edges_time_months(df: DataFrame, ts: Column, col: str,
+                      aggs: dict[str, Column], zero_fill: Sequence[str] = ()) -> DataFrame:
+    """edges with a calendar month time domain spanning the data's min..max,
+    emitting EVERY month in range even when empty."""
+    month = F.date_trunc("month", ts).alias(col)
+    agged = df.groupBy(month).agg(*[c.alias(n) for n, c in aggs.items()])
+    bounds = df.select(
+        F.date_trunc("month", F.min(ts)).alias("lo"),
+        F.date_trunc("month", F.max(ts)).alias("hi"),
+    )
+    dom = time_domain_from_bounds(bounds, col, "1 month")
+    return _complete(dom, agged, [col], zero_fill)

@@ -1,0 +1,53 @@
+"""jx window clause → Spark Window translation.
+
+The reference's window machinery (``vendor/jx_base/query.py ::
+_normalize_window`` + incremental accumulators in
+``vendor/jx_python/windows.py``) has shape
+``{name, value, aggregate, edges: [partition], sort: [order],
+range: {min, max}, where}``. Mapping (SURVEY.md §2.6):
+
+- ``edges``                 → ``Window.partitionBy``
+- ``sort``                  → ``.orderBy`` (jx missing-first ⇒ nulls first)
+- ``range {min,max}``       → ``.rowsBetween(min, max)`` (row offsets)
+- no range, with sort       → running agg: rowsBetween(unbounded, 0)
+- no range, no sort         → whole-partition agg (frame-less)
+- ``{"rows": {v: off}}``    → lag/lead
+- ``where``                 → agg over ``F.when(cond, value)``
+
+Float window sums use the decimal pattern: Spark recomputes sliding
+frames sequentially while DuckDB uses segment trees, so double addition
+order differs between engines — decimal accumulation is order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window, WindowSpec, functions as F
+
+
+def spec(partition: list | None = None, order: list | None = None) -> WindowSpec:
+    w = Window.partitionBy(*(partition or []))
+    if order:
+        w = w.orderBy(*order)
+    return w
+
+
+def running(w: WindowSpec) -> WindowSpec:
+    """Cumulative frame: everything up to the current row."""
+    return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def sliding(w: WindowSpec, lo: int, hi: int) -> WindowSpec:
+    """jx ``range {min, max}`` — row-offset frame."""
+    return w.rowsBetween(lo, hi)
+
+
+def dsum_over(col, w: WindowSpec, prec: int = 18, scale: int = 6) -> Column:
+    """Order-independent windowed sum of a double column (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({prec},{scale})")).over(w).cast("double")
+
+
+def filtered(agg_fn, value, cond: Column, w: WindowSpec) -> Column:
+    """jx window ``where``: rows failing the predicate contribute nothing."""
+    v = F.col(value) if isinstance(value, str) else value
+    return agg_fn(F.when(cond, v)).over(w)

@@ -4,7 +4,15 @@ Module per SURVEY.md §2 area; each import populates
 ``registry.QUERIES`` / ``registry.ORACLES`` via decorator side effects.
 """
 
-from . import q_expr, q_flagship  # noqa: F401
+from . import (  # noqa: F401
+    q_aggs,
+    q_edges,
+    q_expr,
+    q_flagship,
+    q_joins,
+    q_setops_sort,
+    q_windows,
+)
 from .registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]
