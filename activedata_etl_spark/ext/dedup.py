@@ -1,0 +1,138 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these at 100 TB):
+
+- exact: hash-groupBy on a 128-bit fingerprint — one shuffle of (hash, id),
+  never of document bodies.
+- near-dup: never all-pairs. MinHash signatures are computed scan-local;
+  LSH bands turn similarity search into an equi-join on (band, signature),
+  so candidate generation is an ordinary shuffle join Catalyst/AQE can
+  plan (including skew splitting for hot buckets). Exact Jaccard runs
+  only on band-collided candidates.
+- hashes are md5-based (not xxhash64) so every stage is reproducible
+  bit-for-bit by any engine — the same property that makes the pipeline's
+  incremental re-runs idempotent.
+
+MinHash here uses the min-of-keyed-md5-STRING construction: for seed i,
+h_i(doc) = min over shingles of md5(i || ':' || shingle). A hash-ordered
+min is a uniform random permutation minimum, which is exactly the MinHash
+estimator; strings avoid hex→int conversions that not every engine has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint, shingles, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical (normalized) documents: canonical = min id.
+    Output one row per distinct content with its duplicate count."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _seeded_md5(seed: int):
+    # NB: the lambda must be unary — a second parameter would make
+    # F.transform pass the array index into it.
+    prefix = f"{seed}:"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(toks: Column, n_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of n MinHash values (md5-string minima) per document."""
+    sh = shingles(toks, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(sh, _seeded_md5(i))) for i in range(n_hashes)
+    ])
+
+
+def lsh_bands(sig: Column, n_bands: int = 4) -> list[Column]:
+    """Band signatures: md5 of each contiguous slice of the MinHash
+    signature. Docs agreeing on ANY band become candidates."""
+    n = 16  # signature length; rows_per_band = n // n_bands
+    rpb = n // n_bands
+    return [
+        F.md5(F.array_join(F.slice(sig, b * rpb + 1, rpb), "|")).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n_hashes: int = 16, n_bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 band.
+
+    Plan shape: scan → per-band explode (n_bands rows/doc) → shuffle on
+    (band_idx, band_sig) → self-join within buckets → distinct pairs.
+    Bucket skew (boilerplate docs) is AQE's skew-join case; for adversarial
+    corpora add a bucket-size cap filter before the join.
+    """
+    sig = minhash_signature(tokens(text_col), n_hashes, shingle_n)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id", F.posexplode(F.array(*[c for c in lsh_bands(F.col("sig"), n_bands)]))
+        .alias("band_idx", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
+                  text_col: str, shingle_n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify stage after LSH
+    blocking). |A∩B| / |A∪B| over distinct shingle sets."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(tokens(text_col), shingle_n).alias("sh"))
+    j = (
+        candidates
+        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, id_col: str, toks: Column) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote of token hashes.
+
+    Plan: explode tokens → xxhash64 (JVM-side) → 64 conditional-sum
+    aggregates with STATIC shift amounts → reassemble bits. One shuffle on
+    the doc id; scales linearly in corpus size. Near-dup = small Hamming
+    distance (``hamming64``). Not oracle-paired: xxhash64 has no portable
+    equivalent in the oracle engine — covered by determinism tests and a
+    rows-only check.
+    """
+    exploded = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t__"))
+        .select(F.col(id_col), F.xxhash64(F.col("__t__")).alias("__h__"))
+    )
+    votes = exploded.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("__h__"), b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ])
+    sim = None
+    for b in range(64):
+        val = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of i64
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(val).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit SimHashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

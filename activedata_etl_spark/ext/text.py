@@ -1,0 +1,90 @@
+"""Text-analysis operators for training-data pipelines (north-star §2.11).
+
+All pure Column expressions (JVM-side, codegen'd) — tokenization, shingling,
+fingerprinting, quality scoring, language ID — designed so the 100 TB path
+is a single scan with no shuffle until the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-overlap
+#: language-ID heuristic. Real pipelines plug a model here; the heuristic
+#: keeps the operator deterministic and scan-local.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-grams (distinct), the unit for Jaccard/minhash dedup."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def fingerprint(text) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    md5 (not xxhash64) so any engine can reproduce it bit-for-bit."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def quality_metrics(text) -> list[Column]:
+    """Cheap quality signals: length, token stats, type-token ratio,
+    mean token length — the usual first-pass corpus filters."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    return [
+        F.length(c).alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.size(F.array_distinct(toks)).alias("q_distinct_tokens"),
+        (F.size(F.array_distinct(toks)) / n_tok).alias("q_ttr"),
+        ((F.length(c) - n_tok + 1) / n_tok).alias("q_mean_token_len"),
+    ]
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Stopword-overlap score per language (distinct-marker hits)."""
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax language with deterministic tiebreak (lexicographic lang
+    code wins ties, 'und' when no marker hits)."""
+    scores = lang_scores(toks)
+    best = None
+    for lang in sorted(scores):  # lexicographic ⇒ ties resolve deterministically
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("s"), F.lit(lang).alias("l"))
+        else:
+            best = F.when(s > best.getField("s"),
+                          F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+    return F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))

@@ -1,0 +1,78 @@
+"""Nested-document operators: the reference's schemaless-JSON surface.
+
+The reference stores arbitrarily nested docs and queries them via dot-paths
+(``mo_dots.Data``), auto-flattening arrays (``FlatList``), deep queries
+(``"from": "task.artifacts"`` — ``jx_elasticsearch/es52/deep.py``; child
+tables in jx_sqlite) and leaf flattening (``LeavesOp``). Spark equivalents
+(SURVEY.md §2.9 array/JSON tables):
+
+- dot path through struct         → ``F.col("a.b.c")``
+- path through array of structs   → ``col("arr.field")`` (already an array)
+- deep query / unnest             → ``explode`` (+ parent columns carried)
+- leaves                         → recursive schema walk (here)
+- scalar-or-array duality (~N~)   → ``normalize_to_array``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
+    """All leaf dot-paths of a (possibly nested) schema, arrays excluded —
+    mirrors what the reference's column catalog discovers per index."""
+    out: list[str] = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out.extend(leaf_paths(f.dataType, prefix=f"{path}."))
+        else:
+            out.append(path)
+    return out
+
+
+def leaves(df: DataFrame) -> DataFrame:
+    """jx ``{"leaves": "."}``: flatten nested structs to dotted-name leaf
+    columns (LeavesOp). Array fields are kept as-is (the reference keeps
+    nested arrays as child docs, not leaves)."""
+    return df.select(
+        *[F.col(f"`{p}`" if "." not in p else p).alias(p) for p in leaf_paths(df.schema)]
+    )
+
+
+def unnest(df: DataFrame, array_col: str, parent_cols: list[str],
+           outer: bool = False) -> DataFrame:
+    """Deep query: explode an array of structs, carrying parent columns
+    (LATERAL VIEW shape). ``outer=True`` keeps parents with empty arrays."""
+    ex = F.explode_outer(array_col) if outer else F.explode(array_col)
+    ex_df = df.select(*parent_cols, ex.alias("__item__"))
+    item_fields = [
+        f.name for f in ex_df.schema["__item__"].dataType.fields
+    ] if isinstance(ex_df.schema["__item__"].dataType, T.StructType) else None
+    if item_fields is None:
+        return ex_df.withColumnRenamed("__item__", array_col.split(".")[-1])
+    return ex_df.select(*parent_cols, *[F.col(f"__item__.{n}").alias(n) for n in item_fields])
+
+
+def normalize_to_array(col: Column) -> Column:
+    """Typed-encoder ``~N~`` semantics: a field that is scalar in one doc
+    and an array in another is normalized to array at ingest."""
+    return F.when(col.isNull(), F.array()).otherwise(
+        F.when(F.typeof(col).startswith("array"), col).otherwise(F.array(col))
+    )
+
+
+def nest(df: DataFrame, parent_keys: list[str], item_cols: list[str],
+         order_by: str, array_name: str = "items") -> DataFrame:
+    """Inverse of unnest: roll child rows up into an ordered array of
+    structs per parent — the ETL-time denormalization the reference bakes
+    into its documents (e.g. task.artifacts[])."""
+    item = F.struct(*[F.col(c) for c in item_cols])
+    return (
+        df.groupBy(*parent_keys)
+        .agg(F.array_sort(F.collect_list(F.struct(F.col(order_by).alias("__o__"),
+                                                  item.alias("__i__")))).alias("__tmp__"))
+        .withColumn(array_name, F.transform(F.col("__tmp__"), lambda s: s.getField("__i__")))
+        .drop("__tmp__")
+    )

@@ -7,9 +7,12 @@ Module per SURVEY.md §2 area; each import populates
 from . import (  # noqa: F401
     q_aggs,
     q_edges,
+    q_events,
     q_expr,
+    q_ext,
     q_flagship,
     q_joins,
+    q_nested,
     q_setops_sort,
     q_windows,
 )

@@ -1,0 +1,129 @@
+"""Event-stream [Q] pairs — SURVEY.md §2.10: tumbling/sliding windows,
+gap sessionization, stateful-dedup batch equivalent, pivot.
+
+These run the SAME transformations a readStream pipeline would (Spark's
+unified batch/streaming API); the oracle checks the window semantics in
+plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..io import load_table
+from ..streaming import batch_windows as BW
+from .registry import query
+
+
+@query(
+    "events_tumbling_day",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS wend,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return BW.tumbling(e, "ts", "1 day", [],
+                       {"n": F.count(F.lit(1)), "sum_value": dsum("value")})
+
+
+@query(
+    "events_sliding_2h_1h",
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR AS wstart, * FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, * FROM events
+    )
+    SELECT wstart, wstart + INTERVAL 2 HOUR AS wend,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM assigned GROUP BY wstart
+    """,
+)
+def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width 2h, slide 1h ⇒ every event lands in exactly two windows
+    (epoch-aligned starts — F.window's contract, mirrored in the oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    return BW.sliding(e, "ts", "2 hours", "1 hour", [],
+                      {"n": F.count(F.lit(1)), "n_users": F.countDistinct("user_id")})
+
+
+@query(
+    "events_sessionize_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via F.session_window (streaming-native); oracle
+    derives the same sessions with the lag+cumsum formulation — the two
+    independent derivations must agree exactly."""
+    e = load_table(spark, sf_dir, "events")
+    return BW.sessionize(e, "ts", "30 minutes", ["user_id"],
+                         {"n_events": F.count(F.lit(1))})
+
+
+@query(
+    "events_dedup_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest state per (user, event_type) — the reference's `_id`
+    overwrite dedup; streaming analog is dropDuplicatesWithinWatermark."""
+    e = load_table(spark, sf_dir, "events")
+    return BW.dedup_latest(
+        e, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "events_pivot_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type (explicit value list ⇒ single
+    pass, no extra distinct-discovery job — required at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["signup", "click", "view", "purchase", "error"])
+        .count()
+        .na.fill(0, ["signup", "click", "view", "purchase", "error"])
+    )

@@ -1,0 +1,333 @@
+"""Extension-operator [Q] pairs (north-star §2.11): text analysis, dedup
+(exact / minhash-LSH / jaccard), similarity search, multimodal plumbing.
+
+Oracle strategy: everything hash-based uses md5 so DuckDB reproduces it
+exactly; vector math is double-precision sequential folds on both sides.
+SimHash and the mapInPandas feature extraction are rows-only (no portable
+construction in the oracle engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ext import dedup as DD
+from ..ext import multimodal as MM
+from ..ext import similarity as SIM
+from ..ext import text as TX
+from ..io import load_table
+from .registry import query
+
+# DuckDB-side shared fragments (mirror ext/text.py definitions)
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    " range(1, greatest(len({t}) - 2, 0) + 1),"
+    " i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
+).format(t=_TOKS)
+_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                         AS q_chars,
+           len({_TOKS})                         AS q_tokens,
+           len(list_distinct({_TOKS}))          AS q_distinct_tokens,
+           len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})  AS q_ttr,
+           (length(text) - len({_TOKS}) + 1) * 1.0 / len({_TOKS}) AS q_mean_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.quality_metrics("text"))
+
+
+@query(
+    "text_top_terms",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS n FROM (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ) GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 25
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (explode → count → top-k)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "text_tf_df",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           tf.tf * (SELECT n_docs FROM n) * 1.0 / df.df AS tf_scaled
+    FROM tf JOIN df USING (tok)
+    WHERE tf.doc_id < 20
+    """,
+)
+def text_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf building blocks. Scaled tf uses a rational (tf·N/df) rather
+    than ln(): log is not correctly-rounded and differs across libm
+    implementations — same trap as pow(x, 1.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row frame, broadcast — no collect
+    return (
+        tf.join(df_, "tok")
+        .filter(F.col("doc_id") < 20)
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "tf", "df",
+                (F.col("tf") * F.col("n_docs") * 1.0 / F.col("df")).alias("tf_scaled"))
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['der','die','und','das','nicht'])) AS s_de,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['the','and','of','to','is'])) AS s_en,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['el','la','los','que','de'])) AS s_es,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['le','la','et','les','des'])) AS s_fr,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['的','是','了','在','我'])) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END AS lang_guess
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID; tie → lexicographically first code
+    (the oracle's >= cascade encodes the same rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_id(TX.tokens("text")).alias("lang_guess"))
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT {_FP} AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(d, "text", "doc_id")
+
+
+def _duck_minhash_cols(n_hashes: int = 16) -> str:
+    return ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS h{i}"
+        for i in range(n_hashes)
+    )
+
+
+@query(
+    "dedup_minhash_bands",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id, {_duck_minhash_cols(16)} FROM sh
+    )
+    SELECT doc_id,
+           md5(h0  || '|' || h1  || '|' || h2  || '|' || h3)  AS band_0,
+           md5(h4  || '|' || h5  || '|' || h6  || '|' || h7)  AS band_1,
+           md5(h8  || '|' || h9  || '|' || h10 || '|' || h11) AS band_2,
+           md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) AS band_3
+    FROM sig
+    """,
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature → LSH band keys per document (the blocking keys
+    the candidate join shuffles on)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(TX.tokens("text"))
+    return d.select("doc_id", sig.alias("sig")).select(
+        "doc_id", *DD.lsh_bands(F.col("sig")))
+
+
+@query(
+    "dedup_lsh_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id, {_duck_minhash_cols(16)} FROM sh
+    ), banded AS (
+      SELECT doc_id, b.band_idx, b.band_sig FROM sig,
+        LATERAL (SELECT * FROM (VALUES
+          (0, md5(h0  || '|' || h1  || '|' || h2  || '|' || h3)),
+          (1, md5(h4  || '|' || h5  || '|' || h6  || '|' || h7)),
+          (2, md5(h8  || '|' || h9  || '|' || h10 || '|' || h11)),
+          (3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15))
+        ) v(band_idx, band_sig)) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2
+    """,
+)
+def dedup_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH bands → candidate pairs →
+    exact Jaccard verify. Both engines run the identical construction."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = DD.lsh_candidate_pairs(d, "doc_id", "text")
+    return DD.jaccard_pairs(d, cands, "doc_id", "text", threshold=0.2)
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 has no oracle-side equivalent
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash64(d, "doc_id", TX.tokens("text"))
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+        list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(list_zip(q.q_vec, q.q_vec),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))) AS cos
+      FROM q, embeddings c WHERE q.q_id <> c.vec_id
+    )
+    SELECT q_id, vec_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 5 vectors as queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return SIM.cosine_topk(q, emb, "q_id", "q_vec", "vec_id", "embedding", k=5)
+
+
+@query(
+    "sim_ann_sign_lsh",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 8),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    ), q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 20),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+        list_sum(list_transform(list_zip(q.q_vec, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(list_zip(q.q_vec, q.q_vec),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))) AS cos
+      FROM q JOIN b c USING (bucket) WHERE q.q_id <> c.vec_id
+    )
+    SELECT q_id, vec_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def sim_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (sign-LSH): same-bucket candidates only — the search
+    becomes an equi-join, the 100 TB-viable plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return SIM.ann_sign_lsh_topk(q, emb, "q_id", "q_vec", "vec_id", "embedding", k=3)
+
+
+@query(
+    "sim_norms_by_label",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           MIN(sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))) AS min_norm,
+           MAX(sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def sim_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = SIM.norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(n).alias("min_norm"),
+        F.max(n).alias("max_norm"),
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS checksum,
+           'text/plain'               AS mime
+    FROM documents
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata plumbing (pack side)."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = MM.pack(d, "doc_id", "text", "text/plain")
+    return mm.select(
+        F.col("id").alias("doc_id"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@query("multimodal_fake_features")  # rows-only: mapInPandas decode stub
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.pack(d, "doc_id", "text", "text/plain"), fake=True)

@@ -1,0 +1,78 @@
+"""ETL dataflow templates: the reference's pipeline surface on Spark.
+
+Reference shape (SURVEY.md §3.1): SQS todo → fetch S3 gz-JSON block →
+pure-python transform → write child block with hierarchical etl key
+(``activedata_etl/__init__.py :: etl2key``) stamping provenance
+(``doc.etl = {id, source: {...}, timestamp, ...}``) → notify next stage →
+separate worker bulk-loads Elasticsearch rollover indexes routed by doc
+date (``pyLibrary/env/rollover_index.py``).
+
+Spark restatement:
+
+- block/batch        → DataFrame (partition = block)
+- etl key chain      → ``etl`` struct column (provenance travels WITH rows)
+- S3 re-blocking     → shuffle / partitioned write
+- rollover index     → ``write.partitionBy(<date>)`` parquet layout;
+                       partition pruning replaces index selection
+- idempotent re-run  → deterministic partition overwrite (dynamic mode):
+                       re-processing a block replaces exactly its output
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def stamp_provenance(df: DataFrame, source_key: str, id_col,
+                     revision: str = "dev") -> DataFrame:
+    """Attach the reference's ``etl`` provenance struct to every row.
+
+    ``id_col`` must be a deterministic per-row expression (the reference
+    uses position-in-block; at Spark scale a stable natural key is safer
+    than monotonically_increasing_id, which depends on partition layout).
+    ``timestamp`` is stamped with a *column* so re-runs are comparable;
+    callers wanting wall-clock pass their own.
+    """
+    etl = F.struct(
+        id_col.alias("id"),
+        F.lit(source_key).alias("source_key"),
+        F.lit(revision).alias("revision"),
+    )
+    return df.withColumn("etl", etl)
+
+
+def rollover_write(df: DataFrame, path: str, date_col: str, unit: str = "day") -> None:
+    """Date-partitioned parquet write = the rollover index.
+
+    Dynamic partition overwrite keeps re-runs idempotent per period —
+    the Spark analog of routing docs into per-week indexes and replacing
+    re-ETL'd blocks by `_id`.
+    """
+    (
+        df.withColumn("__period__", F.date_trunc(unit, F.col(date_col)).cast("date"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__period__")
+        .parquet(path)
+    )
+
+
+def transform_pipeline(spark: SparkSession, source_path: str,
+                       transform: Callable[[DataFrame], DataFrame],
+                       dest_path: str, source_key: str, id_col,
+                       date_col: str | None = None) -> DataFrame:
+    """read → transform → provenance stamp → (partitioned) write.
+
+    One reference worker (``transforms/*.py :: process``) becomes one call;
+    chains compose by pointing the next stage's source at ``dest_path``.
+    Returns the written frame for inspection/testing.
+    """
+    df = transform(spark.read.parquet(source_path))
+    out = stamp_provenance(df, source_key, id_col)
+    if date_col:
+        rollover_write(out, dest_path, date_col)
+    else:
+        out.write.mode("overwrite").parquet(dest_path)
+    return out

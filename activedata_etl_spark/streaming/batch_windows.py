@@ -1,0 +1,65 @@
+"""Time-window operators over event streams — batch-checkable forms.
+
+The reference's streaming is micro-batch-by-SQS-queue with date-rollover
+indexes (SURVEY.md §2.10); real Structured Streaming templates live in
+``streaming/stream.py``. The operators here are the window semantics
+themselves — tumbling/sliding/session/dedup — written on plain DataFrames
+so the identical code path serves both batch jobs and ``readStream``
+inputs (Spark's unified API: these transformations are streaming-valid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def tumbling(df: DataFrame, ts: str, width: str, keys: list[str],
+             aggs: dict[str, Column]) -> DataFrame:
+    """Non-overlapping windows: every event in exactly one bucket."""
+    return (
+        df.groupBy(F.window(ts, width).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"),
+                *keys, *aggs.keys())
+    )
+
+
+def sliding(df: DataFrame, ts: str, width: str, slide: str, keys: list[str],
+            aggs: dict[str, Column]) -> DataFrame:
+    """Overlapping windows (width > slide ⇒ each event in width/slide
+    buckets); epoch-aligned starts, same as F.window's contract."""
+    return (
+        df.groupBy(F.window(ts, width, slide).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"),
+                *keys, *aggs.keys())
+    )
+
+
+def sessionize(df: DataFrame, ts: str, gap: str, keys: list[str],
+               aggs: dict[str, Column]) -> DataFrame:
+    """Gap-based sessions: events within ``gap`` of each other merge.
+
+    Uses ``F.session_window`` — streaming-native (works under watermark);
+    window end = last event + gap. The equivalent batch-SQL formulation
+    (lag + cumulative sum of new-session flags) is what the DuckDB oracle
+    runs, so both derivations are cross-checked.
+    """
+    return (
+        df.groupBy(F.session_window(ts, gap).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), *keys, *aggs.keys())
+    )
+
+
+def dedup_latest(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Keep the latest row per key under an explicit TOTAL order — the
+    batch form of the reference's idempotent `_id`-overwrite dedup
+    (push_to_es) and of streaming dropDuplicatesWithinWatermark."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order])
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )

@@ -1,0 +1,69 @@
+"""Structured Streaming templates: the reference's queue-driven ETL loop.
+
+Reference loop (SURVEY.md §3.1): SQS messages name S3 blocks; workers pop,
+transform, write child blocks, notify the next queue; at-least-once with
+idempotent `_id` overwrite. Spark restatement:
+
+- SQS todo queue      → file-listing stream source (new files = new work)
+- commit-on-success   → checkpoint (exactly-once source tracking)
+- at-least-once+dedup → idempotent sink (dynamic partition overwrite /
+                        dropDuplicatesWithinWatermark for row-level)
+- rollover by date    → partitionBy date in the sink
+- late re-ETL         → watermark: bounded lateness instead of the
+                        reference's "rewrite the whole partition"
+
+``Trigger.AvailableNow`` drains the backlog then stops — the closest
+analog of one SQS worker sweep, and what tests use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def file_stream(spark: SparkSession, path: str, schema: StructType,
+                fmt: str = "parquet") -> DataFrame:
+    """The work queue: every new file under ``path`` is a todo item."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def run_incremental(source: DataFrame,
+                    transform: Callable[[DataFrame], DataFrame],
+                    dest_path: str, checkpoint: str,
+                    partition_by: list[str] | None = None,
+                    available_now: bool = True) -> StreamingQuery:
+    """transform → partitioned parquet sink with checkpointed progress.
+
+    One call = one reference ETL worker; chain stages by pointing the next
+    stage's ``file_stream`` at this stage's ``dest_path``.
+    """
+    writer = (
+        transform(source)
+        .writeStream.format("parquet")
+        .option("path", dest_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(events: DataFrame, ts: str, width: str,
+                    watermark: str, keys: list[str]) -> DataFrame:
+    """Streaming windowed aggregation with late-data bound — the
+    monitoring-counter path. Same semantics as batch_windows.tumbling,
+    plus the watermark that lets state be dropped."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, width), *keys)
+        .count()
+    )

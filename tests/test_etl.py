@@ -1,0 +1,62 @@
+"""ETL dataflow surface: provenance stamping, rollover write + partition
+pruning, incremental streaming sweep."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.io import load_table
+from activedata_etl_spark.sources.etl import rollover_write, stamp_provenance
+from activedata_etl_spark.streaming.stream import file_stream, run_incremental
+
+
+def test_provenance_and_rollover_roundtrip(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders")
+    stamped = stamp_provenance(o, source_key="orders.sf0.001",
+                               id_col=F.col("o_orderkey"))
+    assert stamped.schema["etl"].dataType.fieldNames() == ["id", "source_key", "revision"]
+
+    dest = str(tmp_path / "rollover")
+    rollover_write(stamped, dest, date_col="o_orderdate", unit="month")
+    back = spark.read.parquet(dest)
+    assert back.count() == o.count()
+    # partition layout exists (rollover index analog)
+    periods = [d for d in os.listdir(dest) if d.startswith("__period__=")]
+    assert len(periods) > 10
+
+    # partition pruning: a one-month predicate must scan one partition
+    one = back.filter(F.col("__period__") == "1995-03-01")
+    plan = one.explain if False else one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__period__" in plan
+
+    # idempotent re-run: dynamic overwrite of same data changes nothing
+    rollover_write(stamped, dest, date_col="o_orderdate", unit="month")
+    assert spark.read.parquet(dest).count() == o.count()
+
+
+def test_incremental_stream_sweep(spark, sf_dir, tmp_path):
+    """Trigger.AvailableNow drains the 'queue' (file dir) exactly once."""
+    src_dir, dest, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(src_dir)
+
+    stream = file_stream(spark, src_dir, events.schema)
+    q = run_incremental(
+        stream,
+        lambda df: df.filter(F.col("event_type") == "purchase")
+        .withColumn("day", F.to_date("ts")),
+        dest, ckpt, partition_by=["day"],
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(dest).count()
+    want = events.filter(F.col("event_type") == "purchase").count()
+    assert got == want
+    # re-run with same checkpoint: no new work → no duplicates (exactly-once)
+    q2 = run_incremental(
+        stream,
+        lambda df: df.filter(F.col("event_type") == "purchase")
+        .withColumn("day", F.to_date("ts")),
+        dest, ckpt, partition_by=["day"],
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dest).count() == want

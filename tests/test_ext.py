@@ -1,0 +1,43 @@
+"""Unit tests for extension ops not fully covered by the oracle pairs
+(rows-only: simhash, multimodal decode stub)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.ext import dedup as DD
+from activedata_etl_spark.ext import multimodal as MM
+from activedata_etl_spark.ext import text as TX
+from activedata_etl_spark.io import load_table
+
+
+def test_simhash_deterministic_and_near_dup_sensitive(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = dict(DD.simhash64(d, "doc_id", TX.tokens("text")).collect())
+    b = dict(DD.simhash64(d.repartition(7), "doc_id", TX.tokens("text")).collect())
+    assert a == b  # partition-layout independent
+
+    # identical text ⇒ identical simhash (hamming 0)
+    two = d.limit(1).select(F.lit(1).alias("id"), "text").unionByName(
+        d.limit(1).select(F.lit(2).alias("id"), "text"))
+    hs = [r["simhash"] for r in DD.simhash64(two, "id", TX.tokens("text")).collect()]
+    assert hs[0] == hs[1]
+
+
+def test_hamming64(spark):
+    df = spark.range(1).select(
+        DD.hamming64(F.lit(0b1011).cast("bigint"), F.lit(0b0010).cast("bigint")).alias("h"))
+    assert df.first()["h"] == 2
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub(b"bytes", "image/png", fake=False)
+
+
+def test_multimodal_feature_batch_shape(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(10)
+    feats = MM.extract_features(MM.pack(d, "doc_id", "text", "text/plain"), fake=True)
+    rows = feats.collect()
+    assert len(rows) == 10
+    assert all(len(r["features"]) == MM.FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
