@@ -44,11 +44,46 @@ def _seeded_md5(seed: int):
 
 
 def minhash_signature(toks: Column, n_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """Array of n MinHash values (md5-string minima) per document."""
+    """Array of n MinHash values (md5-string minima) per document.
+
+    Expression form — fine for one-off projection. For anything feeding a
+    join use :func:`minhash_table`: expressions inlined under a Generate
+    node get NO common-subexpression elimination, so banding this array
+    recomputes the whole shingle pipeline once per band per hash
+    (measured 64× blowup at sf0.1).
+    """
     sh = shingles(toks, shingle_n)
     return F.array(*[
         F.array_min(F.transform(sh, _seeded_md5(i))) for i in range(n_hashes)
     ])
+
+
+def minhash_table(df: DataFrame, id_col: str, text_col: str,
+                  n_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """MinHash as a grouped aggregation: explode shingles once, take n
+    keyed-md5 minima per doc. One scan + one shuffle on the doc id; the
+    aggregate output is a materialization boundary, so downstream banding
+    and joins work over plain columns (h0..h{n-1}) — the 100 TB plan.
+    Docs with fewer than ``shingle_n`` tokens have no shingles and drop out.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col), shingle_n)).alias("__s__"),
+    )
+    return sh.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s__")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ])
+
+
+def band_keys(n_hashes: int = 16, n_bands: int = 4) -> list[Column]:
+    """Band signatures over minhash_table columns (cheap md5 of a concat)."""
+    rpb = n_hashes // n_bands
+    return [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * rpb + j}") for j in range(rpb)]))
+        .alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
 
 
 def lsh_bands(sig: Column, n_bands: int = 4) -> list[Column]:
@@ -72,9 +107,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     Bucket skew (boilerplate docs) is AQE's skew-join case; for adversarial
     corpora add a bucket-size cap filter before the join.
     """
-    sig = minhash_signature(tokens(text_col), n_hashes, shingle_n)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
-        "id", F.posexplode(F.array(*[c for c in lsh_bands(F.col("sig"), n_bands)]))
+    sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[k for k in band_keys(n_hashes, n_bands)]))
         .alias("band_idx", "band_sig"),
     )
     a = banded.alias("a")

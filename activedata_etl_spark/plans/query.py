@@ -1,0 +1,214 @@
+"""jx QueryOp → DataFrame planner.
+
+Mirrors the reference's query lifecycle (SURVEY.md §3.2/§3.3) with Spark
+as the backend: normalize the JSON clause set
+(``vendor/jx_base/query.py :: QueryOp.wrap``), lower expressions
+(plans/expressions.py), then compose relational ops:
+
+    from → where → edges/groupby + select-aggregates → window → sort → limit
+
+Supported clauses: ``from`` (view name or nested sub-query dict),
+``select`` (expr / list / aggregates), ``where``, ``groupby``, ``edges``
+(default | set | range | time domains, dense output), ``window``,
+``sort``, ``limit``. Output ``format`` is handled by plans/format.py
+(list/table/cube are presentations of the same DataFrame).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions import aggs as A
+from ..functions.exact import davg, dsum
+from ..operators import domains as D
+from ..operators import windows as W
+from .expressions import compile_expr
+
+_AGG_NAMES = {
+    "count", "sum", "add", "min", "minimum", "max", "maximum", "avg",
+    "average", "mean", "median", "percentile", "cardinality", "union",
+    "stats", "first", "last", "one",
+}
+
+
+def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
+    """Execute a jx query dict against registered temp views."""
+    df = _from(spark, q["from"])
+    if "where" in q:
+        df = df.filter(compile_expr(q["where"]))
+
+    selects = _normalize_selects(q.get("select"))
+    edges = [_normalize_edge(e) for e in _listify(q.get("edges"))]
+    groupby = [_normalize_edge(g) for g in _listify(q.get("groupby"))]
+
+    if edges or groupby:
+        df = _aggregate(spark, df, selects, edges or groupby, dense=bool(edges))
+    elif selects and any(s.get("aggregate") for s in selects):
+        df = df.agg(*[_agg_column(s).alias(s["name"]) for s in selects])
+    elif selects:
+        df = df.select(*[compile_expr(s["value"]).alias(s["name"]) for s in selects])
+
+    for wspec in _listify(q.get("window")):
+        df = _window(df, wspec)
+    if "sort" in q:
+        df = df.orderBy(*[_sort_col(s) for s in _listify(q["sort"])])
+    if "limit" in q:
+        df = df.limit(int(q["limit"]))
+    return df
+
+
+# --- normalization (jx_base/query.py :: _normalize_*) --------------------
+
+def _listify(v) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _from(spark: SparkSession, frum) -> DataFrame:
+    if isinstance(frum, dict):  # nested query (jx's having / sub-select)
+        return run(spark, frum)
+    return spark.table(frum)
+
+
+def _normalize_selects(select) -> list[dict]:
+    if select is None:
+        return []
+    out = []
+    for s in _listify(select):
+        if isinstance(s, str):
+            out.append({"name": s, "value": s})
+        else:
+            s = dict(s)
+            v = s.get("value")
+            s.setdefault("name", v if isinstance(v, str) else "value")
+            out.append(s)
+    return out
+
+
+def _normalize_edge(e) -> dict:
+    if isinstance(e, str):
+        return {"name": e, "value": e, "domain": {"type": "default"}}
+    e = dict(e)
+    e.setdefault("name", e["value"] if isinstance(e.get("value"), str) else "edge")
+    e.setdefault("domain", {"type": "default"})
+    return e
+
+
+def _sort_col(s) -> Column:
+    if isinstance(s, str):
+        return F.col(s).asc_nulls_first()  # jx: missing sorts first
+    c = compile_expr(s["value"])
+    return c.desc_nulls_last() if s.get("sort", 1) == -1 else c.asc_nulls_first()
+
+
+# --- aggregates ----------------------------------------------------------
+
+def _agg_column(s: dict) -> Column:
+    agg = s["aggregate"]
+    v = compile_expr(s["value"]) if s.get("value") not in (None, ".") else F.lit(1)
+    if agg not in _AGG_NAMES:
+        raise ValueError(f"unknown aggregate: {agg!r}")
+    if agg == "count":
+        return F.count(F.lit(1)) if s.get("value") in (None, ".") else F.count(v)
+    if agg in ("sum", "add"):
+        return dsum(v)
+    if agg in ("min", "minimum"):
+        return F.min(v)
+    if agg in ("max", "maximum"):
+        return F.max(v)
+    if agg in ("avg", "average", "mean"):
+        return davg(v)
+    if agg == "median":
+        return A.median(v)
+    if agg == "percentile":
+        return A.percentile(v, s.get("percentile", 0.5))
+    if agg == "cardinality":
+        return A.cardinality(v)
+    if agg == "union":
+        return A.union_(v)
+    raise ValueError(f"aggregate {agg!r} needs an explicit sort — use the "
+                     "library API (functions.aggs.first_/last_) instead")
+
+
+def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
+               edges: list[dict], dense: bool) -> DataFrame:
+    keys, domains = [], []
+    for e in edges:
+        dom = e["domain"]
+        val = compile_expr(e["value"])
+        name = e["name"]
+        if dom["type"] in ("default", "set"):
+            keys.append(val.alias(name))
+            if dense and dom["type"] == "set":
+                parts = [p if not isinstance(p, dict) else p["value"]
+                         for p in dom["partitions"]]
+                domains.append(D.set_domain(spark, name, parts))
+            elif dense:
+                domains.append(None)  # default domain = observed values
+        elif dom["type"] == "range":
+            bucket = (F.floor(val / dom["interval"]) * dom["interval"]).cast("double")
+            keys.append(bucket.alias(name))
+            if dense:
+                domains.append(
+                    D.range_domain(spark, name, dom["min"], dom["max"], dom["interval"])
+                    .select(F.col(name).cast("double").alias(name)))
+        elif dom["type"] == "time":
+            unit = dom.get("interval", "day")
+            keys.append(F.date_trunc(unit, val).alias(name))
+            if dense:
+                bounds = df.select(
+                    F.date_trunc(unit, F.min(val)).alias("lo"),
+                    F.date_trunc(unit, F.max(val)).alias("hi"))
+                domains.append(D.time_domain_from_bounds(bounds, name, f"1 {unit}"))
+        else:
+            raise ValueError(f"unknown domain type: {dom['type']!r}")
+
+    agg_cols = [_agg_column(s).alias(s["name"]) for s in selects if s.get("aggregate")]
+    agged = df.groupBy(*keys).agg(*agg_cols) if agg_cols else df.groupBy(*keys).count()
+
+    if dense:
+        zero = [s["name"] for s in selects if s.get("aggregate") == "count"]
+        for name, dom_df in zip([e["name"] for e in edges], domains):
+            if dom_df is not None:
+                agged = D._complete(dom_df, agged, [name], zero_fill=zero)
+    return agged
+
+
+def _window(df: DataFrame, spec: dict) -> DataFrame:
+    """jx window clause: {name, value, aggregate, edges, sort, range}."""
+    part = [compile_expr(e) for e in _listify(spec.get("edges"))]
+    order = [_sort_col(s) for s in _listify(spec.get("sort"))]
+    w = W.spec(part, order or None)
+    rng = spec.get("range")
+    if rng:
+        w = W.sliding(w, rng.get("min", 0), rng.get("max", 0))
+    elif order:
+        w = W.running(w)
+    agg = spec.get("aggregate")
+    v = compile_expr(spec["value"]) if spec.get("value") else F.lit(1)
+    if agg == "count":
+        col = F.count(v).over(w)
+    elif agg in ("sum", "add"):
+        col = F.sum(v.cast("decimal(18,6)")).over(w).cast("double")
+    elif agg in ("min", "minimum"):
+        col = F.min(v).over(w)
+    elif agg in ("max", "maximum"):
+        col = F.max(v).over(w)
+    elif agg in ("avg", "average", "mean"):
+        col = (F.sum(v.cast("decimal(18,6)")).over(w).cast("double") / F.count(v).over(w))
+    elif agg == "row_number" or agg is None:
+        col = F.row_number().over(w)
+    elif agg == "rank":
+        col = F.rank().over(w)
+    elif agg == "dense_rank":
+        col = F.dense_rank().over(w)
+    elif agg == "lag":
+        col = F.lag(v, spec.get("offset", 1)).over(w)
+    elif agg == "lead":
+        col = F.lead(v, spec.get("offset", 1)).over(w)
+    else:
+        raise ValueError(f"unsupported window aggregate: {agg!r}")
+    return df.withColumn(spec["name"], col)

@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     q_ext,
     q_flagship,
     q_joins,
+    q_jx,
     q_nested,
     q_setops_sort,
     q_windows,

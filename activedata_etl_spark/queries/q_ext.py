@@ -145,20 +145,23 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_cols(n_hashes: int = 16) -> str:
+    """Oracle mirror of ext.dedup.minhash_table's aggregation."""
     return ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS h{i}"
-        for i in range(n_hashes)
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(n_hashes)
     )
+
+
+_DUCK_SIG = f"""
+      sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sig AS (SELECT doc_id, {_duck_minhash_cols(16)} FROM ex GROUP BY doc_id)
+"""
 
 
 @query(
     "dedup_minhash_bands",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {_SHINGLES} AS sh FROM documents
-    ), sig AS (
-      SELECT doc_id, {_duck_minhash_cols(16)} FROM sh
-    )
+    WITH {_DUCK_SIG}
     SELECT doc_id,
            md5(h0  || '|' || h1  || '|' || h2  || '|' || h3)  AS band_0,
            md5(h4  || '|' || h5  || '|' || h6  || '|' || h7)  AS band_1,
@@ -171,19 +174,13 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature → LSH band keys per document (the blocking keys
     the candidate join shuffles on)."""
     d = load_table(spark, sf_dir, "documents")
-    sig = DD.minhash_signature(TX.tokens("text"))
-    return d.select("doc_id", sig.alias("sig")).select(
-        "doc_id", *DD.lsh_bands(F.col("sig")))
+    return DD.minhash_table(d, "doc_id", "text").select("doc_id", *DD.band_keys())
 
 
 @query(
     "dedup_lsh_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {_SHINGLES} AS sh FROM documents
-    ), sig AS (
-      SELECT doc_id, {_duck_minhash_cols(16)} FROM sh
-    ), banded AS (
+    WITH {_DUCK_SIG}, banded AS (
       SELECT doc_id, b.band_idx, b.band_sig FROM sig,
         LATERAL (SELECT * FROM (VALUES
           (0, md5(h0  || '|' || h1  || '|' || h2  || '|' || h3)),

@@ -1,0 +1,168 @@
+"""[Q] pairs driven through the jx JSON front-end (plans/) — proving the
+whole pipeline: JSON query → expression compile → DataFrame plan →
+matches the independent SQL oracle. This is the reference's API surface
+(jx_python.jx.run / the ActiveData query service) on Spark."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exact import sql_davg, sql_dsum
+from ..io import register_views
+from ..plans import query as JX
+from .registry import query
+
+
+def _run(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
+    register_views(spark, sf_dir)
+    return JX.run(spark, q)
+
+
+@query(
+    "jx_filter_project",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 1.1 AS with_markup,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'rush' ELSE 'normal' END AS speed
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+    """,
+)
+def jx_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "where": {"and": [
+            {"eq": {"o_orderstatus": "O"}},
+            {"gt": ["o_totalprice", 150000]},
+        ]},
+        "select": [
+            {"name": "o_orderkey", "value": "o_orderkey"},
+            {"name": "with_markup", "value": {"mult": ["o_totalprice", 1.1]}},
+            {"name": "speed", "value": {"when": {"eq": {"o_orderpriority": "1-URGENT"}},
+                                        "then": {"literal": "rush"},
+                                        "else": {"literal": "normal"}}},
+        ],
+    })
+
+
+@query(
+    "jx_groupby_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS total_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           MAX(l_discount) AS max_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def jx_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, {
+        "from": "lineitem",
+        "groupby": "l_returnflag",
+        "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "total_qty", "value": "l_quantity", "aggregate": "sum"},
+            {"name": "avg_price", "value": "l_extendedprice", "aggregate": "avg"},
+            {"name": "max_disc", "value": "l_discount", "aggregate": "max"},
+        ],
+    })
+
+
+@query(
+    "jx_edges_set_dense",
+    oracle=f"""
+    SELECT d.o_orderstatus, COALESCE(a.n, 0) AS n, a.revenue
+    FROM (VALUES ('O'), ('F'), ('P'), ('X')) d(o_orderstatus)
+    LEFT JOIN (
+      SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    ) a USING (o_orderstatus)
+    """,
+)
+def jx_edges_set_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "edges": [{
+            "value": "o_orderstatus",
+            "domain": {"type": "set", "partitions": ["O", "F", "P", "X"]},
+        }],
+        "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "revenue", "value": "o_totalprice", "aggregate": "sum"},
+        ],
+    })
+
+
+@query(
+    "jx_edges_range_histogram",
+    oracle="""
+    SELECT CAST(d.price_bin AS DOUBLE) AS price_bin, COALESCE(a.n, 0) AS n
+    FROM (SELECT unnest(range(0, 600000, 50000)) AS price_bin) d
+    LEFT JOIN (
+      SELECT floor(o_totalprice / 50000) * 50000 AS price_bin, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ) a ON CAST(d.price_bin AS DOUBLE) = a.price_bin
+    """,
+)
+def jx_edges_range_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "edges": [{
+            "name": "price_bin",
+            "value": "o_totalprice",
+            "domain": {"type": "range", "min": 0, "max": 600000, "interval": 50000},
+        }],
+        "select": [{"name": "n", "aggregate": "count"}],
+    })
+
+
+@query(
+    "jx_window_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def jx_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "select": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "window": [
+            {"name": "running", "value": "o_totalprice", "aggregate": "sum",
+             "edges": ["o_custkey"], "sort": ["o_orderkey"]},
+            {"name": "rn", "aggregate": "row_number",
+             "edges": ["o_custkey"], "sort": ["o_orderkey"]},
+        ],
+    })
+
+
+@query(
+    "jx_nested_having",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT c_nationkey, COUNT(*) AS n, {sql_dsum('c_acctbal')} AS bal
+      FROM customer GROUP BY c_nationkey
+    ) WHERE n >= 5
+    ORDER BY bal DESC LIMIT 10
+    """,
+)
+def jx_nested_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx's HAVING: a query whose `from` is another query."""
+    return _run(spark, sf_dir, {
+        "from": {
+            "from": "customer",
+            "groupby": "c_nationkey",
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {"name": "bal", "value": "c_acctbal", "aggregate": "sum"},
+            ],
+        },
+        "where": {"gte": ["n", 5]},
+        "sort": [{"value": "bal", "sort": -1}],
+        "limit": 10,
+    })

@@ -1,0 +1,81 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): 1 discarded warm-up, then median of 3 timed runs;
+wall clock around a full materialization (collect for small outputs,
+count for wide ones so driver-side row transfer doesn't dominate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative spread: scan/agg, joins (broadcast + as-of), windows,
+# domain completion, sessionization, near-dup pipeline, vector search,
+# text, nested shuffle, cube.
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_median_percentile",
+    "agg_cube",
+    "edges_time_months",
+    "join_inner_broadcast",
+    "join_asof",
+    "window_running_sum",
+    "events_sessionize_30m",
+    "dedup_lsh_jaccard_pairs",
+    "sim_cosine_topk",
+    "text_top_terms",
+    "nested_explode_roundtrip",
+]
+
+WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()
+
+
+def materialize(df) -> int:
+    n = df.count()
+    if n <= WIDE_THRESHOLD:
+        df.collect()
+    return n
+
+
+def main() -> None:
+    from activedata_etl_spark.queries import QUERIES
+    from activedata_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).count()  # warm-up (discarded)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(sorted(runs)[1], 4)
+        print(f"  {name}: {times[name]}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

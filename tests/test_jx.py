@@ -1,0 +1,105 @@
+"""Golden tests for the jx JSON front-end (plans/) — the reference's test
+style: tiny query dicts → expected rows (SURVEY.md §5), plus output
+formats (list/table/cube)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.io import register_views
+from activedata_etl_spark.plans import format as FMT
+from activedata_etl_spark.plans import query as JX
+from activedata_etl_spark.plans.expressions import compile_expr
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+def _expr(spark, e, schema=None, **cols):
+    if schema is None:
+        schema = ", ".join(
+            f"{k} {'string' if isinstance(v, str) else 'double' if isinstance(v, float) else 'bigint'}"
+            for k, v in (cols or {"x": 1}).items())
+    df = spark.createDataFrame([tuple((cols or {"x": 1}).values())], schema)
+    return df.select(compile_expr(e).alias("r")).first()["r"]
+
+
+def test_expr_literals_vs_variables(spark):
+    assert _expr(spark, {"literal": "a"}, a=5) == "a"
+    assert _expr(spark, "a", a=5) == 5
+    assert _expr(spark, 3.5) == 3.5
+
+
+def test_expr_null_semantics(spark):
+    # eq(missing, missing) = true; add ignores missing; div/0 = missing
+    assert _expr(spark, {"eq": ["a", "b"]}, schema="a bigint, b bigint",
+                 a=None, b=None) is True
+    assert _expr(spark, {"ne": ["a", "b"]}, schema="a bigint, b bigint",
+                 a=None, b=1) is False
+    assert _expr(spark, {"add": ["a", "b"]}, schema="a bigint, b bigint",
+                 a=None, b=4) == 4
+    assert _expr(spark, {"add": ["a", "b"]}, schema="a bigint, b bigint",
+                 a=None, b=None) is None
+    assert _expr(spark, {"div": ["a", "b"]}, schema="a double, b bigint",
+                 a=1.0, b=0) is None
+    assert _expr(spark, {"mod": ["a", "b"]}, a=-7, b=3) == 2  # floored
+
+
+def test_expr_strings(spark):
+    assert _expr(spark, {"left": ["s", 3]}, s="hello") == "hel"
+    assert _expr(spark, {"find": ["s", "ll"]}, s="hello") == 2
+    assert _expr(spark, {"find": ["s", "zz"]}, s="hello") is None
+    assert _expr(spark, {"between": ["s", "h", "o"]}, s="hello") == "ell"
+    assert _expr(spark, {"concat": ["s", "t"], "separator": "-"},
+                 s="a", t="b") == "a-b"
+
+
+def test_query_groupby_golden(spark):
+    out = JX.run(spark, {
+        "from": "region",
+        "select": [{"name": "n", "aggregate": "count"}],
+        "groupby": "r_name",
+        "sort": ["r_name"],
+    }).collect()
+    assert [r["r_name"] for r in out] == sorted(r["r_name"] for r in out)
+    assert all(r["n"] == 1 for r in out)
+
+
+def test_query_where_limit(spark):
+    out = JX.run(spark, {
+        "from": "nation",
+        "where": {"lt": ["n_nationkey", 5]},
+        "select": ["n_nationkey", "n_name"],
+        "sort": ["n_nationkey"],
+        "limit": 3,
+    }).collect()
+    assert [r["n_nationkey"] for r in out] == [0, 1, 2]
+
+
+def test_formats_list_table_cube(spark):
+    df = JX.run(spark, {
+        "from": "nation",
+        "groupby": "n_regionkey",
+        "select": [{"name": "n", "aggregate": "count"}],
+    })
+    lst = FMT.to_list(df)
+    assert {r["n_regionkey"] for r in lst} == {0, 1, 2, 3, 4}
+    tbl = FMT.to_table(df)
+    assert set(tbl["header"]) == {"n_regionkey", "n"}
+    cube = FMT.to_cube(df, ["n_regionkey"], ["n"])
+    assert cube["edges"][0]["domain"]["partitions"] == [0, 1, 2, 3, 4]
+    assert sum(cube["data"]["n"]) == 25
+
+
+def test_cube_two_edges(spark):
+    df = JX.run(spark, {
+        "from": "lineitem",
+        "edges": ["l_returnflag", "l_linestatus"],
+        "select": [{"name": "n", "aggregate": "count"}],
+    })
+    cube = FMT.to_cube(df, ["l_returnflag", "l_linestatus"], ["n"])
+    flags = cube["edges"][0]["domain"]["partitions"]
+    assert "A" in flags and "R" in flags
+    total = sum(v for row in cube["data"]["n"] for v in row if v is not None)
+    assert total == spark.table("lineitem").count()
