@@ -58,18 +58,34 @@ def minhash_signature(toks: Column, n_hashes: int = 16, shingle_n: int = 3) -> C
     ])
 
 
+def shingle_table(df: DataFrame, id_col: str, text_col: str,
+                  shingle_n: int = 3) -> DataFrame:
+    """(id, shingle) rows, hash-partitioned by id.
+
+    The repartition matters twice: it spreads the md5/shingle compute
+    across all cores even when the source is a single small file, and it
+    pre-partitions on the id so the downstream signature groupBy needs no
+    second shuffle (Exchange reuse).
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                            F.col(id_col))
+    return spread.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col), shingle_n)).alias("__s__"),
+    )
+
+
 def minhash_table(df: DataFrame, id_col: str, text_col: str,
-                  n_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+                  n_hashes: int = 16, shingle_n: int = 3,
+                  sh: DataFrame | None = None) -> DataFrame:
     """MinHash as a grouped aggregation: explode shingles once, take n
     keyed-md5 minima per doc. One scan + one shuffle on the doc id; the
     aggregate output is a materialization boundary, so downstream banding
     and joins work over plain columns (h0..h{n-1}) — the 100 TB plan.
     Docs with fewer than ``shingle_n`` tokens have no shingles and drop out.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingles(tokens(text_col), shingle_n)).alias("__s__"),
-    )
+    if sh is None:
+        sh = shingle_table(df, id_col, text_col, shingle_n)
     return sh.groupBy(id_col).agg(*[
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s__")))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -99,7 +115,8 @@ def lsh_bands(sig: Column, n_bands: int = 4) -> list[Column]:
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_hashes: int = 16, n_bands: int = 4,
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        sig: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 band.
 
     Plan shape: scan → per-band explode (n_bands rows/doc) → shuffle on
@@ -107,7 +124,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     Bucket skew (boilerplate docs) is AQE's skew-join case; for adversarial
     corpora add a bucket-size cap filter before the join.
     """
-    sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n)
+    if sig is None:
+        sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n)
     banded = sig.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.array(*[k for k in band_keys(n_hashes, n_bands)]))
@@ -126,11 +144,16 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
                   text_col: str, shingle_n: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  sh_rows: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify stage after LSH
     blocking). |A∩B| / |A∪B| over distinct shingle sets."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(tokens(text_col), shingle_n).alias("sh"))
+    if sh_rows is not None:
+        sh = (sh_rows.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
+              .withColumnRenamed(id_col, "id"))
+    else:
+        sh = df.select(F.col(id_col).alias("id"),
+                       shingles(tokens(text_col), shingle_n).alias("sh"))
     j = (
         candidates
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -140,6 +163,28 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                   n_hashes: int = 16, n_bands: int = 4, shingle_n: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """End-to-end near-dup pipeline with shared intermediates:
+
+        shingles (persisted) → minhash signatures → LSH bands →
+        candidate pairs → exact-Jaccard verify
+
+    The shingle table feeds both signature computation and the verify
+    stage; persisting it avoids recomputing the tokenize/shingle scan 4×.
+    On a cluster against 100 TB, swap ``persist()`` for writing the
+    signature/shingle tables to storage (they're ~1% of corpus size) —
+    the plan shape is identical.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n, sh=sh)
+    cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, n_bands,
+                                shingle_n, sig=sig)
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_n, threshold,
+                         sh_rows=sh)
 
 
 def simhash64(df: DataFrame, id_col: str, toks: Column) -> DataFrame:

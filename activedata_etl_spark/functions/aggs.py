@@ -57,6 +57,27 @@ def last_(value, order) -> Column:
     return F.max_by(_c(value), _c(order))
 
 
+def count_values(col, order_desc: bool = False) -> Column:
+    """jx ``count_values``: histogram of value→count per group, as a
+    sorted array of {v, n} structs (sorted for cross-engine determinism;
+    a map type would compare unordered but Spark maps can't be grouped)."""
+    c = _c(col)
+    # two-level: needs pre-aggregation per (group, value); see
+    # queries/q_aggs2.py for the composition — this builder handles the
+    # inner struct shaping.
+    return F.array_sort(F.collect_list(F.struct(c.alias("v"), F.col("n").alias("n"))))
+
+
+def one(col) -> Column:
+    """jx ``one``: assert the group has exactly one distinct value and
+    return it; errors the job otherwise (matching reference semantics of
+    'this should be single-valued')."""
+    c = _c(col)
+    return F.when(
+        F.countDistinct(c) == 1, F.any_value(c)
+    ).otherwise(F.raise_error(F.lit("jx 'one' aggregate: multiple values in group")))
+
+
 def cardinality(col) -> Column:
     """Exact distinct count. The reference's ES backend uses HLL (≈);
     ``approx_cardinality`` below is that scale path."""

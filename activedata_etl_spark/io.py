@@ -45,6 +45,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def describe_columns(df: DataFrame) -> DataFrame:
+    """Column metadata catalog — the reference's queryable ``meta.columns``
+    (``vendor/jx_elasticsearch/meta.py :: ColumnList``): per column its
+    name, type, exact cardinality and null count, computed in ONE
+    aggregate pass then unpivoted (no per-column jobs)."""
+    aggs = []
+    for name, dtype in df.dtypes:
+        aggs.append(F.countDistinct(F.col(name)).alias(f"__card_{name}"))
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(name))).alias(f"__nulls_{name}"))
+    stats = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("column"),
+            F.lit(dtype).alias("dtype"),
+            F.col(f"__card_{name}").alias("cardinality"),
+            F.col(f"__nulls_{name}").alias("n_nulls"),
+        )
+        for name, dtype in df.dtypes
+    ])
+    return stats.select(F.explode(rows).alias("c")).select("c.*")
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view (for the SQL surface)."""
     dfs = load_tables(spark, sf_dir)

@@ -47,6 +47,31 @@ def dsum_over(col, w: WindowSpec, prec: int = 18, scale: int = 6) -> Column:
     return F.sum(c.cast(f"decimal({prec},{scale})")).over(w).cast("double")
 
 
+def exact_percentile_over(col, w_frame: WindowSpec, p: float) -> Column:
+    """Exact linear-interpolated percentile over a window frame.
+
+    Spark has no builtin exact percentile-over-window (SURVEY.md §4.3 #3);
+    the reference's incremental Percentile accumulator
+    (vendor/jx_python/windows.py) sorts the frame. Same here: collect the
+    frame into an array, sort, interpolate at rank h=(n-1)·p. Cost is
+    O(frame²·log) per partition — acceptable because jx frames are bounded
+    row offsets; do NOT use over unbounded frames at scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.array_sort(F.collect_list(c).over(w_frame))
+    n = F.size(arr)
+    h = (n - 1) * F.lit(float(p))
+    lo = F.floor(h).cast("int")
+    frac = h - F.floor(h)
+    lo_v = F.element_at(arr, lo + 1).cast("double")
+    hi_v = F.element_at(arr, F.least(lo + 2, n)).cast("double")
+    # weighted form lo·(1-f) + hi·f, matching percentile_cont/quantile_cont
+    # interpolation (the algebraically-equal lo + f·(hi-lo) rounds
+    # differently in IEEE and diverges in the last ulp)
+    return F.when(n == 0, F.lit(None)).otherwise(
+        lo_v * (1 - frac) + hi_v * frac)
+
+
 def filtered(agg_fn, value, cond: Column, w: WindowSpec) -> Column:
     """jx window ``where``: rows failing the predicate contribute nothing."""
     v = F.col(value) if isinstance(value, str) else value

@@ -46,6 +46,8 @@ def _canon(v):
         return ("ts", v.isoformat())
     if isinstance(v, _dt.date):
         return ("d", v.isoformat())
+    if hasattr(v, "asDict"):  # pyspark Row (struct) ≙ duckdb dict
+        return _canon(v.asDict())
     if isinstance(v, (list, tuple)):
         return ("a", tuple(_canon(x) for x in v))
     if isinstance(v, dict):

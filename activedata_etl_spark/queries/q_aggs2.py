@@ -1,0 +1,115 @@
+"""Second-wave [Q] pairs: windowed exact percentile, count_values
+histogram, meta.columns catalog, jx date literals, skewed two-phase
+distinct."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.dates import date_lit
+from ..io import describe_columns, load_table
+from ..operators import skew as SK
+from ..operators import windows as W
+from .registry import query
+
+
+@query(
+    "window_exact_percentile",
+    oracle="""
+    SELECT o_orderkey,
+           quantile_cont(o_totalprice, 0.5) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5,
+           quantile_cont(o_totalprice, 0.25) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS p25_5
+    FROM orders
+    """,
+)
+def window_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile over a bounded sliding frame (no Spark builtin —
+    SURVEY.md §4.3 #3: collect frame → sort → interpolate)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.sliding(W.spec(["o_custkey"], [F.col("o_orderkey")]), -4, 0)
+    return o.select(
+        "o_orderkey",
+        W.exact_percentile_over("o_totalprice", w, 0.5).alias("med5"),
+        W.exact_percentile_over("o_totalprice", w, 0.25).alias("p25_5"),
+    )
+
+
+@query(
+    "agg_count_values",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(struct_pack(v := l_linestatus, n := n))) AS histogram
+    FROM (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ) GROUP BY l_returnflag
+    """,
+)
+def agg_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx ``count_values``: per-group histogram of a column's values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    inner = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    return inner.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("l_linestatus").alias("v"), F.col("n").alias("n"))
+        )).alias("histogram"))
+
+
+@query(
+    "meta_columns",
+    oracle="""
+    SELECT 'n_nationkey' AS "column", 'int' AS dtype,
+           COUNT(DISTINCT n_nationkey) AS cardinality,
+           COUNT(*) - COUNT(n_nationkey) AS n_nulls FROM nation
+    UNION ALL
+    SELECT 'n_name', 'string', COUNT(DISTINCT n_name),
+           COUNT(*) - COUNT(n_name) FROM nation
+    UNION ALL
+    SELECT 'n_regionkey', 'int', COUNT(DISTINCT n_regionkey),
+           COUNT(*) - COUNT(n_regionkey) FROM nation
+    """,
+)
+def meta_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's queryable column catalog (meta.columns): name,
+    type, cardinality, null count — one aggregate pass + unpivot."""
+    n = load_table(spark, sf_dir, "nation")
+    return describe_columns(n)
+
+
+@query(
+    "jx_date_literals",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-03-01' - INTERVAL 1 WEEK
+    """,
+)
+def jx_date_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx relative-date literals resolved at plan time with an injected
+    clock (determinism: the oracle can't re-evaluate 'now')."""
+    fixed_now = dt.datetime(1996, 3, 14, 12, 0, 0)
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= date_lit("year", now=fixed_now))
+        & (F.col("o_orderdate") < date_lit("month-week", now=fixed_now))
+    ).select("o_orderkey")
+
+
+@query(
+    "skew_two_phase_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_l_partkey
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase distinct count — same result as COUNT(DISTINCT),
+    skew-proof plan (partials on (key, salt-of-value) first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return SK.salted_count_distinct(li, "l_returnflag", "l_partkey")

@@ -208,8 +208,7 @@ def dedup_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH bands → candidate pairs →
     exact Jaccard verify. Both engines run the identical construction."""
     d = load_table(spark, sf_dir, "documents")
-    cands = DD.lsh_candidate_pairs(d, "doc_id", "text")
-    return DD.jaccard_pairs(d, cands, "doc_id", "text", threshold=0.2)
+    return DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
 
 
 @query("dedup_simhash")  # rows-only: xxhash64 has no oracle-side equivalent

@@ -1,0 +1,62 @@
+"""Unit tests: date literals, jsonl source, skew helpers, `one` aggregate."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from activedata_etl_spark.functions.aggs import one
+from activedata_etl_spark.functions.dates import parse_date
+from activedata_etl_spark.io import load_table
+from activedata_etl_spark.operators.skew import salted_join
+from activedata_etl_spark.sources.jsonl import read_jsonl, write_jsonl
+
+NOW = dt.datetime(2018, 5, 16, 14, 30, 45)  # a Wednesday
+
+
+def test_parse_date_anchors():
+    assert parse_date("now", NOW) == NOW
+    assert parse_date("today", NOW) == dt.datetime(2018, 5, 16)
+    assert parse_date("eod", NOW) == dt.datetime(2018, 5, 17)
+    assert parse_date("week", NOW) == dt.datetime(2018, 5, 13)  # Sunday start
+    assert parse_date("month", NOW) == dt.datetime(2018, 5, 1)
+    assert parse_date("year", NOW) == dt.datetime(2018, 1, 1)
+
+
+def test_parse_date_offsets():
+    assert parse_date("today-week", NOW) == dt.datetime(2018, 5, 9)
+    assert parse_date("today-2day", NOW) == dt.datetime(2018, 5, 14)
+    assert parse_date("month-3month", NOW) == dt.datetime(2018, 2, 1)
+    # calendar-aware month arithmetic clamps to month end
+    assert parse_date("month-3month", dt.datetime(2018, 5, 31)) == dt.datetime(2018, 2, 1)
+    assert parse_date("year+year", NOW) == dt.datetime(2019, 1, 1)
+    assert parse_date("2018-01-01", NOW) == dt.datetime(2018, 1, 1)
+    assert parse_date(86400) == dt.datetime(1970, 1, 2)
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "blocks")
+    write_jsonl(n, path, gzip=True)
+    back = read_jsonl(spark, path, schema=n.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = li.join(o, "l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey", salt=8).count()
+    assert plain == salted
+
+
+def test_one_aggregate(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    # single-valued per group: region key per nation name
+    ok = n.groupBy("n_name").agg(one("n_regionkey").alias("rk")).count()
+    assert ok == 25
+    # multi-valued group errors out
+    with pytest.raises(Exception, match="one"):
+        n.groupBy("n_regionkey").agg(one("n_name").alias("x")).collect()
