@@ -66,8 +66,27 @@ def time_domain_from_bounds(bounds: DataFrame, col: str, unit_interval: str) -> 
 
 def edges_set(df: DataFrame, spark: SparkSession, col: str, parts: Sequence,
               aggs: dict[str, Column], zero_fill: Sequence[str] = (),
-              dtype: str = "string") -> DataFrame:
-    """edges with a set domain: every listed part appears in the output."""
+              dtype: str = "string", allow_nulls: bool = False) -> DataFrame:
+    """edges with a set domain: every listed part appears in the output.
+
+    ``allow_nulls=True`` mirrors the reference's overflow part: rows whose
+    value is missing OR outside the listed parts land in a NULL-keyed
+    part appended to the domain (es52/decoders.py 'allowNulls').
+    """
+    if allow_nulls:
+        val = F.when(F.col(col).isin(*parts), F.col(col)).otherwise(F.lit(None))
+        agged = (df.withColumn(col, val)
+                 .groupBy(col).agg(*[c.alias(n) for n, c in aggs.items()]))
+        dom = set_domain(spark, col, parts, dtype).unionByName(
+            spark.createDataFrame([(None,)], f"{col} {dtype}"))
+        # null-safe join key: NULL part must match the NULL group
+        joined = dom.alias("d").join(
+            F.broadcast(agged.alias("a")),
+            F.col(f"d.{col}").eqNullSafe(F.col(f"a.{col}")), "left"
+        ).select("d.*", *[F.col(f"a.{n}") for n in aggs])
+        for c in zero_fill:
+            joined = joined.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        return joined
     agged = df.groupBy(col).agg(*[c.alias(n) for n, c in aggs.items()])
     return _complete(set_domain(spark, col, parts, dtype), agged, [col], zero_fill)
 

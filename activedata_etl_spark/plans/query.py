@@ -68,8 +68,18 @@ def _listify(v) -> list:
 
 
 def _from(spark: SparkSession, frum) -> DataFrame:
+    """Resolve the ``from`` clause: view name, nested query dict, or a
+    DEEP path ``"table.arraycol"`` (jx deep query — es52/deep.py; child
+    table in jx_sqlite): explode the array, carrying parent columns."""
     if isinstance(frum, dict):  # nested query (jx's having / sub-select)
         return run(spark, frum)
+    if "." in frum:
+        from ..operators.nested import unnest
+
+        table, _, arr = frum.partition(".")
+        df = spark.table(table)
+        parents = [f.name for f in df.schema.fields if f.name != arr]
+        return unnest(df, arr, parents)
     return spark.table(frum)
 
 

@@ -14,8 +14,10 @@ from . import (  # noqa: F401
     q_flagship,
     q_joins,
     q_jx,
+    q_misc,
     q_nested,
     q_setops_sort,
+    q_tpch,
     q_windows,
 )
 from .registry import ORACLES, QUERIES

@@ -1,0 +1,82 @@
+"""Remaining §2 surface: get/tuple/split ops, edges allowNulls overflow
+part, jx deep query (from: "table.array")."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import jx
+from ..io import load_table
+from ..operators import domains as D
+from ..operators import nested as N
+from ..plans import query as JXQ
+from .registry import query
+
+
+@query(
+    "expr_split_get_tuple",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1]                          AS first_tok,
+           string_split(text, ' ')[3]                          AS third_tok,
+           len(string_split(text, ' '))                        AS n_parts,
+           struct_pack(lang := lang, src := source)            AS pair
+    FROM documents
+    """,
+)
+def expr_split_get_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitOp → array, GetOp (dynamic index, 1-based in both engines),
+    TupleOp → struct."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = jx.split("text", " ")
+    return d.select(
+        "doc_id",
+        jx.get(toks, 1).alias("first_tok"),
+        jx.get(toks, 3).alias("third_tok"),
+        F.size(toks).alias("n_parts"),
+        F.struct(F.col("lang").alias("lang"), F.col("source").alias("src")).alias("pair"),
+    )
+
+
+@query(
+    "edges_set_allow_nulls",
+    oracle="""
+    SELECT d.o_orderstatus, COALESCE(a.n, 0) AS n
+    FROM (VALUES ('O'), ('F'), (NULL)) d(o_orderstatus)
+    LEFT JOIN (
+      SELECT CASE WHEN o_orderstatus IN ('O', 'F') THEN o_orderstatus END AS o_orderstatus,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ) a ON d.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus
+    """,
+)
+def edges_set_allow_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowNulls: values outside the domain (here status 'P') fall into
+    the NULL overflow part — reference decoders' include-missing bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    return D.edges_set(
+        o, spark, "o_orderstatus", ["O", "F"],
+        aggs={"n": F.count(F.lit(1))}, zero_fill=["n"], allow_nulls=True,
+    )
+
+
+@query(
+    "jx_deep_query",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def jx_deep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep query: {"from": "orders_nested.items"} unnests the child array
+    with parent columns in scope (es52/deep.py; child tables in
+    jx_sqlite). The nested view is built by the ETL-side nest()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = N.nest(li, ["l_orderkey"],
+                    ["l_linenumber", "l_quantity"], order_by="l_linenumber")
+    nested.createOrReplaceTempView("orders_nested")
+    return JXQ.run(spark, {
+        "from": "orders_nested.items",
+        "where": {"gte": ["l_quantity", 45]},
+        "select": ["l_orderkey", "l_linenumber", "l_quantity"],
+    })

@@ -55,6 +55,48 @@ def run_incremental(source: DataFrame,
     return writer.start()
 
 
+def run_foreach_batch(source: DataFrame, batch_fn, checkpoint: str,
+                      available_now: bool = True) -> StreamingQuery:
+    """foreachBatch escape hatch: arbitrary batch logic (multi-sink writes,
+    merges, dedup against external state) per micro-batch with
+    exactly-once source tracking — the closest analog of one reference
+    worker's imperative ``process(source_key, source, destination, …)``."""
+    writer = source.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stateful_counts(events: DataFrame, key: str, count_col: str = "n"):
+    """Custom stateful operator via applyInPandasWithState: a per-key
+    running count that SURVIVES across micro-batches (state in the
+    checkpoint). The reference keeps equivalent state in ES by `_id`
+    overwrite; here it's first-class streaming state with timeouts
+    available for eviction.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def update(key_, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key: [key_[0]], count_col: [n]})
+
+    return (
+        events.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{key} bigint, {count_col} bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_counts(events: DataFrame, ts: str, width: str,
                     watermark: str, keys: list[str]) -> DataFrame:
     """Streaming windowed aggregation with late-data bound — the

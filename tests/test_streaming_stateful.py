@@ -1,0 +1,62 @@
+"""Custom stateful streaming operator: state must persist across separate
+micro-batch sweeps through the shared checkpoint."""
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.io import load_table
+from activedata_etl_spark.streaming.stream import (
+    file_stream,
+    run_foreach_batch,
+    stateful_counts,
+)
+
+
+def test_stateful_counts_across_sweeps(spark, sf_dir, tmp_path):
+    src, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    def sweep(batch_df):
+        q = (
+            stateful_counts(batch_df, "user_id")
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first.write.mode("append").parquet(src)
+    sweep(file_stream(spark, src, first.schema))
+    second.write.mode("append").parquet(src)
+    sweep(file_stream(spark, src, first.schema))
+
+    # last emitted count per user must equal the user's TOTAL events —
+    # proving batch-2 resumed batch-1's state, not started fresh
+    latest = (
+        spark.read.parquet(out)
+        .groupBy("user_id").agg(F.max("n").alias("n"))
+    )
+    truth = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, truth.collect()))
+
+
+def test_foreach_batch_multi_sink(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "in")
+    a, b, ckpt = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "ck")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    events.write.parquet(src)
+
+    def split_sinks(batch_df, _batch_id):
+        batch_df.filter(F.col("event_type") == "error").write.mode("append").parquet(a)
+        batch_df.filter(F.col("event_type") != "error").write.mode("append").parquet(b)
+
+    q = run_foreach_batch(file_stream(spark, src, events.schema), split_sinks, ckpt)
+    q.awaitTermination(120)
+    n_err = spark.read.parquet(a).count()
+    n_rest = spark.read.parquet(b).count()
+    assert n_err + n_rest == events.count()
+    assert n_err == events.filter(F.col("event_type") == "error").count()
