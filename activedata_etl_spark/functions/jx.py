@@ -203,6 +203,16 @@ def to_string(x) -> Column:
     return _c(x).cast("string")
 
 
+def number_to_string(x) -> Column:
+    """jx ``string`` of a number: whole values render without the trailing
+    ``.0`` (mo_json value2json number formatting)."""
+    c = _c(x)
+    return (
+        F.when(c == F.floor(c), c.cast("bigint").cast("string"))
+        .otherwise(c.cast("string"))
+    )
+
+
 # --- strings (LengthOp, LeftOp, NotLeftOp, ConcatOp, FindOp, BetweenOp) ---
 
 def length(s) -> Column:

@@ -39,6 +39,30 @@ def expr_split_get_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "expr_number_to_string",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = floor(l_quantity)
+                THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                ELSE CAST(l_quantity AS VARCHAR) END AS qty_str,
+           CASE WHEN l_discount = floor(l_discount)
+                THEN CAST(CAST(l_discount AS BIGINT) AS VARCHAR)
+                ELSE CAST(l_discount AS VARCHAR) END AS disc_str
+    FROM lineitem
+    """,
+)
+def expr_number_to_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx string-of-number: whole doubles print as integers ("26", not
+    "26.0") — the reference's JSON number rendering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        jx.number_to_string("l_quantity").alias("qty_str"),
+        jx.number_to_string("l_discount").alias("disc_str"),
+    )
+
+
+@query(
     "edges_set_allow_nulls",
     oracle="""
     SELECT d.o_orderstatus, COALESCE(a.n, 0) AS n
