@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the jx semantics kit.
+
+The reference has no randomized testing (SURVEY.md §5.1). These check the
+jx null/arithmetic laws against a pure-Python executable spec on arbitrary
+inputs — one Spark job per property batch (rows = generated cases), not
+one job per case.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.functions import jx
+from activedata_etl_spark.functions.dates import parse_date
+
+nums = st.one_of(st.none(), st.integers(-10**6, 10**6),
+                 st.floats(-1e6, 1e6, allow_nan=False, width=64))
+
+
+def _run_cases(spark, cases, build_cols):
+    """Evaluate Column expressions over all cases in ONE Spark job."""
+    def f(x):
+        return float(x) if x is not None else None
+
+    df = spark.createDataFrame(
+        [(i, f(a), f(b)) for i, (a, b) in enumerate(cases)],
+        "i long, a double, b double")
+    rows = df.select("i", "a", "b", *build_cols()).orderBy("i").collect()
+    return rows
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(nums, nums), min_size=1, max_size=40))
+def test_jx_arith_null_laws(spark, pairs):
+    rows = _run_cases(spark, pairs, lambda: [
+        jx.add("a", "b").alias("add"),
+        jx.mult("a", "b").alias("mult"),
+        jx.eq("a", "b").alias("eq"),
+        jx.ne("a", "b").alias("ne"),
+        jx.min_("a", "b").alias("mn"),
+        jx.max_("a", "b").alias("mx"),
+    ])
+    for r in rows:
+        a, b = r["a"], r["b"]
+        present = [x for x in (a, b) if x is not None]
+        # add/mult ignore missing; all-missing → missing
+        if not present:
+            assert r["add"] is None and r["mult"] is None
+        else:
+            assert math.isclose(r["add"], sum(present), rel_tol=1e-9)
+            p = 1.0
+            for x in present:
+                p *= x
+            assert math.isclose(r["mult"], p, rel_tol=1e-9)
+            assert r["mn"] == min(present) and r["mx"] == max(present)
+        # eq is null-safe; ne needs both present
+        assert r["eq"] == (a == b or (a is None and b is None))
+        assert r["ne"] == (a is not None and b is not None and a != b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.floats(-1e6, 1e6, allow_nan=False),
+                          st.integers(-1000, 1000)), min_size=1, max_size=40))
+def test_jx_div_mod_laws(spark, pairs):
+    df_rows = _run_cases(spark, pairs, lambda: [
+        jx.div("a", "b").alias("div"),
+        F.when(F.col("b") != 0, jx.mod(F.col("b").cast("bigint"), 7)).alias("mod7"),
+    ])
+    for r in df_rows:
+        a, b = r["a"], r["b"]
+        if b == 0:
+            assert r["div"] is None  # never an error
+        else:
+            assert math.isclose(r["div"], a / b, rel_tol=1e-9)
+            assert r["mod7"] == int(b) % 7  # floored, Python convention
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.datetimes(min_value=__import__("datetime").datetime(1971, 1, 1),
+                    max_value=__import__("datetime").datetime(2100, 1, 1)))
+def test_parse_date_anchor_laws(now):
+    day = parse_date("today", now)
+    assert day <= now and (now - day).total_seconds() < 86400
+    wk = parse_date("week", now)
+    assert wk.weekday() == 6 or (wk.weekday() == 6)  # Sunday
+    assert wk <= day and (day - wk).days < 7
+    assert parse_date("month", now).day == 1
+    assert parse_date("today-week", now) == day - __import__("datetime").timedelta(days=7)
+    # month arithmetic is its own inverse on month floors
+    mf = parse_date("month", now)
+    assert parse_date("month-3month+3month", now) == mf
