@@ -71,6 +71,29 @@ def cosine_topk(queries: DataFrame, candidates: DataFrame,
     return topk_per_query(scored, q_id, "cos", c_id, k).select(q_id, c_id, "cos")
 
 
+def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                       threshold: float = 0.95, n_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    Scale path: sign-LSH blocking first (near-identical vectors share the
+    sign pattern), exact cosine only within buckets — all-pairs never
+    materializes. Multi-probe (flipping one bucket bit) raises recall for
+    borderline-τ pairs; at τ≥0.9 single-probe recall is high because the
+    probability a near-dup flips any given sign is small.
+    """
+    b = df.select(F.col(id_col), F.col(vec_col),
+                  sign_bucket(F.col(vec_col), n_bits).alias("__bucket__"))
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, (F.col("a.__bucket__") == F.col("b.__bucket__"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("cos", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"), "cos")
+    )
+
+
 def ann_sign_lsh_topk(queries: DataFrame, candidates: DataFrame,
                       q_id: str, q_vec: str, c_id: str, c_vec: str,
                       k: int, n_bits: int = 8) -> DataFrame:

@@ -45,6 +45,36 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+#: GPT-2-ish pretokenizer approximation: letter runs, digit runs, and
+#: punctuation runs (``\p{L}``/``\p{N}`` work in both Java regex and RE2).
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_tokens(text) -> Column:
+    """BPE-style pretokenization (letters/digits/punct runs) — the token
+    counting a training-data pipeline budgets with, as opposed to the
+    whitespace tokens the dedup shingles use."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+_ROLL_P = 1_000_000_007
+
+
+def rolling_hash(toks: Column) -> Column:
+    """Polynomial rolling hash over the token sequence (order-sensitive,
+    unlike the set-based minhash): h = Σ v(tok_i)·131^(n-i) mod p with
+    v(t) = 31·len(t) + codepoint(t[0]). Pure integer Column arithmetic,
+    reproducible by any engine; intermediate values stay < 2^40 so no
+    overflow-wrap divergence between engines."""
+    v = lambda t: (F.length(t) * 31 + F.ascii(t)) % _ROLL_P  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 131 + v(t)) % _ROLL_P,
+    )
+
+
 def fingerprint(text) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     md5 (not xxhash64) so any engine can reproduce it bit-for-bit."""

@@ -48,7 +48,7 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
     elif selects and any(s.get("aggregate") for s in selects):
         df = df.agg(*[_agg_column(s).alias(s["name"]) for s in selects])
     elif selects:
-        df = df.select(*[compile_expr(s["value"]).alias(s["name"]) for s in selects])
+        df = df.select(*_nest_named(df, selects))
 
     for wspec in _listify(q.get("window")):
         df = _window(df, wspec)
@@ -105,6 +105,39 @@ def _normalize_edge(e) -> dict:
     e.setdefault("name", e["value"] if isinstance(e.get("value"), str) else "edge")
     e.setdefault("domain", {"type": "default"})
     return e
+
+
+def _nest_named(df: DataFrame, selects: list[dict]) -> list[Column]:
+    """Select-clause shaping: ``"."`` = whole doc; dotted output names
+    build nested structs (``{"name": "a.b", "value": x}`` →
+    column ``a`` = struct(b: x)) — jx_base/query.py _normalize_select."""
+    flat: list[tuple[str, Column]] = []
+    for s in selects:
+        if s.get("value") == ".":
+            flat.extend((c, F.col(c)) for c in df.columns)
+        else:
+            flat.append((s["name"], compile_expr(s["value"])))
+    return _nest_from_pairs(flat)
+
+
+def _nest_from_pairs(pairs: list[tuple[str, Column]]) -> list[Column]:
+    grouped: dict[str, list[tuple[str, Column]] | Column] = {}
+    order: list[str] = []
+    for name, col in pairs:
+        head, dot, rest = name.partition(".")
+        if head not in grouped:
+            order.append(head)
+            grouped[head] = [] if dot else col
+        if dot:
+            grouped[head].append((rest, col))
+    out = []
+    for head in order:
+        v = grouped[head]
+        if isinstance(v, list):
+            out.append(F.struct(*_nest_from_pairs(v)).alias(head))
+        else:
+            out.append(v.alias(head))
+    return out
 
 
 def _sort_col(s) -> Column:

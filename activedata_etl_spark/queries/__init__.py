@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     q_events,
     q_expr,
     q_ext,
+    q_ext2,
     q_flagship,
     q_joins,
     q_jx,

@@ -1,0 +1,95 @@
+"""Extension ops round 2: embedding-cosine near-dup, BPE-ish token
+counting, rolling-hash fingerprints — completing the north-star dedup/
+text-analysis menu."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ext import similarity as SIM
+from ..ext import text as TX
+from ..io import load_table
+from .registry import query
+
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"{_COS.format(a=a, b=b)} / (sqrt({_COS.format(a=a, b=a)})"
+            f" * sqrt({_COS.format(a=b, b=b)}))")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+    ), b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 8),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM corpus
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_cos_sql('a.embedding', 'c.embedding')} AS cos
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_cos_sql('a.embedding', 'c.embedding')} >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-LSH blocking + exact cosine.
+    The fixture embeddings are random (max natural pair cosine ≈ 0.48),
+    so the corpus is the table unioned with an id-shifted copy — every
+    original must pair with its copy at cosine ≈ 1."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    return SIM.cosine_dedup_pairs(corpus, "vec_id", "embedding", threshold=0.95)
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))  AS n_bpe,
+           len(list_distinct(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS n_bpe_distinct,
+           len(string_split_regex(lower(trim(text)), '\s+'))               AS n_ws
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: BPE-ish pretokens (budgeting) vs
+    whitespace tokens (dedup shingling)."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = TX.bpe_ish_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe"),
+        F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+        F.size(TX.tokens("text")).alias("n_ws"),
+    )
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                 t -> (length(t) * 31 + ascii(t)) % 1000000007)),
+             (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token sequence
+    (same token order, different docs → different fp; anagram docs that
+    fool set-based minhash do NOT collide here)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.rolling_hash(TX.tokens("text")).alias("fp"))

@@ -142,6 +142,83 @@ def jx_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jx_select_nested_output",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(status := o_orderstatus,
+                       money := struct_pack(total := o_totalprice,
+                                            markup := o_totalprice * 1.1)) AS info
+    FROM orders
+    """,
+)
+def jx_select_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted select names build nested output structs (reshape-on-select,
+    _normalize_select): "info.money.total" → info.money.total."""
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "select": [
+            {"name": "o_orderkey", "value": "o_orderkey"},
+            {"name": "info.status", "value": "o_orderstatus"},
+            {"name": "info.money.total", "value": "o_totalprice"},
+            {"name": "info.money.markup", "value": {"mult": ["o_totalprice", 1.1]}},
+        ],
+    })
+
+
+@query(
+    "jx_agg_percentile_union",
+    oracle="""
+    SELECT l_linestatus,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE)) AS p75_qty,
+           percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS med_price,
+           list_sort(list(DISTINCT l_returnflag)) AS flags,
+           COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def jx_agg_percentile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median/percentile/union/cardinality aggregates through the JSON
+    front-end (select.aggregate with the 'percentile' parameter)."""
+    return _run(spark, sf_dir, {
+        "from": "lineitem",
+        "groupby": "l_linestatus",
+        "select": [
+            {"name": "p75_qty", "value": "l_quantity",
+             "aggregate": "percentile", "percentile": 0.75},
+            {"name": "med_price", "value": "l_extendedprice", "aggregate": "median"},
+            {"name": "flags", "value": "l_returnflag", "aggregate": "union"},
+            {"name": "n_supp", "value": "l_suppkey", "aggregate": "cardinality"},
+        ],
+    })
+
+
+@query(
+    "jx_edges_time_dense",
+    oracle=f"""
+    SELECT d.mon, COALESCE(a.n, 0) AS n
+    FROM (
+      SELECT unnest(generate_series(
+        (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) FROM orders),
+        (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) FROM orders),
+        INTERVAL 1 MONTH)) AS mon
+    ) d
+    LEFT JOIN (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ) a USING (mon)
+    """,
+)
+def jx_edges_time_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar time-domain edges through the JSON front-end."""
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "edges": [{"name": "mon", "value": "o_orderdate",
+                   "domain": {"type": "time", "interval": "month"}}],
+        "select": [{"name": "n", "aggregate": "count"}],
+    })
+
+
+@query(
     "jx_nested_having",
     oracle=f"""
     SELECT * FROM (
