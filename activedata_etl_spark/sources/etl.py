@@ -25,6 +25,30 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def etl2key(etl: dict) -> str:
+    """Serialize a provenance chain to the reference's hierarchical block
+    key: child ids PREPENDED dot-separated, so ``{"id": 2, "source":
+    {"id": 7, "source": {"id": "t1"}}}`` → ``"t1.7.2"`` (reference:
+    activedata_etl/__init__.py etl2key — ids accumulate left-to-right
+    from root source to leaf transform)."""
+    parts: list[str] = []
+    node = etl
+    while node is not None:
+        parts.append(str(node["id"]))
+        node = node.get("source")
+    return ".".join(reversed(parts))
+
+
+def key2etl(key: str) -> dict:
+    """Inverse of etl2key: ``"t1.7.2"`` → nested source chain."""
+    parts = key.split(".")
+    node: dict | None = None
+    for p in parts:
+        pid: int | str = int(p) if p.isdigit() else p
+        node = {"id": pid} if node is None else {"id": pid, "source": node}
+    return node
+
+
 def stamp_provenance(df: DataFrame, source_key: str, id_col,
                      revision: str = "dev") -> DataFrame:
     """Attach the reference's ``etl`` provenance struct to every row.

@@ -55,6 +55,19 @@ def run_incremental(source: DataFrame,
     return writer.start()
 
 
+def message_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Continuous message-bus analog (the reference's Pulse/AMQP listener,
+    pyLibrary/env/pulse.py). Without a broker in this environment the
+    built-in rate source stands in; in production swap for
+    ``spark.readStream.format("kafka")`` — downstream code is identical
+    (a timestamped micro-batch stream)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
 def run_foreach_batch(source: DataFrame, batch_fn, checkpoint: str,
                       available_now: bool = True) -> StreamingQuery:
     """foreachBatch escape hatch: arbitrary batch logic (multi-sink writes,

@@ -30,10 +30,12 @@ HEADLINE = [
     "agg_cube",
     "edges_time_months",
     "join_inner_broadcast",
+    "tpch_q5_local_supplier_volume",
     "join_asof",
     "window_running_sum",
     "events_sessionize_30m",
     "dedup_lsh_jaccard_pairs",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "text_top_terms",
     "nested_explode_roundtrip",
