@@ -59,6 +59,52 @@ def decode_stub(payload: bytes, mime: str, fake: bool = False) -> list[float]:
     )
 
 
+RESIZED_SCHEMA = "id bigint, mime string, payload binary, width int, height int"
+FRAMES_SCHEMA = "id bigint, frame_idx int, payload binary"
+
+
+def resize(mm: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Image resize as an Arrow-batched transform. The codec is stubbed
+    (no image libs here): fake mode truncates/pads the payload to
+    width·height bytes — shape-correct plumbing, deterministic bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no image codec in this environment")
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "mime": [m["mime"] for m in pdf["meta"]],
+                "payload": [bytes(p[:n]).ljust(n, b"\0") for p in pdf["payload"]],
+                "width": width,
+                "height": height,
+            })
+
+    return mm.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_sample(mm: DataFrame, every_n_bytes: int = 64,
+                 max_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Video frame sampling: one input row → N frame rows (1:N mapInPandas
+    fan-out, the shape a real decoder uses). Fake mode slices the payload
+    at fixed offsets."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no video codec in this environment")
+            ids, idxs, payloads = [], [], []
+            for pid, p in zip(pdf["id"], pdf["payload"]):
+                for k in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    ids.append(pid)
+                    idxs.append(k)
+                    payloads.append(bytes(p[k * every_n_bytes:(k + 1) * every_n_bytes]))
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "payload": payloads})
+
+    return mm.mapInPandas(run, FRAMES_SCHEMA)
+
+
 def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over (payload, meta).
 

@@ -232,6 +232,8 @@ def _window(df: DataFrame, spec: dict) -> DataFrame:
         w = W.running(w)
     agg = spec.get("aggregate")
     v = compile_expr(spec["value"]) if spec.get("value") else F.lit(1)
+    if "where" in spec:  # jx window where: non-matching rows feed nothing
+        v = F.when(compile_expr(spec["where"]), v)
     if agg == "count":
         col = F.count(v).over(w)
     elif agg in ("sum", "add"):

@@ -34,6 +34,17 @@ def test_multimodal_decode_stub_raises():
         MM.decode_stub(b"bytes", "image/png", fake=False)
 
 
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(5)
+    mm = MM.pack(d, "doc_id", "text", "image/fake")
+    resized = MM.resize(mm, 8, 4).collect()
+    assert all(len(r["payload"]) == 32 and r["width"] == 8 for r in resized)
+    frames = MM.frame_sample(mm, every_n_bytes=16, max_frames=3)
+    rows = frames.collect()
+    assert len(rows) == 15  # 5 docs × 3 frames (texts are long enough)
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+
+
 def test_multimodal_feature_batch_shape(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(10)
     feats = MM.extract_features(MM.pack(d, "doc_id", "text", "text/plain"), fake=True)
