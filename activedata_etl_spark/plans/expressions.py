@@ -51,8 +51,8 @@ def compile_expr(e: Any) -> Column:
 
 
 def _single_op(e: dict) -> tuple[str, Any]:
-    ops = [k for k in e if k not in ("default", "separator", "start", "prefix",
-                                     "suffix", "digits", "percentile",
+    ops = [k for k in e if k not in ("default", "separator", "start",
+                                     "digits", "percentile",
                                      "then", "else", "offset")]
     if len(ops) != 1:
         raise ValueError(f"expected exactly one op key in {e!r}")

@@ -33,6 +33,25 @@ _AGG_NAMES = {
 }
 
 
+def run_formatted(spark: SparkSession, q: dict[str, Any]):
+    """Service-style entry: run the query and return it in the requested
+    ``format`` (list | table | cube) — the reference's HTTP API contract.
+    Collects, so: final human-sized results only."""
+    from . import format as FMT
+
+    df = run(spark, q)
+    fmt = q.get("format", "list")
+    if fmt == "list":
+        return FMT.to_list(df)
+    if fmt == "table":
+        return FMT.to_table(df)
+    if fmt == "cube":
+        edges = [_normalize_edge(e)["name"] for e in _listify(q.get("edges"))]
+        sel = [s["name"] for s in _normalize_selects(q.get("select"))]
+        return FMT.to_cube(df, edges, sel)
+    raise ValueError(f"unknown format: {fmt!r}")
+
+
 def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
     """Execute a jx query dict against registered temp views."""
     df = _from(spark, q["from"])

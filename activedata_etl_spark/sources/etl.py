@@ -83,6 +83,21 @@ def rollover_write(df: DataFrame, path: str, date_col: str, unit: str = "day") -
     )
 
 
+def read_rollover(spark: SparkSession, path: str,
+                  start: str | None = None, end: str | None = None) -> DataFrame:
+    """Read a rollover layout with period pruning — the query service's
+    'only open indexes overlapping the where-clause time range'
+    (pyLibrary/env/rollover_index.py). The filter is on the partition
+    column so only matching directories are scanned (PartitionFilters in
+    the plan; asserted in tests)."""
+    df = spark.read.parquet(path)
+    if start:
+        df = df.filter(F.col("__period__") >= start)
+    if end:
+        df = df.filter(F.col("__period__") < end)
+    return df
+
+
 def transform_pipeline(spark: SparkSession, source_path: str,
                        transform: Callable[[DataFrame], DataFrame],
                        dest_path: str, source_key: str, id_col,

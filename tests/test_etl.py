@@ -6,7 +6,11 @@ import os
 from pyspark.sql import functions as F
 
 from activedata_etl_spark.io import load_table
-from activedata_etl_spark.sources.etl import rollover_write, stamp_provenance
+from activedata_etl_spark.sources.etl import (
+    read_rollover,
+    rollover_write,
+    stamp_provenance,
+)
 from activedata_etl_spark.streaming.stream import file_stream, run_incremental
 
 
@@ -32,6 +36,14 @@ def test_provenance_and_rollover_roundtrip(spark, sf_dir, tmp_path):
     # idempotent re-run: dynamic overwrite of same data changes nothing
     rollover_write(stamped, dest, date_col="o_orderdate", unit="month")
     assert spark.read.parquet(dest).count() == o.count()
+
+    # range read = index selection by time range; prunes partitions
+    ranged = read_rollover(spark, dest, "1995-02-01", "1995-06-01")
+    want = o.filter((F.col("o_orderdate") >= "1995-02-01")
+                    & (F.col("o_orderdate") < "1995-06-01")).count()
+    assert ranged.count() == want > 0
+    rplan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__period__" in rplan
 
 
 def test_incremental_stream_sweep(spark, sf_dir, tmp_path):
