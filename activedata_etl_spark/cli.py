@@ -1,0 +1,69 @@
+"""Command-line query runner: the ActiveData service's POST /query as a
+spark-submit-able job.
+
+    python -m activedata_etl_spark.cli --query q.json \
+        --data /root/testdata/sf0.01 [--format table] [--output out.json]
+
+The query file is a jx JSON query (see JX.md); tables in ``--data`` are
+registered as views. Output is the formatted result as JSON on stdout
+(or ``--output``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _default(o):
+    if isinstance(o, (dt.datetime, dt.date)):
+        return o.isoformat()
+    raise TypeError(f"not JSON-serializable: {type(o)}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--query", required=True, help="path to jx query JSON")
+    ap.add_argument("--data", required=True, help="directory of <table>.parquet files")
+    ap.add_argument("--output", default=None, help="write JSON here (default stdout)")
+    ap.add_argument("--format", dest="fmt", default=None,
+                    help="override the query's format (list|table|cube)")
+    args = ap.parse_args(argv)
+
+    from .io import register_views
+    from .plans.query import run_formatted
+    from .session import get_spark
+
+    try:
+        with open(args.query) as f:
+            q = json.load(f)
+    except OSError as e:
+        print(f"error: cannot read query file: {e}", file=sys.stderr)
+        return 2
+    except json.JSONDecodeError as e:
+        print(f"error: query file is not valid JSON: {e}", file=sys.stderr)
+        return 2
+    if args.fmt:
+        q["format"] = args.fmt
+
+    spark = get_spark("jx-cli")
+    register_views(spark, args.data)
+    try:
+        result = run_formatted(spark, q)
+    except ValueError as e:
+        print(f"error: bad query: {e}", file=sys.stderr)
+        return 2
+
+    out = json.dumps(result, default=_default, indent=2)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

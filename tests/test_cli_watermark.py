@@ -1,0 +1,56 @@
+"""CLI end-to-end (subprocess, the real user interface) + watermarked
+streaming aggregation."""
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.io import load_table
+from activedata_etl_spark.streaming.stream import file_stream, windowed_counts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_runs_query(tmp_path, sf_dir):
+    qfile = tmp_path / "q.json"
+    qfile.write_text(json.dumps({
+        "from": "nation",
+        "groupby": "n_regionkey",
+        "select": [{"name": "n", "aggregate": "count"}],
+        "format": "table",
+    }))
+    out = subprocess.run(
+        [sys.executable, "-m", "activedata_etl_spark.cli",
+         "--query", str(qfile), "--data", sf_dir],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout)
+    assert set(result["header"]) == {"n_regionkey", "n"}
+    assert sum(row[result["header"].index("n")] for row in result["data"]) == 25
+
+
+def test_watermarked_windowed_counts(spark, sf_dir, tmp_path):
+    src, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    events.write.parquet(src)
+
+    counts = windowed_counts(
+        file_stream(spark, src, events.schema), "ts", "1 day", "2 hours", ["event_type"])
+    q = (counts.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # append mode emits only windows finalized by the watermark; every
+    # emitted (window, type) count must equal the batch truth
+    truth = events.groupBy(F.window("ts", "1 day").alias("window"), "event_type").count()
+    j = got.alias("g").join(truth.alias("t"),
+                            (F.col("g.window") == F.col("t.window"))
+                            & (F.col("g.event_type") == F.col("t.event_type")))
+    assert got.count() > 0
+    assert j.filter(F.col("g.count") != F.col("t.count")).count() == 0
