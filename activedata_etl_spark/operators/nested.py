@@ -55,11 +55,24 @@ def unnest(df: DataFrame, array_col: str, parent_cols: list[str],
     return ex_df.select(*parent_cols, *[F.col(f"__item__.{n}").alias(n) for n in item_fields])
 
 
-def normalize_to_array(col: Column) -> Column:
+def normalize_to_array(doc: Column, path: str, elem_type: str = "int") -> Column:
     """Typed-encoder ``~N~`` semantics: a field that is scalar in one doc
-    and an array in another is normalized to array at ingest."""
-    return F.when(col.isNull(), F.array()).otherwise(
-        F.when(F.typeof(col).startswith("array"), col).otherwise(F.array(col))
+    and an array in another is normalized to array at ingest.
+
+    ``doc`` is a VariantType column (``F.parse_json`` of the raw JSON —
+    Spark 4's representation of ragged documents); missing → empty array,
+    scalar → singleton. Verified against mixed docs in
+    tests/test_schema_evolution.py.
+    """
+    v = F.try_variant_get(doc, f"$.{path}", "variant")
+    # absent field → SQL NULL; explicit JSON null → a variant whose schema
+    # is VOID — jx treats both as missing (Null singleton semantics)
+    return (
+        F.when(v.isNull() | (F.schema_of_variant(v) == "VOID"),
+               F.array().cast(f"array<{elem_type}>"))
+        .when(F.schema_of_variant(v).startswith("ARRAY"),
+              F.variant_get(doc, f"$.{path}", f"array<{elem_type}>"))
+        .otherwise(F.array(F.variant_get(doc, f"$.{path}", elem_type)))
     )
 
 

@@ -191,8 +191,30 @@ def _agg_column(s: dict) -> Column:
         return A.cardinality(v)
     if agg == "union":
         return A.union_(v)
+    if agg == "stats":
+        return _stats_struct(v)
     raise ValueError(f"aggregate {agg!r} needs an explicit sort — use the "
                      "library API (functions.aggs.first_/last_) instead")
+
+
+def _stats_struct(v: Column) -> Column:
+    """jx ``stats``: full moment struct in one aggregate expression
+    (each moment appears once; Catalyst de-duplicates the shared
+    partial aggregates)."""
+    n = F.count(v)
+    s1 = F.sum(v.cast("decimal(38,6)")).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,6)")).cast("double")
+    mean = s1 / n
+    var = (s2 / n) - (mean * mean)
+    return F.struct(
+        n.alias("count"),
+        s1.alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        mean.alias("mean"),
+        var.alias("variance"),
+        F.sqrt(var).alias("std"),
+    )
 
 
 def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],

@@ -77,6 +77,15 @@ def test_query_where_limit(spark):
     assert [r["n_nationkey"] for r in out] == [0, 1, 2]
 
 
+def test_jx_stats_aggregate(spark):
+    out = JX.run(spark, {
+        "from": "region",
+        "select": [{"name": "s", "value": "r_regionkey", "aggregate": "stats"}],
+    }).first()["s"]
+    assert out["count"] == 5 and out["min"] == 0 and out["max"] == 4
+    assert out["mean"] == 2.0 and out["variance"] == 2.0
+
+
 def test_formats_list_table_cube(spark):
     df = JX.run(spark, {
         "from": "nation",
