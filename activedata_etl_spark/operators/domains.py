@@ -46,6 +46,30 @@ def set_domain(spark: SparkSession, col: str, parts: Sequence, dtype: str = "str
     return spark.createDataFrame([(p,) for p in parts], f"{col} {dtype}")
 
 
+def edges_predicate_parts(df: DataFrame, spark: SparkSession, col: str,
+                          parts: list[tuple[str, Column]],
+                          aggs: dict[str, Column],
+                          zero_fill: Sequence[str] = (),
+                          overflow: str | None = None) -> DataFrame:
+    """Set domain whose partitions are PREDICATES, not values
+    (jx_base/domains.py set domain with ``{name, where}`` parts): each row
+    is bucketed by the FIRST matching predicate; non-matching rows go to
+    the ``overflow`` part (or are dropped). Dense: every named part
+    appears even when empty."""
+    label = None
+    for name, cond in parts:
+        label = (F.when if label is None else label.when)(cond, F.lit(name))
+    label = label.otherwise(F.lit(overflow))
+    agged = (
+        df.withColumn(col, label)
+        .filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    names = [n for n, _ in parts] + ([overflow] if overflow else [])
+    return _complete(set_domain(spark, col, names), agged, [col], zero_fill)
+
+
 def range_domain(spark: SparkSession, col: str, lo: float, hi: float, interval: float) -> DataFrame:
     """Numeric bins [lo, hi) of width ``interval`` ({"type":"range"})."""
     return spark.range(1).select(

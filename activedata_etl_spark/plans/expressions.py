@@ -203,5 +203,15 @@ _OPS = {
     "tuple": lambda a, _e: jx.tuple_(*_many(a)),
     "leaves": lambda a, _e: F.col("*") if a == "." else F.col(a),
     "script": lambda a, _e: jx.script(a),
-    "date": lambda a, _e: F.lit(a).cast("timestamp"),
+    "date": lambda a, _e: _date_lit(a),
 }
+
+
+def _date_lit(a) -> Column:
+    """jx date literal incl. relative forms ("today-week"); resolved at
+    plan time (mo_times/dates.py parse). Relative forms read the real
+    clock — deterministic tests/oracles must pass absolute dates or use
+    functions.dates.date_lit with an injected now."""
+    from ..functions.dates import date_lit
+
+    return date_lit(a)

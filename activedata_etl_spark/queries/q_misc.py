@@ -85,6 +85,42 @@ def edges_set_allow_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "edges_predicate_parts",
+    oracle=f"""
+    SELECT d.tier, COALESCE(a.n, 0) AS n, a.revenue
+    FROM (VALUES ('vip'), ('big'), ('urgent_small'), ('rest')) d(tier)
+    LEFT JOIN (
+      SELECT CASE WHEN o_totalprice > 400000 THEN 'vip'
+                  WHEN o_totalprice > 250000 THEN 'big'
+                  WHEN o_orderpriority = '1-URGENT' THEN 'urgent_small'
+                  ELSE 'rest' END AS tier,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ) a USING (tier)
+    """,
+)
+def edges_predicate_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set domain with PREDICATE partitions ({name, where} parts,
+    first-match-wins) + overflow part — the reference's filters-aggs
+    decoder (es52/decoders.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    from ..functions.exact import dsum
+
+    return D.edges_predicate_parts(
+        o, spark, "tier",
+        parts=[
+            ("vip", F.col("o_totalprice") > 400000),
+            ("big", F.col("o_totalprice") > 250000),
+            ("urgent_small", F.col("o_orderpriority") == "1-URGENT"),
+        ],
+        aggs={"n": F.count(F.lit(1)), "revenue": dsum("o_totalprice")},
+        zero_fill=["n"],
+        overflow="rest",
+    )
+
+
+@query(
     "jx_deep_query",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
