@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         print(f"error: bad query: {e}", file=sys.stderr)
         return 2
+    except Exception as e:  # analysis errors: surface the first line, not py4j guts
+        msg = str(e).split("\n")[0]
+        print(f"error: query failed to plan/execute: {msg}", file=sys.stderr)
+        return 3
 
     out = json.dumps(result, default=_default, indent=2)
     if args.output:

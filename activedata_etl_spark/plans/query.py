@@ -109,6 +109,9 @@ def _normalize_selects(select) -> list[dict]:
     for s in _listify(select):
         if isinstance(s, str):
             out.append({"name": s, "value": s})
+        elif not ({"name", "value", "aggregate"} & set(s)):
+            # a bare expression dict (e.g. {"leaves": "."}) IS the value
+            out.append({"name": "value", "value": s})
         else:
             s = dict(s)
             v = s.get("value")
@@ -130,13 +133,21 @@ def _nest_named(df: DataFrame, selects: list[dict]) -> list[Column]:
     """Select-clause shaping: ``"."`` = whole doc; dotted output names
     build nested structs (``{"name": "a.b", "value": x}`` →
     column ``a`` = struct(b: x)) — jx_base/query.py _normalize_select."""
+    from ..operators.nested import leaf_paths
+
     flat: list[tuple[str, Column]] = []
+    leaf_cols: list[Column] = []  # leaves stay FLAT dotted names, never re-nested
     for s in selects:
-        if s.get("value") == ".":
+        v = s.get("value")
+        if v == ".":
             flat.extend((c, F.col(c)) for c in df.columns)
+        elif isinstance(v, dict) and set(v) == {"leaves"}:
+            if v["leaves"] != ".":
+                raise ValueError("leaves of a sub-path: use nested.leaves directly")
+            leaf_cols.extend(F.col(p).alias(p) for p in leaf_paths(df.schema))
         else:
-            flat.append((s["name"], compile_expr(s["value"])))
-    return _nest_from_pairs(flat)
+            flat.append((s["name"], compile_expr(v)))
+    return leaf_cols + _nest_from_pairs(flat)
 
 
 def _nest_from_pairs(pairs: list[tuple[str, Column]]) -> list[Column]:
@@ -295,6 +306,9 @@ def _window(df: DataFrame, spec: dict) -> DataFrame:
         col = F.lag(v, spec.get("offset", 1)).over(w)
     elif agg == "lead":
         col = F.lead(v, spec.get("offset", 1)).over(w)
+    elif agg in ("percentile", "median"):
+        p = 0.5 if agg == "median" else spec.get("percentile", 0.5)
+        col = W.exact_percentile_over(v, w, p)
     else:
         raise ValueError(f"unsupported window aggregate: {agg!r}")
     return df.withColumn(spec["name"], col)

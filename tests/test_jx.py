@@ -77,6 +77,37 @@ def test_query_where_limit(spark):
     assert [r["n_nationkey"] for r in out] == [0, 1, 2]
 
 
+def test_jx_leaves_select(spark):
+    """{"select": {"leaves": "."}} flattens nested docs to dotted names."""
+    spark.table("orders").select(
+        F.struct(F.col("o_orderkey").alias("k"),
+                 F.col("o_totalprice").alias("p")).alias("inner"),
+        "o_orderstatus",
+    ).createOrReplaceTempView("nested_view")
+    out = JX.run(spark, {"from": "nested_view", "select": {"leaves": "."}})
+    assert set(out.columns) == {"inner.k", "inner.p", "o_orderstatus"}
+    assert out.count() == spark.table("orders").count()
+
+
+def test_jx_window_median(spark):
+    out = JX.run(spark, {
+        "from": "orders",
+        "select": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "window": [{"name": "med3", "value": "o_totalprice", "aggregate": "median",
+                    "edges": ["o_custkey"], "sort": ["o_orderkey"],
+                    "range": {"min": -2, "max": 0}}],
+    }).collect()
+    by_cust = {}
+    for r in sorted(out, key=lambda r: (r["o_custkey"], r["o_orderkey"])):
+        hist = by_cust.setdefault(r["o_custkey"], [])
+        hist.append(r["o_totalprice"])
+        frame = sorted(hist[-3:])
+        import statistics
+        assert abs(r["med3"] - statistics.median(frame)) < 1e-9
+        if len(by_cust) > 20:
+            break
+
+
 def test_jx_stats_aggregate(spark):
     out = JX.run(spark, {
         "from": "region",
