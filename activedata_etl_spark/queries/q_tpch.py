@@ -110,6 +110,96 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS correlated subquery = left-semi join with a
+    non-equi residual condition."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey)
+               & (li.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (returnflag standing in for the absent shipmode column):
+    join + conditional counting."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT
+      {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+        AS promo_revenue,
+      {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo share of revenue (ratio left to the caller — a
+    division of two matched doubles is deterministic either way)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+@query(
     "join_cross_small",
     oracle="""
     SELECT r.r_name, t.tier
