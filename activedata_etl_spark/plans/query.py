@@ -266,9 +266,21 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
 
     if dense:
         zero = [s["name"] for s in selects if s.get("aggregate") == "count"]
-        for name, dom_df in zip([e["name"] for e in edges], domains):
-            if dom_df is not None:
-                agged = D._complete(dom_df, agged, [name], zero_fill=zero)
+        # a multi-edge dense cube is the CROSS PRODUCT of the edge domains
+        # (every cell combination, even empty) — not per-edge completion.
+        # Edges with a `default` domain use their observed values as the
+        # domain (distinct of the agg result), so the cross join is still
+        # complete over them.
+        names = [e["name"] for e in edges]
+        dom_frames = [
+            dom if dom is not None else agged.select(name).distinct()
+            for name, dom in zip(names, domains)
+        ]
+        if dom_frames:
+            full = dom_frames[0]
+            for d_ in dom_frames[1:]:
+                full = full.crossJoin(d_)
+            agged = D._complete(full, agged, names, zero_fill=zero)
     return agged
 
 

@@ -102,6 +102,32 @@ def jx_date_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup's fixed lattices) via
+    the SQL surface — Catalyst expands to a single-pass Expand node."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query(
     "skew_two_phase_distinct",
     oracle="""
     SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_l_partkey

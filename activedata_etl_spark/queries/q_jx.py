@@ -219,6 +219,42 @@ def jx_edges_time_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jx_edges_two_dim_dense",
+    oracle=f"""
+    SELECT d1.o_orderstatus, d2.o_orderpriority,
+           COALESCE(a.n, 0) AS n, a.revenue
+    FROM (VALUES ('O'), ('F'), ('P'), ('X')) d1(o_orderstatus)
+    CROSS JOIN (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+                       ('4-NOT SPECIFIED'), ('5-LOW')) d2(o_orderpriority)
+    LEFT JOIN (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1, 2
+    ) a USING (o_orderstatus, o_orderpriority)
+    """,
+)
+def jx_edges_two_dim_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-edge dense cube: 4×5 = 20 cells ALWAYS, including the entire
+    empty 'X' row — the reference's N-dim cube output, where the cell
+    lattice is the cross product of edge domains."""
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "edges": [
+            {"value": "o_orderstatus",
+             "domain": {"type": "set", "partitions": ["O", "F", "P", "X"]}},
+            {"value": "o_orderpriority",
+             "domain": {"type": "set",
+                        "partitions": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                       "4-NOT SPECIFIED", "5-LOW"]}},
+        ],
+        "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "revenue", "value": "o_totalprice", "aggregate": "sum"},
+        ],
+    })
+
+
+@query(
     "jx_nested_having",
     oracle=f"""
     SELECT * FROM (
