@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..ext import text as TX
 from ..functions import jx
 from ..io import load_table
 from ..operators import domains as D
@@ -117,6 +118,60 @@ def edges_predicate_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"n": F.count(F.lit(1)), "revenue": dsum("o_totalprice")},
         zero_fill=["n"],
         overflow="rest",
+    )
+
+
+@query(
+    "agg_argmax_join_back",
+    oracle="""
+    SELECT n.n_name,
+           arg_max(c.c_name, c.c_acctbal * 1000000 + c.c_custkey) AS richest,
+           MAX(c.c_acctbal) AS top_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_argmax_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest customer per nation: arg-max with a unique tiebreak +
+    dimension join — the 'top entity per group' shape that usually gets
+    written as an expensive self-join; min_by/max_by is one pass."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ord_ = F.col("c_acctbal") * 1000000 + F.col("c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", ord_).alias("richest"),
+            F.max("c_acctbal").alias("top_bal"),
+        )
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             length(text) AS n_chars_computed,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok,
+             len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) * 1.0
+               / len(string_split_regex(lower(trim(text)), '\\s+')) AS ttr
+      FROM documents
+    )
+    WHERE n_chars_computed >= 100 AND n_tok >= 20 AND ttr >= 0.3
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus-cleaning step: keep documents passing
+    length/token/type-token-ratio thresholds — a scan-local filter that
+    drops data BEFORE any shuffle in a real pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    return (
+        d.filter((F.length("text") >= 100) & (F.size(toks) >= 20) & (ttr >= 0.3))
+        .select("doc_id", "lang")
     )
 
 
