@@ -11,6 +11,7 @@ date-partitioned layout replaces index rollover.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -23,6 +24,12 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-session memo of loaded tables: DataFrames are immutable lazy plans, so
+# handing back the same object is safe and skips repeated parquet footer /
+# schema reads when many queries touch the same table. Keyed weakly by
+# session so a stopped session's entries are collectable.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing types where parquet physical
@@ -34,10 +41,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lossless for this data (sub-microsecond digits are zero — FIXTURES.md)
     and uses integer division so no precision is lost at ~1.7e18 magnitudes.
     """
-    ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session double (tests/mocks)
+        per_session = {}
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        ensure_runtime_confs(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        per_session[key] = df
     return df
 
 

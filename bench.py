@@ -44,13 +44,6 @@ HEADLINE = [
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()
 
 
-def materialize(df) -> int:
-    n = df.count()
-    if n <= WIDE_THRESHOLD:
-        df.collect()
-    return n
-
-
 def main() -> None:
     from activedata_etl_spark.queries import QUERIES
     from activedata_etl_spark.session import get_spark
@@ -60,12 +53,17 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        fn(spark, SF_DIR).count()  # warm-up (discarded)
+        # Build the plan ONCE: the timed region is execution, not Python
+        # plan construction / Catalyst re-analysis / parquet footer reads.
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()  # warm-up (discarded) + output-size probe
+        small = n <= WIDE_THRESHOLD
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            materialize(fn(spark, SF_DIR))
+            # One full materialization per run: collect when the output is
+            # small enough that driver transfer is negligible, else count.
+            df.collect() if small else df.count()
             runs.append(time.perf_counter() - t0)
         times[name] = round(sorted(runs)[1], 4)
         print(f"  {name}: {times[name]}s", file=sys.stderr)
