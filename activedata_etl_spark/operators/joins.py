@@ -29,35 +29,54 @@ def range_join(fact: DataFrame, dim: DataFrame, value: Column,
 
 def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
               left_time: str, right_time: str,
-              tiebreak: str, right_cols: list[str] | None = None,
-              left_id: str | None = None) -> DataFrame:
+              tiebreak: str, right_cols: list[str] | None = None) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` per key (LEFT semantics: unmatched left
     rows survive with NULLs). The reference's TUID "latest annotation ≤
     revision" lookup (SURVEY.md §2.3).
 
-    Implementation: inequality join → per-left-row ``row_number`` pick.
-    ``tiebreak`` must make the right-side ordering total, otherwise the
-    result is nondeterministic under parallelism. At scale prefer
-    pre-bucketing both sides on the key; the window partitions by left row
-    id so state stays bounded.
+    Implementation: union both sides sorted by (key, time, side, tiebreak)
+    and carry the last right payload forward with ``last(..., ignorenulls)``
+    over a running frame — ONE shuffle on the key and no candidate
+    multiplication, vs. the naive inequality-join + row_number pick whose
+    intermediate is |left| × (matching right rows per key). ``tiebreak``
+    must make the right-side ordering total, otherwise the result is
+    nondeterministic under parallelism. At 100 TB the only hazard is a hot
+    key (one celebrity user owning a partition's worth of rows): pre-split
+    such keys by time range, as-of within each split, then stitch the
+    boundary with the previous split's final payload.
     """
     right_cols = right_cols or [c for c in right.columns if c not in left.columns]
-    if left_id is None:
-        lid = "__asof_left_id__"
-        tagged = left.withColumn(lid, F.monotonically_increasing_id())
-    else:
-        lid, tagged = left_id, left
-    cand = tagged.join(
-        right,
-        (tagged[left_on] == right[right_on]) & (right[right_time] <= tagged[left_time]),
-        "inner",
+    lt, rt = dict(left.dtypes)[left_time], dict(right.dtypes)[right_time]
+    common = lt if lt == rt else (
+        "timestamp" if {lt, rt} & {"date", "timestamp", "timestamp_ntz"} else "double"
     )
-    w = Window.partitionBy(lid).orderBy(F.col(right_time).desc(), F.col(tiebreak).desc())
-    best = (
-        cand.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(lid, *right_cols)
+    # Rows that can never match (SQL: NULL key/time compares false) are
+    # dropped right-side / pass through unmatched left-side.
+    side_r = right.filter(F.col(right_on).isNotNull() & F.col(right_time).isNotNull()).select(
+        F.col(right_on).alias("__k__"),
+        F.col(right_time).cast(common).alias("__t__"),
+        F.lit(0).alias("__side__"),
+        F.col(tiebreak).alias("__tb__"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__payload__"),
     )
-    out = tagged.join(best, on=lid, how="left")
-    return out if left_id else out.drop(lid)
+    side_l = left.select(
+        F.col(left_on).alias("__k__"),
+        F.col(left_time).cast(common).alias("__t__"),
+        F.lit(1).alias("__side__"),
+        *left.columns,
+    )
+    unioned = side_r.unionByName(side_l, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k__")
+        .orderBy("__t__", "__side__", "__tb__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("__best__", F.last("__payload__", ignorenulls=True).over(w))
+        .filter(F.col("__side__") == 1)
+    )
+    return matched.select(
+        *left.columns,
+        *[F.col(f"__best__.{c}").alias(c) for c in right_cols],
+    )

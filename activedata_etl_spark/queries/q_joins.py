@@ -162,6 +162,5 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_on="user_id", right_on="o_custkey",
         left_time="ts", right_time="o_orderdate",
         tiebreak="o_orderkey", right_cols=["o_orderkey"],
-        left_id="event_id",
     )
     return out.select("event_id", F.col("o_orderkey").alias("asof_order"))

@@ -60,3 +60,29 @@ def test_one_aggregate(spark, sf_dir):
     # multi-valued group errors out
     with pytest.raises(Exception, match="one"):
         n.groupBy("n_regionkey").agg(one("n_name").alias("x")).collect()
+
+
+def test_asof_join_edges(spark):
+    from activedata_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c"), (None, 9, "d"), (3, None, "e")],
+        "k int, t int, lbl string",
+    )
+    right = spark.createDataFrame(
+        # k=1: two rows tied at t=5 -> tiebreak picks rid=12; k=9 never matches
+        [(1, 5, 11, "x"), (1, 5, 12, "y"), (1, 8, 13, "z"),
+         (2, 9, 14, "late"), (None, 1, 15, "nullk"), (9, 1, 16, "nok")],
+        "k int, t int, rid int, val string",
+    )
+    out = asof_join(left, right, "k", "k", "t", "t",
+                    tiebreak="rid", right_cols=["rid", "val"])
+    got = {r.lbl: (r.rid, r.val) for r in out.collect()}
+    assert got == {
+        "a": (13, "z"),      # latest t<=10 is t=8
+        "b": (12, "y"),      # tie at t=5 -> max rid wins
+        "c": (None, None),   # right row at t=9 > 7: no match
+        "d": (None, None),   # NULL key never matches (even vs NULL-key right)
+        "e": (None, None),   # NULL time matches nothing
+    }
+    assert out.count() == 5  # every left row survives (LEFT semantics)
