@@ -80,14 +80,27 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     materializes. Multi-probe (flipping one bucket bit) raises recall for
     borderline-τ pairs; at τ≥0.9 single-probe recall is high because the
     probability a near-dup flips any given sign is small.
+
+    The per-row prep (double-cast vector, norm, bucket) is computed ONCE
+    and persisted so the self-join reads it from cache instead of running
+    the vector expressions on both aliases; per-pair work is then a single
+    dot product. cos = dot/(norm_a·norm_b) with the norms as per-row
+    columns is the same fold over the same values as computing them
+    per-pair, so results stay bit-identical to the oracle. On a cluster,
+    swap persist() for writing the prep table, bucketed by __bucket__.
     """
-    b = df.select(F.col(id_col), F.col(vec_col),
-                  sign_bucket(F.col(vec_col), n_bits).alias("__bucket__"))
-    a, c = b.alias("a"), b.alias("b")
+    prepped = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v__"),
+        norm(F.col(vec_col)).alias("__n__"),
+        sign_bucket(F.col(vec_col), n_bits).alias("__bucket__"),
+    ).persist()
+    a, c = prepped.alias("a"), prepped.alias("b")
     return (
         a.join(c, (F.col("a.__bucket__") == F.col("b.__bucket__"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn("cos", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")))
+        .withColumn("cos", dot(F.col("a.__v__"), F.col("b.__v__"))
+                    / (F.col("a.__n__") * F.col("b.__n__")))
         .filter(F.col("cos") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"), "cos")

@@ -82,6 +82,15 @@ def nest(df: DataFrame, parent_keys: list[str], item_cols: list[str],
     structs per parent — the ETL-time denormalization the reference bakes
     into its documents (e.g. task.artifacts[])."""
     item = F.struct(*[F.col(c) for c in item_cols])
+    if item_cols and item_cols[0] == order_by:
+        # array_sort compares structs field-by-field, so with the sort key
+        # leading, sorting the item structs directly skips the (key, item)
+        # wrapper struct and the unwrap transform — measurably cheaper at
+        # collect_list volumes (the wrapper doubles per-row struct builds).
+        return (
+            df.groupBy(*parent_keys)
+            .agg(F.array_sort(F.collect_list(item)).alias(array_name))
+        )
     return (
         df.groupBy(*parent_keys)
         .agg(F.array_sort(F.collect_list(F.struct(F.col(order_by).alias("__o__"),
