@@ -146,7 +146,10 @@ def _nest_named(df: DataFrame, selects: list[dict]) -> list[Column]:
                 raise ValueError("leaves of a sub-path: use nested.leaves directly")
             leaf_cols.extend(F.col(p).alias(p) for p in leaf_paths(df.schema))
         else:
-            flat.append((s["name"], compile_expr(v)))
+            col = compile_expr(v)
+            if "default" in s:  # jx: missing value → select.default
+                col = F.coalesce(col, F.lit(s["default"]))
+            flat.append((s["name"], col))
     return leaf_cols + _nest_from_pairs(flat)
 
 
@@ -180,6 +183,13 @@ def _sort_col(s) -> Column:
 # --- aggregates ----------------------------------------------------------
 
 def _agg_column(s: dict) -> Column:
+    col = _agg_column_raw(s)
+    if "default" in s:  # jx: empty group / all-missing → select.default
+        col = F.coalesce(col, F.lit(s["default"]))
+    return col
+
+
+def _agg_column_raw(s: dict) -> Column:
     agg = s["aggregate"]
     v = compile_expr(s["value"]) if s.get("value") not in (None, ".") else F.lit(1)
     if agg not in _AGG_NAMES:
@@ -318,6 +328,12 @@ def _window(df: DataFrame, spec: dict) -> DataFrame:
         col = F.lag(v, spec.get("offset", 1)).over(w)
     elif agg == "lead":
         col = F.lead(v, spec.get("offset", 1)).over(w)
+    elif agg == "ntile":
+        col = F.ntile(int(spec.get("buckets", 4))).over(w)
+    elif agg in ("first", "first_value"):
+        col = F.first(v, ignorenulls=bool(spec.get("ignore_nulls"))).over(w)
+    elif agg in ("last", "last_value"):
+        col = F.last(v, ignorenulls=bool(spec.get("ignore_nulls"))).over(w)
     elif agg in ("percentile", "median"):
         p = 0.5 if agg == "median" else spec.get("percentile", 0.5)
         col = W.exact_percentile_over(v, w, p)
