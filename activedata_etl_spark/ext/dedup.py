@@ -116,13 +116,21 @@ def lsh_bands(sig: Column, n_bands: int = 4) -> list[Column]:
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_hashes: int = 16, n_bands: int = 4,
                         shingle_n: int = 3,
-                        sig: DataFrame | None = None) -> DataFrame:
+                        sig: DataFrame | None = None,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 band.
 
     Plan shape: scan → per-band explode (n_bands rows/doc) → shuffle on
     (band_idx, band_sig) → self-join within buckets → distinct pairs.
     Bucket skew (boilerplate docs) is AQE's skew-join case; for adversarial
-    corpora add a bucket-size cap filter before the join.
+    corpora set ``max_bucket_size``: a bucket of B docs yields B² candidate
+    pairs, so one mega-bucket (site template, empty docs) can dwarf the
+    whole join. Buckets above the cap are DROPPED from candidate
+    generation — at 100 TB, route them to a separate exact-dup pass
+    (hash-groupBy) instead of pairwise verification; near-identical docs
+    still collide in the other n_bands-1 bands when genuinely similar.
+    The size filter is a window count over the same (band_idx, band_sig)
+    partitioning the join needs, so it adds no extra shuffle.
     """
     if sig is None:
         sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n)
@@ -131,6 +139,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         F.posexplode(F.array(*[k for k in band_keys(n_hashes, n_bands)]))
         .alias("band_idx", "band_sig"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        bs = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_sig"))
+        banded = (banded.withColumn("__bs__", bs)
+                  .filter(F.col("__bs__") <= max_bucket_size).drop("__bs__"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -52,3 +52,23 @@ def test_multimodal_feature_batch_shape(spark, sf_dir):
     assert len(rows) == 10
     assert all(len(r["features"]) == MM.FEATURE_DIM for r in rows)
     assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+
+
+def test_lsh_bucket_size_cap(spark):
+    from activedata_etl_spark.ext.dedup import lsh_candidate_pairs
+
+    # 10 identical boilerplate docs (one mega-bucket in every band) + 2
+    # near-dup "real" docs. With the cap, boilerplate pairs disappear but
+    # the small-bucket pair survives.
+    boiler = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(10)]
+    real = [(100, "completely different unique text about spark query engines at scale"),
+            (101, "completely different unique text about spark query engines at large scale")]
+    df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+
+    uncapped = lsh_candidate_pairs(df, "doc_id", "text").collect()
+    assert len(uncapped) >= 45  # C(10,2) boilerplate pairs at minimum
+
+    capped = {(r.id_a, r.id_b) for r in
+              lsh_candidate_pairs(df, "doc_id", "text", max_bucket_size=5).collect()}
+    assert all(a >= 100 for a, _ in capped), f"boilerplate pairs leaked: {capped}"
+    assert (100, 101) in capped
