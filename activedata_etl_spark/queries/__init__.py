@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     q_nested,
     q_setops_sort,
     q_tpch,
+    q_tpch2,
     q_windows,
 )
 from .registry import ORACLES, QUERIES
