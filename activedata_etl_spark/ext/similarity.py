@@ -107,6 +107,88 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def _dvec(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _argmax_centroid(vectors: DataFrame, id_col: str, vec_col: str,
+                     centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties → lowest cid).
+    Centroids broadcast — assignment is a map-side cross product, no
+    shuffle of the vector table."""
+    scored = (vectors.crossJoin(F.broadcast(centroids))
+              .withColumn("__cos__", dot(F.col(vec_col), F.col("cvec"))
+                          / (norm(F.col(vec_col)) * norm(F.col("cvec")))))
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos__").desc(),
+                                           F.col("cid").asc())
+    return (scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select(id_col, vec_col, "cid"))
+
+
+def ivf_build(df: DataFrame, id_col: str, vec_col: str,
+              nlist: int = 16, n_iter: int = 2) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: k-means (Lloyd) with DETERMINISTIC seeding —
+    the ``nlist`` lowest-id vectors — and per-dimension decimal-exact
+    means, so index construction is reproducible across partitionings and
+    engines (the DuckDB oracle unrolls the same iterations as CTEs).
+
+    Returns (centroids[cid, cvec], assignment[id, vec, cid]). Per
+    iteration: broadcast-centroid argmax assignment (map-side), then
+    posexplode → groupBy(cid, dim) mean → collect back in dim order —
+    the explode+agg form, NOT per-dim expressions under one Generate
+    (no CSE there, see dedup.minhash_table).
+
+    At 100 TB: assignment stays map-side (centroid table is tiny);
+    the mean shuffle carries nlist×dim rows. Write the assignment out
+    partitioned by cid — queries then read only probed clusters
+    (partition pruning does the inverted-file part)."""
+    v = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("__v__"))
+    centroids = (v.orderBy(id_col).limit(nlist)
+                 .select(F.col(id_col).alias("cid"), F.col("__v__").alias("cvec")))
+    assign = None
+    for _ in range(n_iter):
+        assign = _argmax_centroid(v, id_col, "__v__", centroids)
+        centroids = (
+            assign.select("cid", F.posexplode("__v__").alias("__i__", "__x__"))
+            .groupBy("cid", "__i__")
+            .agg((F.sum(F.col("__x__").cast("decimal(18,9)")).cast("double")
+                  / F.count("__x__")).alias("__m__"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("__i__", "__m__"))).alias("__s__"))
+            .select("cid", F.col("__s__.__m__").alias("cvec"))
+        )
+    assign = _argmax_centroid(v, id_col, "__v__", centroids)
+    return centroids, assign
+
+
+def ivf_topk(queries: DataFrame, centroids: DataFrame, assign: DataFrame,
+             q_id: str, q_vec: str, id_col: str,
+             k: int = 3, nprobe: int = 2) -> DataFrame:
+    """IVF search: rank centroids per query, take ``nprobe``, equi-join
+    candidates on cluster id, exact cosine + deterministic top-k. The
+    all-pairs product never materializes — candidate volume is
+    nprobe/nlist of the corpus per query."""
+    q = queries.select(F.col(q_id), _dvec(F.col(q_vec)).alias("__qv__"))
+    pw = Window.partitionBy(q_id).orderBy(
+        F.col("__pcos__").desc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__pcos__", dot(F.col("__qv__"), F.col("cvec"))
+                    / (norm(F.col("__qv__")) * norm(F.col("cvec"))))
+        .withColumn("__rn__", F.row_number().over(pw))
+        .filter(F.col("__rn__") <= nprobe)
+        .select(q_id, "__qv__", "cid")
+    )
+    scored = (
+        probes.join(assign, "cid")
+        .filter(F.col(q_id) != F.col(id_col))
+        .withColumn("cos", dot(F.col("__qv__"), F.col("__v__"))
+                    / (norm(F.col("__qv__")) * norm(F.col("__v__"))))
+    )
+    return topk_per_query(scored, q_id, "cos", id_col, k).select(q_id, id_col, "cos")
+
+
 def ann_sign_lsh_topk(queries: DataFrame, candidates: DataFrame,
                       q_id: str, q_vec: str, c_id: str, c_vec: str,
                       k: int, n_bits: int = 8) -> DataFrame:

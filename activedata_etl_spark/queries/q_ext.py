@@ -327,3 +327,73 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.pack(d, "doc_id", "text", "text/plain"), fake=True)
+
+
+# --- IVF ANN (oracle = the same deterministic k-means, CTE-unrolled) ----
+
+def _ivf_oracle(nlist: int = 16, n_iter: int = 2, n_queries: int = 10,
+                k: int = 3, nprobe: int = 2) -> str:
+    """Generate the DuckDB CTE chain mirroring ivf_build + ivf_topk:
+    deterministic lowest-id seeding, ``n_iter`` unrolled Lloyd iterations
+    with decimal-exact per-dimension means, nprobe search. Pairable
+    because every step is order-independent."""
+    def dot(a, b):
+        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+    def cos(a, b):
+        return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS vv FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, vv AS cvec FROM v ORDER BY vec_id LIMIT {nlist})",
+    ]
+    for i in range(n_iter):
+        ctes.append(f"""a{i + 1} AS (
+          SELECT vec_id, vv, cid FROM (
+            SELECT v.vec_id, v.vv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY {cos('v.vv', 'c.cvec')} DESC, c.cid ASC) AS rn
+            FROM v, c{i} c) WHERE rn = 1)""")
+        ctes.append(f"""c{i + 1} AS (
+          SELECT cid, list(m ORDER BY i) AS cvec FROM (
+            SELECT cid, i,
+                   CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x) AS m
+            FROM (SELECT cid, unnest(vv) AS x, generate_subscripts(vv, 1) AS i
+                  FROM a{i + 1})
+            GROUP BY cid, i) GROUP BY cid)""")
+    ctes.append(f"""af AS (
+      SELECT vec_id, vv, cid FROM (
+        SELECT v.vec_id, v.vv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos('v.vv', 'c.cvec')} DESC, c.cid ASC) AS rn
+        FROM v, c{n_iter} c) WHERE rn = 1)""")
+    ctes.append(f"""probes AS (
+      SELECT q_id, qv, cid FROM (
+        SELECT q.vec_id AS q_id, q.vv AS qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos('q.vv', 'c.cvec')} DESC, c.cid ASC) AS rn
+        FROM v q, c{n_iter} c WHERE q.vec_id < {n_queries})
+      WHERE rn <= {nprobe})""")
+    ctes.append(f"""scored AS (
+      SELECT p.q_id, a.vec_id, {cos('p.qv', 'a.vv')} AS cos
+      FROM probes p JOIN af a USING (cid) WHERE p.q_id <> a.vec_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT q_id, vec_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id ASC) AS rn
+      FROM scored) WHERE rn <= {k}""")
+
+
+@query("sim_ann_ivf_topk", oracle=_ivf_oracle())
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantizer k-means index + nprobe cluster search —
+    the inverted-file scale path (candidates per query = nprobe/nlist of
+    the corpus; on a cluster the assignment table is written partitioned
+    by cid so probing prunes partitions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, assign = SIM.ivf_build(emb, "vec_id", "embedding", nlist=16, n_iter=2)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return SIM.ivf_topk(q, cent, assign, "q_id", "q_vec", "vec_id",
+                        k=3, nprobe=2)

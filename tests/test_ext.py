@@ -72,3 +72,23 @@ def test_lsh_bucket_size_cap(spark):
               lsh_candidate_pairs(df, "doc_id", "text", max_bucket_size=5).collect()}
     assert all(a >= 100 for a, _ in capped), f"boilerplate pairs leaked: {capped}"
     assert (100, 101) in capped
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF with nprobe=4/nlist=16 should recover most of the brute-force
+    top-3 (structural sanity: buckets are real clusters, not noise)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import similarity as SIM
+    from activedata_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = SIM.cosine_topk(q, emb, "q_id", "q_vec", "vec_id", "embedding", k=3)
+    cent, assign = SIM.ivf_build(emb, "vec_id", "embedding", nlist=16, n_iter=2)
+    ivf = SIM.ivf_topk(q, cent, assign, "q_id", "q_vec", "vec_id", k=3, nprobe=4)
+    truth = {(r.q_id, r.vec_id) for r in brute.collect()}
+    got = {(r.q_id, r.vec_id) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall {recall}: IVF clusters look broken"

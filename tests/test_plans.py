@@ -38,6 +38,55 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
 
 
+def test_q2_decorrelated_to_single_window(spark, sf_dir):
+    """Correlated MIN must decorrelate to ONE window over the candidate
+    set, not an aggregate + re-join double scan; dims all broadcast."""
+    plan = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q9_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_joins_stay_broadcast(spark, sf_dir):
+    """NOT IN / NOT EXISTS exclusion lists are small → broadcast anti,
+    never a shuffled join of the whole fact against the exclusion."""
+    for name in ["tpch_q16_supplier_relationship",
+                 "tpch_q22_global_sales_opportunity"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "LeftAnti, BuildRight" in plan, name
+
+
+def test_q21_single_fact_join_strategy(spark, sf_dir):
+    """EXISTS+NOT EXISTS decorrelated into one per-order aggregate: the
+    plan must contain exactly one shuffled fact-fact join (li⨝per_order),
+    with supplier/nation broadcast."""
+    plan = _plan(spark, sf_dir, "tpch_q21_suppliers_kept_waiting")
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_percentile_window_reuses_partitioning(spark, sf_dir):
+    """sorted_percentiles: the groupBy after the window must NOT add an
+    Exchange — the window already hash-partitioned on the group key."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.functions.aggs import sorted_percentiles
+    from activedata_etl_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = sorted_percentiles(li, ["l_returnflag"], "l_extendedprice",
+                            {"med": 0.5})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1200]
+
+
 def test_no_cartesian_in_lsh(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_lsh_jaccard_pairs")
     assert "CartesianProduct" not in plan
