@@ -1,0 +1,95 @@
+"""HTTP query service — the ActiveData service surface on Spark.
+
+The reference runs as a web service accepting ``POST /query`` with a jx
+JSON body (active_data/app.py in the upstream service repo; this ETL
+vintage ships the query layer it serves). Same contract here, stdlib
+only:
+
+    python -m activedata_etl_spark.service --data /root/testdata/sf0.01 \
+        [--port 9200]
+
+    POST /query          {jx query JSON}  → formatted result JSON
+    GET  /               service banner (health check)
+
+One shared SparkSession serves all requests (Spark is thread-safe for
+concurrent job submission; the scheduler interleaves jobs). Each request
+runs ``plans.query.run_formatted`` — results collect on the driver, so
+this is the reference's interactive-query role, not the bulk path: bulk
+consumers use the DataFrame API and keep results distributed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _default(o):
+    if isinstance(o, (dt.datetime, dt.date)):
+        return o.isoformat()
+    raise TypeError(f"not JSON-serializable: {type(o)}")
+
+
+def make_handler(spark):
+    from .plans.query import run_formatted
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, default=_default).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib casing)
+            self._send(200, {"service": "activedata_etl_spark",
+                             "query_endpoint": "POST /query"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path.rstrip("/") not in ("", "/query".rstrip("/"), "/query"):
+                self._send(404, {"error": f"no such endpoint: {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                q = json.loads(self.rfile.read(n))
+                self._send(200, {"data": run_formatted(spark, q)})
+            except Exception as e:  # jx errors → 400, like the reference
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet: don't spam test output
+            pass
+
+    return Handler
+
+
+def serve(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
+    """Register ``data_dir`` views and return a ready (unstarted) server;
+    port 0 picks a free port (``server.server_address[1]``)."""
+    from .io import register_views
+
+    register_views(spark, data_dir)
+    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(spark))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--port", type=int, default=9200)
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    server = serve(get_spark("activedata-service"), args.data, args.port)
+    print(f"serving on http://127.0.0.1:{server.server_address[1]}/query")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

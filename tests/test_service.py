@@ -1,0 +1,68 @@
+"""The HTTP service speaks the reference's POST /query contract."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from activedata_etl_spark.service import serve
+
+
+@pytest.fixture(scope="module")
+def endpoint(spark, sf_dir):
+    server = serve(spark, sf_dir, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url: str, payload: dict) -> dict:
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_health(endpoint):
+    with urllib.request.urlopen(endpoint + "/") as r:
+        assert json.loads(r.read())["service"] == "activedata_etl_spark"
+
+
+def test_query_roundtrip(endpoint):
+    out = _post(endpoint + "/query", {
+        "from": "nation", "groupby": "n_regionkey",
+        "select": [{"name": "n", "aggregate": "count"}],
+        "format": "table"})
+    tbl = out["data"]
+    assert set(tbl["header"]) == {"n_regionkey", "n"}
+    assert sum(row[tbl["header"].index("n")] for row in tbl["data"]) == 25
+
+
+def test_bad_query_is_400_not_crash(endpoint):
+    req = urllib.request.Request(
+        endpoint + "/query", data=b'{"from": "no_such_table"}',
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read())
+
+
+def test_concurrent_queries(endpoint):
+    results = []
+
+    def go():
+        results.append(_post(endpoint + "/query", {
+            "from": "region", "select": [{"name": "n", "aggregate": "count"}],
+            "format": "list"}))
+
+    threads = [threading.Thread(target=go) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert all(r["data"][0]["n"] == 5 for r in results)
