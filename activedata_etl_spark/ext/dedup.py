@@ -227,6 +227,59 @@ def simhash64(df: DataFrame, id_col: str, toks: Column) -> DataFrame:
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash64_md5(df: DataFrame, id_col: str, toks: Column) -> DataFrame:
+    """Portable 64-bit SimHash: bit votes derived from the md5 HEX STRING
+    (first 16 chars → 16 hex digits → 4 bits each), so an oracle engine
+    reproduces the signature exactly — unlike ``simhash64``'s xxhash64.
+
+    Same plan shape as simhash64: explode tokens → one md5 per token →
+    16 digit columns decoded ONCE per row (conv base16, JVM-side) → 64
+    conditional-sum votes → majority bits reassembled into a BIGINT
+    (bit 63 is the sign bit). One shuffle on the doc id."""
+    ex = (df.select(F.col(id_col), F.explode(toks).alias("__t__"))
+            .select(F.col(id_col), F.md5("__t__").alias("__h__"))
+            .select(F.col(id_col), *[
+                F.conv(F.substring("__h__", i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
+                for i in range(16)]))
+    votes = ex.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col(f"d{b // 4}"), b % 4)
+                     .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)])
+    sim = None
+    for b in range(64):
+        val = (1 << b) if b < 63 else -(1 << 63)
+        bit = (F.when(F.col(f"b{b}") > 0, F.lit(val).cast("bigint"))
+               .otherwise(F.lit(0).cast("bigint")))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_band_pairs(sig: DataFrame, id_col: str,
+                       max_hamming: int = 12) -> DataFrame:
+    """Near-dup pairs from SimHash signatures via 4×16-bit banding: docs
+    agreeing on ANY 16-bit quarter of the signature are candidates
+    (pigeonhole: hamming ≤ 3 GUARANTEES a shared band; higher distances
+    are caught probabilistically), then exact Hamming ≤ ``max_hamming``
+    verifies. The join shuffles on (band_idx, band_key) — same skew story
+    as LSH banding (see lsh_candidate_pairs.max_bucket_size)."""
+    bands = sig.select(
+        F.col(id_col), "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), 16 * k).bitwiseAND(F.lit(65535))
+            for k in range(4)])).alias("band_idx", "band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit SimHashes (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -397,3 +397,51 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     return SIM.ivf_topk(q, cent, assign, "q_id", "q_vec", "vec_id",
                         k=3, nprobe=2)
+
+
+# --- portable SimHash (md5-derived bits → fully oracle-paired) ----------
+
+def _simhash_oracle(max_hamming: int = 12) -> str:
+    """CTE chain reproducing simhash64_md5 + simhash_band_pairs bit-for-
+    bit: md5 hex digits → 64 majority votes → signed-bigint signature →
+    4×16-bit band join → exact Hamming verify."""
+    digits = ",\n        ".join(
+        f"strpos('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1 AS d{i}"
+        for i in range(16))
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN ((d{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64))
+    bits = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    h AS (SELECT doc_id, md5(t) AS hx FROM toks),
+    d AS (SELECT doc_id,
+        {digits}
+      FROM h),
+    v AS (SELECT doc_id,
+        {votes}
+      FROM d GROUP BY doc_id),
+    s AS (SELECT doc_id, {bits} AS simhash FROM v),
+    bands AS (
+      SELECT doc_id, simhash, k.band_idx, (simhash >> (16 * k.band_idx)) & 65535 AS band_key
+      FROM s, (VALUES (0), (1), (2), (3)) k(band_idx)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs with the md5-portable signature —
+    the SimHash pipeline under full value-hash parity (the xxhash64
+    variant stays as the faster JVM-only path, rows-only checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = DD.simhash64_md5(d, "doc_id", TX.tokens("text"))
+    return DD.simhash_band_pairs(sig, "doc_id", max_hamming=12)
