@@ -323,7 +323,22 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_fake_features")  # rows-only: mapInPandas decode stub
+@query(
+    "multimodal_fake_features",
+    # The mapInPandas plumbing is the thing under test; the fake decoder is
+    # byte-deterministic (first 8 payload bytes / 255), and the corpus is
+    # pure ASCII (verified: max codepoint 121), so the oracle reproduces the
+    # features with ascii(substring(...)) — char == byte here.
+    oracle=f"""
+    SELECT doc_id AS id, 'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           list_transform(range(1, {MM.FEATURE_DIM + 1}),
+             i -> CASE WHEN i <= length(text)
+                       THEN ascii(substring(text, CAST(i AS INT), 1)) / 255.0
+                       ELSE 0.0 END) AS features
+    FROM documents
+    """,
+)
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.pack(d, "doc_id", "text", "text/plain"), fake=True)
