@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..ext import text as TX
 from ..functions import jx
+from ..functions.exact import sql_dsum
 from ..io import load_table
 from ..operators import domains as D
 from ..operators import nested as N
@@ -195,3 +196,33 @@ def jx_deep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "where": {"gte": ["l_quantity", 45]},
         "select": ["l_orderkey", "l_linenumber", "l_quantity"],
     })
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation rewrite under the correctness gate: salting
+    must be RESULT-invisible — the oracle is the plain join. (The salt
+    spreads each hot l_orderkey over 8 buckets; the orders side is
+    replicated 8× through the shuffle. Use when AQE skew-join can't fire,
+    e.g. the skewed side feeds a hash-table build.)"""
+    from ..functions.exact import dsum
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey")
+    return (
+        salted_join(li, o, "l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )

@@ -143,3 +143,26 @@ def test_cube_two_edges(spark):
     assert "A" in flags and "R" in flags
     total = sum(v for row in cube["data"]["n"] for v in row if v is not None)
     assert total == spark.table("lineitem").count()
+
+
+def test_deep_from_array_path(spark, sf_dir):
+    """jx deep query: {"from": "view.arraycol"} explodes the child table,
+    carrying parent columns (es52/deep.py semantics)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.operators import nested as N
+    from activedata_etl_spark.plans import query as JXQ
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    nested = N.nest(li, ["l_orderkey"], ["l_linenumber", "l_quantity"],
+                    "l_linenumber")
+    nested.createOrReplaceTempView("nested_orders")
+    out = JXQ.run(spark, {
+        "from": "nested_orders.items",
+        "where": {"gt": ["l_quantity", 25]},
+        "select": ["l_orderkey", "l_linenumber", "l_quantity"],
+    })
+    expect = li.filter(F.col("l_quantity") > 25) \
+               .select("l_orderkey", "l_linenumber", "l_quantity")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
