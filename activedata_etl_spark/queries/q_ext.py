@@ -460,3 +460,84 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = DD.simhash64_md5(d, "doc_id", TX.tokens("text"))
     return DD.simhash_band_pairs(sig, "doc_id", max_hamming=12)
+
+
+# --- end-to-end corpus prep (the 100 TB training-data job in one plan) --
+
+_QUALITY_SQL = f"""
+    q AS (
+      SELECT doc_id, lang, text,
+             len({_TOKS}) AS n_tok
+      FROM documents
+      WHERE length(text) >= 100 AND len({_TOKS}) >= 20
+        AND len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) >= 0.3
+    )"""
+
+
+def _corpus_prep_oracle(threshold: float = 0.2) -> str:
+    """Quality filter → exact dedup (min doc_id per fingerprint) → LSH
+    near-dup removal (drop every id_b of a verified pair) → per-language
+    doc/token totals. Signatures are computed over the quality SURVIVORS
+    (filter-first: at 100 TB the filter drops rows before any shuffle)."""
+    jac = ("len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+           "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")
+    return f"""
+    WITH {_QUALITY_SQL},
+      sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM q),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sig AS (SELECT doc_id, {_duck_minhash_cols(16)} FROM ex GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, b.band_idx, b.band_sig FROM sig,
+          LATERAL (SELECT * FROM (VALUES
+            (0, md5(h0  || '|' || h1  || '|' || h2  || '|' || h3)),
+            (1, md5(h4  || '|' || h5  || '|' || h6  || '|' || h7)),
+            (2, md5(h8  || '|' || h9  || '|' || h10 || '|' || h11)),
+            (3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15))
+          ) v(band_idx, band_sig)) b
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+      ), near_drop AS (
+        SELECT DISTINCT id_b FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {jac} >= {threshold}
+      ), exact_keep AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY {_FP}
+                                            ORDER BY doc_id) AS rn
+          FROM q) WHERE rn = 1
+      )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    FROM q
+    JOIN exact_keep USING (doc_id)
+    WHERE doc_id NOT IN (SELECT id_b FROM near_drop)
+    GROUP BY lang"""
+
+
+@query("corpus_prep_pipeline", oracle=_corpus_prep_oracle())
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep job as ONE Catalyst plan: scan-local
+    quality filter (drops rows before any shuffle), exact dedup by
+    fingerprint window, minhash-LSH near-dup removal over the survivors
+    (shared persisted shingle table), per-language corpus totals. Every
+    stage is the operator already under the gate individually — this
+    proves they compose."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    q = (d.filter((F.length("text") >= 100) & (F.size(toks) >= 20) & (ttr >= 0.3))
+          .select("doc_id", "lang", "text", F.size(toks).alias("n_tok")))
+    w = Window.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
+    exact_keep = (q.withColumn("__rn__", F.row_number().over(w))
+                   .filter(F.col("__rn__") == 1).drop("__rn__"))
+    near_drop = (DD.near_dup_pairs(q, "doc_id", "text", threshold=0.2)
+                 .select(F.col("id_b").alias("doc_id")).distinct())
+    kept = exact_keep.join(near_drop, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"))
