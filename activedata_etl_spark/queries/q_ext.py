@@ -3,8 +3,10 @@
 
 Oracle strategy: everything hash-based uses md5 so DuckDB reproduces it
 exactly; vector math is double-precision sequential folds on both sides.
-SimHash and the mapInPandas feature extraction are rows-only (no portable
-construction in the oracle engine).
+Only the xxhash64 SimHash fast path is rows-only (no portable xxhash in
+the oracle engine) — its md5 twin `dedup_simhash_pairs` is fully paired,
+as are the mapInPandas feature extraction (byte-deterministic fake
+decoder over an ASCII corpus) and the IVF ANN (CTE-unrolled k-means).
 """
 
 from __future__ import annotations
