@@ -130,6 +130,51 @@ def edges_range(df: DataFrame, spark: SparkSession, value: Column, col: str,
     return _complete(dom, agged, [col], zero_fill)
 
 
+#: Duration literal units, in seconds (mo_times/durations.py vocabulary;
+#: calendar units like month belong to the time domain, not duration).
+DURATION_UNITS: dict[str, int] = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def parse_duration_seconds(d) -> int:
+    """'2 week' / 'day' / plain number → seconds (jx duration literals)."""
+    if isinstance(d, (int, float)):
+        return int(d)
+    parts = d.strip().split()
+    n, unit = (1, parts[0]) if len(parts) == 1 else (int(parts[0]), parts[1])
+    return n * DURATION_UNITS[unit.rstrip("s")]
+
+
+def duration_domain(spark: SparkSession, col: str, lo, hi, interval) -> DataFrame:
+    """Duration bins [lo, hi) of width ``interval`` — all duration literals
+    or raw seconds ({"type":"duration"}, jx_base/domains.py DurationDomain).
+    Bucket values are emitted as SECONDS (bigint): durations in jx are
+    seconds floats internally (mo_times), and seconds survive any engine."""
+    lo_s, hi_s, iv_s = (parse_duration_seconds(x) for x in (lo, hi, interval))
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(lo_s), F.lit(hi_s - iv_s), F.lit(iv_s))).alias(col)
+    ).select(F.col(col).cast("bigint").alias(col))
+
+
+def edges_duration(df: DataFrame, spark: SparkSession, value_seconds: Column,
+                   col: str, lo, hi, interval,
+                   aggs: dict[str, Column], zero_fill: Sequence[str] = ()) -> DataFrame:
+    """edges with a duration domain: dense histogram of a duration-valued
+    expression (seconds), bucketed to multiples of ``interval``. Same
+    lowering as the range domain — arithmetic floor + broadcast domain
+    completion; the domain side is tiny at any corpus scale."""
+    lo_s, hi_s, iv_s = (parse_duration_seconds(x) for x in (lo, hi, interval))
+    bucket = (F.floor(value_seconds / iv_s) * iv_s).cast("bigint").alias(col)
+    agged = (
+        df.filter((value_seconds >= lo_s) & (value_seconds < hi_s))
+        .groupBy(bucket)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    return _complete(duration_domain(spark, col, lo_s, hi_s, iv_s), agged,
+                     [col], zero_fill)
+
+
 def edges_time_months(df: DataFrame, ts: Column, col: str,
                       aggs: dict[str, Column], zero_fill: Sequence[str] = ()) -> DataFrame:
     """edges with a calendar month time domain spanning the data's min..max,

@@ -260,6 +260,13 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
                 domains.append(
                     D.range_domain(spark, name, dom["min"], dom["max"], dom["interval"])
                     .select(F.col(name).cast("double").alias(name)))
+        elif dom["type"] == "duration":
+            lo_s, hi_s, iv_s = (D.parse_duration_seconds(dom[k])
+                                for k in ("min", "max", "interval"))
+            bucket = (F.floor(val / iv_s) * iv_s).cast("bigint")
+            keys.append(bucket.alias(name))
+            if dense:
+                domains.append(D.duration_domain(spark, name, lo_s, hi_s, iv_s))
         elif dom["type"] == "time":
             unit = dom.get("interval", "day")
             keys.append(F.date_trunc(unit, val).alias(name))

@@ -59,6 +59,42 @@ def edges_range_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "edges_duration_latency",
+    oracle="""
+    SELECT CAST(d.lat_bucket_s AS BIGINT) AS lat_bucket_s,
+           COALESCE(a.n, 0) AS n,
+           a.sum_qty        AS sum_qty
+    FROM (SELECT unnest(range(0, 10886400, 604800)) AS lat_bucket_s) d
+    LEFT JOIN (
+      SELECT (datediff('day', o_orderdate, l_shipdate) * 86400 // 604800) * 604800 AS b,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE datediff('day', o_orderdate, l_shipdate) * 86400 >= 0
+        AND datediff('day', o_orderdate, l_shipdate) * 86400 < 10886400
+      GROUP BY 1
+    ) a ON CAST(d.lat_bucket_s AS BIGINT) = a.b
+    """,
+)
+def edges_duration_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration domain (jx_base/domains.py DurationDomain): order→ship
+    latency in seconds, dense weekly bins over [0, 18 weeks) — every bin
+    appears even if no lineitem landed in it. The latency itself is
+    ETL-style enrichment: lineitem joined to its order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lat = F.datediff("l_shipdate", "o_orderdate").cast("bigint") * 86400
+    return D.edges_duration(
+        j, spark, lat, "lat_bucket_s",
+        lo=0, hi="18 week", interval="1 week",
+        aggs={"n": F.count(F.lit(1)),
+              "sum_qty": F.sum(F.col("l_quantity").cast("bigint"))},
+        zero_fill=["n"],
+    )
+
+
+@query(
     "edges_time_months",
     oracle=f"""
     SELECT d.mon,

@@ -118,6 +118,32 @@ def jx_edges_range_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jx_edges_duration_histogram",
+    oracle="""
+    SELECT CAST(d.dur_bin AS BIGINT) AS dur_bin, COALESCE(a.n, 0) AS n
+    FROM (SELECT unnest(range(0, 600, 60)) AS dur_bin) d
+    LEFT JOIN (
+      SELECT CAST(floor(value / 60) * 60 AS BIGINT) AS dur_bin, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ) a ON CAST(d.dur_bin AS BIGINT) = a.dur_bin
+    """,
+)
+def jx_edges_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration domain through the jx front-end: duration literals
+    ("1 minute") parsed to seconds, dense bins emitted as BIGINT seconds."""
+    return _run(spark, sf_dir, {
+        "from": "events",
+        "edges": [{
+            "name": "dur_bin",
+            "value": "value",
+            "domain": {"type": "duration", "min": 0, "max": "10 minute",
+                       "interval": "1 minute"},
+        }],
+        "select": [{"name": "n", "aggregate": "count"}],
+    })
+
+
+@query(
     "jx_window_running",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
