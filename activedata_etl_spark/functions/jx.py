@@ -299,6 +299,18 @@ def tuple_(*xs) -> Column:
     return F.struct(*[_c(x) for x in xs])
 
 
+def union_values(*arrs) -> Column:
+    """Distinct union of operand value-sets (UnionOp,
+    jx_base/expressions.py): missing operands contribute nothing; output
+    sorted so the value-set has one canonical rendering per row (jx sets
+    are unordered — sorting makes cross-engine comparison exact)."""
+    norm = [F.coalesce(_c(a), F.array()) for a in arrs]
+    out = norm[0]
+    for a in norm[1:]:
+        out = F.array_union(out, a)
+    return F.array_sort(out)
+
+
 def script(sql: str) -> Column:
     """Raw-backend escape hatch (ScriptOp) — ours is a SQL expression."""
     return F.expr(sql)

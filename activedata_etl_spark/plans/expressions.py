@@ -199,6 +199,7 @@ _OPS = {
     "lower": lambda a, _e: jx.lower(compile_expr(a)),
     "trim": lambda a, _e: jx.trim(compile_expr(a)),
     # structure
+    "union": lambda a, _e: jx.union_values(*_many(a)),
     "get": lambda a, _e: jx.get(compile_expr(a[0]), a[1]),
     "tuple": lambda a, _e: jx.tuple_(*_many(a)),
     "leaves": lambda a, _e: F.col("*") if a == "." else F.col(a),
