@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample``/``sampleBy`` are seed-dependent AND partition-layout-dependent
+— rerunning after a repartition changes the sample, which poisons
+reproducibility of any derived training set. The scalable alternative every
+large corpus pipeline converges on is HASH sampling: a row is in the sample
+iff ``hash(key) mod D < k``. Properties that matter at 100 TB:
+
+- scan-local (no shuffle, no state, no RNG): a pure filter Catalyst pushes
+  wherever it wants; survives repartition, retries, and engine changes.
+- stable under corpus growth: a doc's membership never changes as other
+  docs arrive — samples are append-consistent across incremental runs.
+- md5-based, so the oracle (or any other engine) reproduces it bit-for-bit.
+
+The same trick yields disjoint train/val/test splits (disjoint hash ranges)
+and per-stratum exact-N picks (rank by hash within stratum = a uniform
+random-but-reproducible permutation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: Modulus for the hash bucket: first 8 hex chars of md5 → 32-bit space.
+_DENOM = 2 ** 32
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 2^32) from md5(salt || key) — the sampling
+    coin. ``salt`` decorrelates multiple samples over the same keys."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+                  16, 10).cast("bigint")
+
+
+def hash_sample(df: DataFrame, key: Column, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically, by hash range."""
+    return df.filter(hash_bucket(key, salt) < int(fraction * _DENOM))
+
+
+def split_label(key: Column, weights: dict[str, float], salt: str = "") -> Column:
+    """Label each row train/val/test (or any names) by disjoint hash
+    ranges proportional to ``weights``. Every row gets exactly one label;
+    membership is stable as the corpus grows."""
+    total = sum(weights.values())
+    b = hash_bucket(key, salt)
+    out, lo = None, 0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        hi = lo + int(w / total * _DENOM)
+        out = (F.when if out is None else out.when)(b < hi, F.lit(name))
+        lo = hi
+    return out.otherwise(F.lit(items[-1][0])) if out is not None \
+        else F.lit(items[-1][0])
+
+
+def stratified_take(df: DataFrame, strata: list[str] | str, key: Column,
+                    n_per_stratum: int, salt: str = "") -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum, chosen by hash rank —
+    a reproducible uniform draw. One shuffle on the strata key (the same
+    shuffle any per-group op needs); rank ties are impossible because the
+    tiebreak includes the key itself."""
+    strata = [strata] if isinstance(strata, str) else strata
+    w = Window.partitionBy(*strata).orderBy(hash_bucket(key, salt), key)
+    return (df.withColumn("__rk__", F.row_number().over(w))
+            .filter(F.col("__rk__") <= n_per_stratum)
+            .drop("__rk__"))
+
+
+def sql_hash_bucket(key_expr: str, salt: str = "") -> str:
+    """DuckDB rendering of hash_bucket for oracle pairing."""
+    return ("CAST(('0x' || substring(md5(concat('" + salt + "', CAST(" + key_expr
+            + " AS VARCHAR))), 1, 8)) AS BIGINT)")

@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     q_jx,
     q_misc,
     q_nested,
+    q_sampling,
     q_setops_sort,
     q_tpch,
     q_tpch2,

@@ -1,0 +1,69 @@
+"""Deterministic-sampling [Q] pairs (ext/sampling.py): hash-range
+fractional sample, train/val/test split, stratified exact-N draw. All
+md5-derived, so the oracle reproduces every sample bit-for-bit — the
+reproducibility property that seed-based df.sample cannot give."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ext import sampling as S
+from ..io import load_table
+from .registry import query
+
+_BUCKET = S.sql_hash_bucket("doc_id", salt="s1")
+
+
+@query(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BUCKET} < CAST(0.1 * 4294967296 AS BIGINT)
+    """,
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: membership is a pure filter (scan-local,
+    pushdown-friendly) and stable under repartition/retry/corpus growth."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.hash_sample(d, F.col("doc_id"), 0.1, salt="s1").select("doc_id", "lang")
+
+
+@query(
+    "sample_train_val_test",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT lang,
+             CASE WHEN {_BUCKET} < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+                  WHEN {_BUCKET} < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n FROM labeled GROUP BY split, lang
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split by disjoint hash ranges; a doc's split never changes
+    as other docs arrive (append-consistent across incremental runs)."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.withColumn("split", S.split_label(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s1"))
+    return lab.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "sample_stratified_take",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {S.sql_hash_bucket("doc_id", salt="s2")}, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def sample_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, drawn by hash rank — a reproducible
+    uniform per-stratum sample (the balanced-subset op of corpus prep)."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.stratified_take(d, "lang", F.col("doc_id"), 20, salt="s2") \
+        .select("doc_id", "lang")

@@ -1,0 +1,58 @@
+"""Deterministic sampling properties (ext/sampling.py): stability under
+repartition and corpus growth — the guarantees seed-based sampling lacks."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.ext import sampling as S
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_sample_stable_under_repartition_and_growth(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}  # noqa: E731
+
+    s1 = ids(S.hash_sample(d, F.col("doc_id"), 0.2, salt="x"))
+    s2 = ids(S.hash_sample(d.repartition(13), F.col("doc_id"), 0.2, salt="x"))
+    assert s1 == s2  # layout-independent
+
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    s_half = ids(S.hash_sample(half, F.col("doc_id"), 0.2, salt="x"))
+    assert s_half == {i for i in s1 if i % 2 == 0}  # append-consistent
+
+    # fraction lands near target (md5 uniformity)
+    n = d.count()
+    assert 0.1 * n < len(s1) < 0.3 * n
+
+
+def test_split_labels_partition_the_corpus(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lab = d.withColumn("split", S.split_label(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="x"))
+    counts = {r.split: r.n for r in
+              lab.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # every row exactly one label
+    assert sum(counts.values()) == d.count()
+    assert counts["train"] > counts["val"] + counts["test"]
+
+    # salt decorrelates: different salt -> different (but same-sized) draw
+    a = S.hash_sample(d, F.col("doc_id"), 0.2, salt="x")
+    b = S.hash_sample(d, F.col("doc_id"), 0.2, salt="y")
+    ia = {r.doc_id for r in a.select("doc_id").collect()}
+    ib = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ia != ib
+
+
+def test_stratified_take_exact_n(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    took = S.stratified_take(d, "lang", F.col("doc_id"), 7, salt="x")
+    per = {r.lang: r.n for r in
+           took.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r.lang: r.n for r in
+             d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, avail[lang])
