@@ -39,6 +39,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label mean vector (the E-step aggregate of k-means, the class
+    prototype of a label-balanced dataset audit).
+
+    Plan: posexplode to (label, pos, x) — scan-local — then ONE shuffle on
+    (label, pos) for a decimal-sum mean per dimension (order-independent,
+    see functions/exact.py), then a cheap (label)-keyed regroup to
+    reassemble the array in position order. Dimensions × labels rows in
+    the intermediate: tiny at any corpus scale."""
+    from ..functions.exact import davg
+
+    ex = df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    per_dim = ex.groupBy(label_col, "pos").agg(davg("x").alias("m"))
+    return per_dim.groupBy(label_col).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m")).alias("centroid"))
+
+
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     """Sign pattern of the first ``n_bits`` dimensions as a compact string
     bucket key — a degenerate (axis-aligned) random-hyperplane LSH."""

@@ -67,3 +67,30 @@ def sample_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return S.stratified_take(d, "lang", F.col("doc_id"), 20, salt="s2") \
         .select("doc_id", "lang")
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, i AS pos, embedding[i] AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), per_dim AS (
+      -- CAST(x AS DOUBLE) first: DuckDB casts FLOAT->DECIMAL via the
+      -- float's shortest decimal string, Spark via its exact double value;
+      -- promoting to DOUBLE makes both engines round the same ties.
+      SELECT label, pos,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label, list(m ORDER BY pos) AS centroid
+    FROM per_dim GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototype): posexplode + decimal-sum
+    per dimension, reassembled in position order."""
+    from ..ext import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.centroids(e, "label", "embedding")
