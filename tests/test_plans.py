@@ -92,3 +92,24 @@ def test_no_cartesian_in_lsh(spark, sf_dir):
     assert "CartesianProduct" not in plan
     plan2 = _plan(spark, sf_dir, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan2  # candidates come from buckets
+
+
+def test_hash_sample_is_scan_local(spark, sf_dir):
+    """Deterministic sampling must stay a pure filter: no shuffle, no
+    window, and the md5 predicate inside whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "sample_hash_fraction")
+    assert "Exchange" not in plan
+    assert "*(1) Filter" in plan  # '*' = inside whole-stage codegen
+
+
+def test_stratified_take_single_shuffle(spark, sf_dir):
+    """Per-stratum exact-N: exactly the one shuffle the window needs."""
+    plan = _plan(spark, sf_dir, "sample_stratified_take")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_duration_domain_broadcast_completion(spark, sf_dir):
+    """Dense duration bins join via broadcast — domain completion must
+    never shuffle the aggregate."""
+    plan = _plan(spark, sf_dir, "edges_duration_latency")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
