@@ -67,6 +67,24 @@ def stratified_take(df: DataFrame, strata: list[str] | str, key: Column,
             .drop("__rk__"))
 
 
+def weighted_mixture(df: DataFrame, source_col: str, key: Column,
+                     fractions: dict[str, float], default: float = 0.0,
+                     salt: str = "") -> DataFrame:
+    """Corpus mixing: keep a different deterministic fraction of each
+    source ("100% of wiki, 30% of web, 5% of crawl"). Still a pure
+    scan-local filter — the per-source threshold is a literal when-chain,
+    so re-weighting a 100 TB mixture is one full-scan filter with no
+    shuffle, and a source's kept-set only ever shrinks/grows monotonically
+    as its weight moves (nested hash ranges)."""
+    thr = None
+    for name, frac in fractions.items():
+        thr = (F.when if thr is None else thr.when)(
+            F.col(source_col) == name, F.lit(int(frac * _DENOM)))
+    thr = F.lit(int(default * _DENOM)) if thr is None \
+        else thr.otherwise(F.lit(int(default * _DENOM)))
+    return df.filter(hash_bucket(key, salt) < thr)
+
+
 def sql_hash_bucket(key_expr: str, salt: str = "") -> str:
     """DuckDB rendering of hash_bucket for oracle pairing."""
     return ("CAST(('0x' || substring(md5(concat('" + salt + "', CAST(" + key_expr

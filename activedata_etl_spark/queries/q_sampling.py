@@ -69,6 +69,34 @@ def sample_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+_MIX_BUCKET = S.sql_hash_bucket("doc_id", salt="mix")
+
+
+@query(
+    "sample_weighted_mixture",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM documents
+    WHERE {_MIX_BUCKET} < CASE source
+        WHEN 'src0' THEN CAST(1.0 * 4294967296 AS BIGINT)
+        WHEN 'src1' THEN CAST(0.5 * 4294967296 AS BIGINT)
+        WHEN 'src2' THEN CAST(0.2 * 4294967296 AS BIGINT)
+        ELSE CAST(0.05 * 4294967296 AS BIGINT) END
+    GROUP BY source
+    """,
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source deterministic keep-rates
+    (100% / 50% / 20% / 5% floor) as one scan-local filter."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = S.weighted_mixture(
+        d, "source", F.col("doc_id"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.2}, default=0.05, salt="mix")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_id"))
+
+
 @query(
     "embedding_centroids",
     oracle="""
