@@ -299,6 +299,34 @@ def tuple_(*xs) -> Column:
     return F.struct(*[_c(x) for x in xs])
 
 
+_NUMERIC_TYPEOF = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _typeof(x) -> Column:
+    return F.call_function("typeof", _c(x))
+
+
+def is_number(x) -> Column:
+    """Runtime type test (IsNumberOp): true iff the VALUE is a number —
+    missing → false. On Spark's typed columns the type is schema-static
+    (typeof folds to a constant), so this costs a null-check; kept as an
+    operator for jx-query compatibility. Variant columns use
+    operators/nested.py variant_is_* (dynamic per-value types)."""
+    c = _c(x)
+    t = _typeof(c)
+    return (t.isin(*_NUMERIC_TYPEOF) | t.startswith("decimal")) & c.isNotNull()
+
+
+def is_string(x) -> Column:
+    c = _c(x)
+    return (_typeof(c) == "string") & c.isNotNull()
+
+
+def is_boolean(x) -> Column:
+    c = _c(x)
+    return (_typeof(c) == "boolean") & c.isNotNull()
+
+
 def union_values(*arrs) -> Column:
     """Distinct union of operand value-sets (UnionOp,
     jx_base/expressions.py): missing operands contribute nothing; output

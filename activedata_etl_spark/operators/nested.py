@@ -79,6 +79,28 @@ def normalize_to_array(doc: Column, path: str, elem_type: str = "int") -> Column
     )
 
 
+def _variant_schema(v: Column) -> Column:
+    return F.schema_of_variant(v)
+
+
+def variant_is_number(v: Column) -> Column:
+    """Dynamic type test on a VARIANT value (jx is_number over ragged
+    JSON): true iff THIS row's value is numeric. SQL NULL variant and JSON
+    null (VOID schema) are both missing → false."""
+    s = _variant_schema(v)
+    return v.isNotNull() & (
+        s.isin("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE")
+        | s.startswith("DECIMAL"))
+
+
+def variant_is_string(v: Column) -> Column:
+    return v.isNotNull() & (_variant_schema(v) == "STRING")
+
+
+def variant_is_boolean(v: Column) -> Column:
+    return v.isNotNull() & (_variant_schema(v) == "BOOLEAN")
+
+
 def nest(df: DataFrame, parent_keys: list[str], item_cols: list[str],
          order_by: str, array_name: str = "items") -> DataFrame:
     """Inverse of unnest: roll child rows up into an ordered array of

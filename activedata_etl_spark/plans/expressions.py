@@ -199,6 +199,9 @@ _OPS = {
     "lower": lambda a, _e: jx.lower(compile_expr(a)),
     "trim": lambda a, _e: jx.trim(compile_expr(a)),
     # structure
+    "is_number": lambda a, _e: jx.is_number(compile_expr(a)),
+    "is_string": lambda a, _e: jx.is_string(compile_expr(a)),
+    "is_boolean": lambda a, _e: jx.is_boolean(compile_expr(a)),
     "union": lambda a, _e: jx.union_values(*_many(a)),
     "get": lambda a, _e: jx.get(compile_expr(a[0]), a[1]),
     "tuple": lambda a, _e: jx.tuple_(*_many(a)),

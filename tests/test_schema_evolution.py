@@ -46,3 +46,25 @@ def test_normalize_to_array(spark):
     ).collect()
     got = {r["id"]: r["vals"] for r in out}
     assert got == {1: [5], 2: [1, 2], 3: []}
+
+
+def test_variant_runtime_type_tests(spark):
+    """jx is_number/is_string/is_boolean over ragged JSON: per-VALUE type,
+    not per-column — the dynamic typing the reference gets from Python."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.operators import nested as N
+
+    docs = spark.createDataFrame(
+        [('{"k": 1}',), ('{"k": 2.5}',), ('{"k": "x"}',), ('{"k": true}',),
+         ('{"k": null}',), ('{}',)], "j string"
+    ).select(F.parse_json("j").alias("doc"))
+    v = F.try_variant_get("doc", "$.k", "variant")
+    out = docs.select(
+        N.variant_is_number(v).alias("num"),
+        N.variant_is_string(v).alias("s"),
+        N.variant_is_boolean(v).alias("b"),
+    ).collect()
+    assert [(r.num, r.s, r.b) for r in out] == [
+        (True, False, False), (True, False, False), (False, True, False),
+        (False, False, True), (False, False, False), (False, False, False)]
