@@ -35,14 +35,27 @@ def distinct_token_count(text) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
+def ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams WITH duplicates (order-sensitive, for repetition
+    scoring); `shingles` is the distinct-set variant for dedup."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-grams (distinct), the unit for Jaccard/minhash dedup."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+    return F.array_distinct(ngrams(toks, n))
+
+
+def repetition_ratio(toks: Column, n: int = 3) -> Column:
+    """Fraction of duplicated n-grams within the doc (Gopher/C4-style
+    repetition filter): 1 − |distinct n-grams| / |n-grams|; null when the
+    doc is too short to have any. Pure scan-local Column arithmetic."""
+    g = ngrams(toks, n)
+    return F.when(F.size(g) > 0,
+                  1 - F.size(F.array_distinct(g)) / F.size(g))
 
 
 #: GPT-2-ish pretokenizer approximation: letter runs, digit runs, and

@@ -47,6 +47,31 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *TX.quality_metrics("text"))
 
 
+_NGRAMS = (
+    "list_transform("
+    " range(1, greatest(len({t}) - 2, 0) + 1),"
+    " i -> array_to_string(list_slice({t}, i, i + 2), ' '))"
+).format(t=_TOKS)
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len({_NGRAMS}) > 0
+                THEN 1 - len(list_distinct({_NGRAMS})) * 1.0 / len({_NGRAMS})
+           END AS rep3
+    FROM documents
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicated-3-gram fraction — the Gopher/C4-style
+    repetition quality signal; boilerplate/spam scores high. Scan-local."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    TX.repetition_ratio(TX.tokens("text"), 3).alias("rep3"))
+
+
 @query(
     "text_top_terms",
     oracle=f"""

@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_top_terms",
     "nested_explode_roundtrip",
+    "sample_weighted_mixture",
+    "embedding_centroids",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()
