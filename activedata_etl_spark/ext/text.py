@@ -58,6 +58,22 @@ def repetition_ratio(toks: Column, n: int = 3) -> Column:
                   1 - F.size(F.array_distinct(g)) / F.size(g))
 
 
+def chunk_tokens(toks: Column, window: int, stride: int | None = None) -> Column:
+    """Split a token sequence into fixed-size windows (array of arrays) —
+    the context-window chunking step before sequence packing. ``stride``
+    < ``window`` gives overlapping chunks (sliding-window training data).
+    Scan-local; pair with ``F.posexplode`` for one row per chunk."""
+    stride = window if stride is None else stride
+    # clamp to ≥1: any non-empty doc yields at least its (short) whole-doc
+    # chunk; without the clamp sequence(0, -1) would DESCEND in Spark.
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - window) / F.lit(stride)).cast("int") + 1, F.lit(1))
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return F.when(F.size(toks) > 0,
+                  F.transform(starts, lambda k: F.slice(toks, k * stride + 1, window))) \
+        .otherwise(F.expr("CAST(array() AS array<array<string>>)"))
+
+
 #: GPT-2-ish pretokenizer approximation: letter runs, digit runs, and
 #: punctuation runs (``\p{L}``/``\p{N}`` work in both Java regex and RE2).
 BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"

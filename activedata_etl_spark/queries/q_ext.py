@@ -73,6 +73,33 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil((len(toks) - 32) / 16.0) AS INT) + 1, 1) AS nc
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, k AS chunk_idx,
+           len(list_slice(toks, k * 16 + 1, k * 16 + 32)) AS chunk_len,
+           array_to_string(list_slice(toks, k * 16 + 1, k * 16 + 32), ' ') AS chunk_text
+    FROM n, UNNEST(range(0, nc)) AS u(k)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, 16-token stride
+    (overlapping sliding windows), one output row per chunk — the
+    sequence-prep fan-out before packing/tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = TX.chunk_tokens(TX.tokens("text"), window=32, stride=16)
+    return (d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+            .select("doc_id", "chunk_idx",
+                    F.size("chunk").alias("chunk_len"),
+                    F.array_join("chunk", " ").alias("chunk_text")))
+
+
+@query(
     "text_top_terms",
     oracle=f"""
     SELECT tok, COUNT(*) AS n FROM (

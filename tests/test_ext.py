@@ -92,3 +92,19 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
     got = {(r.q_id, r.vec_id) for r in ivf.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"recall {recall}: IVF clusters look broken"
+
+
+def test_chunk_tokens_edges(spark):
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import text as TX
+
+    df = spark.createDataFrame(
+        [("a b c d e f g",), ("a b",), ("",)], "t string")
+    out = df.select(TX.chunk_tokens(TX.tokens("t"), window=4, stride=2).alias("c")).collect()
+    # 7 tokens, window 4 stride 2 -> ceil((7-4)/2)+1 = 3 chunks
+    assert [[len(ch) for ch in r.c] for r in out][0] == [4, 4, 3]
+    assert out[0].c[1] == ["c", "d", "e", "f"]  # stride overlap
+    assert [len(ch) for ch in out[1].c] == [2]  # short doc: one whole-doc chunk
+    # empty string: split produces [''] (1 token) — one 1-token chunk, never a crash
+    assert [len(ch) for ch in out[2].c] == [1]
