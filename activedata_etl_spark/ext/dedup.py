@@ -120,17 +120,22 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 band.
 
-    Plan shape: scan → per-band explode (n_bands rows/doc) → shuffle on
-    (band_idx, band_sig) → self-join within buckets → distinct pairs.
-    Bucket skew (boilerplate docs) is AQE's skew-join case; for adversarial
-    corpora set ``max_bucket_size``: a bucket of B docs yields B² candidate
-    pairs, so one mega-bucket (site template, empty docs) can dwarf the
-    whole join. Buckets above the cap are DROPPED from candidate
-    generation — at 100 TB, route them to a separate exact-dup pass
-    (hash-groupBy) instead of pairwise verification; near-identical docs
-    still collide in the other n_bands-1 bands when genuinely similar.
-    The size filter is a window count over the same (band_idx, band_sig)
-    partitioning the join needs, so it adds no extra shuffle.
+    Plan shape: scan → per-band explode (n_bands rows/doc) → ONE shuffle on
+    (band_idx, band_sig) → per-bucket sorted id list → in-bucket pair
+    fan-out (array combinatorics, no join) → distinct pairs. The earlier
+    self-join form computed the signature aggregate on BOTH join sides
+    (ReusedExchange doesn't fire across aliased self-joins) and shuffled
+    the banded table twice; groupBy+fan-out does it once.
+
+    Bucket skew (boilerplate docs): a bucket of B docs yields B²/2
+    candidate pairs materialized as one in-memory array before its
+    explode, so for adversarial corpora set ``max_bucket_size``. Buckets
+    above the cap are DROPPED from candidate generation — at 100 TB, route
+    them to a separate exact-dup pass (hash-groupBy) instead of pairwise
+    verification; near-identical docs still collide in the other
+    n_bands-1 bands when genuinely similar. The cap is a size() filter on
+    the already-grouped id list — no extra shuffle, and it bounds the
+    fan-out array at cap²/2 entries.
     """
     if sig is None:
         sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n)
@@ -139,20 +144,21 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         F.posexplode(F.array(*[k for k in band_keys(n_hashes, n_bands)]))
         .alias("band_idx", "band_sig"),
     )
+    buckets = (banded.groupBy("band_idx", "band_sig")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-        bs = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_sig"))
-        banded = (banded.withColumn("__bs__", bs)
-                  .filter(F.col("__bs__") <= max_bucket_size).drop("__bs__"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_sig") == F.col("b.band_sig"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # ids sorted ascending → pairing each element with its suffix yields
+    # exactly the id_a < id_b pairs the old self-join produced.
+    pairs = buckets.select(F.explode(F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))).alias("p"))
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
@@ -180,7 +186,8 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
 
 def near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                    n_hashes: int = 16, n_bands: int = 4, shingle_n: int = 3,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   max_bucket_size: int | None = None) -> DataFrame:
     """End-to-end near-dup pipeline with shared intermediates:
 
         shingles (persisted) → minhash signatures → LSH bands →
@@ -195,7 +202,8 @@ def near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = shingle_table(df, id_col, text_col, shingle_n).persist()
     sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n, sh=sh)
     cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, n_bands,
-                                shingle_n, sig=sig)
+                                shingle_n, sig=sig,
+                                max_bucket_size=max_bucket_size)
     return jaccard_pairs(df, cands, id_col, text_col, shingle_n, threshold,
                          sh_rows=sh)
 

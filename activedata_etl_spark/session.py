@@ -29,6 +29,11 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce floor 64k (default 1MB): at cluster scale partitions sit
+    # near the 64MB advisory so this never binds; on small/local shuffles
+    # it stops AQE collapsing a 3MB exchange to 3 tasks and serializing
+    # reduce-side work (measured ~20% on sort/sessionize-heavy queries).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Arrow for any pandas_udf path (similarity / multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
