@@ -268,24 +268,38 @@ def simhash_band_pairs(sig: DataFrame, id_col: str,
     agreeing on ANY 16-bit quarter of the signature are candidates
     (pigeonhole: hamming ≤ 3 GUARANTEES a shared band; higher distances
     are caught probabilistically), then exact Hamming ≤ ``max_hamming``
-    verifies. The join shuffles on (band_idx, band_key) — same skew story
-    as LSH banding (see lsh_candidate_pairs.max_bucket_size)."""
+    verifies.
+
+    Same single-shuffle shape as ``lsh_candidate_pairs``: group each
+    (band_idx, band_key) bucket, sort its (id, simhash) members, fan out
+    in-bucket pairs with the Hamming distance computed inline — the
+    signature aggregate (64 conditional sums) runs ONCE, not once per
+    self-join side. Same skew story as LSH banding (boilerplate buckets);
+    cap upstream if the corpus is adversarial."""
     bands = sig.select(
         F.col(id_col), "simhash",
         F.posexplode(F.array(*[
             F.shiftright(F.col("simhash"), 16 * k).bitwiseAND(F.lit(65535))
             for k in range(4)])).alias("band_idx", "band_key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    buckets = (bands.groupBy("band_idx", "band_key")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"), "simhash"))).alias("ms"))
+               .filter(F.size("ms") >= 2))
+    pairs = buckets.select(F.explode(F.flatten(F.transform(
+        "ms",
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(
+                x.getField("id").alias("id_a"),
+                y.getField("id").alias("id_b"),
+                hamming64(x.getField("simhash"),
+                          y.getField("simhash")).alias("hamming"),
+            ),
+        ),
+    ))).alias("p"))
+    return (pairs.select("p.id_a", "p.id_b", "p.hamming")
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
 
 
 def hamming64(a: Column, b: Column) -> Column:
