@@ -305,3 +305,73 @@ def simhash_band_pairs(sig: DataFrame, id_col: str,
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit SimHashes (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of the near-dup pair graph by min-label
+    propagation: every node's label converges to the smallest id reachable
+    from it. Output (id, cluster_id) for every node appearing in ``pairs``
+    (columns id_a/id_b); cluster_id is the cluster's minimum id, so the
+    canonical document of each cluster is the one with id == cluster_id.
+
+    Each iteration is one distributed join+groupBy (label of each node :=
+    min of own and neighbors' labels); the driver only checks the
+    converged-yet count. Iterations needed = graph diameter, which for
+    near-dup clusters (cliques plus a few chains) is small — typically
+    2-4. At 100 TB-scale graphs with long chains, switch to the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), which converges in
+    O(log² n) rounds with the same join-per-round shape; plain min-label
+    is the right default for dedup graphs because their diameter is tiny
+    and each round is a single shuffle.
+
+    Raises RuntimeError if not converged after ``max_iter`` rounds
+    (a correctness guard, not a truncation: partial labels would silently
+    split clusters).
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct().persist())
+    # Each round MUST truncate lineage (localCheckpoint), not just cache:
+    # persist() keeps the logical plan, and a self-referencing join per
+    # round makes Catalyst re-analyze an exponentially growing tree (a
+    # 10-round chain OOMs the driver). On a cluster with a checkpoint dir,
+    # prefer df.checkpoint() — same truncation, executor-failure-safe.
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            prop = (edges.join(labels, edges.dst == labels.node)
+                    .groupBy("src").agg(F.min("label").alias("nbr_min")))
+            new_labels = (
+                labels.join(prop, labels.node == prop.src, "left")
+                .select(labels.node,
+                        F.least(labels.label, F.col("nbr_min")).alias("label"))
+            ).localCheckpoint(eager=True)
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.label") < F.col("o.label")).count())
+            labels = new_labels
+            if changed == 0:
+                return labels.select(F.col("node").alias("id"),
+                                     F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds")
+    finally:
+        edges.unpersist()
+
+
+def canonical_filter(df: DataFrame, pairs: DataFrame, id_col: str,
+                     max_iter: int = 25) -> DataFrame:
+    """Keep one document per near-dup cluster (the cluster's min id) plus
+    every unclustered document — the drop-near-dups step of corpus prep.
+    Anti-join on the non-canonical member set: docs never appearing in a
+    pair pass through untouched, so the join is sized by the pair graph,
+    not the corpus."""
+    non_canonical = (connected_components(pairs, max_iter)
+                     .filter(F.col("id") != F.col("cluster_id"))
+                     .select(F.col("id").alias(id_col)))
+    return df.join(non_canonical, id_col, "left_anti")

@@ -595,3 +595,94 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"))
+
+
+def _near_dup_pairs_cte(threshold: float = 0.2) -> str:
+    """The dedup_lsh_jaccard_pairs oracle as a reusable CTE tail:
+    ``pairs(id_a, id_b)`` = verified near-dup pairs."""
+    jac = ("len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+           "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")
+    return f"""{_DUCK_SIG}, banded AS (
+      SELECT doc_id, b.band_idx, b.band_sig FROM sig,
+        LATERAL (SELECT * FROM (VALUES
+          (0, md5(h0  || '|' || h1  || '|' || h2  || '|' || h3)),
+          (1, md5(h4  || '|' || h5  || '|' || h6  || '|' || h7)),
+          (2, md5(h8  || '|' || h9  || '|' || h10 || '|' || h11)),
+          (3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15))
+        ) v(band_idx, band_sig)) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE {jac} >= {threshold}
+    )"""
+
+
+@query(
+    "dedup_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_near_dup_pairs_cte(0.2)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    )
+    SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified pair
+    graph (min-label propagation; the oracle unrolls the same reachability
+    with a recursive CTE). cluster_id = the component's minimum doc_id —
+    the deterministic canonical representative. This is the principled
+    near-dup grouping; `corpus_prep_pipeline` shows the cheaper greedy
+    drop-id_b variant."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+    return (DD.connected_components(pairs)
+            .select(F.col("id").alias("doc_id"), "cluster_id"))
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_near_dup_pairs_cte(0.2)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    GROUP BY lang
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after cluster-canonical near-dup removal: keep each
+    cluster's min-id member plus all unclustered docs, then per-language
+    counts (the audit a data pipeline runs after dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+    return (DD.canonical_filter(d, pairs, "doc_id")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")))

@@ -108,3 +108,31 @@ def test_chunk_tokens_edges(spark):
     assert [len(ch) for ch in out[1].c] == [2]  # short doc: one whole-doc chunk
     # empty string: split produces [''] (1 token) — one 1-token chunk, never a crash
     assert [len(ch) for ch in out[2].c] == [1]
+
+
+def test_connected_components_chains_and_singles(spark):
+    # Component {1,2,3} via a chain, component {7,9}; 5 never appears.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a bigint, id_b bigint")
+    got = {(r.id, r.cluster_id)
+           for r in DD.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_canonical_filter_keeps_min_and_unclustered(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id bigint, t string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a bigint, id_b bigint")
+    kept = {r.doc_id
+            for r in DD.canonical_filter(docs, pairs, "doc_id").collect()}
+    assert kept == {1, 5, 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # Path graph 0-1-2-...-9: worst-case diameter for label propagation.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a bigint, id_b bigint")
+    rows = DD.connected_components(pairs).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == 10
