@@ -307,6 +307,25 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def signature_agreement(sig: DataFrame, pairs: DataFrame, id_col: str,
+                        n_hashes: int = 16) -> DataFrame:
+    """MinHash Jaccard ESTIMATE per candidate pair: the fraction of
+    signature positions agreeing. E[agreement] = exact Jaccard — joining
+    this against the exact verify stage is the estimator-quality audit
+    that tells you whether n_hashes is adequate for your threshold before
+    scaling a corpus run. Two broadcast-or-shuffle equi-joins on the id;
+    the signature table is ~1% of corpus size."""
+    agree = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (pairs
+            .join(sig.alias("a"), F.col("id_a") == F.col(f"a.{id_col}"))
+            .join(sig.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
+            .select("id_a", "id_b",
+                    (agree / F.lit(float(n_hashes))).alias("est_jaccard")))
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components of the near-dup pair graph by min-label
     propagation: every node's label converges to the smallest id reachable

@@ -207,6 +207,48 @@ def ivf_topk(queries: DataFrame, centroids: DataFrame, assign: DataFrame,
     return topk_per_query(scored, q_id, "cos", id_col, k).select(q_id, id_col, "cos")
 
 
+def probe_buckets(vec: Column, n_bits: int = 8) -> Column:
+    """Multi-probe bucket list: the vector's own sign bucket plus each
+    one-bit flip — the standard LSH recall lever. A near-neighbor differs
+    from the query's bucket in at most a few signs, and single-bit probes
+    recover exactly the pairs that straddle ONE hyperplane (the dominant
+    miss mode at high cosine)."""
+
+    def bucket_with_flip(flip_idx: int | None) -> Column:
+        chars = [
+            F.when(F.element_at(vec, j + 1) >= 0,
+                   F.lit("0" if j == flip_idx else "1"))
+            .otherwise(F.lit("1" if j == flip_idx else "0"))
+            for j in range(n_bits)
+        ]
+        return F.concat(*chars)
+
+    return F.array(bucket_with_flip(None),
+                   *[bucket_with_flip(i) for i in range(n_bits)])
+
+
+def ann_multiprobe_topk(queries: DataFrame, candidates: DataFrame,
+                        q_id: str, q_vec: str, c_id: str, c_vec: str,
+                        k: int, n_bits: int = 8) -> DataFrame:
+    """Sign-LSH ANN with single-bit multi-probe: each query searches its
+    own bucket plus the ``n_bits`` one-flip neighbors. Probe fan-out
+    multiplies only the QUERY side (n_bits+1 rows per query); the
+    candidate table still shuffles once on its single bucket key, so the
+    plan stays an equi-join — recall rises without touching the corpus
+    side. Probe buckets are pairwise distinct and each candidate lives in
+    exactly one bucket, so no pair dedup is needed."""
+    qb = queries.select(
+        F.col(q_id), F.col(q_vec),
+        F.explode(probe_buckets(F.col(q_vec), n_bits)).alias("__bucket__"))
+    cb = candidates.withColumn("__bucket__", sign_bucket(F.col(c_vec), n_bits))
+    scored = (
+        qb.join(cb, "__bucket__")
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("cos", cosine(F.col(q_vec), F.col(c_vec)))
+    )
+    return topk_per_query(scored, q_id, "cos", c_id, k).select(q_id, c_id, "cos")
+
+
 def ann_sign_lsh_topk(queries: DataFrame, candidates: DataFrame,
                       q_id: str, q_vec: str, c_id: str, c_vec: str,
                       k: int, n_bits: int = 8) -> DataFrame:

@@ -334,6 +334,51 @@ def sim_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ann_multiprobe",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 8),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    ), q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
+    probes AS (
+      SELECT q_id, q_vec,
+             array_to_string(list_transform(range(1, 9),
+               j -> CASE
+                 WHEN j = k THEN (CASE WHEN q_vec[j] >= 0 THEN '0' ELSE '1' END)
+                 ELSE          (CASE WHEN q_vec[j] >= 0 THEN '1' ELSE '0' END)
+               END), '') AS bucket
+      FROM q, UNNEST(range(0, 9)) AS u(k)
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id,
+        list_sum(list_transform(list_zip(p.q_vec, c.embedding),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(list_zip(p.q_vec, p.q_vec),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))))) AS cos
+      FROM probes p JOIN b c USING (bucket) WHERE p.q_id <> c.vec_id
+    )
+    SELECT q_id, vec_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with single-bit multi-probe (own bucket + 8 one-flip
+    neighbors per query) — the recall lever over sim_ann_sign_lsh at the
+    same equi-join plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return SIM.ann_multiprobe_topk(q, emb, "q_id", "q_vec",
+                                   "vec_id", "embedding", k=3)
+
+
+@query(
     "sim_norms_by_label",
     oracle="""
     SELECT label,
@@ -621,6 +666,39 @@ def _near_dup_pairs_cte(threshold: float = 0.2) -> str:
       JOIN sh sb ON sb.doc_id = id_b
       WHERE {jac} >= {threshold}
     )"""
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH {_near_dup_pairs_cte(0.0)}
+    SELECT p.id_a, p.id_b,
+           ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                        for i in range(16))}) / 16.0 AS est_jaccard,
+           len(list_intersect(ja.sh, jb.sh)) * 1.0 /
+           (len(ja.sh) + len(jb.sh) - len(list_intersect(ja.sh, jb.sh)))
+             AS jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    JOIN sh ja ON ja.doc_id = p.id_a
+    JOIN sh jb ON jb.doc_id = p.id_b
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit: MinHash agreement fraction vs exact
+    n-gram Jaccard for every band-collided pair. Run before a corpus-scale
+    job to validate n_hashes/threshold; both engines compute both numbers
+    from the same md5 construction."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_table(d, "doc_id", "text").persist()
+    sig = DD.minhash_table(d, "doc_id", "text", sh=sh)
+    cands = DD.lsh_candidate_pairs(d, "doc_id", "text", sig=sig)
+    exact = DD.jaccard_pairs(d, cands, "doc_id", "text",
+                             threshold=0.0, sh_rows=sh)
+    est = DD.signature_agreement(sig, cands, "doc_id")
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "est_jaccard", "jaccard")
 
 
 @query(

@@ -136,3 +136,21 @@ def test_connected_components_long_chain_converges(spark):
     rows = DD.connected_components(pairs).collect()
     assert {r.cluster_id for r in rows} == {0}
     assert len(rows) == 10
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    from activedata_etl_spark.ext import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    truth = {(r.q_id, r.vec_id) for r in SIM.cosine_topk(
+        q, emb, "q_id", "q_vec", "vec_id", "embedding", k=3).collect()}
+    single = {(r.q_id, r.vec_id) for r in SIM.ann_sign_lsh_topk(
+        q, emb, "q_id", "q_vec", "vec_id", "embedding", k=3).collect()}
+    multi = {(r.q_id, r.vec_id) for r in SIM.ann_multiprobe_topk(
+        q, emb, "q_id", "q_vec", "vec_id", "embedding", k=3).collect()}
+    # Multi-probe candidate sets are supersets per query, so its top-k can
+    # only get closer to (or tie) the brute-force truth.
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi & truth) > 0
