@@ -305,3 +305,85 @@ def jx_nested_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort": [{"value": "bal", "sort": -1}],
         "limit": 10,
     })
+
+
+@query(
+    "jx_edges_expression",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS DOUBLE) AS price_band,
+           COUNT(*) AS n,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def jx_edges_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge on a COMPUTED value (jx floor-to-multiple) — the edge clause
+    accepts any expression, not just a column name."""
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "edges": [{"name": "price_band",
+                   "value": {"floor": ["o_totalprice", 50000]}}],
+        "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "max_price", "value": "o_totalprice", "aggregate": "max"},
+        ],
+    })
+
+
+@query(
+    "jx_window_ntile_first_last",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(c_acctbal) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_bal,
+           LAST_VALUE(c_acctbal) OVER
+             (w ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS next2_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+    """,
+)
+def jx_window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window corpus: ntile bucketing, first_value over the running frame,
+    last_value over a bounded look-ahead frame — all through the jx window
+    clause, sorted on a unique key so every engine agrees."""
+    return _run(spark, sf_dir, {
+        "from": "customer",
+        "select": ["c_custkey", "c_nationkey", "c_acctbal"],
+        "window": [
+            {"name": "quartile", "aggregate": "ntile", "buckets": 4,
+             "edges": ["c_nationkey"], "sort": ["c_custkey"]},
+            {"name": "first_bal", "aggregate": "first", "value": "c_acctbal",
+             "edges": ["c_nationkey"], "sort": ["c_custkey"]},
+            {"name": "next2_bal", "aggregate": "last", "value": "c_acctbal",
+             "edges": ["c_nationkey"], "sort": ["c_custkey"],
+             "range": {"min": 0, "max": 2}},
+        ],
+    })
+
+
+@query(
+    "jx_select_default",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END AS big_price,
+           COALESCE(CASE WHEN o_orderstatus = 'P' THEN o_orderpriority END, 'none') AS p_prio
+    FROM orders
+    """,
+)
+def jx_select_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select.default fills missing values: a `when` with no `else` yields
+    missing, and the clause-level default coalesces it — jx's notion that
+    missing is a value, not an error."""
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "select": [
+            "o_orderkey",
+            {"name": "big_price", "default": 0,
+             "value": {"when": {"gt": ["o_totalprice", 200000]},
+                       "then": "o_totalprice"}},
+            {"name": "p_prio", "default": "none",
+             "value": {"when": {"eq": {"o_orderstatus": "P"}},
+                       "then": "o_orderpriority"}},
+        ],
+    })
