@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_lsh_jaccard_pairs",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_ann_multiprobe",
     "text_top_terms",
     "nested_explode_roundtrip",
     "sample_weighted_mixture",
