@@ -147,3 +147,26 @@ def lang_id(toks: Column) -> Column:
             best = F.when(s > best.getField("s"),
                           F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
     return F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))
+
+
+def pack_bins(df, shard_col: str, id_col: str, n_tok_col: str,
+              capacity: int):
+    """Sequence packing: assign each document a BIN within its shard so
+    concatenating a bin's docs (in id order) yields ~``capacity`` tokens —
+    the contiguous-stream packing used to build fixed-length training
+    contexts (doc boundaries may straddle bins; the chunker handles
+    splitting). bin = floor(tokens-before-this-doc / capacity) over the
+    shard's id-ordered stream.
+
+    Scale: the running sum partitions by SHARD — parallelism = shard
+    count, and no global single-task window ever exists. Shard by
+    whatever the corpus is already organized on (source, language, date,
+    id-range); packing quality only needs shards ≫ capacity in tokens.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.coalesce(F.sum(n_tok_col).over(w), F.lit(0).cast("bigint"))
+    return df.withColumn(
+        "bin", F.floor(prev / F.lit(float(capacity))).cast("bigint"))

@@ -764,3 +764,32 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
     return (DD.canonical_filter(d, pairs, "doc_id")
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@query(
+    "pack_token_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_TOKS}) AS n_tok FROM documents
+    ), c AS (
+      SELECT *, COALESCE(SUM(n_tok) OVER (
+        PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t
+    )
+    SELECT lang, CAST(FLOOR(prev / 2048.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing audit: per-language 2048-token bins over the
+    id-ordered doc stream — docs per bin and token fill. The window
+    partitions by shard (lang), so the plan parallelizes across shards
+    and the groupBy reuses the window's partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(TX.tokens("text")).alias("n_tok"))
+    packed = TX.pack_bins(t, "lang", "doc_id", "n_tok", capacity=2048)
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"))
