@@ -793,3 +793,35 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"))
+
+
+@query(
+    "text_decontamination",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id < 5)
+    SELECT e.doc_id, b.bench_id, COUNT(*) AS n_shared
+    FROM ex e JOIN bench b USING (s)
+    WHERE e.doc_id <> b.bench_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs sharing ≥3 distinct
+    3-gram shingles with any benchmark doc (stand-in benchmark: doc_id<5).
+    The benchmark shingle set is tiny → broadcast, so the corpus side
+    never shuffles: scan → shingle explode → broadcast hash join →
+    partial-agg. Shingles are per-doc distinct, so COUNT(*) is the
+    distinct overlap count in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.explode(TX.shingles(TX.tokens("text"))).alias("s"))
+    bench = (sh.filter(F.col("doc_id") < 5)
+             .select(F.col("doc_id").alias("bench_id"), "s"))
+    return (sh.join(F.broadcast(bench), "s")
+            .filter(F.col("doc_id") != F.col("bench_id"))
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 3))
