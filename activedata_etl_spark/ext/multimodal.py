@@ -113,13 +113,24 @@ def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
     held per batch (payloads are large; 10k rows of 1 MB images is 10 GB).
     """
 
+    dim = FEATURE_DIM
+
+    # self-contained closure: references only locals + pandas, so
+    # cloudpickle ships it BY VALUE — workers never need to import this
+    # package (the driver may run from any cwd / without our PYTHONPATH)
+    def decode(payload: bytes, mime: str) -> list[float]:
+        if not fake:
+            raise NotImplementedError(f"no codec for {mime} in this environment")
+        head = payload[:dim].ljust(dim, b"\0")
+        return [b / 255.0 for b in head]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "id": pdf["id"],
                 "mime": [m["mime"] for m in pdf["meta"]],
                 "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                "features": [decode_stub(p, m["mime"], fake=fake)
+                "features": [decode(p, m["mime"])
                              for p, m in zip(pdf["payload"], pdf["meta"])],
             })
 

@@ -25,13 +25,36 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def _complete(domain: DataFrame, agged: DataFrame, keys: list[str],
-              zero_fill: Sequence[str] = ()) -> DataFrame:
-    """LEFT-join grouped results onto the dense domain; count cells → 0."""
-    out = domain.join(F.broadcast(agged), on=keys, how="left") if _prefer_bcast_right(agged) \
-        else domain.join(agged, on=keys, how="left")
+              zero_fill: Sequence[str] = (), null_safe: bool = False) -> DataFrame:
+    """LEFT-join grouped results onto the dense domain; count cells → 0.
+
+    ``null_safe=True`` joins with ``<=>`` so a NULL-keyed domain part (the
+    allowNulls overflow cell) matches the NULL group — a plain equi-join
+    would leave the overflow cell forever empty."""
+    if null_safe:
+        d, a = domain.alias("__d__"), agged.alias("__a__")
+        cond = None
+        for k in keys:
+            c = F.col(f"__d__.{k}").eqNullSafe(F.col(f"__a__.{k}"))
+            cond = c if cond is None else cond & c
+        vals = [c for c in agged.columns if c not in keys]
+        out = d.join(F.broadcast(a), cond, "left").select(
+            *[F.col(f"__d__.{k}").alias(k) for k in keys],
+            *[F.col(f"__a__.{v}").alias(v) for v in vals])
+    else:
+        out = domain.join(F.broadcast(agged), on=keys, how="left") if _prefer_bcast_right(agged) \
+            else domain.join(agged, on=keys, how="left")
     for c in zero_fill:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+def with_null_part(dframe: DataFrame, name: str) -> DataFrame:
+    """Append the reference's allowNulls overflow part: one NULL-keyed row
+    at the end of a domain frame (es52/decoders.py 'allowNulls')."""
+    t = dframe.schema[name].dataType.simpleString()
+    null_row = dframe.sparkSession.range(1).select(F.lit(None).cast(t).alias(name))
+    return dframe.unionByName(null_row)
 
 
 def _prefer_bcast_right(agged: DataFrame) -> bool:

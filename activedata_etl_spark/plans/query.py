@@ -241,32 +241,48 @@ def _stats_struct(v: Column) -> Column:
 def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
                edges: list[dict], dense: bool) -> DataFrame:
     keys, domains = [], []
+    any_allow = False  # any edge with an allowNulls overflow part
     for e in edges:
         dom = e["domain"]
         val = compile_expr(e["value"])
         name = e["name"]
+        # jx allowNulls: rows whose edge value is missing OR outside the
+        # domain land in a NULL-keyed overflow part appended to the domain
+        # (es52/decoders.py); without it those rows drop from the output.
+        allow = bool(e.get("allowNulls")) and dense
+        any_allow |= allow
         if dom["type"] in ("default", "set"):
-            keys.append(val.alias(name))
-            if dense and dom["type"] == "set":
+            if dom["type"] == "set":
                 parts = [p if not isinstance(p, dict) else p["value"]
                          for p in dom["partitions"]]
-                domains.append(D.set_domain(spark, name, parts))
+                if allow:
+                    val = F.when(val.isin(*parts), val)
+            keys.append(val.alias(name))
+            if dense and dom["type"] == "set":
+                dframe = D.set_domain(spark, name, parts)
+                domains.append(D.with_null_part(dframe, name) if allow else dframe)
             elif dense:
                 domains.append(None)  # default domain = observed values
         elif dom["type"] == "range":
             bucket = (F.floor(val / dom["interval"]) * dom["interval"]).cast("double")
+            if allow:
+                bucket = F.when((val >= dom["min"]) & (val < dom["max"]), bucket)
             keys.append(bucket.alias(name))
             if dense:
-                domains.append(
+                dframe = (
                     D.range_domain(spark, name, dom["min"], dom["max"], dom["interval"])
                     .select(F.col(name).cast("double").alias(name)))
+                domains.append(D.with_null_part(dframe, name) if allow else dframe)
         elif dom["type"] == "duration":
             lo_s, hi_s, iv_s = (D.parse_duration_seconds(dom[k])
                                 for k in ("min", "max", "interval"))
             bucket = (F.floor(val / iv_s) * iv_s).cast("bigint")
+            if allow:
+                bucket = F.when((val >= lo_s) & (val < hi_s), bucket)
             keys.append(bucket.alias(name))
             if dense:
-                domains.append(D.duration_domain(spark, name, lo_s, hi_s, iv_s))
+                dframe = D.duration_domain(spark, name, lo_s, hi_s, iv_s)
+                domains.append(D.with_null_part(dframe, name) if allow else dframe)
         elif dom["type"] == "time":
             unit = dom.get("interval", "day")
             keys.append(F.date_trunc(unit, val).alias(name))
@@ -274,7 +290,8 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
                 bounds = df.select(
                     F.date_trunc(unit, F.min(val)).alias("lo"),
                     F.date_trunc(unit, F.max(val)).alias("hi"))
-                domains.append(D.time_domain_from_bounds(bounds, name, f"1 {unit}"))
+                dframe = D.time_domain_from_bounds(bounds, name, f"1 {unit}")
+                domains.append(D.with_null_part(dframe, name) if allow else dframe)
         else:
             raise ValueError(f"unknown domain type: {dom['type']!r}")
 
@@ -297,7 +314,8 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
             full = dom_frames[0]
             for d_ in dom_frames[1:]:
                 full = full.crossJoin(d_)
-            agged = D._complete(full, agged, names, zero_fill=zero)
+            agged = D._complete(full, agged, names, zero_fill=zero,
+                                null_safe=any_allow)
     return agged
 
 

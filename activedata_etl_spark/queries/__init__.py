@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     q_expr,
     q_ext,
     q_ext2,
+    q_ext3,
     q_flagship,
     q_joins,
     q_jx,

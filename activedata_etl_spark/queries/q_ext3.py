@@ -1,0 +1,182 @@
+"""Extension ops round 3: PII redaction, quality-percentile filtering,
+boilerplate n-gram coverage — the remaining first-pass corpus filters a
+training-data pipeline runs before dedup.
+
+Oracle strategy: the PII patterns are written for the common Java-regex /
+RE2 subset and interpolated into the oracle SQL from the SAME Python dict,
+so both engines run byte-identical pattern text. The documents fixture has
+no natural PII, so the PII query injects deterministic synthetic PII
+derived from ``doc_id`` with identical construction on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..ext import pii as PII
+from ..ext import text as TX
+from ..functions import aggs as AG
+from ..io import load_table
+from .registry import query
+
+# DuckDB-side shared fragments (mirror ext/text.py definitions)
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    " range(1, greatest(len({t}) - 2, 0) + 1),"
+    " i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
+).format(t=_TOKS)
+
+# Synthetic-PII corpus: append class instances to a deterministic subset
+# of docs (different moduli → overlapping subsets exercise multi-class
+# docs). Same construction in Spark below.
+_PII_CORPUS_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' ssn '
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END
+           AS text
+    FROM documents
+"""
+
+_PII_COUNT_SQL = ",\n      ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS pii_{name}"
+    for name, pat in PII.PII_PATTERNS.items()
+)
+_PII_TOTAL_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))" for pat in PII.PII_PATTERNS.values()
+)
+_REDACT_SQL = "text"
+for _name, _pat in PII.PII_PATTERNS.items():
+    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '<{_name.upper()}>', 'g')"
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    email = F.concat(F.lit(" contact user"), s(did), F.lit("@example"),
+                     s(did % 7), F.lit(".com"))
+    ssn = F.concat(F.lit(" ssn "), F.lpad(s(did % 1000), 3, "0"), F.lit("-"),
+                   F.lpad(s(did % 100), 2, "0"), F.lit("-"),
+                   F.lpad(s(did % 10000), 4, "0"))
+    phone = F.concat(F.lit(" call 555-"), F.lpad(s(did % 1000), 3, "0"),
+                     F.lit("-"), F.lpad(s(did % 10000), 4, "0"))
+    ip = F.concat(F.lit(" host 10."), s(did % 256), F.lit("."),
+                  s((did * 7) % 256), F.lit("."), s(did % 254 + 1))
+    return d.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, email).otherwise(F.lit("")),
+        F.when(did % 5 == 0, ssn).otherwise(F.lit("")),
+        F.when(did % 4 == 0, phone).otherwise(F.lit("")),
+        F.when(did % 7 == 0, ip).otherwise(F.lit("")),
+    ).alias("text"))
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH corpus AS ({_PII_CORPUS_SQL})
+    SELECT doc_id,
+      {_PII_COUNT_SQL},
+      {_PII_TOTAL_SQL} AS pii_total,
+      md5({_REDACT_SQL}) AS redacted_fp,
+      length({_REDACT_SQL}) AS n_redacted_chars
+    FROM corpus
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the synthetic-PII corpus: per-class match
+    counts and the md5 fingerprint of the redacted text (proves the
+    rewrite itself is byte-identical, not just the counts). Scan-local —
+    one pass, zero shuffle at any scale."""
+    corpus = _pii_corpus(spark, sf_dir)
+    return PII.redact_table(corpus, "text").select(
+        "doc_id",
+        *[f"pii_{n}" for n in PII.PII_PATTERNS],
+        "pii_total",
+        F.md5("text_redacted").alias("redacted_fp"),
+        F.length("text_redacted").alias("n_redacted_chars"),
+    )
+
+
+@query(
+    "text_quality_percentile_filter",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+    ), th AS (
+      SELECT lang,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(n_tok AS DOUBLE))
+               AS lang_p25
+      FROM t GROUP BY lang
+    )
+    SELECT t.doc_id, t.lang, t.n_tok, th.lang_p25
+    FROM t JOIN th USING (lang)
+    WHERE t.n_tok >= th.lang_p25
+    """,
+)
+def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: drop docs below the language's 25th
+    percentile of token count. Thresholds come from the histogram
+    percentile path (token counts are low-cardinality, so the shuffle
+    carries one row per distinct count — the 100 TB-safe plan), then
+    broadcast back onto the scan: threshold side is |langs| rows, the
+    corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(TX.tokens("text")).alias("n_tok"))
+    th = AG.histogram_percentiles(t, ["lang"], "n_tok", {"lang_p25": 0.25})
+    return (t.join(F.broadcast(th), "lang")
+            .filter(F.col("n_tok") >= F.col("lang_p25"))
+            .select("doc_id", "lang", "n_tok", "lang_p25"))
+
+
+@query(
+    "text_boilerplate_coverage",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS df FROM ex)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df * 10 >= (SELECT n_docs FROM nd)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN df * 10 >= (SELECT n_docs FROM nd)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_frac
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate signal: fraction of a doc's distinct 3-gram
+    shingles whose corpus document-frequency is ≥10% of all docs. The
+    threshold compares ``df*10 >= n_docs`` in pure integers — a float
+    ``0.1*n_docs`` would be decimal math in DuckDB but binary in Spark
+    and diverge on ties. Plan: shingle explode → window count over the
+    shingle key (one shuffle) → per-doc agg (second shuffle); the corpus
+    row count rides along as a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("__nd__"))
+    ex = d.select("doc_id", F.explode(TX.shingles(TX.tokens("text"))).alias("s"))
+    f = ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+    boiler = F.when(F.col("df") * 10 >= F.col("__nd__"), 1).otherwise(0)
+    return (f.crossJoin(F.broadcast(n_docs))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(boiler).alias("n_boiler"),
+                 (F.sum(boiler).cast("double") / F.count(F.lit(1)))
+                 .alias("boiler_frac")))

@@ -387,3 +387,34 @@ def jx_select_default(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "then": "o_orderpriority"}},
         ],
     })
+
+
+@query(
+    "jx_edges_allow_nulls",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE WHEN event_type IN ('click', 'view') THEN event_type END AS et,
+             value
+      FROM events
+    ), a AS (
+      SELECT et, COUNT(*) AS n, {sql_dsum('value')} AS total
+      FROM m GROUP BY et
+    ), dom AS (SELECT unnest(['click', 'view', NULL]) AS et)
+    SELECT dom.et AS et, COALESCE(a.n, 0) AS n, a.total
+    FROM dom LEFT JOIN a ON dom.et IS NOT DISTINCT FROM a.et
+    """,
+)
+def jx_edges_allow_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edges with allowNulls: values outside the set domain (or missing)
+    land in a NULL-keyed overflow part appended to the domain — the
+    reference's allowNulls=true cell (es52/decoders.py). The completion
+    join is null-safe (`<=>`) so the overflow cell actually fills."""
+    return _run(spark, sf_dir, {
+        "from": "events",
+        "edges": [{"name": "et", "value": "event_type", "allowNulls": True,
+                   "domain": {"type": "set", "partitions": ["click", "view"]}}],
+        "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "total", "value": "value", "aggregate": "sum"},
+        ],
+    })

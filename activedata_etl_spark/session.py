@@ -78,4 +78,39 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this session build; reads may still work
+    _ensure_package_shipped(spark)
     return spark
+
+
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    An external driver may launch its session from any cwd without this
+    repo on PYTHONPATH; its workers then cannot unpickle any UDF that
+    cloudpickle serialized BY REFERENCE into our modules. Our own UDF
+    closures are written self-contained (by-value), so this is a safety
+    net — and it makes user-authored UDFs importing this package work too.
+    One zip per interpreter, added once per SparkContext.
+    """
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    if getattr(sc, "_adetl_pyfile_added", False):
+        return
+    try:
+        if _PKG_ZIP is None:
+            import shutil
+            import tempfile
+
+            pkg_dir = os.path.dirname(os.path.abspath(__file__))
+            base = os.path.join(tempfile.mkdtemp(prefix="adetl_pkg_"),
+                                "activedata_etl_spark")
+            _PKG_ZIP = shutil.make_archive(
+                base, "zip", os.path.dirname(pkg_dir),
+                os.path.basename(pkg_dir))
+        sc.addPyFile(_PKG_ZIP)
+        sc._adetl_pyfile_added = True
+    except Exception:
+        pass  # never let the safety net break a read
+
+
+_PKG_ZIP: str | None = None

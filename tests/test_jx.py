@@ -145,6 +145,30 @@ def test_cube_two_edges(spark):
     assert total == spark.table("lineitem").count()
 
 
+def test_cube_multi_edge_allow_nulls(spark):
+    """format=cube over two edges where one has an allowNulls overflow
+    part: the null part appears as a LAST axis partition and its cells
+    hold the out-of-domain rows (no row lost, no row double-counted)."""
+    df = JX.run(spark, {
+        "from": "orders",
+        "edges": [
+            {"name": "status", "value": "o_orderstatus", "allowNulls": True,
+             "domain": {"type": "set", "partitions": ["O", "F"]}},
+            {"name": "prio", "value": "o_orderpriority"},
+        ],
+        "select": [{"name": "n", "aggregate": "count"}],
+    })
+    cube = FMT.to_cube(df, ["status", "prio"], ["n"])
+    parts = cube["edges"][0]["domain"]["partitions"]
+    assert parts[:2] == ["F", "O"] and parts[2] is None  # overflow part last
+    total = sum(v for row in cube["data"]["n"] for v in row if v is not None)
+    assert total == spark.table("orders").count()  # 'P' rows in the null part
+    null_row_total = sum(v for v in cube["data"]["n"][2] if v is not None)
+    from pyspark.sql import functions as F
+    expect_p = spark.table("orders").filter(F.col("o_orderstatus") == "P").count()
+    assert null_row_total == expect_p
+
+
 def test_deep_from_array_path(spark, sf_dir):
     """jx deep query: {"from": "view.arraycol"} explodes the child table,
     carrying parent columns (es52/deep.py semantics)."""
