@@ -8,6 +8,7 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions import aggs as A
 from ..functions.dates import date_lit
 from ..io import describe_columns, load_table
 from ..operators import skew as SK
@@ -139,3 +140,23 @@ def skew_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-proof plan (partials on (key, salt-of-value) first)."""
     li = load_table(spark, sf_dir, "lineitem")
     return SK.salted_count_distinct(li, "l_returnflag", "l_partkey")
+
+
+@query(
+    "agg_percentile_giant_group",
+    oracle="""
+    SELECT percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS p50,
+           percentile_cont(0.9)  WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS p90,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS p99
+    FROM lineitem
+    """,
+)
+def agg_percentile_giant_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global percentiles of a near-unique column — the worst case
+    for per-group sorting (ONE group ⇒ one task). The pruned path scans
+    for approximate brackets + exact rank counts, then sorts only the
+    tiny in-bracket candidate set; no stage ever sorts the full column
+    (functions/aggs.pruned_percentiles — the 100 TB plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return A.pruned_percentiles(li, [], "l_extendedprice",
+                                {"p50": 0.5, "p90": 0.9, "p99": 0.99})

@@ -180,3 +180,40 @@ def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(boiler).alias("n_boiler"),
                  (F.sum(boiler).cast("double") / F.count(F.lit(1)))
                  .alias("boiler_frac")))
+
+
+@query(
+    "text_unigram_rarity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS n_t FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT doc_id, COUNT(*) AS n_tok,
+           CAST(SUM(((SELECT n_total FROM tot) * 1000000) // n_t) AS BIGINT)
+             / COUNT(*) AS mean_rarity
+    FROM toks JOIN tf USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean inverse unigram probability
+    per doc (rare-token-heavy docs score high — the deterministic
+    stand-in for LM-perplexity filtering). The per-token score is the
+    INTEGER floor of N·1e6/n_t: a log or a raw double mean would hit
+    libm / decimal-tie divergence between engines, while a bigint sum is
+    exact in any order and the single final division is one IEEE op.
+    Plan: explode → tiny vocab agg (broadcast back, no second data
+    shuffle) → per-doc agg with map-side partials (explode preserves doc
+    locality)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(tf), "tok").crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.sum(F.expr("(n_total * 1000000) div n_t")).alias("__rs__"))
+        .select("doc_id", "n_tok",
+                (F.col("__rs__") / F.col("n_tok")).alias("mean_rarity"))
+    )

