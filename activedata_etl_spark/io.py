@@ -60,6 +60,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def parallelize_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Widen a scan that has fewer splits than cores so per-row CPU work
+    (regex kits, hashing, UDF batches) spreads across the executor.
+
+    Parquet splits at row-group boundaries: a single-row-group file (or a
+    gz JSON blob) scans as ONE task no matter how heavy the map work is,
+    and neither Catalyst nor AQE will widen it. The round-robin shuffle
+    here is cheap exactly when it triggers (input is at most a few splits
+    ⇒ small); at real scale sources have splits ≫ cores and this is a
+    no-op — it can never shuffle big data.
+    """
+    from .session import default_parallelism
+
+    target = min_parts or default_parallelism()
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def describe_columns(df: DataFrame) -> DataFrame:
     """Column metadata catalog — the reference's queryable ``meta.columns``
     (``vendor/jx_elasticsearch/meta.py :: ColumnList``): per column its

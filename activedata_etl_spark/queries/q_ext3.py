@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..ext import pii as PII
 from ..ext import text as TX
 from ..functions import aggs as AG
-from ..io import load_table
+from ..io import load_table, parallelize_narrow_scan
 from .registry import query
 
 # DuckDB-side shared fragments (mirror ext/text.py definitions)
@@ -99,9 +99,10 @@ def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over the synthetic-PII corpus: per-class match
     counts and the md5 fingerprint of the redacted text (proves the
-    rewrite itself is byte-identical, not just the counts). Scan-local —
-    one pass, zero shuffle at any scale."""
-    corpus = _pii_corpus(spark, sf_dir)
+    rewrite itself is byte-identical, not just the counts). Scan-local at
+    scale; locally the narrow single-row-group scan is widened so the
+    regex work isn't pinned to one task."""
+    corpus = parallelize_narrow_scan(_pii_corpus(spark, sf_dir))
     return PII.redact_table(corpus, "text").select(
         "doc_id",
         *[f"pii_{n}" for n in PII.PII_PATTERNS],

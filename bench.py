@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_multiprobe",
     "text_top_terms",
+    "text_pii_redaction",
+    "text_unigram_rarity",
     "nested_explode_roundtrip",
     "sample_weighted_mixture",
     "embedding_centroids",
