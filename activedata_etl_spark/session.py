@@ -20,6 +20,12 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Fixture timestamps are parquet TIMESTAMP(isAdjustedToUTC=false); with
+    # NTZ inference (Spark 4 default) they'd read as TIMESTAMP_NTZ, which
+    # watermarks/window() reject and which diverges from the LTZ arithmetic
+    # the oracles assume. Under the UTC session zone LTZ values are
+    # identical to the stored naive values, so this is a pure type fix.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 DEFAULT_CONFS = {
