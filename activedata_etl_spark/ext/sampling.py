@@ -89,3 +89,20 @@ def sql_hash_bucket(key_expr: str, salt: str = "") -> str:
     """DuckDB rendering of hash_bucket for oracle pairing."""
     return ("CAST(('0x' || substring(md5(concat('" + salt + "', CAST(" + key_expr
             + " AS VARCHAR))), 1, 8)) AS BIGINT)")
+
+
+def global_shuffle(df: DataFrame, key: Column, n_shards: int,
+                   salt: str = "") -> DataFrame:
+    """Deterministic global permutation for training order: shard =
+    hash mod n_shards, position = hash rank within the shard. At scale
+    this is ONE hash-partition shuffle (repartition on shard) + a
+    shard-local sort — exactly what ``write.partitionBy('shard')`` with
+    ``sortWithinPartitions`` emits — and the order is reproducible across
+    engines, retries, and input layout (unlike ``orderBy(rand())``).
+    """
+    b = hash_bucket(key, salt)
+    out = df.withColumn("shard", F.pmod(b, F.lit(n_shards)).cast("int")) \
+            .withColumn("__b__", b)
+    w = Window.partitionBy("shard").orderBy(F.col("__b__"), key)
+    return out.withColumn("pos", F.row_number().over(w).cast("bigint") - 1) \
+              .drop("__b__")

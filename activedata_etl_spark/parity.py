@@ -81,6 +81,17 @@ class ParityResult:
 
 def compare(name: str, sdf: DataFrame, oracle: str | None,
             con: duckdb.DuckDBPyConnection) -> ParityResult:
+    # The verify driver canonicalizes with pandas.sort_values over every
+    # column, which raises "unhashable type: 'list'" on array/map/struct
+    # outputs (seen in CORRECTNESS_r01). Reject them here so no registered
+    # query ever ships a driver-unhashable column — serialize to a string
+    # or explode to rows instead.
+    bad = [f.name for f in sdf.schema.fields
+           if f.dataType.typeName() in ("array", "map", "struct")]
+    if bad:
+        return ParityResult(
+            name, False, -1, None,
+            [f"driver-unhashable output columns (array/map/struct): {bad}"])
     collected = sdf.collect()
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in collected]

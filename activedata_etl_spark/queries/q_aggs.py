@@ -109,13 +109,17 @@ def agg_stats_zero_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_union_set",
     oracle="""
-    SELECT n_regionkey, list(DISTINCT n_name ORDER BY n_name) AS nations
+    SELECT n_regionkey,
+           array_to_string(list(DISTINCT n_name ORDER BY n_name), '|') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_union_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # serialized '|'-joined (sorted) — the driver's canonicalizer can't
+    # hash array cells; A.union_ keeps the native array form for library use
     n = load_table(spark, sf_dir, "nation")
-    return n.groupBy("n_regionkey").agg(A.union_("n_name").alias("nations"))
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(A.union_("n_name"), "|").alias("nations"))
 
 
 @query(

@@ -45,7 +45,7 @@ def window_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_count_values",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(struct_pack(v := l_linestatus, n := n))) AS histogram
+           array_to_string(list_sort(list(l_linestatus || ':' || n)), '|') AS histogram
     FROM (
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n
       FROM lineitem GROUP BY 1, 2
@@ -53,13 +53,15 @@ def window_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """jx ``count_values``: per-group histogram of a column's values."""
+    """jx ``count_values``: per-group histogram of a column's values,
+    serialized 'value:count|...' (sorted) — array cells are
+    driver-unhashable."""
     li = load_table(spark, sf_dir, "lineitem")
     inner = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
     return inner.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_list(
-            F.struct(F.col("l_linestatus").alias("v"), F.col("n").alias("n"))
-        )).alias("histogram"))
+        F.array_join(F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("l_linestatus"), F.col("n"))
+        )), "|").alias("histogram"))
 
 
 @query(

@@ -265,10 +265,40 @@ def dedup_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 has no oracle-side equivalent
+def _simhash_sig_oracle() -> str:
+    """CTE chain reproducing simhash64_md5 bit-for-bit (md5 hex digits →
+    64 majority votes → signed-bigint signature)."""
+    digits = ",\n        ".join(
+        f"strpos('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1 AS d{i}"
+        for i in range(16))
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN ((d{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64))
+    bits = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    h AS (SELECT doc_id, md5(t) AS hx FROM toks),
+    d AS (SELECT doc_id,
+        {digits}
+      FROM h),
+    v AS (SELECT doc_id,
+        {votes}
+      FROM d GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash FROM v"""
+
+
+@query("dedup_simhash", oracle=_simhash_sig_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash signature table (md5-portable bits, so the
+    oracle reproduces it exactly). The xxhash64 fast path
+    (``DD.simhash64``) keeps the same plan shape and is pytest-covered
+    for partition invariance; prefer it when no cross-engine parity is
+    needed."""
     d = load_table(spark, sf_dir, "documents")
-    return DD.simhash64(d, "doc_id", TX.tokens("text"))
+    return DD.simhash64_md5(d, "doc_id", TX.tokens("text"))
 
 
 @query(
@@ -431,16 +461,22 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id AS id, 'text/plain' AS mime,
            octet_length(encode(text)) AS n_bytes,
-           list_transform(range(1, {MM.FEATURE_DIM + 1}),
-             i -> CASE WHEN i <= length(text)
-                       THEN ascii(substring(text, CAST(i AS INT), 1)) / 255.0
-                       ELSE 0.0 END) AS features
-    FROM documents
+           t.i AS pos,
+           CASE WHEN t.i < length(text)
+                THEN ascii(substring(text, CAST(t.i + 1 AS INT), 1)) / 255.0
+                ELSE 0.0 END AS feature
+    FROM documents, range(0, {MM.FEATURE_DIM}) t(i)
     """,
 )
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one row per (doc, dim): array cells are driver-unhashable, and the
+    # long form is also what a downstream per-dim agg would consume
     d = load_table(spark, sf_dir, "documents")
-    return MM.extract_features(MM.pack(d, "doc_id", "text", "text/plain"), fake=True)
+    feats = MM.extract_features(MM.pack(d, "doc_id", "text", "text/plain"), fake=True)
+    return feats.select(
+        "id", "mime", "n_bytes",
+        F.posexplode("features").alias("pos", "feature"),
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 # --- IVF ANN (oracle = the same deterministic k-means, CTE-unrolled) ----

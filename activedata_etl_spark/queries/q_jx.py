@@ -5,7 +5,7 @@ matches the independent SQL oracle. This is the reference's API surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.exact import sql_davg, sql_dsum
 from ..io import register_views
@@ -171,16 +171,18 @@ def jx_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jx_select_nested_output",
     oracle="""
     SELECT o_orderkey,
-           struct_pack(status := o_orderstatus,
-                       money := struct_pack(total := o_totalprice,
-                                            markup := o_totalprice * 1.1)) AS info
+           o_orderstatus       AS info_status,
+           o_totalprice        AS info_money_total,
+           o_totalprice * 1.1  AS info_money_markup
     FROM orders
     """,
 )
 def jx_select_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dotted select names build nested output structs (reshape-on-select,
-    _normalize_select): "info.money.total" → info.money.total."""
-    return _run(spark, sf_dir, {
+    _normalize_select): "info.money.total" → info.money.total. The struct
+    is built by the planner, then projected back to scalar fields for the
+    driver (struct cells are driver-unhashable)."""
+    df = _run(spark, sf_dir, {
         "from": "orders",
         "select": [
             {"name": "o_orderkey", "value": "o_orderkey"},
@@ -189,6 +191,12 @@ def jx_select_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "info.money.markup", "value": {"mult": ["o_totalprice", 1.1]}},
         ],
     })
+    return df.select(
+        "o_orderkey",
+        F.col("info.status").alias("info_status"),
+        F.col("info.money.total").alias("info_money_total"),
+        F.col("info.money.markup").alias("info_money_markup"),
+    )
 
 
 @query(
@@ -197,15 +205,16 @@ def jx_select_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE)) AS p75_qty,
            percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS med_price,
-           list_sort(list(DISTINCT l_returnflag)) AS flags,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), '|') AS flags,
            COUNT(DISTINCT l_suppkey) AS n_supp
     FROM lineitem GROUP BY l_linestatus
     """,
 )
 def jx_agg_percentile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """median/percentile/union/cardinality aggregates through the JSON
-    front-end (select.aggregate with the 'percentile' parameter)."""
-    return _run(spark, sf_dir, {
+    front-end (select.aggregate with the 'percentile' parameter); the
+    union set is '|'-serialized (array cells are driver-unhashable)."""
+    df = _run(spark, sf_dir, {
         "from": "lineitem",
         "groupby": "l_linestatus",
         "select": [
@@ -216,6 +225,7 @@ def jx_agg_percentile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "n_supp", "value": "l_suppkey", "aggregate": "cardinality"},
         ],
     })
+    return df.withColumn("flags", F.array_join("flags", "|"))
 
 
 @query(

@@ -22,13 +22,15 @@ from .registry import query
            string_split(text, ' ')[1]                          AS first_tok,
            string_split(text, ' ')[3]                          AS third_tok,
            len(string_split(text, ' '))                        AS n_parts,
-           struct_pack(lang := lang, src := source)            AS pair
+           lang                                                AS pair_lang,
+           source                                              AS pair_src
     FROM documents
     """,
 )
 def expr_split_get_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SplitOp → array, GetOp (dynamic index, 1-based in both engines),
-    TupleOp → struct."""
+    TupleOp → struct (built, then projected back to scalar fields — the
+    driver's canonicalizer can't hash struct cells)."""
     d = load_table(spark, sf_dir, "documents")
     toks = jx.split("text", " ")
     return d.select(
@@ -37,6 +39,10 @@ def expr_split_get_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
         jx.get(toks, 3).alias("third_tok"),
         F.size(toks).alias("n_parts"),
         F.struct(F.col("lang").alias("lang"), F.col("source").alias("src")).alias("pair"),
+    ).select(
+        "doc_id", "first_tok", "third_tok", "n_parts",
+        F.col("pair.lang").alias("pair_lang"),
+        F.col("pair.src").alias("pair_src"),
     )
 
 

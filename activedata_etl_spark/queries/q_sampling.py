@@ -111,14 +111,40 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m
       FROM ex GROUP BY label, pos
     )
-    SELECT label, list(m ORDER BY pos) AS centroid
-    FROM per_dim GROUP BY label
+    SELECT label, pos - 1 AS pos, m FROM per_dim
     """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class prototype): posexplode + decimal-sum
-    per dimension, reassembled in position order."""
+    per dimension; emitted long-form (label, pos, m) — array cells are
+    driver-unhashable, and long form is what per-dim consumers join on."""
     from ..ext import similarity as SIM
 
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.centroids(e, "label", "embedding")
+    cent = SIM.centroids(e, "label", "embedding")
+    return cent.select("label", F.posexplode("centroid").alias("pos", "m")) \
+               .withColumn("pos", F.col("pos").cast("long"))
+
+
+_SHUF_BUCKET = S.sql_hash_bucket("doc_id", salt="ord1")
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle=f"""
+    SELECT shard, pos, doc_id FROM (
+      SELECT doc_id,
+             CAST({_SHUF_BUCKET} % 8 AS INT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY {_SHUF_BUCKET} % 8
+                                ORDER BY {_SHUF_BUCKET}, doc_id) - 1 AS pos
+      FROM documents
+    )
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order (shard + position
+    by hash rank): reproducible across retries/layout, one hash-partition
+    shuffle at scale — the safe replacement for orderBy(rand())."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.global_shuffle(d, F.col("doc_id"), n_shards=8, salt="ord1") \
+        .select("shard", "pos", "doc_id")

@@ -62,22 +62,23 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "setop_array_values",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list_intersect(list(DISTINCT n_name),
-                                    ['ALGERIA', 'CHINA', 'FRANCE', 'PERU'])) AS known,
-           list_sort(list_filter(list(DISTINCT n_name),
-                                 x -> NOT list_contains(['ALGERIA', 'CHINA', 'FRANCE', 'PERU'], x))) AS others
+           COALESCE(array_to_string(list_sort(list_intersect(list(DISTINCT n_name),
+                                    ['ALGERIA', 'CHINA', 'FRANCE', 'PERU'])), '|'), '') AS known,
+           COALESCE(array_to_string(list_sort(list_filter(list(DISTINCT n_name),
+                                 x -> NOT list_contains(['ALGERIA', 'CHINA', 'FRANCE', 'PERU'], x))), '|'), '') AS others
     FROM nation GROUP BY n_regionkey
     """,
 )
 def setop_array_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-set ops (jx UnionOp on expressions) via array functions."""
+    """Value-set ops (jx UnionOp on expressions) via array functions;
+    '|'-serialized (array cells are driver-unhashable)."""
     n = load_table(spark, sf_dir, "nation")
     probe = F.array(*[F.lit(x) for x in ["ALGERIA", "CHINA", "FRANCE", "PERU"]])
     sets = n.groupBy("n_regionkey").agg(F.collect_set("n_name").alias("names"))
     return sets.select(
         "n_regionkey",
-        F.array_sort(F.array_intersect("names", probe)).alias("known"),
-        F.array_sort(F.array_except("names", probe)).alias("others"),
+        F.array_join(F.array_sort(F.array_intersect("names", probe)), "|").alias("known"),
+        F.array_join(F.array_sort(F.array_except("names", probe)), "|").alias("others"),
     )
 
 

@@ -450,24 +450,27 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders whose total quantity clears a threshold: semi-join against a
-    HAVING aggregate, then re-aggregate with the customer dim attached."""
+    """Orders whose total quantity clears a threshold. The textbook plan
+    (semi-join the HAVING subquery, then re-aggregate lineitem) scans and
+    shuffles lineitem twice; but the final group key contains o_orderkey
+    (unique), so the HAVING aggregate already IS sum_qty — one lineitem
+    agg, then attach orders/customer. The filtered agg is tiny relative
+    to lineitem, and AQE converts its join with orders to broadcast at
+    runtime (threshold-dependent, so not hard-coded: at 100 TB a low
+    threshold could make it large)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("q"))
-        .filter(F.col("q") > 180)
-        .select("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
-                li.l_orderkey == F.col("b_orderkey"), "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
     )
 
 

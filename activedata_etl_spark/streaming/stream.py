@@ -156,6 +156,34 @@ def kafka_stream(spark: SparkSession, bootstrap_servers: str, topics: str,
     return out
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       left_ts: str, right_ts: str,
+                       on, watermark: str = "1 hour",
+                       max_lag: str = "30 minutes",
+                       how: str = "inner") -> DataFrame:
+    """Watermark-bounded stream-stream join — the streaming form of the
+    reference's "join the click to its impression" enrichment.
+
+    Both sides buffer rows in state; the time-range predicate
+    ``right_ts ∈ [left_ts, left_ts + max_lag]`` plus the watermarks is
+    what lets Spark EVICT state (without it, state grows forever — the
+    classic 100 TB streaming failure). Outer variants additionally emit
+    the unmatched side once its watermark passes, so results are
+    watermark-delayed, not wrong.
+
+    ``on`` is the equality key condition (joins are hash-partitioned on
+    it; both sides shuffle on the key — size topic/source partitions
+    accordingly).
+    """
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = on & (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag}"))
+    return lw.join(rw, cond, how)
+
+
 def run_continuous(source: DataFrame, transform: Callable[[DataFrame], DataFrame],
                    checkpoint: str, interval: str = "1 second") -> StreamingQuery:
     """Continuous-trigger pipeline: record-at-a-time, ~ms end-to-end

@@ -44,6 +44,12 @@ HEADLINE = [
     "nested_explode_roundtrip",
     "sample_weighted_mixture",
     "embedding_centroids",
+    # r2 additions: join-heavy TPC-H, end-to-end corpus prep, global shuffle
+    "tpch_q9_product_type_profit",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_suppliers_kept_waiting",
+    "corpus_prep_pipeline",
+    "corpus_global_shuffle",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()

@@ -56,3 +56,30 @@ def test_stratified_take_exact_n(spark, sf_dir):
              d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     for lang, n in per.items():
         assert n == min(7, avail[lang])
+
+
+def test_global_shuffle_permutation(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    shuf = S.global_shuffle(d, F.col("doc_id"), n_shards=4, salt="gs")
+    rows = shuf.select("shard", "pos", "doc_id").collect()
+    # a permutation: every doc exactly once
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    # dense 0..k-1 positions within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # layout-invariant: same assignment after a repartition
+    rows2 = (S.global_shuffle(d.repartition(7), F.col("doc_id"), 4, salt="gs")
+             .select("shard", "pos", "doc_id").collect())
+    assert {(r.shard, r.pos, r.doc_id) for r in rows2} == \
+           {(r.shard, r.pos, r.doc_id) for r in rows}
+    # salt changes the order
+    rows3 = (S.global_shuffle(d, F.col("doc_id"), 4, salt="other")
+             .select("shard", "pos", "doc_id").collect())
+    assert {(r.shard, r.pos, r.doc_id) for r in rows3} != \
+           {(r.shard, r.pos, r.doc_id) for r in rows}

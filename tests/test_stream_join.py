@@ -1,0 +1,58 @@
+"""Watermark-bounded stream-stream join: click→purchase attribution over
+two file streams, checked against the equivalent batch join (same data,
+same predicate) — streaming must add no rows and lose none once the
+backlog is drained."""
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.io import load_table
+from activedata_etl_spark.streaming.stream import file_stream, stream_stream_join
+
+
+def _split_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                                    "event_type", "value")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"), "user_id"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("buy_ts"), "user_id",
+                    F.col("value").alias("amount")))
+    return clicks, buys
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    clicks, buys = _split_events(spark, sf_dir)
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    clicks.write.parquet(cdir)
+    buys.write.parquet(bdir)
+
+    # equality key must reference both sides unambiguously → rename one
+    sl = file_stream(spark, cdir, clicks.schema)
+    sr = file_stream(spark, bdir, buys.schema).withColumnRenamed(
+        "user_id", "r_user_id")
+    sj = stream_stream_join(
+        sl, sr, "click_ts", "buy_ts",
+        on=F.col("user_id") == F.col("r_user_id"),
+        watermark="2 hours", max_lag="30 minutes",
+    ).select("click_id", "buy_id", "user_id", "amount")
+
+    q = (sj.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+
+    batch = (clicks.join(
+        buys.withColumnRenamed("user_id", "r_user_id"),
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")))
+        .select("click_id", "buy_id", "user_id", "amount"))
+
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
