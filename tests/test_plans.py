@@ -113,3 +113,21 @@ def test_duration_domain_broadcast_completion(spark, sf_dir):
     never shuffle the aggregate."""
     plan = _plan(spark, sf_dir, "edges_duration_latency")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q18_single_lineitem_pass(spark, sf_dir):
+    """q18's HAVING aggregate is reused as sum_qty: lineitem must be
+    scanned once, aggregated once, and both attach-joins broadcast."""
+    plan = _plan(spark, sf_dir, "tpch_q18_large_volume_customer")
+    assert plan.count("lineitem.parquet") == 1, "lineitem re-scanned"
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_global_shuffle_single_exchange(spark, sf_dir):
+    """global_shuffle = one hash exchange on the shard key + shard-local
+    sort; no global sort (Exchange rangepartitioning) may appear."""
+    plan = _plan(spark, sf_dir, "corpus_global_shuffle")
+    assert "Exchange rangepartitioning" not in plan, "global sort crept in"
+    assert plan.count("Exchange hashpartitioning") == 1
