@@ -861,3 +861,45 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id", "bench_id")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= 3))
+
+
+@query(
+    "multimodal_resize",
+    # fake codec truncates/pads payload to width*height bytes; corpus is
+    # pure ASCII so char==byte and chr(0)-rpad reproduces the padding.
+    # md5 hex instead of raw bytes: binary cells are driver-unhashable.
+    oracle="""
+    SELECT doc_id AS id, 'text/plain' AS mime,
+           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+           md5(rpad(left(text, 32), 32, chr(0))) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (Arrow-batched mapInPandas, stubbed codec):
+    deterministic fake bytes, verified via md5 of the resized payload."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = MM.pack(d, "doc_id", "text", "text/plain")
+    rs = MM.resize(mm, width=8, height=4, fake=True)
+    return rs.select("id", "mime", "width", "height",
+                     F.md5("payload").alias("payload_md5"))
+
+
+@query(
+    "multimodal_frame_sample",
+    # 1:N fan-out: min(4, max(1, n_bytes//64)) frames of 64 bytes each
+    # (last frame may be short — substring matches the python slice).
+    oracle="""
+    SELECT doc_id AS id, CAST(t.i AS INT) AS frame_idx,
+           md5(substring(text, CAST(t.i * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM documents, range(0, 4) t(i)
+    WHERE t.i < least(4, greatest(len(text) // 64, 1))
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (1:N mapInPandas fan-out, stubbed codec):
+    fixed-offset slices, verified via md5 per frame."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = MM.pack(d, "doc_id", "text", "text/plain")
+    fr = MM.frame_sample(mm, every_n_bytes=64, max_frames=4, fake=True)
+    return fr.select("id", "frame_idx", F.md5("payload").alias("frame_md5"))

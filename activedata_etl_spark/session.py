@@ -64,6 +64,11 @@ def get_spark(app_name: str = "activedata_etl_spark", master: str | None = None,
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        # local mode: executors live in the driver JVM, whose default 1g
+        # heap starves 32 task threads (GC meltdown / failed broadcast
+        # builds at 10× bench scale). Only effective at JVM launch — an
+        # external driver's session keeps its own sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)

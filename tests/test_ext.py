@@ -154,3 +154,17 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     # only get closer to (or tie) the brute-force truth.
     assert len(multi & truth) >= len(single & truth)
     assert len(multi & truth) > 0
+
+
+def test_jaccard_verify_forms_agree(spark, sf_dir):
+    """Array-based and count-based Jaccard verify produce identical pairs
+    and values (the counts form is the bounded-row-memory scale path)."""
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2, verify="arrays")
+    c = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2, verify="counts")
+    ra = {(r.id_a, r.id_b): r.jaccard for r in a.collect()}
+    rc = {(r.id_a, r.id_b): r.jaccard for r in c.collect()}
+    assert ra == rc and len(ra) > 0
