@@ -81,7 +81,11 @@ def _eq_like(args, combine):
 
 def _cmp(op):
     def run(args, _e):
-        a, b = _pair(args)
+        if isinstance(args, dict):  # clause form {"lt": {"x": 5}}
+            (k, v), = args.items()
+            a, b = F.col(k), F.lit(v)
+        else:
+            a, b = _pair(args)
         return {"gt": a > b, "gte": a >= b, "lt": a < b, "lte": a <= b}[op]
 
     return run
@@ -108,8 +112,27 @@ def _case(args, _e):
 
 
 def _in(args, _e):
-    var, values = args
+    if isinstance(args, dict):  # clause form {"in": {"x": [1, 2]}}
+        (var, values), = args.items()
+    else:
+        var, values = args
     return compile_expr(var).isin(*(values if isinstance(values, list) else [values]))
+
+
+_DURATION_UNITS = {"year", "quarter", "month", "week", "day",
+                   "hour", "minute", "second"}
+
+
+def _floor(a):
+    """FloorOp: numeric floor-to-multiple, or — when the interval is a
+    duration name — date flooring (the reference's ``date.floor(WEEK)``,
+    month-aware): {"floor": ["ts", "month"]} → date_trunc."""
+    if isinstance(a, list):
+        v, interval = a
+        if isinstance(interval, str) and interval.lower() in _DURATION_UNITS:
+            return F.date_trunc(interval.lower(), compile_expr(v))
+        return jx.floor(compile_expr(v), interval)
+    return jx.floor(compile_expr(a))
 
 
 def _find(args, e):
@@ -174,8 +197,7 @@ _OPS = {
     "div": lambda a, e: jx.div(*_pair(a), default=e.get("default")),
     "divide": lambda a, e: jx.div(*_pair(a), default=e.get("default")),
     "mod": lambda a, _e: jx.mod(*_pair(a)),
-    "floor": lambda a, _e: (jx.floor(*a) if isinstance(a, list)
-                            else jx.floor(compile_expr(a))),
+    "floor": lambda a, _e: _floor(a),
     "round": lambda a, e: jx.round_(compile_expr(a), e.get("digits", 0)),
     "abs": lambda a, _e: jx.abs_(compile_expr(a)),
     "exp": lambda a, _e: jx.power(*_pair(a)),

@@ -64,13 +64,23 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
 
     if edges or groupby:
         df = _aggregate(spark, df, selects, edges or groupby, dense=bool(edges))
+        for wspec in _listify(q.get("window")):
+            df = _window(df, wspec)
     elif selects and any(s.get("aggregate") for s in selects):
         df = df.agg(*[_agg_column(s).alias(s["name"]) for s in selects])
-    elif selects:
-        df = df.select(*_nest_named(df, selects))
-
-    for wspec in _listify(q.get("window")):
-        df = _window(df, wspec)
+        for wspec in _listify(q.get("window")):
+            df = _window(df, wspec)
+    else:
+        # window is a SIBLING of select (reference QueryOp): its values
+        # resolve against the source row, so compute windows BEFORE the
+        # projection and carry their names through it.
+        wnames = []
+        for wspec in _listify(q.get("window")):
+            df = _window(df, wspec)
+            wnames.append(wspec["name"])
+        if selects:
+            df = df.select(*_nest_named(df, selects),
+                           *[F.col(n) for n in wnames])
     if "sort" in q:
         df = df.orderBy(*[_sort_col(s) for s in _listify(q["sort"])])
     if "limit" in q:
