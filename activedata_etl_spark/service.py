@@ -53,9 +53,27 @@ def make_handler(spark):
                 self._send(404, {"error": f"no such endpoint: {self.path}"})
                 return
             try:
+                import time
+
                 n = int(self.headers.get("Content-Length", 0))
                 q = json.loads(self.rfile.read(n))
-                self._send(200, {"data": run_formatted(spark, q)})
+                if q.get("format") == "explain":
+                    # plan-only: analyze + optimize, execute nothing — the
+                    # "what would this cost" probe for interactive users
+                    from .plans.query import run as run_plan
+
+                    df = run_plan(spark, {k: v for k, v in q.items()
+                                          if k != "format"})
+                    plan = df._jdf.queryExecution().executedPlan().toString()
+                    self._send(200, {"explain": plan})
+                    return
+                t0 = time.perf_counter()
+                data = run_formatted(spark, q)
+                # reference responses carry meta.timing (active_data app)
+                self._send(200, {"data": data, "meta": {
+                    "timing": {"total": round(time.perf_counter() - t0, 4)},
+                    "format": q.get("format", "list"),
+                }})
             except Exception as e:  # jx errors → 400, like the reference
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -66,3 +66,15 @@ def test_concurrent_queries(endpoint):
         t.join()
     assert len(results) == 4
     assert all(r["data"][0]["n"] == 5 for r in results)
+
+
+def test_meta_timing_and_explain(endpoint):
+    out = _post(endpoint, {"from": "nation", "groupby": "n_regionkey",
+                           "select": [{"name": "n", "aggregate": "count"}]})
+    assert out["meta"]["timing"]["total"] > 0
+    assert out["meta"]["format"] == "list"
+
+    ex = _post(endpoint, {"from": "nation", "where": {"eq": {"n_regionkey": 2}},
+                          "select": ["n_name"], "format": "explain"})
+    assert "Scan parquet" in ex["explain"] or "FileScan" in ex["explain"]
+    assert "PushedFilters" in ex["explain"]  # filter reached the scan
