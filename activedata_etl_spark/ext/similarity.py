@@ -262,3 +262,26 @@ def ann_sign_lsh_topk(queries: DataFrame, candidates: DataFrame,
         .withColumn("cos", cosine(F.col(q_vec), F.col(c_vec)))
     )
     return topk_per_query(scored, q_id, "cos", c_id, k).select(q_id, c_id, "cos")
+
+
+def exact_vector_dedup_groups(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Bit-identical-vector dedup groups: (vec_hash, canonical_id,
+    n_copies). The vector twin of text exact-dedup — and the prepass that
+    keeps :func:`cosine_dedup_pairs` O(unique content): identical vectors
+    share every sign bucket, so K copies inflate every bucket K× and the
+    pairwise stage K²× (measured on the 10× replicated corpus — see
+    SCALE.md). xxhash64 hashes the float array structurally (JVM-side,
+    no serialization round-trip); library-level only, no oracle pairing
+    needed — the paired query operates on canonical vectors.
+    """
+    return (df.groupBy(F.xxhash64(F.col(vec_col)).alias("vec_hash"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def canonical_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Rows whose id is its duplicate-group canonical (lowest id per
+    bit-identical vector) — run pairwise similarity on THIS frame."""
+    groups = exact_vector_dedup_groups(df, id_col, vec_col)
+    return df.join(groups.select(F.col("canonical_id").alias(id_col)),
+                   id_col, "left_semi")

@@ -45,8 +45,23 @@ def make_handler(spark):
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (stdlib casing)
+            if self.path.startswith("/columns"):
+                # the reference's queryable meta.columns catalog: GET
+                # /columns/<table> → name/dtype/cardinality/null-count rows
+                from .io import TABLES, describe_columns
+
+                table = self.path.strip("/").split("/")[-1]
+                if table not in TABLES:
+                    self._send(404, {"error": f"unknown table: {table}",
+                                     "tables": sorted(TABLES)})
+                    return
+                rows = describe_columns(spark.table(table)).collect()
+                self._send(200, {"table": table,
+                                 "columns": [r.asDict() for r in rows]})
+                return
             self._send(200, {"service": "activedata_etl_spark",
-                             "query_endpoint": "POST /query"})
+                             "query_endpoint": "POST /query",
+                             "columns_endpoint": "GET /columns/<table>"})
 
         def do_POST(self):  # noqa: N802
             if self.path.rstrip("/") not in ("", "/query".rstrip("/"), "/query"):

@@ -168,3 +168,20 @@ def test_jaccard_verify_forms_agree(spark, sf_dir):
     ra = {(r.id_a, r.id_b): r.jaccard for r in a.collect()}
     rc = {(r.id_a, r.id_b): r.jaccard for r in c.collect()}
     assert ra == rc and len(ra) > 0
+
+
+def test_canonical_vectors_prepass(spark, sf_dir):
+    """Duplicated vectors collapse to one canonical row; cosine dedup on
+    canonicals then scales with unique content (SCALE.md 10x lesson)."""
+    from activedata_etl_spark.ext import similarity as SIM
+    from activedata_etl_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 10**6))
+    canon = SIM.canonical_vectors(doubled, "vec_id", "embedding")
+    assert canon.count() == n  # every copy collapsed to the low-id original
+    assert canon.agg(F.max("vec_id")).collect()[0][0] < 10**6
+    groups = SIM.exact_vector_dedup_groups(doubled, "vec_id", "embedding")
+    assert groups.filter(F.col("n_copies") != 2).count() == 0

@@ -18,6 +18,13 @@ _CORPUS = json.load(open(os.path.join(os.path.dirname(__file__), "jx_corpus.json
 @pytest.fixture(scope="module", autouse=True)
 def views(spark, sf_dir):
     register_views(spark, sf_dir)
+    # nested child-table view for deep-from ("orders_nested.items") cases
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.operators import nested as N
+
+    li = load_table(spark, sf_dir, "lineitem")
+    N.nest(li, ["l_orderkey"], ["l_linenumber", "l_quantity"],
+           order_by="l_linenumber").createOrReplaceTempView("orders_nested")
 
 
 @pytest.mark.parametrize("case", _CORPUS, ids=[c["name"] for c in _CORPUS])

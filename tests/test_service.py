@@ -78,3 +78,22 @@ def test_meta_timing_and_explain(endpoint):
                           "select": ["n_name"], "format": "explain"})
     assert "Scan parquet" in ex["explain"] or "FileScan" in ex["explain"]
     assert "PushedFilters" in ex["explain"]  # filter reached the scan
+
+
+def test_columns_endpoint(endpoint):
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(endpoint + "/columns/nation", timeout=60) as r:
+        out = _json.loads(r.read())
+    assert out["table"] == "nation"
+    byname = {c["column"]: c for c in out["columns"]}
+    assert byname["n_nationkey"]["cardinality"] == 25
+    assert byname["n_regionkey"]["n_nulls"] == 0
+
+    import urllib.error
+    try:
+        urllib.request.urlopen(endpoint + "/columns/nope", timeout=60)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
