@@ -190,3 +190,33 @@ def test_deep_from_array_path(spark, sf_dir):
     expect = li.filter(F.col("l_quantity") > 25) \
                .select("l_orderkey", "l_linenumber", "l_quantity")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_cube_format_multi_edge_allow_nulls(spark, sf_dir):
+    """format=cube over TWO edges where one carries an allowNulls
+    overflow part: N-dim dense matrix, overflow axis part last (None),
+    every cell accounted for."""
+    from activedata_etl_spark.io import register_views
+    from activedata_etl_spark.plans.query import run_formatted
+
+    register_views(spark, sf_dir)
+    out = run_formatted(spark, {
+        "from": "events",
+        "edges": [
+            {"name": "et", "value": "event_type", "allowNulls": True,
+             "domain": {"type": "set", "partitions": ["click", "view"]}},
+            {"name": "uparity", "value": {"mod": ["user_id", 2]}},
+        ],
+        "select": [{"name": "n", "aggregate": "count"}],
+        "format": "cube",
+    })
+    [e_et, e_up] = out["edges"]
+    assert e_et["name"] == "et"
+    assert e_et["domain"]["partitions"][-1] is None          # overflow last
+    assert set(e_et["domain"]["partitions"][:-1]) == {"click", "view"}
+    n = out["data"]["n"]
+    assert len(n) == 3 and all(len(row) == len(e_up["domain"]["partitions"])
+                               for row in n)
+    total = sum(v for row in n for v in row if v is not None)
+    from activedata_etl_spark.io import load_table
+    assert total == load_table(spark, sf_dir, "events").count()
