@@ -446,3 +446,39 @@ def canonical_filter(df: DataFrame, pairs: DataFrame, id_col: str,
                      .filter(F.col("id") != F.col("cluster_id"))
                      .select(F.col("id").alias(id_col)))
     return df.join(non_canonical, id_col, "left_anti")
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 16, n_bands: int = 4,
+                      shingle_n: int = 3,
+                      threshold: float = 0.6) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup: C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses subset relationships — a short doc fully quoted inside
+    a long one scores |A|/|B| ≈ 0 Jaccard but containment 1.0. That makes
+    containment the right signal for eval-set contamination and
+    quote/inclusion detection in training corpora. Same LSH blocking as
+    :func:`near_dup_pairs` (MinHash bands still collide for subset pairs
+    when the small side dominates shared shingles), then both directed
+    containments per candidate pair; a pair is emitted when EITHER
+    direction clears ``threshold``. Note blocking recall for extreme
+    size ratios is lower than for Jaccard-near pairs — for a guaranteed
+    sweep of a small eval set against a huge corpus, use the broadcast
+    shingle join (text_decontamination) instead.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n, sh=sh)
+    cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, n_bands,
+                                shingle_n, sig=sig)
+    sets = (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
+            .withColumnRenamed(id_col, "id"))
+    j = (
+        cands
+        .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("c_ab", F.col("inter") / F.size("sh_a"))
+        .withColumn("c_ba", F.col("inter") / F.size("sh_b"))
+    )
+    return (j.filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
+            .select("id_a", "id_b", "c_ab", "c_ba"))

@@ -903,3 +903,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = MM.pack(d, "doc_id", "text", "text/plain")
     fr = MM.frame_sample(mm, every_n_bytes=64, max_frames=4, fake=True)
     return fr.select("id", "frame_idx", F.md5("payload").alias("frame_md5"))
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_DUCK_SIG}, banded AS (
+      SELECT doc_id, b.band_idx, b.band_sig FROM sig,
+        LATERAL (SELECT * FROM (VALUES
+          (0, md5(h0  || '|' || h1  || '|' || h2  || '|' || h3)),
+          (1, md5(h4  || '|' || h5  || '|' || h6  || '|' || h7)),
+          (2, md5(h8  || '|' || h9  || '|' || h10 || '|' || h11)),
+          (3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15))
+        ) v(band_idx, band_sig)) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sa.sh) AS c_ab,
+           len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sb.sh) AS c_ba
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sa.sh) >= 0.3
+       OR len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sb.sh) >= 0.3
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (C(A→B) = |A∩B|/|A|): catches
+    subset/quote relationships that Jaccard scores near zero — the
+    contamination-relevant direction. Same LSH blocking as the Jaccard
+    pipeline; both directed containments per candidate pair."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(d, "doc_id", "text", threshold=0.3)

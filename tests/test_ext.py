@@ -185,3 +185,22 @@ def test_canonical_vectors_prepass(spark, sf_dir):
     assert canon.agg(F.max("vec_id")).collect()[0][0] < 10**6
     groups = SIM.exact_vector_dedup_groups(doubled, "vec_id", "embedding")
     assert groups.filter(F.col("n_copies") != 2).count() == 0
+
+
+def test_containment_catches_subset_pairs(spark):
+    """A short doc fully quoted inside a long one: Jaccard is low but
+    containment C(short->long) = 1.0 — the contamination signal."""
+    from activedata_etl_spark.ext import dedup as DD
+    from pyspark.sql import functions as F
+
+    short = " ".join(f"w{i}" for i in range(30))
+    long_ = short + " " + " ".join(f"extra{i}" for i in range(4))
+    two = spark.createDataFrame([(1, short), (2, long_)], "id bigint, text string")
+    got = {(r.id_a, r.id_b): (r.c_ab, r.c_ba)
+           for r in DD.containment_pairs(two, "id", "text", threshold=0.9).collect()}
+    assert (1, 2) in got
+    c_ab, c_ba = got[(1, 2)]
+    assert c_ab == 1.0 and c_ba < 1.0  # fully contained; reverse is partial
+    # a symmetric Jaccard gate at the same strictness misses the pair
+    jac = DD.near_dup_pairs(two, "id", "text", threshold=0.9)
+    assert jac.count() == 0
