@@ -29,11 +29,17 @@ def range_join(fact: DataFrame, dim: DataFrame, value: Column,
 
 def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
               left_time: str, right_time: str,
-              tiebreak: str, right_cols: list[str] | None = None) -> DataFrame:
+              tiebreak: str, right_cols: list[str] | None = None,
+              tolerance_s: float | None = None) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` per key (LEFT semantics: unmatched left
     rows survive with NULLs). The reference's TUID "latest annotation ≤
     revision" lookup (SURVEY.md §2.3).
+
+    ``tolerance_s`` bounds staleness: a right row older than
+    ``left_time − tolerance_s`` seconds does not match (NULLs instead) —
+    the "quote must be fresh" variant every market-data as-of has. Plain
+    column arithmetic on the carried match time; plan shape unchanged.
 
     Implementation: union both sides sorted by (key, time, side, tiebreak)
     and carry the last right payload forward with ``last(..., ignorenulls)``
@@ -58,7 +64,8 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
         F.col(right_time).cast(common).alias("__t__"),
         F.lit(0).alias("__side__"),
         F.col(tiebreak).alias("__tb__"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__payload__"),
+        F.struct(F.col(right_time).cast(common).alias("__rt__"),
+                 *[F.col(c) for c in right_cols]).alias("__payload__"),
     )
     side_l = left.select(
         F.col(left_on).alias("__k__"),
@@ -76,6 +83,12 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
         unioned.withColumn("__best__", F.last("__payload__", ignorenulls=True).over(w))
         .filter(F.col("__side__") == 1)
     )
+    if tolerance_s is not None:
+        fresh = (
+            F.col("__best__.__rt__").cast("double")
+            >= F.col("__t__").cast("double") - F.lit(float(tolerance_s)))
+        matched = matched.withColumn(
+            "__best__", F.when(fresh, F.col("__best__")))
     return matched.select(
         *left.columns,
         *[F.col(f"__best__.{c}").alias(c) for c in right_cols],

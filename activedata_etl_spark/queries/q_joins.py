@@ -164,3 +164,45 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="o_orderkey", right_cols=["o_orderkey"],
     )
     return out.select("event_id", F.col("o_orderkey").alias("asof_order"))
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), buys AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+      SELECT b.event_id, c.click_id,
+             ROW_NUMBER() OVER (PARTITION BY b.event_id
+                                ORDER BY c.ts DESC, c.click_id DESC) AS rn
+      FROM buys b
+      JOIN clicks c ON b.user_id = c.user_id
+       AND c.ts <= b.ts
+       AND c.ts >= b.ts - INTERVAL 2 HOUR
+    )
+    SELECT b.event_id, x.click_id AS asof_click
+    FROM buys b
+    LEFT JOIN (SELECT event_id, click_id FROM cand WHERE rn = 1) x USING (event_id)
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness: each purchase attributed to the
+    user's latest click, but only within 2 hours — older clicks become
+    NULL (the 'quote must be fresh' variant; the attribution-window rule
+    of click attribution). Same single-shuffle union plan as join_asof;
+    the bound is plain column arithmetic on the carried match time."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", F.col("ts").alias("buy_ts")))
+    out = J.asof_join(
+        buys, clicks,
+        left_on="user_id", right_on="user_id",
+        left_time="buy_ts", right_time="ts",
+        tiebreak="click_id", right_cols=["click_id"],
+        tolerance_s=2 * 3600,
+    )
+    return out.select("event_id", F.col("click_id").alias("asof_click"))
