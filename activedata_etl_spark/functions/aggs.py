@@ -328,3 +328,35 @@ def stats_struct(df_with_moments: DataFrame, keys: list[str]) -> DataFrame:
     """Project moment columns into the full jx ``stats`` output."""
     extras = [c for c in ["min", "max"] if c in df_with_moments.columns]
     return df_with_moments.selectExpr(*keys, *extras, *STATS_DERIVED_SQL)
+
+
+def weighted_percentiles(df: DataFrame, keys: list[str], col: str,
+                         weight: str, ps: dict[str, float]) -> DataFrame:
+    """Exact WEIGHTED lower percentiles: smallest v with
+    cumweight(values ≤ v) ≥ p · totalweight, per group.
+
+    The training-data use: token-weighted quality thresholds ("the score
+    below which p of the CORPUS TOKENS sit", not p of the documents —
+    long docs should count for their size in a kept-token budget).
+
+    Same scale shape as histogram_percentiles: weights are summed per
+    (keys, value) FIRST — a partial-aggregatable shuffle of one row per
+    distinct value — then a cumulative-weight walk picks each
+    percentile. Integer weights ⇒ the p·total target is computed in
+    double but compared against integer cumsums, and all engines agree
+    (ties on p·total exactly at a boundary resolve to the next value by
+    the ≥, in both engines identically).
+    """
+    from pyspark.sql import Window
+    h = (df.filter(F.col(col).isNotNull())
+           .groupBy(*keys, col).agg(F.sum(weight).alias("__w__")))
+    w = Window.partitionBy(*keys).orderBy(col)
+    cw = Window.partitionBy(*keys)
+    h = (h.withColumn("__cum__", F.sum("__w__").over(w))
+          .withColumn("__tot__", F.sum("__w__").over(cw)))
+    aggs = []
+    for alias, p in ps.items():
+        hit = F.when(F.col("__cum__") >= F.lit(float(p)) * F.col("__tot__"),
+                     F.col(col))
+        aggs.append(F.min(hit).alias(alias))
+    return h.groupBy(*keys).agg(*aggs)

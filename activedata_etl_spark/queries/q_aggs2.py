@@ -162,3 +162,35 @@ def agg_percentile_giant_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return A.pruned_percentiles(li, [], "l_extendedprice",
                                 {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH h AS (
+      SELECT lang, n_chars AS v, SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents GROUP BY lang, n_chars
+    ), c AS (
+      SELECT lang, v, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY lang) AS tot
+      FROM h
+    )
+    SELECT lang,
+           MIN(CASE WHEN cum >= 0.5 * tot THEN v END)  AS wmed_chars,
+           MIN(CASE WHEN cum >= 0.9 * tot THEN v END)  AS wp90_chars
+    FROM c GROUP BY lang
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED exact percentiles of doc length per language: the
+    length below which 50% / 90% of the corpus TOKENS sit (a kept-token
+    budget gate, not a document-count gate). Lower-percentile definition,
+    histogram-shaped plan (one row per distinct value shuffles)."""
+    from ..ext import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    weighted = d.select("lang", "n_chars",
+                        F.size(TX.tokens("text")).alias("w"))
+    return A.weighted_percentiles(weighted, ["lang"], "n_chars", "w",
+                                  {"wmed_chars": 0.5, "wp90_chars": 0.9})
