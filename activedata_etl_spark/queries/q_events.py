@@ -127,3 +127,39 @@ def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["signup", "click", "view", "purchase", "error"])
     )
+
+
+@query(
+    "events_sessionize_capped",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), segmented AS (
+      SELECT user_id, ts, session_no,
+             (ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                 ORDER BY ts, event_id) - 1) // 5 AS segment
+      FROM numbered
+    )
+    SELECT user_id, session_no, segment,
+           MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM segmented GROUP BY user_id, session_no, segment
+    """,
+)
+def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions split at 5 events (the bot-guard variant): gap sessions
+    can grow without bound under a hammering key; capping bounds both
+    the session row count and any downstream per-session state."""
+    e = load_table(spark, sf_dir, "events")
+    return BW.sessionize_capped(e, "ts", "30 minutes", ["user_id"],
+                                tiebreak="event_id", max_events=5,
+                                aggs={"n_events": F.count(F.lit(1))})

@@ -73,3 +73,37 @@ def dedup_latest(df: DataFrame, keys: list[str], order: list[Column]) -> DataFra
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )
+
+
+def sessionize_capped(df: DataFrame, ts: str, gap: str, keys: list[str],
+                      tiebreak: str, max_events: int,
+                      aggs: dict[str, Column]) -> DataFrame:
+    """Gap-based sessions SPLIT at ``max_events`` events — the bot-guard
+    variant (a scraper hammering one key can otherwise grow a session,
+    and its window state, without bound). Not expressible with
+    F.session_window, so this uses the lag+cumsum formulation directly:
+    new-session flags → running session number → row number within
+    session → segment = (rn-1) / cap. One shuffle on the keys; every
+    window shares that partitioning.
+
+    ``tiebreak`` must make the per-key event order total, or segment
+    boundaries are nondeterministic under parallelism.
+    """
+    from pyspark.sql import Window, functions as F
+
+    order = [F.col(ts), F.col(tiebreak)]
+    wo = Window.partitionBy(*keys).orderBy(*order)
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts).over(wo)
+    new_s = (prev.isNull()
+             | (F.col(ts) > prev + F.expr(f"INTERVAL {gap}"))).cast("int")
+    d = (df.withColumn("__new__", new_s)
+           .withColumn("__sess__", F.sum("__new__").over(run)))
+    ws = Window.partitionBy(*keys, "__sess__").orderBy(*order)
+    d = d.withColumn(
+        "__seg__", F.floor((F.row_number().over(ws) - 1) / max_events))
+    return (d.groupBy(*keys, "__sess__", "__seg__")
+            .agg(F.min(ts).alias("session_start"), *[
+                c.alias(n) for n, c in aggs.items()])
+            .withColumnRenamed("__sess__", "session_no")
+            .withColumnRenamed("__seg__", "segment"))
