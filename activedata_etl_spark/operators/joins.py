@@ -93,3 +93,41 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
         *left.columns,
         *[F.col(f"__best__.{c}").alias(c) for c in right_cols],
     )
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          bin_width_s: int = 3600,
+                          extra_cond: Column | None = None) -> DataFrame:
+    """Interval-overlap join ([l_start,l_end] ∩ [r_start,r_end] ≠ ∅) via
+    TIME BINNING: each interval explodes to the fixed-width bins it
+    covers, candidates equi-join on the bin id, and the exact overlap
+    predicate verifies — then distinct (a pair sharing k bins appears k
+    times).
+
+    The naive formulation (inequality-only join) has no equi-key, so
+    Spark plans a broadcast nested loop — O(|L|·|R|) comparisons, dead at
+    scale. Binning makes it an ordinary shuffle join on an integer key
+    that AQE can size and skew-split. ``bin_width_s`` trades fan-out
+    (long intervals explode into many bins) against bucket density
+    (short bins → fewer false candidates); pick ~the median interval
+    length. Degenerate long intervals (a session spanning days) fan out
+    proportionally — cap or split those upstream (sessionize_capped).
+    """
+    def binned(df: DataFrame, s: str, e: str, side: str) -> DataFrame:
+        b = F.explode(F.sequence(
+            F.floor(F.col(s).cast("double") / bin_width_s).cast("long"),
+            F.floor(F.col(e).cast("double") / bin_width_s).cast("long"),
+        )).alias("__bin__")
+        return df.select(F.struct(*df.columns).alias(side), b)
+
+    lb, rb = binned(left, l_start, l_end, "l"), binned(right, r_start, r_end, "r")
+    cond = (F.col("__bin__") == F.col("__rbin__")) \
+        & (F.col(f"l.{l_start}") <= F.col(f"r.{r_end}")) \
+        & (F.col(f"r.{r_start}") <= F.col(f"l.{l_end}"))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    out = (lb.join(rb.withColumnRenamed("__bin__", "__rbin__"), cond)
+           .drop("__bin__", "__rbin__").distinct())
+    return out

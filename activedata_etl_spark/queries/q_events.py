@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.exact import dsum, sql_dsum
 from ..io import load_table
+from ..operators import joins as J
 from ..streaming import batch_windows as BW
 from .registry import query
 
@@ -163,3 +164,54 @@ def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BW.sessionize_capped(e, "ts", "30 minutes", ["user_id"],
                                 tiebreak="event_id", max_events=5,
                                 aggs={"n_events": F.count(F.lit(1))})
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+      FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT a.user_id AS user_a, a.session_no AS sess_a,
+           b.user_id AS user_b, b.session_no AS sess_b
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent sessions across users: interval-overlap self-join via
+    time binning (operators/joins.interval_overlap_join) — an equi-join
+    on bin ids instead of the naive broadcast nested loop. The oracle
+    states the same relation with the inequality form (fine at oracle
+    scale; dead at 100 TB)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(wo)
+    new_s = (prev.isNull()
+             | (F.col("ts") > prev + F.expr("INTERVAL 30 minutes"))).cast("int")
+    sess = (e.withColumn("__new__", new_s)
+            .withColumn("session_no", F.sum("__new__").over(run))
+            .groupBy("user_id", "session_no")
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    out = J.interval_overlap_join(
+        sess, sess, "s", "e", "s", "e", bin_width_s=3600,
+        extra_cond=F.col("l.user_id") < F.col("r.user_id"))
+    return out.select(
+        F.col("l.user_id").alias("user_a"), F.col("l.session_no").alias("sess_a"),
+        F.col("r.user_id").alias("user_b"), F.col("r.session_no").alias("sess_b"))

@@ -131,3 +131,14 @@ def test_global_shuffle_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_global_shuffle")
     assert "Exchange rangepartitioning" not in plan, "global sort crept in"
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """Binned interval-overlap join must plan as a hash/merge equi-join
+    on the bin id — never the O(|L|x|R|) broadcast nested loop the naive
+    inequality form degenerates to."""
+    plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
