@@ -97,11 +97,19 @@ def sessionize_capped(df: DataFrame, ts: str, gap: str, keys: list[str],
     prev = F.lag(ts).over(wo)
     new_s = (prev.isNull()
              | (F.col(ts) > prev + F.expr(f"INTERVAL {gap}"))).cast("int")
+    # every derived column rides the SAME (keys, order) running window —
+    # one exchange total before the aggregate. The naive alternative
+    # (row_number over (keys, session)) re-shuffles on the session id;
+    # instead: position within session = running row count − the running
+    # count captured at the session's first row (carried with max-over
+    # of a flagged value). Measured ~2× on the sf0.1 bench entry.
     d = (df.withColumn("__new__", new_s)
-           .withColumn("__sess__", F.sum("__new__").over(run)))
-    ws = Window.partitionBy(*keys, "__sess__").orderBy(*order)
+           .withColumn("__sess__", F.sum("__new__").over(run))
+           .withColumn("__rn__", F.count(F.lit(1)).over(run)))
+    sess_first_rn = F.max(
+        F.when(F.col("__new__") == 1, F.col("__rn__"))).over(run)
     d = d.withColumn(
-        "__seg__", F.floor((F.row_number().over(ws) - 1) / max_events))
+        "__seg__", F.floor((F.col("__rn__") - sess_first_rn) / max_events))
     return (d.groupBy(*keys, "__sess__", "__seg__")
             .agg(F.min(ts).alias("session_start"), *[
                 c.alias(n) for n, c in aggs.items()])

@@ -50,6 +50,13 @@ HEADLINE = [
     "tpch_q21_suppliers_kept_waiting",
     "corpus_prep_pipeline",
     "corpus_global_shuffle",
+    # late r2: containment dedup, weighted percentiles, capped sessions,
+    # tolerance as-of, binned interval-overlap join
+    "dedup_containment_pairs",
+    "agg_weighted_percentile",
+    "events_sessionize_capped",
+    "join_asof_tolerance",
+    "join_interval_overlap",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()

@@ -142,3 +142,11 @@ def test_interval_overlap_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
+
+
+def test_sessionize_capped_single_window_exchange(spark, sf_dir):
+    """All of sessionize_capped's derived columns share one (keys, order)
+    window partitioning: exactly the window exchange + the final
+    aggregate exchange — a per-session re-shuffle would make it three."""
+    plan = _plan(spark, sf_dir, "events_sessionize_capped")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1200]
