@@ -215,3 +215,27 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l.user_id").alias("user_a"), F.col("l.session_no").alias("sess_a"),
         F.col("r.user_id").alias("user_b"), F.col("r.session_no").alias("sess_b"))
+
+
+@query(
+    "events_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def events_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns → long (measure, val) rows —
+    the inverse of events_pivot_types. Spark's native unpivot emits via
+    a single Expand node (one scan, rows×measures output, no union of
+    scans like the SQL statement of the same relation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure", "val",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))

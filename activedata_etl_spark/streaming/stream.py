@@ -199,3 +199,48 @@ def run_continuous(source: DataFrame, transform: Callable[[DataFrame], DataFrame
         .trigger(continuous=interval)
         .start()
     )
+
+
+def evicting_counts(events: DataFrame, key: str, ts: str,
+                    watermark: str = "1 hour", gap_ms: int = 3_600_000):
+    """Per-key running count whose state EVICTS on event-time timeout —
+    the bounded-state form of ``stateful_counts``. Without eviction a
+    stateful operator over an unbounded key space (user ids, session
+    ids) grows its store forever; here each key arms a timeout at
+    last-seen + ``gap_ms``, and when the WATERMARK passes it the key
+    emits a final (n, closed=true) row and its state is removed. Emitted
+    rows: (key, n, closed=false) per update, (key, n, closed=true) on
+    eviction — deterministic given the data, because event-time timeouts
+    fire on watermark progress, not wall clock.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = f"{key} bigint, n bigint, closed boolean"
+
+    def update(key_, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n, last_ms) = state.get
+            state.remove()
+            yield pd.DataFrame({key: [key_[0]], "n": [n], "closed": [True]})
+            return
+        (n, last_ms) = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            last_ms = max(last_ms,
+                          int(pdf[ts].max().timestamp() * 1000))
+        state.update((n, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame({key: [key_[0]], "n": [n], "closed": [False]})
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="n bigint, last_ms bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -60,3 +60,51 @@ def test_foreach_batch_multi_sink(spark, sf_dir, tmp_path):
     n_rest = spark.read.parquet(b).count()
     assert n_err + n_rest == events.count()
     assert n_err == events.filter(F.col("event_type") == "error").count()
+
+
+def test_event_time_timeout_evicts_state(spark, sf_dir, tmp_path):
+    """Keys quiet for longer than the gap close and EVICT once the
+    watermark passes their timeout: sweep 1 arms timeouts, a far-future
+    sentinel in sweep 2 advances the watermark, and every armed key
+    emits its final (n, closed=true) row — bounded state, the property
+    that keeps a 100 TB keyspace from living in the store forever."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.streaming.stream import evicting_counts, file_stream
+
+    src, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ev.write.parquet(src)
+
+    # gap > the data's time span: closures come only from the sentinel
+    # (availableNow may split sweep 1 into several micro-batches, and the
+    # watermark advances BETWEEN them — a short gap evicts mid-sweep,
+    # correctly, which would make per-key counts restart)
+    gap_ms = 30 * 86_400_000
+
+    def sweep():
+        q = (evicting_counts(file_stream(spark, src, ev.schema), "user_id", "ts",
+                             gap_ms=gap_ms)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    sweep()
+    got1 = spark.read.parquet(out)
+    assert got1.filter("closed").count() == 0  # nothing evicted yet
+
+    far = ev.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=365)
+    spark.createDataFrame([(-1, far)], ev.schema).write.mode("append").parquet(src)
+    sweep()
+
+    got2 = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+    per_user = ev.groupBy("user_id").count()
+    closed = got2.filter("closed")
+    # every real key closed exactly once, with its full count
+    assert closed.count() == per_user.count()
+    joined = closed.join(per_user, "user_id")
+    assert joined.filter(F.col("n") != F.col("count")).count() == 0
