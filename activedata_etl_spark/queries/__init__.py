@@ -35,38 +35,36 @@ _FRONT = [
     "q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
-    # aggregates
-    "agg_groupby_basic", "agg_median_percentile", "agg_cardinality",
-    "agg_stats_zero_moments", "agg_union_set", "agg_first_last",
-    "agg_cube", "agg_count_values", "skew_two_phase_distinct",
+    # aggregates (incl. weighted percentiles + skew machinery)
+    "agg_groupby_basic", "agg_median_percentile", "agg_cube",
+    "agg_first_last", "agg_weighted_percentile", "skew_two_phase_distinct",
     # edges (domain completion)
-    "edges_set_dense", "edges_range_histogram", "edges_time_months",
+    "edges_set_dense", "edges_time_months",
     # event-time
-    "events_tumbling_day", "events_sliding_2h_1h", "events_sessionize_30m",
-    "events_dedup_latest",
+    "events_tumbling_day", "events_sessionize_30m", "events_dedup_latest",
     # expressions
     "expr_null_semantics", "expr_string_kit", "expr_date_kit",
     # joins
-    "join_inner_broadcast", "join_left_outer", "join_semi", "join_anti",
-    "join_full_outer", "join_range_containment", "join_asof",
-    "join_salted_skew",
+    "join_inner_broadcast", "join_left_outer", "join_semi",
+    "join_range_containment", "join_asof", "join_salted_skew",
+    "join_interval_overlap",
     # windows
-    "window_ranking", "window_lag_lead", "window_running_sum",
-    "window_exact_percentile",
+    "window_ranking", "window_running_sum", "window_exact_percentile",
     # nested / JSON
-    "nested_explode_roundtrip", "nested_leaves", "json_extract_ops",
+    "nested_explode_roundtrip", "json_extract_ops",
     # jx front-end
     "jx_filter_project", "jx_groupby_agg", "jx_window_running",
     "jx_edges_time_dense",
-    # training-data extensions
+    # training-data extensions: text / dedup / similarity / multimodal /
+    # sampling / end-to-end
     "text_token_stats", "text_top_terms", "text_lang_id",
-    "dedup_exact_groups", "dedup_minhash_bands", "dedup_lsh_jaccard_pairs",
-    "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_exact_groups", "dedup_lsh_jaccard_pairs", "dedup_simhash",
+    "dedup_containment_pairs", "dedup_embedding_cosine",
     "sim_cosine_topk", "sim_ann_ivf_topk",
-    "multimodal_payload_stats", "multimodal_fake_features",
-    "sample_train_val_test", "corpus_prep_pipeline",
-    # set ops / sort / meta
-    "sort_multi_key_topk", "setop_intersect", "meta_columns",
+    "multimodal_fake_features",
+    "sample_train_val_test", "corpus_global_shuffle", "corpus_prep_pipeline",
+    # set ops / sort
+    "sort_multi_key_topk",
 ]
 
 
