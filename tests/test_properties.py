@@ -91,3 +91,33 @@ def test_parse_date_anchor_laws(now):
     # month arithmetic is its own inverse on month floors
     mf = parse_date("month", now)
     assert parse_date("month-3month+3month", now) == mf
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("abc"),
+                          st.integers(0, 50),        # value
+                          st.integers(1, 9)),        # weight
+                min_size=1, max_size=60),
+       st.sampled_from([0.1, 0.5, 0.9]))
+def test_weighted_percentile_matches_brute_force(spark, rows, p):
+    """weighted_percentiles == the executable spec: walk values in order,
+    return the first whose cumulative weight reaches p·total."""
+    from activedata_etl_spark.functions.aggs import weighted_percentiles
+
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    got = {r["k"]: r["wp"] for r in
+           weighted_percentiles(df, ["k"], "v", "w", {"wp": p}).collect()}
+
+    by_key = {}
+    for k, v, w in rows:
+        by_key.setdefault(k, {}).setdefault(v, 0)
+        by_key[k][v] += w
+    for k, hist in by_key.items():
+        total = sum(hist.values())
+        cum, expect = 0, None
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum >= p * total:
+                expect = v
+                break
+        assert got[k] == expect, (k, p, hist, got[k], expect)
