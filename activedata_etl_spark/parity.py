@@ -98,6 +98,17 @@ def compare(name: str, sdf: DataFrame, oracle: str | None,
     if oracle is None:
         return ParityResult(name, len(s_rows) >= 0, len(s_rows), None,
                             ["rows-only check"] if not s_rows else [])
+    # DuckDB types SUM over integers (incl. window SUM) as HUGEINT; the
+    # verify driver's pandas canonicalizer has no int128 dtype, so a
+    # HUGEINT oracle column hash-mismatches even when every value is
+    # identical (CORRECTNESS_r02's only two fails). Reject at registration
+    # time: the oracle must CAST(... AS BIGINT).
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({oracle})").fetchall()
+    huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
+    if huge:
+        return ParityResult(
+            name, False, -1, None,
+            [f"driver-lossy HUGEINT oracle columns (CAST AS BIGINT): {huge}"])
     cur = con.execute(oracle)
     d_cols = [d[0] for d in cur.description]
     d_rows = cur.fetchall()

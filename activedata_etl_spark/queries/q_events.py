@@ -66,8 +66,8 @@ def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id,
@@ -142,8 +142,8 @@ def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flagged
     ), segmented AS (
       SELECT user_id, ts, session_no,
@@ -178,8 +178,8 @@ def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flagged
     ), sess AS (
       SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e

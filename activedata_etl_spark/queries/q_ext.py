@@ -645,7 +645,7 @@ def _corpus_prep_oracle(threshold: float = 0.2) -> str:
                                             ORDER BY doc_id) AS rn
           FROM q) WHERE rn = 1
       )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM q
     JOIN exact_keep USING (doc_id)
     WHERE doc_id NOT IN (SELECT id_b FROM near_drop)
