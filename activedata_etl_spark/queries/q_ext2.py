@@ -22,6 +22,12 @@ def _cos_sql(a: str, b: str) -> str:
             f" * sqrt({_COS.format(a=b, b=b)}))")
 
 
+def _band_sig_sql(band: int, n_bits: int = 16) -> str:
+    lo, hi = band * n_bits + 1, (band + 1) * n_bits
+    return (f"array_to_string(list_transform(list_slice(embedding, {lo}, {hi}),"
+            " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -29,23 +35,33 @@ def _cos_sql(a: str, b: str) -> str:
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000, embedding FROM embeddings
-    ), b AS (
-      SELECT vec_id, embedding,
-             array_to_string(list_transform(list_slice(embedding, 1, 8),
-               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-      FROM corpus
+    ), bands AS (
+      SELECT vec_id, embedding, b.band_idx, b.band_sig FROM corpus,
+        LATERAL (SELECT * FROM (VALUES
+          (0, {_band_sig_sql(0)}),
+          (1, {_band_sig_sql(1)}),
+          (2, {_band_sig_sql(2)}),
+          (3, {_band_sig_sql(3)})
+        ) v(band_idx, band_sig)) b
     )
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
            {_cos_sql('a.embedding', 'c.embedding')} AS cos
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    FROM bands a JOIN bands c
+      ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig
+     AND a.vec_id < c.vec_id
     WHERE {_cos_sql('a.embedding', 'c.embedding')} >= 0.95
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via sign-LSH blocking + exact cosine.
-    The fixture embeddings are random (max natural pair cosine ≈ 0.48),
-    so the corpus is the table unioned with an id-shifted copy — every
-    original must pair with its copy at cosine ≈ 1."""
+    """Embedding-cosine near-dup via BANDED sign-LSH blocking (4 bands ×
+    16 bits — 2^16 buckets per band, vs the old single 8-bit key whose
+    256-bucket universe went quadratic at corpus scale) with an
+    exact-vector dedup prepass so bit-identical copies never inflate the
+    pairwise stage. The fixture embeddings are random (max natural pair
+    cosine ≈ 0.48), so the corpus is the table unioned with an id-shifted
+    copy — every original must pair with its copy at cosine ≈ 1; the
+    oracle states the blocking relation directly (no prepass) and must
+    agree exactly, proving the prepass+expansion is semantics-preserving."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
