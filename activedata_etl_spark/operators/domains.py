@@ -64,8 +64,23 @@ def _prefer_bcast_right(agged: DataFrame) -> bool:
     return True
 
 
-def set_domain(spark: SparkSession, col: str, parts: Sequence, dtype: str = "string") -> DataFrame:
-    """Explicit partition list ({"type":"set","partitions":[...]})."""
+def set_domain(spark: SparkSession, col: str, parts: Sequence,
+               dtype: str | None = None) -> DataFrame:
+    """Explicit partition list ({"type":"set","partitions":[...]}).
+    ``dtype=None`` infers from the partition values (a numeric jx set
+    domain must keep its numeric type — a string-typed domain frame
+    would string-ify the edge column of the whole dense output)."""
+    if dtype is None:
+        non_null = [p for p in parts if p is not None]
+        if non_null and all(isinstance(p, bool) for p in non_null):
+            dtype = "boolean"
+        elif non_null and all(isinstance(p, int) and not isinstance(p, bool)
+                              for p in non_null):
+            dtype = "bigint"
+        elif non_null and all(isinstance(p, (int, float)) for p in non_null):
+            dtype = "double"
+        else:
+            dtype = "string"
     return spark.createDataFrame([(p,) for p in parts], f"{col} {dtype}")
 
 

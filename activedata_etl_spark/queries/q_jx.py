@@ -428,3 +428,50 @@ def jx_edges_allow_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "total", "value": "value", "aggregate": "sum"},
         ],
     })
+
+
+@query(
+    "jx_cube_allow_nulls",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE WHEN o_orderstatus IN ('O', 'F') THEN o_orderstatus END AS status,
+             CASE WHEN o_totalprice >= 0 AND o_totalprice < 300000
+                  THEN CAST(floor(o_totalprice / 100000) * 100000 AS DOUBLE)
+             END AS price_bin,
+             o_totalprice
+      FROM orders
+    ), a AS (
+      SELECT status, price_bin, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS revenue
+      FROM m GROUP BY status, price_bin
+    ), d1 AS (SELECT unnest(['O', 'F', NULL]) AS status),
+       d2 AS (SELECT CAST(unnest([0, 100000, 200000, NULL]) AS DOUBLE) AS price_bin)
+    SELECT d1.status AS status, d2.price_bin AS price_bin,
+           COALESCE(a.n, 0) AS n, a.revenue
+    FROM d1 CROSS JOIN d2
+    LEFT JOIN a ON d1.status IS NOT DISTINCT FROM a.status
+               AND d2.price_bin IS NOT DISTINCT FROM a.price_bin
+    """,
+)
+def jx_cube_allow_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-edge dense cube where BOTH edges carry allowNulls overflow
+    parts: the cell lattice is (set parts + NULL) × (range parts + NULL)
+    = 3×4 = 12 cells ALWAYS — out-of-domain statuses ('P') fall into the
+    status-NULL row, prices ≥ max into the bin-NULL column, and their
+    intersection cell holds rows outside both domains. This is the
+    reference cube output's allowNulls semantics (es52/decoders.py
+    include-missing bucket) over an N-dim lattice, with empty count
+    cells zero-filled and empty sums NULL."""
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "edges": [
+            {"name": "status", "value": "o_orderstatus", "allowNulls": True,
+             "domain": {"type": "set", "partitions": ["O", "F"]}},
+            {"name": "price_bin", "value": "o_totalprice", "allowNulls": True,
+             "domain": {"type": "range", "min": 0, "max": 300000,
+                        "interval": 100000}},
+        ],
+        "select": [
+            {"name": "n", "aggregate": "count"},
+            {"name": "revenue", "value": "o_totalprice", "aggregate": "sum"},
+        ],
+    })

@@ -50,3 +50,34 @@ def test_run_formatted_shapes(spark):
         "from": "nation", "edges": ["n_regionkey"],
         "select": [{"name": "n", "aggregate": "count"}], "format": "cube"})
     assert sum(cube["data"]["n"]) == 25
+
+
+def test_cube_allow_nulls_golden(spark):
+    """Golden multi-edge cube with allowNulls overflow parts on BOTH
+    axes: nation over regionkey set [0,1] (+NULL row for regions 2-4)
+    × nationkey range [0,20) by 10 (+NULL column for keys ≥ 20). The
+    formatter must append the overflow part LAST on each axis and place
+    overflow aggregates in those cells."""
+    cube = run_formatted(spark, {
+        "from": "nation",
+        "edges": [
+            {"name": "rk", "value": "n_regionkey", "allowNulls": True,
+             "domain": {"type": "set", "partitions": [0, 1]}},
+            {"name": "nk", "value": "n_nationkey", "allowNulls": True,
+             "domain": {"type": "range", "min": 0, "max": 20, "interval": 10}},
+        ],
+        "select": [{"name": "n", "aggregate": "count"}],
+        "format": "cube",
+    })
+    assert [e["name"] for e in cube["edges"]] == ["rk", "nk"]
+    assert cube["edges"][0]["domain"]["partitions"] == [0, 1, None]
+    assert cube["edges"][1]["domain"]["partitions"] == [0.0, 10.0, None]
+    # 25 nations: regions 0/1 have 5 nations each (keys spread over
+    # 0..24), regions 2-4 (15 nations) land in the rk-overflow row;
+    # nationkeys 20-24 (one per region) land in the nk-overflow column.
+    assert cube["data"]["n"] == [
+        [2, 2, 1],
+        [2, 2, 1],
+        [6, 6, 3],
+    ]
+    assert sum(map(sum, cube["data"]["n"])) == 25
