@@ -27,7 +27,7 @@ def leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
         path = f"{prefix}{f.name}"
         if isinstance(f.dataType, T.StructType):
             out.extend(leaf_paths(f.dataType, prefix=f"{path}."))
-        else:
+        elif not isinstance(f.dataType, T.ArrayType):
             out.append(path)
     return out
 

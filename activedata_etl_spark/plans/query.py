@@ -105,10 +105,15 @@ def _from(spark: SparkSession, frum) -> DataFrame:
     if "." in frum:
         from ..operators.nested import unnest
 
-        table, _, arr = frum.partition(".")
-        df = spark.table(table)
-        parents = [f.name for f in df.schema.fields if f.name != arr]
-        return unnest(df, arr, parents)
+        # multi-hop deep path ("t.orders.items"): explode each child
+        # array in turn, parent columns staying in scope at every level —
+        # the reference walks arbitrarily deep nested docs the same way.
+        parts = frum.split(".")
+        df = spark.table(parts[0])
+        for hop in parts[1:]:
+            parents = [c for c in df.columns if c != hop]
+            df = unnest(df, hop, parents)
+        return df
     return spark.table(frum)
 
 

@@ -10,8 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.exact import sql_dsum
 from ..io import load_table
 from ..operators import nested as N
+from ..plans import query as JXQ
 from .registry import query
 
 
@@ -109,3 +111,69 @@ def json_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(F.col("event_type").alias("t"),
                            F.col("user_id").alias("u"))).alias("packed"),
     )
+
+
+@query(
+    "nested_leaves_deep",
+    oracle="""
+    SELECT o_orderkey    AS "okey",
+           o_orderstatus AS "meta.status",
+           o_totalprice  AS "meta.detail.price",
+           o_orderpriority AS "meta.detail.priority",
+           o_custkey     AS "meta.who.ckey"
+    FROM orders
+    """,
+)
+def nested_leaves_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """leaves over a GENUINELY deep doc: 2-level struct nesting (struct
+    inside struct, two siblings at depth 2) — exercises the recursive
+    schema walk past depth 1, which the shallow fixture never did
+    (r2 verdict 'what's missing' #2). Output columns are the full dotted
+    leaf paths, the reference's LeavesOp naming."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_totalprice").alias("price"),
+                     F.col("o_orderpriority").alias("priority")).alias("detail"),
+            F.struct(F.col("o_custkey").alias("ckey")).alias("who"),
+        ).alias("meta"),
+    )
+    return N.leaves(o)
+
+
+@query(
+    "jx_deep_two_hop",
+    oracle=f"""
+    SELECT o.o_custkey, COUNT(*) AS n_lines,
+           {sql_dsum('l.l_quantity')} AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity >= 30
+    GROUP BY o.o_custkey
+    """,
+)
+def jx_deep_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-hop deep query: {"from": "cust_nested.orders.items"} walks a
+    customer→orders→lineitems document, exploding both array levels with
+    parent columns in scope (es52/deep.py walks child tables the same
+    way). The doc is built by nesting twice at ETL time; the oracle is
+    the equivalent relational join — deep-from must be exactly a
+    pre-joined view of the child table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    o_items = N.nest(li, ["l_orderkey"],
+                     ["l_linenumber", "l_quantity"], order_by="l_linenumber")
+    level1 = o.select("o_custkey", "o_orderkey").join(
+        o_items, o.o_orderkey == o_items.l_orderkey).drop("l_orderkey")
+    cust = N.nest(level1, ["o_custkey"], ["o_orderkey", "items"],
+                  order_by="o_orderkey", array_name="orders")
+    cust.createOrReplaceTempView("cust_nested")
+    return JXQ.run(spark, {
+        "from": "cust_nested.orders.items",
+        "where": {"gte": ["l_quantity", 30]},
+        "groupby": "o_custkey",
+        "select": [
+            {"name": "n_lines", "aggregate": "count"},
+            {"name": "total_qty", "value": "l_quantity", "aggregate": "sum"},
+        ],
+    })

@@ -114,3 +114,35 @@ def test_pruned_percentiles_fallback_is_exact(spark, sf_dir):
     b = A.sorted_percentiles(li.withColumn("__g__", F.lit(1)),
                              ["__g__"], "l_quantity", ps)
     assert a.collect()[0]["med"] == b.collect()[0]["med"]
+
+
+def test_leaf_paths_depth3():
+    from pyspark.sql import types as T
+    from activedata_etl_spark.operators.nested import leaf_paths
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("a", T.StructType([
+            T.StructField("b", T.StructType([
+                T.StructField("c", T.StringType()),
+                T.StructField("d", T.DoubleType()),
+            ])),
+            T.StructField("e", T.StringType()),
+            T.StructField("arr", T.ArrayType(T.LongType())),  # arrays are not leaves
+        ])),
+    ])
+    assert leaf_paths(schema) == ["id", "a.b.c", "a.b.d", "a.e"]
+
+
+def test_deep_from_two_hop_carries_parents(spark):
+    from pyspark.sql import functions as F
+    from activedata_etl_spark.plans import query as JXQ
+
+    df = spark.createDataFrame(
+        [(1, [(10, [(100,), (101,)]), (11, [(110,)])]), (2, [(20, [(200,)])])],
+        "pid bigint, kids array<struct<kid bigint, grand array<struct<gid bigint>>>>")
+    df.createOrReplaceTempView("deep_t")
+    out = JXQ.run(spark, {"from": "deep_t.kids.grand",
+                          "select": ["pid", "kid", "gid"]})
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(1, 10, 100), (1, 10, 101), (1, 11, 110), (2, 20, 200)]
