@@ -31,40 +31,44 @@ from .registry import ORACLES, QUERIES
 # remainder keeps registration order. Every entry is oracle-paired and
 # locally parity-checked either way.
 _FRONT = [
+    # r3 rotation: the r1/r2 driver rounds checked the same 50-entry
+    # prefix twice, so 18 entries that were only locally parity-checked
+    # (pass* in VERDICT r2) move in for fresh driver evidence; the spine
+    # (flagship, fixed reds, recently-changed ops) stays. Rotated-out
+    # queries remain covered by the full 150-query local sweep.
     # flagship + TPC-H
-    "q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
+    "q1_pricing_summary", "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
-    # aggregates (incl. weighted percentiles + skew machinery)
-    "agg_groupby_basic", "agg_median_percentile", "agg_cube",
-    "agg_first_last", "agg_weighted_percentile", "skew_two_phase_distinct",
-    # edges (domain completion)
-    "edges_set_dense", "edges_time_months",
+    # aggregates (incl. grouping lattices, set/cardinality kit, skew)
+    "agg_groupby_basic", "agg_median_percentile", "agg_weighted_percentile",
+    "agg_rollup", "agg_grouping_sets", "agg_cardinality", "agg_union_set",
+    "skew_two_phase_distinct",
+    # edges / cubes (domain completion incl. allowNulls overflow)
+    "edges_set_dense", "jx_edges_two_dim_dense", "jx_edges_allow_nulls",
+    "jx_cube_allow_nulls",
     # event-time
-    "events_tumbling_day", "events_sessionize_30m", "events_dedup_latest",
+    "events_sessionize_30m", "events_sessionize_capped", "events_dedup_latest",
     # expressions
-    "expr_null_semantics", "expr_string_kit", "expr_date_kit",
+    "expr_null_semantics", "expr_date_kit", "expr_when_case_in",
     # joins
-    "join_inner_broadcast", "join_left_outer", "join_semi",
-    "join_range_containment", "join_asof", "join_salted_skew",
-    "join_interval_overlap",
+    "join_inner_broadcast", "join_range_containment", "join_salted_skew",
+    "join_interval_overlap", "join_asof_tolerance", "join_anti",
     # windows
-    "window_ranking", "window_running_sum", "window_exact_percentile",
-    # nested / JSON
-    "nested_explode_roundtrip", "json_extract_ops",
+    "window_exact_percentile", "window_lag_lead", "window_filtered",
+    # nested / JSON / deep
+    "nested_explode_roundtrip", "json_extract_ops", "nested_leaves_deep",
+    "jx_deep_two_hop",
     # jx front-end
-    "jx_filter_project", "jx_groupby_agg", "jx_window_running",
-    "jx_edges_time_dense",
+    "jx_groupby_agg", "jx_edges_time_dense",
     # training-data extensions: text / dedup / similarity / multimodal /
     # sampling / end-to-end
-    "text_token_stats", "text_top_terms", "text_lang_id",
-    "dedup_exact_groups", "dedup_lsh_jaccard_pairs", "dedup_simhash",
-    "dedup_containment_pairs", "dedup_embedding_cosine",
-    "sim_cosine_topk", "sim_ann_ivf_topk",
+    "text_token_stats", "text_lang_id", "text_pii_redaction",
+    "dedup_exact_groups", "dedup_lsh_jaccard_pairs", "dedup_containment_pairs",
+    "dedup_embedding_cosine", "sim_ann_ivf_topk",
     "multimodal_fake_features",
-    "sample_train_val_test", "corpus_global_shuffle", "corpus_prep_pipeline",
+    "sample_train_val_test", "corpus_prep_pipeline",
     # set ops / sort
-    "sort_multi_key_topk",
+    "setop_union_all", "sort_missing_first", "sort_multi_key_topk",
 ]
 
 
