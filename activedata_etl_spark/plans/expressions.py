@@ -71,7 +71,9 @@ def _many(args) -> list[Column]:
 def _eq_like(args, combine):
     """eq/ne accept pair form ["a", 1] or clause form {"a": 1, "b": 2}."""
     if isinstance(args, dict):
-        cols = [combine(F.col(k), F.lit(v)) for k, v in args.items()]
+        # compile the variable side like every other op (dotted jx paths,
+        # names needing resolution), not a bare F.col
+        cols = [combine(compile_expr(k), F.lit(v)) for k, v in args.items()]
         out = cols[0]
         for c in cols[1:]:
             out = out & c
@@ -83,7 +85,7 @@ def _cmp(op):
     def run(args, _e):
         if isinstance(args, dict):  # clause form {"lt": {"x": 5}}
             (k, v), = args.items()
-            a, b = F.col(k), F.lit(v)
+            a, b = compile_expr(k), F.lit(v)
         else:
             a, b = _pair(args)
         return {"gt": a > b, "gte": a >= b, "lt": a < b, "lte": a <= b}[op]

@@ -98,11 +98,12 @@ def stateful_counts(events: DataFrame, key: str, count_col: str = "n"):
         state.update((n,))
         yield pd.DataFrame({key: [key_[0]], count_col: [n]})
 
+    key_type = events.schema[key].dataType.simpleString()
     return (
         events.groupBy(key)
         .applyInPandasWithState(
             update,
-            outputStructType=f"{key} bigint, {count_col} bigint",
+            outputStructType=f"{key} {key_type}, {count_col} bigint",
             stateStructType="n bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -216,7 +217,10 @@ def evicting_counts(events: DataFrame, key: str, ts: str,
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     import pandas as pd
 
-    out_schema = f"{key} bigint, n bigint, closed boolean"
+    # key type follows the input schema — string session/user ids are the
+    # common case and must not be forced through a bigint cast
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, n bigint, closed boolean"
 
     def update(key_, pdfs, state: GroupState):
         if state.hasTimedOut:

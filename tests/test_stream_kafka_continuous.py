@@ -37,3 +37,49 @@ def test_continuous_trigger_runs(spark, tmp_path):
         assert q.isActive, f"continuous query died: {q.exception()}"
     finally:
         q.stop()
+
+
+# The message-envelope contract: every broker-ish source (kafka_stream,
+# message_stream, a file-backed replay) lands rows in this shape; operator
+# code binds ONLY to it, so swapping the source changes zero operator code.
+_ENVELOPE = ("key string, value struct<event_id bigint, kind string>, "
+             "topic string, partition int, offset bigint, timestamp timestamp")
+
+
+def _enrich(env):
+    """The downstream operator pipeline under test — written once, source
+    unknown: filter on payload, project envelope + payload fields."""
+    return (env.filter(F.col("value.event_id") % 2 == 0)
+            .select("key", F.col("value.event_id").alias("event_id"),
+                    F.col("value.kind").alias("kind"), "offset"))
+
+
+def test_source_swap_changes_no_operator_code(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (str(i % 3), (i, "click" if i % 2 else "view"), "events", 0, i,
+         dt.datetime(2024, 1, 1, 0, 0, i))
+        for i in range(20)
+    ]
+    static_env = spark.createDataFrame(rows, _ENVELOPE)
+
+    # source A: batch frame (what a kafka_stream micro-batch delivers)
+    expected = sorted(tuple(r) for r in _enrich(static_env).collect())
+
+    # source B: file-backed stream with the SAME envelope schema, driven
+    # through the streaming engine; the SAME _enrich callable applies.
+    src_dir = str(tmp_path / "envelope_src")
+    static_env.write.parquet(src_dir)
+    stream_src = S.file_stream(spark, src_dir, static_env.schema)
+    got = []
+    q = S.run_foreach_batch(
+        _enrich(stream_src),
+        lambda batch, _id: got.extend(tuple(r) for r in batch.collect()),
+        checkpoint=str(tmp_path / "ckpt_swap"),
+    )
+    q.awaitTermination(60)
+    assert sorted(got) == expected
+    # and the kafka template emits exactly this envelope contract
+    # (construction fails here only for lack of the connector jar, which
+    # test_kafka_template_wiring pins down)

@@ -108,3 +108,31 @@ def test_event_time_timeout_evicts_state(spark, sf_dir, tmp_path):
     assert closed.count() == per_user.count()
     joined = closed.join(per_user, "user_id")
     assert joined.filter(F.col("n") != F.col("count")).count() == 0
+
+
+def test_evicting_counts_string_key(spark, tmp_path):
+    """The output key column type must follow the input schema — string
+    session/user ids are the docstring's own use case and previously hit
+    the hardcoded-bigint output schema."""
+    import datetime as dt
+
+    from activedata_etl_spark.streaming.stream import evicting_counts, file_stream
+
+    src, ckpt, out = (str(tmp_path / p) for p in ("in", "ck", "out"))
+    base = dt.datetime(2024, 1, 1)
+    rows = [(f"user-{i % 3}", base + dt.timedelta(minutes=i)) for i in range(9)]
+    ev = spark.createDataFrame(rows, "uid string, ts timestamp")
+    ev.write.parquet(src)
+
+    q = (evicting_counts(file_stream(spark, src, ev.schema), "uid", "ts",
+                         gap_ms=30 * 86_400_000)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.schema["uid"].dataType.simpleString() == "string"
+    final = {r["uid"]: r["n"] for r in got.filter("NOT closed").collect()
+             if r["n"] == 3}
+    assert set(final) == {"user-0", "user-1", "user-2"}
