@@ -10,7 +10,7 @@ as the backend: normalize the JSON clause set
 Supported clauses: ``from`` (view name or nested sub-query dict),
 ``select`` (expr / list / aggregates), ``where``, ``groupby``, ``edges``
 (default | set | range | time domains, dense output), ``window``,
-``sort``, ``limit``. Output ``format`` is handled by plans/format.py
+``sort``, ``skip``, ``limit``. Output ``format`` is handled by plans/format.py
 (list/table/cube are presentations of the same DataFrame).
 """
 
@@ -83,6 +83,13 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
                            *[F.col(n) for n in wnames])
     if "sort" in q:
         df = df.orderBy(*[_sort_col(s) for s in _listify(q["sort"])])
+    if "skip" in q:
+        # offset paging (the service's skip/limit contract). Spark lowers
+        # sort+offset+limit to one distributed top-(skip+limit) with the
+        # first `skip` rows dropped on the driver side of the take — sane
+        # for page-sized skips, degenerate for deep paging (use a
+        # sort-key predicate cursor there, same as the reference).
+        df = df.offset(int(q["skip"]))
     if "limit" in q:
         df = df.limit(int(q["limit"]))
     return df

@@ -72,6 +72,14 @@ def make_handler(spark):
 
                 n = int(self.headers.get("Content-Length", 0))
                 q = json.loads(self.rfile.read(n))
+                from .plans.validate import validate
+
+                # shape errors answer with the offending clause's path —
+                # the reference's structured jx error, not a stack trace
+                if problems := validate(q):
+                    self._send(400, {"error": "invalid query",
+                                     "invalid": problems})
+                    return
                 if q.get("format") == "explain":
                     # plan-only: analyze + optimize, execute nothing — the
                     # "what would this cost" probe for interactive users

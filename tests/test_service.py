@@ -97,3 +97,50 @@ def test_columns_endpoint(endpoint):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_skip_limit_paging(endpoint):
+    """skip/limit paging over a sorted result: pages tile the full
+    ordering with no overlap and no gap."""
+    base = {"from": "nation",
+            "select": [{"name": "nk", "value": "n_nationkey"}],
+            "sort": "n_nationkey"}
+    pages = []
+    for skip in (0, 10, 20):
+        out = _post(endpoint + "/query", {**base, "skip": skip, "limit": 10})
+        pages.append([row["nk"] for row in out["data"]])
+    assert pages[0] == list(range(10))
+    assert pages[1] == list(range(10, 20))
+    assert pages[2] == list(range(20, 25))
+
+
+def test_validation_error_carries_path(endpoint):
+    req = urllib.request.Request(
+        endpoint + "/query",
+        data=json.dumps({
+            "from": "nation",
+            "where": {"eeq": {"n_regionkey": 1}},
+            "select": [{"name": "x", "value": "n_name", "aggregate": "sume"}],
+            "edges": [{"name": "e", "value": "n_regionkey",
+                       "domain": {"type": "sett", "partitions": [1]}}],
+        }).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    body = json.loads(ei.value.read())
+    assert body["error"] == "invalid query"
+    paths = {p["path"] for p in body["invalid"]}
+    assert paths == {"where.eeq", "select[0].aggregate", "edges[0].domain.type"}
+
+
+def test_skip_without_sort_rejected(endpoint):
+    req = urllib.request.Request(
+        endpoint + "/query",
+        data=json.dumps({"from": "nation", "skip": 5}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    body = json.loads(ei.value.read())
+    assert body["invalid"][0]["path"] == "skip"
+    assert "sort" in body["invalid"][0]["reason"]
