@@ -47,19 +47,39 @@ def dsum_over(col, w: WindowSpec, prec: int = 18, scale: int = 6) -> Column:
     return F.sum(c.cast(f"decimal({prec},{scale})")).over(w).cast("double")
 
 
-def exact_percentile_over(col, w_frame: WindowSpec, p: float) -> Column:
+def exact_percentile_over(col, w_frame: WindowSpec, p: float,
+                          max_frame_rows: int | None = 10_000) -> Column:
     """Exact linear-interpolated percentile over a window frame.
 
     Spark has no builtin exact percentile-over-window (SURVEY.md §4.3 #3);
     the reference's incremental Percentile accumulator
     (vendor/jx_python/windows.py) sorts the frame. Same here: collect the
-    frame into an array, sort, interpolate at rank h=(n-1)·p. Cost is
-    O(frame²·log) per partition — acceptable because jx frames are bounded
-    row offsets; do NOT use over unbounded frames at scale.
+    frame into an array, sort, interpolate at rank h=(n-1)·p.
+
+    **Frame-size bound**: the frame MATERIALIZES as a per-row array, so
+    memory is O(frame) per row and compute O(frame·log frame) — fine for
+    jx's bounded row-offset frames, quadratic death for an unbounded
+    frame over a big partition (an unbounded running percentile over a
+    10⁸-row partition would build 10⁸ arrays of up to 10⁸ elements).
+    ``max_frame_rows`` guards that misuse AT EXECUTION TIME: any frame
+    exceeding it fails the job with a clear message instead of melting
+    an executor. Pass ``None`` only when the caller proves the bound
+    (e.g. a whole-partition frame over enumerated small groups). For
+    genuinely unbounded running percentiles, use a two-pass rank-based
+    plan (sorted_percentiles in functions/aggs.py) instead.
     """
     c = F.col(col) if isinstance(col, str) else col
     arr = F.array_sort(F.collect_list(c).over(w_frame))
     n = F.size(arr)
+    if max_frame_rows is not None:
+        n = F.when(
+            n > max_frame_rows,
+            F.raise_error(F.concat(
+                F.lit("exact_percentile_over: frame of "), n.cast("string"),
+                F.lit(f" rows exceeds max_frame_rows={max_frame_rows}; "
+                      "bound the frame or use a rank-based two-pass plan"))
+            ).cast("int"),
+        ).otherwise(n)
     h = (n - 1) * F.lit(float(p))
     lo = F.floor(h).cast("int")
     frac = h - F.floor(h)

@@ -146,3 +146,23 @@ def test_deep_from_two_hop_carries_parents(spark):
                           "select": ["pid", "kid", "gid"]})
     rows = sorted(tuple(r) for r in out.collect())
     assert rows == [(1, 10, 100), (1, 10, 101), (1, 11, 110), (2, 20, 200)]
+
+
+def test_exact_percentile_frame_guard(spark):
+    """An unbounded frame over a partition larger than max_frame_rows
+    must fail the job with the guard's message, not melt the executor."""
+    import pytest
+    from pyspark.sql import Window, functions as F
+    from activedata_etl_spark.operators import windows as W
+
+    df = spark.range(200).select((F.col("id") % 2).alias("g"),
+                                 F.col("id").cast("double").alias("v"))
+    w = W.running(Window.partitionBy("g").orderBy("v"))
+    guarded = df.withColumn("p", W.exact_percentile_over("v", w, 0.5,
+                                                         max_frame_rows=50))
+    with pytest.raises(Exception, match="max_frame_rows"):
+        guarded.collect()
+    # within the bound the same plan computes
+    ok = df.withColumn("p", W.exact_percentile_over("v", w, 0.5,
+                                                    max_frame_rows=200))
+    assert ok.count() == 200
