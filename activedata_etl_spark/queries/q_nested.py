@@ -177,3 +177,44 @@ def jx_deep_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "total_qty", "value": "l_quantity", "aggregate": "sum"},
         ],
     })
+
+
+@query(
+    "typed_encoding_fields",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN lang END   AS v_str,
+           CASE WHEN doc_id % 3 = 1 THEN doc_id END AS v_num,
+           CASE WHEN doc_id % 3 = 2 THEN doc_id END AS v_arr0,
+           1 AS e
+    FROM documents
+    """,
+)
+def typed_encoding_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-encoding ingest (mo_json/typed_encoder): heterogeneous docs
+    — field v is a string, a number, or an array depending on the row —
+    are encoded under type-suffix keys, so every typed value is
+    reachable at a deterministic path (v.~s~ / v.~n~ / v.~a~[0].~n~) and
+    NO path ever holds two types. The oracle states the expected value
+    of each typed path directly from the construction rule; the exists
+    counter ~e~ is 1 for every doc."""
+    from ..operators import typed as TY
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    m = F.col("doc_id") % 3
+    raw = (
+        F.when(m == 0, F.concat(F.lit('{"v": "'), F.col("lang"), F.lit('"}')))
+        .when(m == 1, F.concat(F.lit('{"v": '),
+                               F.col("doc_id").cast("string"), F.lit("}")))
+        .otherwise(F.concat(F.lit('{"v": ['), F.col("doc_id").cast("string"),
+                            F.lit(", "), (F.col("doc_id") + 1).cast("string"),
+                            F.lit("]}")))
+    )
+    enc = d.withColumn("__enc__", TY.typed_encode_json(raw))
+    return enc.select(
+        "doc_id",
+        F.get_json_object("__enc__", "$.v.~s~").alias("v_str"),
+        F.get_json_object("__enc__", "$.v.~n~").cast("bigint").alias("v_num"),
+        F.get_json_object("__enc__", "$.v.~a~[0].~n~").cast("bigint").alias("v_arr0"),
+        F.get_json_object("__enc__", "$.~e~").cast("int").alias("e"),
+    )

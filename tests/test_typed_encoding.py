@@ -1,0 +1,73 @@
+"""Typed-encoding round-trip (mo_json/typed_encoder semantics): suffix
+keys per leaf type, mapping-conflict-free storage, lossless decode."""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.operators import typed as TY
+
+
+def test_encode_shapes():
+    assert TY.encode_value({"a": 3}) == {"~e~": 1, "a": {"~n~": 3}}
+    assert TY.encode_value({"a": "x"}) == {"~e~": 1, "a": {"~s~": "x"}}
+    assert TY.encode_value({"a": True}) == {"~e~": 1, "a": {"~b~": True}}
+    assert TY.encode_value({"a": [1, "x"]}) == {
+        "~e~": 1, "a": {"~a~": [{"~n~": 1}, {"~s~": "x"}]}}
+    # null is missing: dropped, not encoded
+    assert TY.encode_value({"a": None, "b": 1}) == {"~e~": 1, "b": {"~n~": 1}}
+    # nesting recurses
+    assert TY.encode_value({"a": {"b": 2}}) == {
+        "~e~": 1, "a": {"~e~": 1, "b": {"~n~": 2}}}
+
+
+_json_scalars = (st.booleans() | st.integers(min_value=-10**9, max_value=10**9)
+                 | st.floats(allow_nan=False, allow_infinity=False, width=32)
+                 | st.text(max_size=8))
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: (st.lists(children, max_size=4)
+                      | st.dictionaries(st.text(max_size=6).filter(
+                          lambda k: "~" not in k), children, max_size=4)),
+    max_leaves=12)
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=6).filter(
+    lambda k: "~" not in k), _json_values, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_property(doc):
+    # None-free docs round-trip losslessly (null == missing is the
+    # documented lossy-by-design case)
+    assert TY.decode_value(TY.encode_value(doc)) == doc
+
+
+def test_spark_roundtrip_and_mapping_conflict(spark, tmp_path):
+    """The POINT of the encoding: docs whose field 'a' is number/string/
+    array land at distinct encoded paths, so one store holds all three
+    without schema conflict — and json schema inference UNIONS them."""
+    raw = ['{"a": 3}', '{"a": "x"}', '{"a": [1, 2]}',
+           '{"a": {"b": true}}', '{"a": null}']
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raw)],
+                               "id bigint, doc string")
+    enc = df.select("id", TY.typed_encode_json("doc").alias("enc"),
+                    TY.typed_decode_json(TY.typed_encode_json("doc")).alias("back"))
+    rows = {r["id"]: r for r in enc.collect()}
+    for i, r in enumerate(raw):
+        expect = {k: v for k, v in json.loads(r).items() if v is not None}
+        assert json.loads(rows[i]["back"]) == expect
+
+    # store the encoded docs; read back with schema inference: the four
+    # shapes of 'a' must merge into one struct with per-type subfields
+    path = str(tmp_path / "typed.jsonl")
+    with open(path, "w") as f:
+        for r in rows.values():
+            f.write(r["enc"] + "\n")
+    merged = spark.read.json(path)
+    names = {f.name for f in merged.schema["a"].dataType.fields}
+    assert {"~n~", "~s~", "~a~", "~e~"} <= names
+    # and each doc's value is reachable at its typed path
+    got = merged.select(
+        F.col("a.~n~").alias("n"), F.col("a.~s~").alias("s")).collect()
+    assert {r["n"] for r in got} == {3, None}
+    assert {r["s"] for r in got} == {"x", None}
