@@ -218,3 +218,39 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tok",
                 (F.col("__rs__") / F.col("n_tok")).alias("mean_rarity"))
     )
+
+
+@query(
+    "text_url_kit",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com'            AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang                                AS q_lang,
+           source                              AS domain_label
+    FROM documents
+    """,
+)
+def text_url_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for web-corpus prep (host-level dedup buckets,
+    domain mixing weights, per-site quality priors all key on these).
+    URLs are synthesized deterministically from the fixture
+    (https://<source>.example.com/docs/<id>?lang=<lang>), then taken
+    apart with Spark's builtin parse_url (JVM-side, codegen); the oracle
+    states each component straight from the construction rule, so the
+    check pins parse_url's HOST/PATH/QUERY semantics exactly. The
+    registrable-domain label (the eTLD+1 analog; here the first host
+    token) is what a crawler dedups and rate-buckets on."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("?lang="), F.col("lang"))
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.split(host, "\\.").getItem(0).alias("domain_label"),
+    )

@@ -109,3 +109,58 @@ def test_stream_stream_left_outer_watermark_delayed(spark, sf_dir, tmp_path):
         "left_outer")
         .select("click_id", "user_id", "buy_id", "amount"))
     assert unmatched.count() == batch.filter(F.col("buy_id").isNull()).count() > 0
+
+
+def test_stream_stream_full_outer_watermark_delayed(spark, sf_dir, tmp_path):
+    """Full-outer stream-stream join: BOTH sides' unmatched rows emit once
+    the watermark passes their join window — the last join shape in the
+    streaming story (inner and left-outer covered above)."""
+    import datetime as dt
+
+    clicks, buys = _split_events(spark, sf_dir)
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    clicks.write.parquet(cdir)
+    buys.write.parquet(bdir)
+
+    def sweep():
+        sl = file_stream(spark, cdir, clicks.schema)
+        sr = file_stream(spark, bdir, buys.schema).withColumnRenamed(
+            "user_id", "r_user_id")
+        sj = stream_stream_join(
+            sl, sr, "click_ts", "buy_ts",
+            on=F.col("user_id") == F.col("r_user_id"),
+            watermark="1 hour", max_lag="30 minutes", how="full_outer",
+        ).select("click_id", "user_id", "r_user_id", "buy_id", "amount")
+        q = (sj.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    sweep()
+    far = clicks.agg(F.max("click_ts").alias("m")).collect()[0]["m"]
+    sentinel_ts = far + dt.timedelta(days=365)
+    spark.createDataFrame([(10**9, sentinel_ts, -1)], clicks.schema) \
+        .write.mode("append").parquet(cdir)
+    spark.createDataFrame([(10**9 + 1, sentinel_ts, -1, -0.0)], buys.schema) \
+        .write.mode("append").parquet(bdir)
+    sweep()
+
+    got = spark.read.parquet(out).filter(
+        F.coalesce("user_id", "r_user_id") >= 0)
+    batch = (clicks.join(
+        buys.withColumnRenamed("user_id", "r_user_id"),
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        "full_outer")
+        .select("click_id", "user_id", "r_user_id", "buy_id", "amount"))
+    # both sides complete, and unmatched counts equal the batch truth
+    assert got.select("click_id").distinct().count() == \
+        batch.select("click_id").distinct().count()
+    assert got.select("buy_id").distinct().count() == \
+        batch.select("buy_id").distinct().count()
+    assert got.filter(F.col("buy_id").isNull()).count() == \
+        batch.filter(F.col("buy_id").isNull()).count()
+    assert got.filter(F.col("click_id").isNull()).count() == \
+        batch.filter(F.col("click_id").isNull()).count() > 0
