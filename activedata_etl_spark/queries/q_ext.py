@@ -939,3 +939,27 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline; both directed containments per candidate pair."""
     d = load_table(spark, sf_dir, "documents")
     return DD.containment_pairs(d, "doc_id", "text", threshold=0.3)
+
+
+from .registry import ORACLES as _ORACLES_SO_FAR  # noqa: E402
+
+
+@query("dedup_index_query", oracle=_ORACLES_SO_FAR["dedup_lsh_jaccard_pairs"])
+def dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index near-dup path (ext/dedup_index): build the
+    signature + shingle tables once, then answer near-dup pairs from the
+    derived tables alone — no text rescan. The oracle is byte-identical
+    to dedup_lsh_jaccard_pairs' and never sees the index, so a green
+    check proves index-path ≡ direct-path ≡ independent SQL. At 100 TB
+    this is the nightly-ingest shape: the index is ~1% of corpus size
+    and the only thing the candidate join ever shuffles."""
+    import os
+    import tempfile
+
+    from ..ext import dedup_index as DI
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_dedup_index_{os.path.basename(sf_dir.rstrip('/'))}")
+    DI.build_index(d, "doc_id", "text", path)
+    return DI.near_dup_pairs_from_index(spark, path, threshold=0.2)

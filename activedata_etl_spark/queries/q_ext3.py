@@ -254,3 +254,37 @@ def text_url_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
         F.split(host, "\\.").getItem(0).alias("domain_label"),
     )
+
+
+@query(
+    "corpus_host_stats",
+    oracle=f"""
+    SELECT source || '.example.com' AS host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           {{md}} AS median_chars
+    FROM documents
+    GROUP BY source
+    """.format(md="CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS DOUBLE)"),
+)
+def corpus_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile — the crawl-governance table every
+    web-scale pipeline keeps (domain mixing weights, per-site quality
+    priors, rate buckets key on it): doc count, token volume, language
+    spread, median doc size per registrable host. Groups on the URL
+    kit's host; single hash shuffle, exact median via the sort-based
+    percentile machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    base = d.select(host.alias("host"), F.size(TX.tokens("text")).alias("n_tok"),
+                    "lang", "n_chars")
+    agged = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    med = AG.sorted_percentiles(
+        base.select("host", F.col("n_chars").cast("double").alias("n_chars")),
+        ["host"], "n_chars", {"median_chars": 0.5})
+    return agged.join(med, "host")
