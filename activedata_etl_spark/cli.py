@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.fmt:
         q["format"] = args.fmt
 
+    from .plans.validate import validate
+
+    if problems := validate(q):
+        for p in problems:
+            print(f"error: invalid query at {p['path']}: {p['reason']}",
+                  file=sys.stderr)
+        return 2
+
     spark = get_spark("jx-cli")
     register_views(spark, args.data)
     try:

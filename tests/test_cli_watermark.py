@@ -54,3 +54,20 @@ def test_watermarked_windowed_counts(spark, sf_dir, tmp_path):
                             & (F.col("g.event_type") == F.col("t.event_type")))
     assert got.count() > 0
     assert j.filter(F.col("g.count") != F.col("t.count")).count() == 0
+
+
+def test_cli_invalid_query_paths(tmp_path, capsys):
+    """CLI pre-flight validation: shape errors print the offending jx
+    path and exit 2 BEFORE any Spark session spins up."""
+    import json
+
+    from activedata_etl_spark.cli import main
+
+    qf = tmp_path / "bad.json"
+    qf.write_text(json.dumps({"from": "nation",
+                              "where": {"eeq": {"x": 1}},
+                              "skip": 3}))
+    rc = main(["--query", str(qf), "--data", "/root/testdata/sf0.001"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "where.eeq" in err and "skip" in err
