@@ -7,6 +7,7 @@ Module per SURVEY.md §2 area; each import populates
 from . import (  # noqa: F401
     q_aggs,
     q_aggs2,
+    q_analytics,
     q_edges,
     q_events,
     q_expr,

@@ -1,0 +1,133 @@
+"""Dashboard-analytics [Q] pairs: funnel, retention cohorts, sketch
+audits — the interactive-service shapes the reference's CI-dashboard
+users run (sequences of dependent stage filters, cohort lattices, and
+approximate aggregates checked against exact truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from .registry import query
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked strictly AFTER
+    their first signup, then purchased strictly after that first click.
+    Each stage is a groupBy-min over the prior stage's survivors —
+    three hash aggregations and two equi-joins, no window over the full
+    event stream, so the plan scales with distinct users per stage
+    (the steepest funnel stage bounds the shuffles)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame, prev_t: str, out_t: str) -> DataFrame:
+        return (e.filter(F.col("event_type") == etype)
+                .join(prev, "user_id")
+                .filter(F.col("ts") > F.col(prev_t))
+                .groupBy("user_id").agg(F.min("ts").alias(out_t)))
+
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    c = first_after("click", s, "t0", "t1")
+    p = first_after("purchase", c, "t1", "t2")
+    return (s.agg(F.count(F.lit(1)).alias("n_signup"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after"))))
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST((epoch(a.week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM first f JOIN act a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users grouped by first-seen week, counted in
+    every later week they were active. Both engines truncate weeks to
+    Monday and difference epoch seconds (week-truncated stamps are exact
+    multiples of 604800s apart in UTC — no calendar arithmetic needed).
+    Two hash shuffles (first-seen, distinct activity) + one equi-join on
+    user_id; cohort output is weeks², tiny at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    act = (e.select("user_id", F.date_trunc("week", "ts").alias("week"))
+           .distinct())
+    return (first.join(act, "user_id")
+            .select("cohort_week",
+                    ((F.unix_timestamp("week")
+                      - F.unix_timestamp("cohort_week")) / 604800)
+                    .cast("bigint").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query(
+    "agg_sketch_audit",
+    oracle="""
+    SELECT l_returnflag,
+           true AS median_within_bound,
+           true AS ndv_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit (the dedup_minhash_estimate pattern): the
+    approximate aggregates a 100 TB deployment actually runs —
+    approx_percentile (Greenwald-Khanna) and approx_count_distinct
+    (HyperLogLog++) — checked inside the query against the exact answers
+    at audit scale. The oracle states the PASS condition; a sketch
+    regression (accuracy param, Spark upgrade) flips a cell to false and
+    fails the hash gate. Both sketches are deterministic given the data,
+    so the audit is reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("apx_med"),
+        F.countDistinct("l_orderkey").alias("exact_ndv"),
+        F.expr("approx_count_distinct(l_orderkey, 0.02)").alias("apx_ndv"),
+    )
+    # GK with accuracy=10000 on ~100k rows: rank error ≤ N/10000 → value
+    # error bounded by the local density; 1% of the exact median is a
+    # generous pass band for this distribution. HLL rsd=0.02 → 5% band.
+    return g.select(
+        "l_returnflag",
+        (F.abs(F.col("apx_med") - F.col("exact_med"))
+         <= 0.01 * F.abs(F.col("exact_med"))).alias("median_within_bound"),
+        (F.abs(F.col("apx_ndv") - F.col("exact_ndv"))
+         <= 0.05 * F.col("exact_ndv")).alias("ndv_within_5pct"),
+    )
