@@ -131,3 +131,36 @@ def agg_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("apx_ndv") - F.col("exact_ndv"))
          <= 0.05 * F.col("exact_ndv")).alias("ndv_within_5pct"),
     )
+
+
+@query(
+    "window_range_trailing_7d",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trail7_sum,
+           COUNT(*) OVER w AS trail7_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (jx's row-offset frames are covered
+    elsewhere; this is the time-valued `RANGE BETWEEN` kind): per-user
+    trailing-7-day sum and count. Both engines order by exact INTEGER
+    microseconds (unix_micros / epoch_us) — the fixture's timestamps
+    carry sub-second micros, and a double-epoch ordering could disagree
+    at a frame boundary within rounding error, so the frame bound is
+    integer arithmetic end-to-end. Decimal-sum pattern keeps the float
+    total order-independent. One window exchange on user_id."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-604_800_000_000, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+         .cast("double").alias("trail7_sum"),
+        F.count(F.lit(1)).over(w).alias("trail7_n"),
+    )
