@@ -288,3 +288,50 @@ def corpus_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("host", F.col("n_chars").cast("double").alias("n_chars")),
         ["host"], "n_chars", {"median_chars": 0.5})
     return agged.join(med, "host")
+
+
+@query(
+    "text_fuzzy_title_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS title
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, title FROM t
+      UNION ALL
+      SELECT doc_id + 1000000, title || ' x' FROM t
+    ), keyed AS (
+      SELECT doc_id, title, string_split(title, ' ')[1] AS blk FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.title, b.title) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 2
+    """,
+)
+def text_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching — the edit-distance near-dup class that
+    shingle-Jaccard misses (char-level typos/suffixes on SHORT strings:
+    titles, names, package ids). Blocking on the first token turns the
+    all-pairs comparison into an equi-join; exact levenshtein (unit-cost,
+    engine-verified identical to the oracle's) only runs within blocks.
+    The corpus is each doc's 3-token title plus a ' x'-suffixed copy, so
+    every title has a guaranteed distance-2 partner and the oracle checks
+    real match structure, not an empty set. At scale: block keys want a
+    phonetic/q-gram choice + a bucket-size cap (mirror the LSH caps) —
+    first-token is the demonstration key."""
+    d = load_table(spark, sf_dir, "documents")
+    title = F.array_join(F.slice(TX.tokens("text"), 1, 3), " ")
+    t = d.select("doc_id", title.alias("title"))
+    corpus = t.unionByName(
+        t.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                 F.concat(F.col("title"), F.lit(" x")).alias("title")))
+    keyed = corpus.withColumn("blk", F.split("title", " ").getItem(0))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .withColumn("dist", F.levenshtein(F.col("a.title"), F.col("b.title")))
+            .filter(F.col("dist") <= 2)
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"), "dist"))
