@@ -30,11 +30,18 @@ def range_join(fact: DataFrame, dim: DataFrame, value: Column,
 def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
               left_time: str, right_time: str,
               tiebreak: str, right_cols: list[str] | None = None,
-              tolerance_s: float | None = None) -> DataFrame:
+              tolerance_s: float | None = None,
+              direction: str = "backward") -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` per key (LEFT semantics: unmatched left
     rows survive with NULLs). The reference's TUID "latest annotation ≤
     revision" lookup (SURVEY.md §2.3).
+
+    ``direction="forward"`` mirrors it: the EARLIEST right row with
+    ``right_time >= left_time`` (the "next deploy after this failure"
+    lookup). Ties on time resolve to the largest tiebreak backward and
+    the smallest forward — the natural mirror. Same single-shuffle plan:
+    only the scan order of the carry-forward window flips.
 
     ``tolerance_s`` bounds staleness: a right row older than
     ``left_time − tolerance_s`` seconds does not match (NULLs instead) —
@@ -74,9 +81,20 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
         *left.columns,
     )
     unioned = side_r.unionByName(side_l, allowMissingColumns=True)
+    if direction == "backward":
+        order = [F.col("__t__").asc(), F.col("__side__").asc(),
+                 F.col("__tb__").asc()]
+    elif direction == "forward":
+        # descending time scan: the payload last carried before a left row
+        # is the SMALLEST right time still >= it; __tb__ desc makes the
+        # smallest tiebreak win at equal times
+        order = [F.col("__t__").desc(), F.col("__side__").asc(),
+                 F.col("__tb__").desc()]
+    else:
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     w = (
         Window.partitionBy("__k__")
-        .orderBy("__t__", "__side__", "__tb__")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -86,7 +104,10 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     if tolerance_s is not None:
         fresh = (
             F.col("__best__.__rt__").cast("double")
-            >= F.col("__t__").cast("double") - F.lit(float(tolerance_s)))
+            >= F.col("__t__").cast("double") - F.lit(float(tolerance_s))
+        ) if direction == "backward" else (
+            F.col("__best__.__rt__").cast("double")
+            <= F.col("__t__").cast("double") + F.lit(float(tolerance_s)))
         matched = matched.withColumn(
             "__best__", F.when(fresh, F.col("__best__")))
     return matched.select(

@@ -33,31 +33,32 @@ from .registry import ORACLES, QUERIES
 # locally parity-checked either way.
 _FRONT = [
     # r3 rotation: the r1/r2 driver rounds checked the same 50-entry
-    # prefix twice, so 18 entries that were only locally parity-checked
-    # (pass* in VERDICT r2) move in for fresh driver evidence; the spine
-    # (flagship, fixed reds, recently-changed ops) stays. Rotated-out
-    # queries remain covered by the full 150-query local sweep.
+    # prefix twice, so 22 entries that were never driver-checked (18
+    # pass*-only from VERDICT r2 + 4 new-in-r3: sketch audit, funnel,
+    # forward as-of, typed encoding) move in for fresh driver evidence;
+    # the spine (flagship, fixed reds, recently-changed ops) stays.
+    # Rotated-out queries remain covered by the full local sweep.
     # flagship + TPC-H
     "q1_pricing_summary", "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # aggregates (incl. grouping lattices, set/cardinality kit, skew)
-    "agg_groupby_basic", "agg_median_percentile", "agg_weighted_percentile",
+    "agg_median_percentile", "agg_weighted_percentile", "agg_sketch_audit",
     "agg_rollup", "agg_grouping_sets", "agg_cardinality", "agg_union_set",
     "skew_two_phase_distinct",
     # edges / cubes (domain completion incl. allowNulls overflow)
     "edges_set_dense", "jx_edges_two_dim_dense", "jx_edges_allow_nulls",
     "jx_cube_allow_nulls",
     # event-time
-    "events_sessionize_30m", "events_sessionize_capped", "events_dedup_latest",
+    "events_sessionize_30m", "events_sessionize_capped", "events_funnel_steps",
     # expressions
     "expr_null_semantics", "expr_date_kit", "expr_when_case_in",
     # joins
-    "join_inner_broadcast", "join_range_containment", "join_salted_skew",
+    "join_asof_forward", "join_range_containment", "join_salted_skew",
     "join_interval_overlap", "join_asof_tolerance", "join_anti",
     # windows
     "window_exact_percentile", "window_lag_lead", "window_filtered",
     # nested / JSON / deep
-    "nested_explode_roundtrip", "json_extract_ops", "nested_leaves_deep",
+    "nested_explode_roundtrip", "typed_encoding_fields", "nested_leaves_deep",
     "jx_deep_two_hop",
     # jx front-end
     "jx_groupby_agg", "jx_edges_time_dense",

@@ -206,3 +206,35 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_s=2 * 3600,
     )
     return out.select("event_id", F.col("click_id").alias("asof_click"))
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH cand AS (
+      SELECT e.event_id, o.o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      FROM events e
+      JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    )
+    SELECT e.event_id, c.o_orderkey AS next_order
+    FROM events e
+    LEFT JOIN (SELECT event_id, o_orderkey FROM cand WHERE rn = 1) c USING (event_id)
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: the earliest order at-or-after each event's
+    timestamp ("next deploy after this failure"). Same single-shuffle
+    union + carry plan as backward; only the window scan order flips.
+    Ties resolve to the smallest key (the backward variant's mirror)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    out = J.asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        tiebreak="o_orderkey", right_cols=["o_orderkey"],
+        direction="forward",
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("next_order"))
