@@ -164,3 +164,105 @@ def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double").alias("trail7_sum"),
         F.count(F.lit(1)).over(w).alias("trail7_n"),
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variable moments — the 2-var extension of the mergeable
+    zero-moment stats aggregate: sample covariance and Pearson
+    correlation from decimal-exact sums (Σx, Σy, Σxy, Σx², Σy²). The
+    builtins (covar_samp/corr) accumulate doubles in partition order and
+    diverge across layouts AND engines; moment sums in decimal are
+    order-free, and the closing arithmetic is the byte-identical
+    expression on both sides. The cross terms cast each FACTOR to
+    decimal and multiply in decimal — casting the double PRODUCT rounds
+    at the target scale, where Spark (HALF_UP on the exact binary
+    expansion) and DuckDB disagree in the last ulp (measured). Widths
+    differ per engine for exactness: Spark (18,6)×(18,6)→(37,12) stays
+    under its 38-precision cap (no rescale), DuckDB needs (19,6) casts
+    to force int128 multiplication (its 18-digit decimals multiply in
+    int64 and overflow); the decimal VALUES are identical either way.
+    The wide sums convert decimal→double THROUGH AN EXACT STRING: a
+    scale-12 int128 decimal exceeds 2^53, and DuckDB's direct
+    decimal→double double-rounds (int→double, then /10^scale) while
+    Spark's BigDecimal route rounds once — via string both engines do
+    one correctly-rounded strtod (measured last-ulp divergence
+    otherwise). The moments are also what a distributed
+    merge needs — partial states add, exactly like the stats op."""
+    from ..functions.exact import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")
+              * F.col("l_extendedprice").cast("decimal(18,6)"))
+         .cast("string").cast("double").alias("sxy"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")
+              * F.col("l_quantity").cast("decimal(18,6)"))
+         .cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+              * F.col("l_extendedprice").cast("decimal(18,6)"))
+         .cast("string").cast("double").alias("syy"),
+    )
+    return m.select(
+        "l_returnflag",
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+         / (F.col("n") - 1)).alias("covar_qty_price"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
+        .alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+    FROM c WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value; ties → smallest value —
+    builtin mode() is tie-arbitrary in both engines, so both sides state
+    the argmax explicitly): count per (group, value), then one
+    row_number pick. Two shuffles, both on low-cardinality keys; the
+    per-group value histogram is the same intermediate count_values
+    builds."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc())
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("l_returnflag", F.col("l_quantity").alias("mode_qty"),
+                    F.col("n").alias("mode_n")))
