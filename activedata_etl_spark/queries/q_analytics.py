@@ -266,3 +266,92 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("l_returnflag", F.col("l_quantity").alias("mode_qty"),
                     F.col("n").alias("mode_n")))
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ), hv AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT g.user_id, CAST(g.h AS TIMESTAMP) AS h,
+           last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS UNBOUNDED PRECEDING) AS v_ffill
+    FROM grid g
+    LEFT JOIN (SELECT user_id, h, value FROM hv WHERE rn = 1) l
+      ON g.user_id = l.user_id AND g.h = l.h
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill — the time-series
+    gap-filling op (hypertable-rollup shape): per user, an hourly grid
+    from first to last event, carrying each hour's LAST observed value
+    (explicit tiebreak) forward across empty hours. Grid = sequence()
+    per key exploded scan-local (rows ≈ keys × hours, no shuffle to
+    build); fill = one last-ignorenulls window per key. The fill value
+    is carried, never arithmetic, so floats stay hash-exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    grid = b.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    hw = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    lastv = (e.withColumn("rn", F.row_number().over(hw))
+             .filter(F.col("rn") == 1)
+             .select("user_id", F.date_trunc("hour", "ts").alias("h"), "value"))
+    fw = (Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(lastv, ["user_id", "h"], "left")
+            .select("user_id", "h",
+                    F.last("value", ignorenulls=True).over(fw).alias("v_ffill")))
+
+
+@query(
+    "events_hourly_ohlc",
+    oracle="""
+    WITH hv AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT user_id, h,
+           MIN(CASE WHEN rf = 1 THEN value END) AS open_v,
+           MIN(CASE WHEN rl = 1 THEN value END) AS close_v,
+           MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n
+    FROM hv GROUP BY user_id, h
+    """,
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly downsample with open/close/low/high — the rollup companion
+    to the gap-filling resample. Open/close are ARGMIN/ARGMAX over the
+    unique (ts, event_id) order, expressed as one struct-min/max inside
+    a single hash aggregation (no window pass, no second shuffle): the
+    lexicographic struct comparison picks the earliest/latest event and
+    carries its value. The oracle states the same picks via row_number,
+    proving the struct trick against an independent formulation."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", "ts")
+    return (e.groupBy("user_id", h.alias("h")).agg(
+        F.min(F.struct("ts", "event_id", "value")).getField("value").alias("open_v"),
+        F.max(F.struct("ts", "event_id", "value")).getField("value").alias("close_v"),
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n")))
