@@ -355,3 +355,42 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct("ts", "event_id", "value")).getField("value").alias("close_v"),
         F.min("value").alias("lo"), F.max("value").alias("hi"),
         F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "events_value_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           (e.value - m.sx / m.n)
+             / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)) AS z
+    FROM events e JOIN m USING (user_id)
+    """,
+)
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key standardization (anomaly scoring): z = (x − mean)/sd with
+    the mean and sample sd from decimal-exact moments (same wide-sum
+    string-route as agg_corr_covar), then one broadcast-join of the tiny
+    per-key moment table back onto the stream — the classic two-pass
+    standardize, one shuffle for moments, map-side for the scoring
+    pass. The closing arithmetic is the byte-identical expression on
+    both engines, so even the float z-scores hash exactly."""
+    from ..functions.exact import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sx"),
+        F.sum(F.col("value").cast("decimal(18,6)")
+              * F.col("value").cast("decimal(18,6)"))
+         .cast("string").cast("double").alias("sxx"))
+    return (e.join(F.broadcast(m), "user_id")
+            .select("event_id", "user_id",
+                    ((F.col("value") - F.col("sx") / F.col("n"))
+                     / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                              / (F.col("n") - 1))).alias("z")))
