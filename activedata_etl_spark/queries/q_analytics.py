@@ -394,3 +394,91 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("value") - F.col("sx") / F.col("n"))
                      / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
                               / (F.col("n") - 1))).alias("z")))
+
+
+@query(
+    "events_resample_interp",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ), hv AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), j AS (
+      SELECT g.user_id, g.h, l.value AS v
+      FROM grid g
+      LEFT JOIN (SELECT user_id, h, value FROM hv WHERE rn = 1) l
+        ON g.user_id = l.user_id AND g.h = l.h
+    ), flanked AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS ph,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT user_id, CAST(h AS TIMESTAMP) AS h,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * ((epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph)))
+           END AS v_interp
+    FROM flanked
+    """,
+)
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the other resample mode: missing
+    grid hours between two observations take pv + (nv−pv)·frac with
+    frac from exact integer epoch seconds of hour-truncated stamps
+    (identical division both engines), edges (before first / after last
+    observation) stay NULL. Two windows per key (carry-back and
+    carry-forward) over the same grid join as the ffill op; the
+    interpolation expression is byte-identical on both sides so the
+    float results hash exactly."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    grid = b.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    hw = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    lastv = (e.withColumn("rn", F.row_number().over(hw))
+             .filter(F.col("rn") == 1)
+             .select("user_id", F.date_trunc("hour", "ts").alias("h"),
+                     F.col("value").alias("v")))
+    j = grid.join(lastv, ["user_id", "h"], "left")
+    wp = (Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    flanked = j.select(
+        "user_id", "h", "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"))
+    frac = ((F.unix_timestamp("h") - F.unix_timestamp("ph"))
+            / (F.unix_timestamp("nh") - F.unix_timestamp("ph")))
+    return flanked.select(
+        "user_id", "h",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+         .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+               F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+         .alias("v_interp"))
