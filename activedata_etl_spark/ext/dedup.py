@@ -482,3 +482,53 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     return (j.filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
             .select("id_a", "id_b", "c_ab", "c_ba"))
+
+
+def chunk_dedup_stats(df: DataFrame, id_col: str, text_col: str,
+                      chunk: int = 10, min_docs: int = 2) -> DataFrame:
+    """C4-style duplicated-CHUNK removal stats (sub-document dedup).
+
+    Doc-level dedup (exact/minhash above) misses boilerplate that repeats
+    ACROSS otherwise-distinct documents — nav bars, license headers,
+    templated paragraphs. C4's answer is line-level: drop any line that
+    occurs in ≥ ``min_docs`` documents corpus-wide. Our corpus has no
+    line structure, so the unit is a fixed ``chunk``-token window (the
+    same unit the sequence chunker emits), which is the same algorithm
+    with a deterministic segmenter.
+
+    Plan shape (scale is the point):
+      1. scan-local: tokenize → non-overlapping chunks → md5(chunk);
+         document bodies never shuffle, only (doc_id, hash, n_tok) rows.
+      2. one shuffle: countDistinct(doc) per hash (partial-agg'd).
+      3. the duplicated-hash set (count ≥ min_docs) is FILTERED FIRST and
+         then left-joined back — at corpus scale the dup set is a small
+         fraction of distinct chunks, so AQE turns this into a broadcast
+         join; the fallback is a plain hash join on uniform md5 keys (no
+         skew by construction).
+      4. per-doc regroup for the keep/drop accounting.
+
+    Returns one row per non-empty doc: n_chunks, n_dup_chunks (chunks
+    appearing in ≥ min_docs docs), kept_tokens (tokens surviving removal).
+    """
+    from .text import chunk_tokens, tokens
+
+    ch = (
+        df.select(F.col(id_col), F.posexplode(chunk_tokens(tokens(text_col), chunk))
+                  .alias("chunk_idx", "chunk_toks"))
+        .select(id_col, "chunk_idx",
+                F.md5(F.array_join("chunk_toks", " ")).alias("h"),
+                F.size("chunk_toks").alias("n_tok"))
+    )
+    dup = (ch.groupBy("h")
+           .agg(F.countDistinct(id_col).alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("h", F.lit(True).alias("is_dup")))
+    return (
+        ch.join(dup, "h", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint")
+              .alias("n_dup_chunks"),
+             F.sum(F.when(F.col("is_dup").isNull(), F.col("n_tok")).otherwise(0))
+              .cast("bigint").alias("kept_tokens"))
+    )

@@ -170,3 +170,50 @@ def pack_bins(df, shard_col: str, id_col: str, n_tok_col: str,
     prev = F.coalesce(F.sum(n_tok_col).over(w), F.lit(0).cast("bigint"))
     return df.withColumn(
         "bin", F.floor(prev / F.lit(float(capacity))).cast("bigint"))
+
+
+#: Gopher-rule stopword list (Rae et al. 2021 §A1.1 uses a small English
+#: function-word set; the rule is "≥ 2 distinct hits", a cheap proxy for
+#: "is actual prose").
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
+
+
+def gopher_metrics(text) -> list[Column]:
+    """Gopher-style document-quality signals (Rae et al. 2021, §A1.1),
+    the standard pre-dedup corpus gate: word count bounds, mean word
+    length bounds, symbol-to-word ratio, distinct-stopword hits, and the
+    duplicate-2-gram fraction. All scan-local Column arithmetic (one
+    projection, no shuffle); thresholds live in the caller so one scan
+    can feed several policies.
+
+    Divisions are expressed identically on the oracle side (int/int →
+    double in both engines), so the float metrics hash exactly.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("bigint"),
+                          lambda acc, t: acc + F.length(t))
+    n_sym = F.size(F.filter(toks, lambda t: t.rlike(r"^[^\p{L}\p{N}]+$")))
+    return [
+        n.alias("n_words"),
+        (sum_len / n).alias("mean_word_len"),
+        (n_sym / n).alias("symbol_ratio"),
+        F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))).alias("stop_hits"),
+        F.coalesce(repetition_ratio(toks, 2), F.lit(0.0)).alias("dup_2gram"),
+    ]
+
+
+def gopher_keep(min_words: int = 20, max_words: int = 100_000,
+                min_mwl: float = 2.0, max_mwl: float = 10.0,
+                max_symbol_ratio: float = 0.1, min_stop_hits: int = 2,
+                max_dup_2gram: float = 0.85) -> Column:
+    """Keep flag over the :func:`gopher_metrics` output columns."""
+    return (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mwl, max_mwl)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("dup_2gram") <= max_dup_2gram)
+    )

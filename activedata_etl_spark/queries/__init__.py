@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     q_ext,
     q_ext2,
     q_ext3,
+    q_ext4,
     q_flagship,
     q_joins,
     q_jx,

@@ -1,0 +1,93 @@
+"""Extension ops round 3b: Gopher-rule quality gating, C4-style
+sub-document (chunk-level) cross-corpus dedup.
+
+Oracle strategy: every float metric is an int/int division expressed with
+the same operand order on both engines (IEEE division of exactly-
+represented integers is deterministic), and every DuckDB integer SUM is
+CAST AS BIGINT (HUGEINT is driver-lossy, see parity.compare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ext import dedup as DD
+from ..ext import text as TX
+from ..io import load_table
+from .registry import query
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_STOPS = "[" + ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS) + "]"
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+               / len(t) AS mean_word_len,
+             len(list_filter(t, x -> regexp_matches(x, '^[^\\p{{L}}\\p{{N}}]+$')))
+               / len(t) AS symbol_ratio,
+             len(list_intersect(t, {_STOPS})) AS stop_hits,
+             CASE WHEN len(t) - 1 > 0 THEN
+               1 - len(list_distinct(g)) / len(g)
+             ELSE 0.0 END AS dup_2gram
+      FROM (
+        SELECT doc_id, {_TOKS} AS t,
+               list_transform(range(1, greatest(len({_TOKS}) - 1, 0) + 1),
+                              i -> array_to_string(list_slice({_TOKS}, i, i + 1), ' ')) AS g
+        FROM documents)
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits, dup_2gram,
+           (n_words BETWEEN 20 AND 100000)
+             AND (mean_word_len BETWEEN 2.0 AND 10.0)
+             AND symbol_ratio <= 0.1
+             AND stop_hits >= 2
+             AND dup_2gram <= 0.85 AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gate (Rae et al. 2021 §A1.1): word-count bounds,
+    mean word length, symbol-to-word ratio, stopword presence, duplicate-
+    2-gram fraction, folded into a keep flag. One scan-local projection —
+    at 100 TB this runs inside the ingest scan, before any shuffle, and
+    the flag (not the text) is what downstream stages read."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", *TX.gopher_metrics("text"))
+            .withColumn("keep", TX.gopher_keep()))
+
+
+@query(
+    "dedup_chunk_level",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS i
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS h, COUNT(*) AS n_tok
+      FROM t GROUP BY doc_id, floor((i - 1) / 10)
+    ), dup AS (
+      SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN dup.h IS NULL THEN ch.n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM ch LEFT JOIN dup USING (h)
+    GROUP BY ch.doc_id
+    """,
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document chunk dedup: any 10-token chunk occurring
+    in ≥2 documents corpus-wide is boilerplate; report per-doc removal
+    stats. Plan: chunks hash scan-local (bodies never shuffle), one
+    count-distinct shuffle on uniform md5 keys, dup-set filtered BEFORE
+    the join back (AQE broadcasts it when small)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.chunk_dedup_stats(d, "doc_id", "text", chunk=10, min_docs=2)

@@ -204,3 +204,36 @@ def test_containment_catches_subset_pairs(spark):
     # a symmetric Jaccard gate at the same strictness misses the pair
     jac = DD.near_dup_pairs(two, "id", "text", threshold=0.9)
     assert jac.count() == 0
+
+
+def test_chunk_dedup_finds_boilerplate(spark):
+    # Inject a repeated 10-token "nav bar" into 3 of 4 docs: those chunks
+    # must be flagged, the unique doc keeps everything.
+    boiler = " ".join(f"nav{i}" for i in range(10))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))  # noqa: E731
+    rows = [(i, boiler + " " + uniq(f"u{i}")) for i in range(3)]
+    rows.append((9, uniq("only") + " " + uniq("more")))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           DD.chunk_dedup_stats(df, "doc_id", "text", chunk=10, min_docs=2).collect()}
+    for i in range(3):
+        assert out[i]["n_chunks"] == 2 and out[i]["n_dup_chunks"] == 1
+        assert out[i]["kept_tokens"] == 10
+    assert out[9]["n_dup_chunks"] == 0 and out[9]["kept_tokens"] == 20
+
+
+def test_gopher_rules_reject_reasons(spark):
+    rows = [
+        (1, "the be to of and words " + " ".join(f"w{i}" for i in range(20))),  # keep
+        (2, "the be short doc"),                                    # too few words
+        (3, " ".join(["the be"] + ["spam"] * 40)),                  # dup-2gram heavy
+        (4, " ".join(f"w{i}" for i in range(30))),                  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *TX.gopher_metrics("text"))
+             .withColumn("keep", TX.gopher_keep()).collect()}
+    assert out[1]["keep"] and out[1]["stop_hits"] >= 5
+    assert not out[2]["keep"]
+    assert not out[3]["keep"] and out[3]["dup_2gram"] > 0.85
+    assert not out[4]["keep"] and out[4]["stop_hits"] == 0
