@@ -96,3 +96,67 @@ def filtered(agg_fn, value, cond: Column, w: WindowSpec) -> Column:
     """jx window ``where``: rows failing the predicate contribute nothing."""
     v = F.col(value) if isinstance(value, str) else value
     return agg_fn(F.when(cond, v)).over(w)
+
+
+def _mid_of_sorted(arr: Column, n: Column) -> Column:
+    """Engine-portable median of a SORTED array: mean of the lower/upper
+    middles, (a[(n+1)/2] + a[n/2+1]) / 2 (1-indexed). Stated this way —
+    not via an engine's median() — so Spark and any oracle engine compute
+    byte-identical results regardless of their interpolation defaults;
+    the /2 is exact in IEEE."""
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return (lo + hi) / 2
+
+
+def rolling_median_mad(col, w_frame: WindowSpec,
+                       max_frame_rows: int | None = 10_000) -> tuple[Column, Column]:
+    """Rolling median and MAD (median absolute deviation) over a bounded
+    window frame — the robust-statistics pair behind outlier/anomaly
+    detection on noisy operational series (mean/stddev get dragged by the
+    very outliers being hunted; median/MAD have 50% breakdown).
+
+    Frame materializes as a per-row array exactly like
+    :func:`exact_percentile_over` and carries the same ``max_frame_rows``
+    execution-time guard. Returns ``(median, mad)`` columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.array_sort(F.collect_list(c).over(w_frame))
+    n = F.size(arr)
+    if max_frame_rows is not None:
+        n = F.when(
+            n > max_frame_rows,
+            F.raise_error(F.concat(
+                F.lit("rolling_median_mad: frame of "), n.cast("string"),
+                F.lit(f" rows exceeds max_frame_rows={max_frame_rows}")))
+            .cast("int"),
+        ).otherwise(n)
+    med = _mid_of_sorted(arr, n)
+    devs = F.array_sort(F.transform(arr, lambda x: F.abs(x - med)))
+    mad = _mid_of_sorted(devs, n)
+    return med, mad
+
+
+def ewma_int(value_6dp, w_frame: WindowSpec, micro: int = 1_000_000) -> Column:
+    """Finite-horizon EWMA (α=0.5) in EXACT integer arithmetic.
+
+    True EWMA is a sequential recurrence (y_t = α·x_t + (1−α)·y_{t−1}) —
+    hostile to both parallel engines and cross-engine float parity. With
+    α=0.5 and an L-row frame the closed form has integer weights
+    2^(i−1): scale the 6-decimal values to integer micro-units, take the
+    weighted sum and the weight total as int64, divide once as doubles.
+    Every intermediate is exact (numerator < 2^53 for |x| < 4·10^9/2^L),
+    so the result is bit-identical on any engine; the truncation error vs
+    the infinite-horizon EWMA is ≤ 2^−L of the oldest excluded weight.
+
+    ``w_frame`` must be an ascending-ordered rowsBetween(-(L-1), 0)
+    frame; parallelism is per partition key like any window."""
+    v = F.col(value_6dp) if isinstance(value_6dp, str) else value_6dp
+    v6 = (v.cast("decimal(18,6)") * micro).cast("bigint")
+    arr = F.collect_list(v6).over(w_frame)
+    n = F.size(arr)
+    weighted = F.zip_with(
+        arr, F.sequence(F.lit(1), n),
+        lambda x, i: x * F.pow(F.lit(2.0), i - 1).cast("bigint"))
+    num = F.aggregate(weighted, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    den = (F.pow(F.lit(2.0), n).cast("bigint") - 1) * micro
+    return num.cast("double") / den.cast("double")

@@ -482,3 +482,96 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
                F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
          .alias("v_interp"))
+
+
+@query(
+    "events_rolling_mad_anomaly",
+    # median stated as mean-of-middles over the sorted frame list — the
+    # engine-portable form (operators/windows._mid_of_sorted), NOT an
+    # engine median() whose interpolation policy may differ.
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS a
+      FROM events
+    ), m AS (
+      SELECT event_id, user_id, value, a, len(a) AS n,
+             (a[CAST(floor((len(a) + 1) / 2) AS INT)]
+              + a[CAST(floor(len(a) / 2) AS INT) + 1]) / 2 AS med
+      FROM w
+    ), d AS (
+      SELECT event_id, user_id, value, med,
+             list_sort(list_transform(a, x -> abs(x - med))) AS dv, n
+      FROM m
+    ), s AS (
+      SELECT event_id, user_id, value, med,
+             (dv[CAST(floor((n + 1) / 2) AS INT)]
+              + dv[CAST(floor(n / 2) AS INT) + 1]) / 2 AS mad
+      FROM d
+    )
+    SELECT event_id, user_id, value, med AS roll_med, mad AS roll_mad,
+           CASE WHEN mad > 0 THEN abs(value - med) > 3 * mad
+                ELSE abs(value - med) > 0 END AS is_anomaly
+    FROM s
+    """,
+)
+def events_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling anomaly detection: trailing-20-event median + MAD
+    per user, flag points deviating > 3 MAD (mean/stddev would be dragged
+    by the outliers themselves; median/MAD have 50% breakdown). One
+    window exchange per user; the frame is bounded (20 rows) so the
+    per-row array materialization is O(20) regardless of corpus size."""
+    from ..operators import windows as W
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    med, mad = W.rolling_median_mad("value", w)
+    return (e.select("event_id", "user_id", "value",
+                     med.alias("roll_med"), mad.alias("roll_mad"))
+            .withColumn("is_anomaly",
+                        F.when(F.col("roll_mad") > 0,
+                               F.abs(F.col("value") - F.col("roll_med"))
+                               > 3 * F.col("roll_mad"))
+                        .otherwise(F.abs(F.col("value") - F.col("roll_med")) > 0)))
+
+
+@query(
+    "events_ewma",
+    # exact-integer closed form: 6-decimal values → micro-units, weights
+    # 2^(i-1) over a 20-row frame, one double division at the end. Every
+    # intermediate is an exact int64 (< 2^53), so both engines produce
+    # bit-identical doubles with no float-sum ordering hazard.
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(CAST(list_sum(list_transform(range(1, len(a) + 1),
+                  i -> a[i] * CAST(power(2, i - 1) AS BIGINT))) AS BIGINT) AS DOUBLE)
+           / CAST((CAST(power(2, len(a)) AS BIGINT) - 1) * 1000000 AS DOUBLE)
+             AS ewma
+    FROM w
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.5, 20-lag
+    horizon) — the classic smoothing recurrence made parallel-safe via
+    its closed form in exact integer arithmetic (operators/windows.
+    ewma_int). Truncating at 20 lags bounds the error at 2^-20 of the
+    excluded tail while turning a sequential scan into an ordinary
+    bounded window."""
+    from ..operators import windows as W
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    return e.select("event_id", "user_id", W.ewma_int("value", w).alias("ewma"))

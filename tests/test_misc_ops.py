@@ -166,3 +166,41 @@ def test_exact_percentile_frame_guard(spark):
     ok = df.withColumn("p", W.exact_percentile_over("v", w, 0.5,
                                                     max_frame_rows=200))
     assert ok.count() == 200
+
+
+def test_rolling_mad_flags_injected_spike(spark):
+    from activedata_etl_spark.operators import windows as W
+    from pyspark.sql import Window
+
+    # steady series with one 100x spike: only the spike is anomalous
+    rows = [(i, 1, float(10 + (i % 3))) for i in range(30)]
+    rows[20] = (20, 1, 1000.0)
+    df = spark.createDataFrame(rows, "event_id: long, user_id: long, value: double")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-19, 0)
+    med, mad = W.rolling_median_mad("value", w)
+    out = (df.select("event_id", "value", med.alias("med"), mad.alias("mad"))
+           .withColumn("anom", F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+           .collect())
+    flagged = {r["event_id"] for r in out if r["anom"]}
+    assert 20 in flagged and len(flagged) <= 2  # spike + at most edge noise
+    # guard fires on unbounded frames over a big partition
+    big = spark.range(200).select(
+        F.lit(1).alias("k"), F.col("id").cast("double").alias("v"))
+    wu = Window.partitionBy("k").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    m2, _ = W.rolling_median_mad("v", wu, max_frame_rows=50)
+    with pytest.raises(Exception, match="max_frame_rows"):
+        big.select(m2.alias("m")).collect()
+
+
+def test_ewma_int_known_values(spark):
+    from activedata_etl_spark.operators import windows as W
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 4.0)], "t: long, value: double")
+    w = Window.partitionBy().orderBy("t").rowsBetween(-19, 0)
+    got = [r["e"] for r in
+           df.select("t", W.ewma_int("value", w).alias("e")).orderBy("t").collect()]
+    # weights 2^(i-1), newest heaviest: [1, (1+2*2)/3, (1+2*2+4*4)/7]
+    assert got == [1.0, 5.0 / 3.0, 3.0]
