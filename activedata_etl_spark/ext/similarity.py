@@ -355,3 +355,40 @@ def canonical_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     groups = exact_vector_dedup_groups(df, id_col, vec_col)
     return df.join(groups.select(F.col("canonical_id").alias(id_col)),
                    id_col, "left_semi")
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   nlist: int = 16, n_iter: int = 2,
+                   threshold: float = 0.995) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
+    embedding space, then within each cluster drop members whose cosine
+    to the cluster REPRESENTATIVE (the centroid-closest member, ties →
+    lowest id) clears ``threshold``.
+
+    Anchoring comparisons at one representative per cluster keeps the
+    work O(N) — the full SemDeDup ε-ball sweep is O(Σ cluster²), and the
+    paper itself notes most removed pairs share the densest point. The
+    O(cluster²) refinement, if wanted, is :func:`cosine_dedup_pairs`
+    run per-cluster.
+
+    Scale: reuses :func:`ivf_build` (broadcast-centroid assignment, no
+    vector-table shuffle); representative selection is one max_by agg
+    over cid (nlist rows out, broadcast back). At corpus scale pick
+    nlist ≈ √N (SemDeDup uses ~√N clusters) so clusters stay balanced.
+
+    Returns (id, cid, rep_id, cos_rep, keep)."""
+    cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist, n_iter=n_iter)
+    withc = (assign.join(F.broadcast(cent), "cid")
+             .withColumn("__ccos__", cosine(F.col("__v__"), F.col("cvec"))))
+    reps = (withc.groupBy("cid")
+            .agg(F.max_by(F.struct(F.col(id_col).alias("rep_id"),
+                                   F.col("__v__").alias("rep_vec")),
+                          F.struct(F.col("__ccos__"), -F.col(id_col)))
+                 .alias("__r__"))
+            .select("cid", "__r__.rep_id", "__r__.rep_vec"))
+    return (withc.join(F.broadcast(reps), "cid")
+            .withColumn("cos_rep", cosine(F.col("__v__"), F.col("rep_vec")))
+            .select(F.col(id_col), F.col("cid"), F.col("rep_id"),
+                    F.col("cos_rep"),
+                    ((F.col(id_col) == F.col("rep_id"))
+                     | (F.col("cos_rep") < threshold)).alias("keep")))

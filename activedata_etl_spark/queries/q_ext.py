@@ -481,18 +481,20 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF ANN (oracle = the same deterministic k-means, CTE-unrolled) ----
 
-def _ivf_oracle(nlist: int = 16, n_iter: int = 2, n_queries: int = 10,
-                k: int = 3, nprobe: int = 2) -> str:
-    """Generate the DuckDB CTE chain mirroring ivf_build + ivf_topk:
-    deterministic lowest-id seeding, ``n_iter`` unrolled Lloyd iterations
-    with decimal-exact per-dimension means, nprobe search. Pairable
-    because every step is order-independent."""
-    def dot(a, b):
-        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 
-    def cos(a, b):
-        return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _ivf_ctes(nlist: int, n_iter: int) -> list[str]:
+    """CTE chain mirroring similarity.ivf_build: deterministic lowest-id
+    seeding, ``n_iter`` unrolled Lloyd iterations with decimal-exact
+    per-dimension means, final assignment ``af`` against centroids
+    ``c{n_iter}``. Shared by the IVF-ANN and semantic-dedup oracles."""
+    cos = _sql_cos
     ctes = [
         "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
         " AS vv FROM embeddings)",
@@ -518,6 +520,14 @@ def _ivf_oracle(nlist: int = 16, n_iter: int = 2, n_queries: int = 10,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                  ORDER BY {cos('v.vv', 'c.cvec')} DESC, c.cid ASC) AS rn
         FROM v, c{n_iter} c) WHERE rn = 1)""")
+    return ctes
+
+
+def _ivf_oracle(nlist: int = 16, n_iter: int = 2, n_queries: int = 10,
+                k: int = 3, nprobe: int = 2) -> str:
+    """Full IVF-ANN oracle: the shared k-means chain + nprobe search."""
+    cos = _sql_cos
+    ctes = _ivf_ctes(nlist, n_iter)
     ctes.append(f"""probes AS (
       SELECT q_id, qv, cid FROM (
         SELECT q.vec_id AS q_id, q.vv AS qv, c.cid,

@@ -91,3 +91,43 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join back (AQE broadcasts it when small)."""
     d = load_table(spark, sf_dir, "documents")
     return DD.chunk_dedup_stats(d, "doc_id", "text", chunk=10, min_docs=2)
+
+
+def _semantic_dedup_oracle(nlist: int = 16, n_iter: int = 2,
+                           threshold: float = 0.4) -> str:
+    """Oracle for similarity.semantic_dedup: the shared deterministic
+    k-means chain (q_ext._ivf_ctes), then per-cluster representative =
+    centroid-closest member (ties → lowest id) and the cosine-to-rep
+    keep rule."""
+    from .q_ext import _ivf_ctes, _sql_cos
+
+    ctes = _ivf_ctes(nlist, n_iter)
+    ctes.append(f"""wc AS (
+      SELECT a.vec_id, a.vv, a.cid, {_sql_cos('a.vv', 'c.cvec')} AS ccos
+      FROM af a JOIN c{n_iter} c USING (cid))""")
+    ctes.append("""reps AS (
+      SELECT cid, vec_id AS rep_id, vv AS rep_vec FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                  ORDER BY ccos DESC, vec_id ASC) AS rn
+        FROM wc) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT w.vec_id, w.cid, r.rep_id,
+           {_sql_cos('w.vv', 'r.rep_vec')} AS cos_rep,
+           (w.vec_id = r.rep_id)
+             OR ({_sql_cos('w.vv', 'r.rep_vec')} < {threshold}) AS keep
+    FROM wc w JOIN reps r USING (cid)""")
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_dedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with the
+    deterministic IVF k-means, keep one representative per ε-ball around
+    each cluster's densest member. Threshold 0.4 suits this synthetic
+    near-orthogonal fixture (real embedding corpora use ~0.95+); the
+    cos_rep column is value-checked regardless, so the oracle pins the
+    full geometry, not just the flags."""
+    from ..ext import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, "vec_id", "embedding",
+                              nlist=16, n_iter=2, threshold=0.4)

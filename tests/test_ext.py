@@ -237,3 +237,33 @@ def test_gopher_rules_reject_reasons(spark):
     assert not out[2]["keep"]
     assert not out[3]["keep"] and out[3]["dup_2gram"] > 0.85
     assert not out[4]["keep"] and out[4]["stop_hits"] == 0
+
+
+def test_semantic_dedup_drops_injected_copies(spark):
+    from activedata_etl_spark.ext import similarity as SIM
+
+    # two well-separated directions in R^4; three near-identical members
+    # around the first, two around the second, plus one outlier per cluster
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.998, 0.0, 0.02, 0.0]),
+        (3, [0.5, 0.5, 0.5, 0.5]),        # same halfspace, far from rep
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.01, 0.999, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r["vec_id"]: r for r in
+           SIM.semantic_dedup(df, "vec_id", "embedding",
+                              nlist=2, n_iter=2, threshold=0.95).collect()}
+    assert len(out) == 6
+    reps = {r["rep_id"] for r in out.values()}
+    # every rep keeps itself; near-copies of a rep are dropped
+    for rid in reps:
+        assert out[rid]["keep"]
+    dropped = {i for i, r in out.items() if not r["keep"]}
+    kept = {i for i, r in out.items() if r["keep"]}
+    assert dropped, "near-identical members must be dropped"
+    assert 3 in kept  # the far member survives a 0.95 ball
+    # all dropped members are ~duplicates of their cluster rep
+    assert all(out[i]["cos_rep"] >= 0.95 for i in dropped)
