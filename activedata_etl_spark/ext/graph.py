@@ -1,0 +1,87 @@
+"""Graph operators over relational co-occurrence data (north-star §2.11).
+
+Training-data pipelines meet graphs constantly: near-dup pair graphs
+(connected components live in ext/dedup.py), user/session co-occurrence,
+citation webs. The two primitives here — bounded co-occurrence edge
+extraction and degree-oriented triangle counting — are the building
+blocks of community/bot detection and graph-feature enrichment.
+
+Scale design:
+
+- **Edges**: co-occurrence via self-join on the slot key explodes
+  quadratically in slot size, the exact analog of a hot LSH bucket, so
+  ``max_slot_size`` drops oversized slots (a slot shared by millions of
+  entities carries no pair information, the same argument as
+  dedup.lsh_candidate_pairs' ``max_bucket_size``).
+- **Triangles**: the classic degree-ordered orientation (each edge
+  points low→high in the (degree, id) total order) bounds the wedge
+  fan-out per node by its out-degree, giving O(m^1.5) total work
+  instead of Σ deg² — the difference between hours and forever on a
+  skewed graph. Every join is an equi-join Catalyst/AQE can plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cooccurrence_edges(df: DataFrame, id_col: str, slot_cols: list[str],
+                       min_common: int = 2,
+                       max_slot_size: int | None = None) -> DataFrame:
+    """Undirected edges between entities sharing ≥ ``min_common``
+    distinct slots (e.g. users active in the same (event_type, hour)).
+    Output: (a, b, w) with a < b, w = number of shared slots."""
+    occ = df.select(F.col(id_col), *[F.col(c) for c in slot_cols]).distinct()
+    if max_slot_size is not None:
+        sizes = (occ.groupBy(*slot_cols).count()
+                 .filter(F.col("count") <= max_slot_size).drop("count"))
+        occ = occ.join(sizes, slot_cols)  # AQE broadcasts the slot list
+    left = occ.select(F.col(id_col).alias("a"), *slot_cols)
+    right = occ.select(F.col(id_col).alias("b"), *slot_cols)
+    return (left.join(right, slot_cols)
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= min_common))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected simple graph given as canonical (a < b, distinct) edges.
+
+    Orientation: edge {u,v} points u→v iff (deg(u), u) < (deg(v), v);
+    each triangle x≺y≺z is found exactly once as the wedge (x→y, x→z)
+    closed by y→z. Output: (node, degree, n_triangles, clustering) for
+    every node of degree ≥ 2; clustering = 2T / (d(d−1))."""
+    e = edges.select("a", "b")
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    ed = (e.join(deg.withColumnRenamed("node", "a")
+                 .withColumnRenamed("degree", "da"), "a")
+          .join(deg.withColumnRenamed("node", "b")
+                .withColumnRenamed("degree", "db"), "b"))
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.struct(F.col("db").alias("d"), F.col("b").alias("n")))
+         .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
+         .alias("dkey"))
+    w = (o.alias("e1").join(o.alias("e2"), "src")
+         .filter(F.col("e1.dkey") < F.col("e2.dkey"))
+         .select(F.col("src").alias("x"), F.col("e1.dst").alias("y"),
+                 F.col("e2.dst").alias("z")))
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = w.join(closing, ["y", "z"])
+    tn = (tri.select(F.col("x").alias("node"))
+          .unionAll(tri.select(F.col("y").alias("node")))
+          .unionAll(tri.select(F.col("z").alias("node")))
+          .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (deg.filter(F.col("degree") >= 2)
+            .join(tn, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("n_triangles", F.lit(0).cast("bigint"))
+                     .alias("n_triangles"))
+            .withColumn("clustering",
+                        (2.0 * F.col("n_triangles"))
+                        / (F.col("degree") * (F.col("degree") - 1))))

@@ -131,3 +131,51 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(emb, "vec_id", "embedding",
                               nlist=16, n_iter=2, threshold=0.4)
+
+
+@query(
+    "graph_triangle_cooccurrence",
+    oracle="""
+    WITH occ AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      FROM events
+    ), e AS (
+      SELECT l.user_id AS a, r.user_id AS b, COUNT(*) AS w
+      FROM occ l JOIN occ r
+        ON l.event_type = r.event_type AND l.h = r.h AND l.user_id < r.user_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ), tn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY node
+    )
+    SELECT d.node AS user_id, d.degree,
+           COALESCE(tn.n_triangles, 0) AS n_triangles,
+           (2.0 * COALESCE(tn.n_triangles, 0)) / (d.degree * (d.degree - 1))
+             AS clustering
+    FROM deg d LEFT JOIN tn USING (node)
+    WHERE d.degree >= 2
+    """,
+)
+def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the user co-activity graph: edges between
+    users sharing ≥3 distinct (event_type, hour) slots, then per-user
+    triangle counts + local clustering coefficient via degree-ordered
+    orientation (O(m^1.5), skew-safe — the oracle counts the same
+    triangles orientation-free, proving the orientation is lossless)."""
+    from ..ext import graph as GR
+
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("h", F.date_trunc("hour", F.col("ts"))))
+    edges = GR.cooccurrence_edges(ev, "user_id", ["event_type", "h"],
+                                  min_common=3)
+    return (GR.triangle_stats(edges)
+            .withColumnRenamed("node", "user_id"))

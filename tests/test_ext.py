@@ -267,3 +267,30 @@ def test_semantic_dedup_drops_injected_copies(spark):
     assert 3 in kept  # the far member survives a 0.95 ball
     # all dropped members are ~duplicates of their cluster rep
     assert all(out[i]["cos_rep"] >= 0.95 for i in dropped)
+
+
+def test_triangle_stats_known_graph(spark):
+    from activedata_etl_spark.ext import graph as GR
+
+    # K4 on {1,2,3,4} plus pendant 4-5: each K4 node is in 3 triangles
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5)], "a: long, b: long")
+    out = {r["node"]: r for r in GR.triangle_stats(edges).collect()}
+    for n in (1, 2, 3):
+        assert out[n]["n_triangles"] == 3 and out[n]["clustering"] == 1.0
+    assert out[4]["degree"] == 4 and out[4]["n_triangles"] == 3
+    assert out[4]["clustering"] == 2.0 * 3 / (4 * 3)
+    assert 5 not in out  # degree-1 nodes excluded
+
+
+def test_cooccurrence_hot_slot_cap(spark):
+    from activedata_etl_spark.ext import graph as GR
+
+    # slot "hot" shared by 10 users (45 pairs), slot "cold" by 2
+    rows = [(u, "hot") for u in range(10)] + [(100, "cold"), (101, "cold")]
+    df = spark.createDataFrame(rows, "user_id: long, slot: string")
+    uncapped = GR.cooccurrence_edges(df, "user_id", ["slot"], min_common=1)
+    assert uncapped.count() == 45 + 1
+    capped = GR.cooccurrence_edges(df, "user_id", ["slot"], min_common=1,
+                                   max_slot_size=5)
+    assert [tuple(r) for r in capped.select("a", "b").collect()] == [(100, 101)]
