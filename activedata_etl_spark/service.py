@@ -36,6 +36,10 @@ def make_handler(spark):
     from .plans.query import run_formatted
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 for Transfer-Encoding: chunked (the stream format);
+        # every non-chunked response carries Content-Length, as required.
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload, default=_default).encode()
             self.send_response(code)
@@ -90,6 +94,9 @@ def make_handler(spark):
                     plan = df._jdf.queryExecution().executedPlan().toString()
                     self._send(200, {"explain": plan})
                     return
+                if q.get("format") == "stream":
+                    self._stream_rows(q)
+                    return
                 t0 = time.perf_counter()
                 data = run_formatted(spark, q)
                 # reference responses carry meta.timing (active_data app)
@@ -99,6 +106,34 @@ def make_handler(spark):
                 }})
             except Exception as e:  # jx errors → 400, like the reference
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def _stream_rows(self, q: dict) -> None:
+            """``format=stream``: NDJSON rows over chunked transfer.
+
+            The list/table/cube formats collect() the whole result on the
+            driver — correct for the interactive role, a heap bomb for a
+            big extract. Stream mode pulls ``toLocalIterator()`` (one
+            Spark partition resident on the driver at a time) and flushes
+            each row as a JSON line, so a client can page through a
+            result far larger than driver memory. First bytes go out as
+            soon as the first partition lands."""
+            from .plans.query import run as run_plan
+
+            df = run_plan(spark, {k: v for k, v in q.items()
+                                  if k != "format"})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes) -> None:
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data + b"\r\n")
+
+            for row in df.toLocalIterator():
+                chunk(json.dumps(row.asDict(recursive=True),
+                                 default=_default).encode() + b"\n")
+            self.wfile.write(b"0\r\n\r\n")
 
         def log_message(self, *a):  # quiet: don't spam test output
             pass

@@ -144,3 +144,33 @@ def test_skip_without_sort_rejected(endpoint):
     body = json.loads(ei.value.read())
     assert body["invalid"][0]["path"] == "skip"
     assert "sort" in body["invalid"][0]["reason"]
+
+
+def test_stream_format_ndjson(endpoint):
+    # stream mode returns one JSON object per line over chunked transfer
+    # and matches the collected list-format result row-for-row
+    q = {"from": "nation", "select": ["n_nationkey", "n_name"],
+         "where": {"lt": {"n_nationkey": 7}}, "sort": "n_nationkey"}
+    req = urllib.request.Request(
+        endpoint + "/query",
+        data=json.dumps({**q, "format": "stream"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(ln) for ln in r.read().splitlines() if ln]
+    listed = _post(endpoint + "/query", {**q, "format": "list"})["data"]
+    assert lines == listed
+    assert [row["n_nationkey"] for row in lines] == list(range(7))
+
+
+def test_stream_format_validates_like_others(endpoint):
+    req = urllib.request.Request(
+        endpoint + "/query",
+        data=json.dumps({"format": "stream", "where": {"bogus": 1}}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read())
+        assert e.code == 400 and any(p["path"] == "from" for p in body["invalid"])
