@@ -510,15 +510,7 @@ def chunk_dedup_stats(df: DataFrame, id_col: str, text_col: str,
     Returns one row per non-empty doc: n_chunks, n_dup_chunks (chunks
     appearing in ≥ min_docs docs), kept_tokens (tokens surviving removal).
     """
-    from .text import chunk_tokens, tokens
-
-    ch = (
-        df.select(F.col(id_col), F.posexplode(chunk_tokens(tokens(text_col), chunk))
-                  .alias("chunk_idx", "chunk_toks"))
-        .select(id_col, "chunk_idx",
-                F.md5(F.array_join("chunk_toks", " ")).alias("h"),
-                F.size("chunk_toks").alias("n_tok"))
-    )
+    ch = chunk_table(df, id_col, text_col, chunk)
     dup = (ch.groupBy("h")
            .agg(F.countDistinct(id_col).alias("n_docs"))
            .filter(F.col("n_docs") >= min_docs)
@@ -531,4 +523,22 @@ def chunk_dedup_stats(df: DataFrame, id_col: str, text_col: str,
               .alias("n_dup_chunks"),
              F.sum(F.when(F.col("is_dup").isNull(), F.col("n_tok")).otherwise(0))
               .cast("bigint").alias("kept_tokens"))
+    )
+
+
+def chunk_table(df: DataFrame, id_col: str, text_col: str,
+                chunk: int = 10, extra_cols: tuple = ()) -> DataFrame:
+    """One row per fixed ``chunk``-token window of each doc: (id,
+    [extra_cols,] chunk_idx, h=md5 of the chunk text, n_tok). Scan-local
+    (no shuffle); the shared segmenter behind chunk-level dedup and
+    cross-source overlap profiling."""
+    from .text import chunk_tokens, tokens
+
+    return (
+        df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                  F.posexplode(chunk_tokens(tokens(text_col), chunk))
+                  .alias("chunk_idx", "chunk_toks"))
+        .select(id_col, *extra_cols, "chunk_idx",
+                F.md5(F.array_join("chunk_toks", " ")).alias("h"),
+                F.size("chunk_toks").alias("n_tok"))
     )

@@ -152,3 +152,54 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     out = (lb.join(rb.withColumnRenamed("__bin__", "__rbin__"), cond)
            .drop("__bin__", "__rbin__").distinct())
     return out
+
+
+def bloom_prefilter(probe: DataFrame, build: DataFrame, probe_key, build_key,
+                    n_bits: int = 1 << 16, n_hashes: int = 3) -> DataFrame:
+    """Bloom semi-join reduction: cut the probe side BEFORE its shuffle.
+
+    When the build side is too big to broadcast raw but small after its
+    filters, a big-big join shuffles the full probe side only to discard
+    most of it. A Bloom filter of the build keys IS broadcastable
+    (n_bits/8 bytes regardless of key count), has no false negatives, and
+    drops non-matching probe rows at the scan — the classic semi-join
+    reduction Spark's own runtime bloom injection performs, exposed here
+    as an explicit operator (hash-count/size tunable, works under any
+    join the optimizer picks downstream).
+
+    Construction is pure Column arithmetic: k=``n_hashes`` xxhash64 seeds
+    → bit positions → per-word bit_or aggregate → ONE row holding a
+    word→bits map, cross-broadcast onto the probe. Result-invisible by
+    Bloom's one-sided error: follow with the exact join; false positives
+    (rate ≈ (1-e^{-kn/m})^k) cost shuffle bytes, never correctness.
+    """
+    pk = F.col(probe_key) if isinstance(probe_key, str) else probe_key
+    bk = F.col(build_key) if isinstance(build_key, str) else build_key
+
+    def positions(key) -> list[Column]:
+        return [F.pmod(F.xxhash64(key, F.lit(s)), F.lit(n_bits))
+                for s in range(n_hashes)]
+
+    bloom = (
+        build.select(F.explode(F.array(*positions(bk))).alias("bp"))
+        .select((F.col("bp") / 64).cast("int").alias("w"),
+                F.expr("shiftleft(1L, CAST(bp % 64 AS INT))").alias("m"))
+        .groupBy("w").agg(F.expr("bit_or(m)").alias("m"))
+        .groupBy().agg(F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("w", "m")))).alias("__bloom__"))
+    )
+    out = probe.crossJoin(F.broadcast(bloom))
+    cond = None
+    for s in range(n_hashes):
+        bp = f"__bp{s}__"
+        out = out.withColumn(bp, F.pmod(F.xxhash64(pk, F.lit(s)), F.lit(n_bits)))
+        word = F.coalesce(
+            F.element_at(F.col("__bloom__"), (F.col(bp) / 64).cast("int")),
+            F.lit(0))
+        # shiftleft's pyspark wrapper takes only literal shift amounts;
+        # the SQL form accepts a column
+        mask = F.expr(f"shiftleft(1L, CAST({bp} % 64 AS INT))")
+        test = word.bitwiseAND(mask) != 0
+        cond = test if cond is None else (cond & test)
+    return (out.filter(cond)
+            .drop("__bloom__", *[f"__bp{s}__" for s in range(n_hashes)]))

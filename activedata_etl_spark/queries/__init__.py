@@ -49,13 +49,16 @@ _FRONT = [
     # edges / cubes (domain completion incl. allowNulls overflow)
     "edges_set_dense", "jx_edges_two_dim_dense", "jx_edges_allow_nulls",
     "jx_cube_allow_nulls",
-    # event-time
+    # event-time (incl. the late-r3 time-series/sequence/graph batch)
     "events_sessionize_30m", "events_sessionize_capped", "events_funnel_steps",
+    "events_rolling_mad_anomaly", "events_ewma", "events_path_trigrams",
+    "graph_triangle_cooccurrence",
     # expressions
-    "expr_null_semantics", "expr_date_kit", "expr_when_case_in",
+    "expr_null_semantics",
     # joins
-    "join_asof_forward", "join_range_containment", "join_salted_skew",
+    "join_asof_forward", "join_salted_skew",
     "join_interval_overlap", "join_asof_tolerance", "join_anti",
+    "join_bloom_prefiltered",
     # windows
     "window_exact_percentile", "window_lag_lead", "window_filtered",
     # nested / JSON / deep
@@ -65,13 +68,14 @@ _FRONT = [
     "jx_groupby_agg", "jx_edges_time_dense",
     # training-data extensions: text / dedup / similarity / multimodal /
     # sampling / end-to-end
-    "text_token_stats", "text_lang_id", "text_pii_redaction",
-    "dedup_exact_groups", "dedup_lsh_jaccard_pairs", "dedup_containment_pairs",
+    "text_gopher_rules", "text_pii_redaction",
+    "dedup_chunk_level", "dedup_semantic_clusters",
+    "dedup_lsh_jaccard_pairs", "dedup_containment_pairs",
     "dedup_embedding_cosine", "sim_ann_ivf_topk",
     "multimodal_fake_features",
-    "sample_train_val_test", "corpus_prep_pipeline",
+    "corpus_source_overlap", "corpus_prep_pipeline",
     # set ops / sort
-    "setop_union_all", "sort_missing_first", "sort_multi_key_topk",
+    "sort_missing_first",
 ]
 
 

@@ -179,3 +179,108 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   min_common=3)
     return (GR.triangle_stats(edges)
             .withColumnRenamed("node", "user_id"))
+
+
+@query(
+    "join_bloom_prefiltered",
+    # the bloom stage is result-invisible (no false negatives + exact
+    # join downstream), so the oracle is the plain join it reduces
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY p.p_brand
+    """,
+)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction: revenue of size-1 parts. The filtered
+    part keys build a Bloom filter (constant bytes however many keys);
+    lineitem is pre-filtered by it BEFORE any join machinery, then the
+    exact join removes the false positives. On a cluster where the dim
+    outgrows broadcast, this is the difference between shuffling the
+    full fact table and shuffling ~selectivity of it; here the filter
+    drops ~98% of lineitem at the scan."""
+    from ..functions.exact import dsum
+    from ..operators.joins import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    reduced = bloom_prefilter(li, p.select("p_partkey"),
+                              "l_partkey", "p_partkey")
+    return (reduced.join(p, reduced.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@query(
+    "corpus_source_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS i
+      FROM documents
+    ), ch AS (
+      SELECT DISTINCT source, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM t GROUP BY doc_id, source, floor((i - 1) / 10)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(DISTINCT a.h) AS n_shared_chunks
+    FROM ch a JOIN ch b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct 10-token chunks they share — the governance view that finds
+    mirror sites, syndicated boilerplate, and copy-paste feeds BEFORE
+    they skew mixture weights. Chunks hash scan-local; the only shuffles
+    are the (source, hash) distinct and the hash-keyed self-join (md5
+    keys — uniform, skew-free)."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = (DD.chunk_table(d, "doc_id", "text", chunk=10,
+                         extra_cols=("source",))
+          .select("source", "h").distinct())
+    a = ch.select(F.col("source").alias("src_a"), "h")
+    b = ch.select(F.col("source").alias("src_b"), "h")
+    return (a.join(b, "h").filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.countDistinct("h").alias("n_shared_chunks")))
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, COUNT(*) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: corpus-wide counts of consecutive
+    event-type trigrams per user stream (the n-gram view funnels are a
+    special case of). One window exchange keyed by user, then an
+    ordinary partial-agg'd count — output is bounded by |types|³, not
+    the event count."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"))
+    return (seq.filter(F.col("t3").isNotNull())
+            .groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n")))

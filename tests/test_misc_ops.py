@@ -204,3 +204,22 @@ def test_ewma_int_known_values(spark):
            df.select("t", W.ewma_int("value", w).alias("e")).orderBy("t").collect()]
     # weights 2^(i-1), newest heaviest: [1, (1+2*2)/3, (1+2*2+4*4)/7]
     assert got == [1.0, 5.0 / 3.0, 3.0]
+
+
+def test_bloom_prefilter_reduces_probe_and_never_drops_matches(spark, sf_dir):
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.operators.joins import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    keys = p.select("p_partkey")
+    reduced = bloom_prefilter(li, keys, "l_partkey", "p_partkey")
+    n_all, n_kept = li.count(), reduced.count()
+    n_true = li.join(keys, li.l_partkey == keys.p_partkey, "left_semi").count()
+    # every true match survives (no false negatives) ...
+    assert n_kept >= n_true
+    # ... and the reduction is real (sf fixtures: p_size=1 is ~2% of parts)
+    assert n_kept < n_all * 0.2
+    # exact join on the reduced side == exact join on the full side
+    assert (reduced.join(p, reduced.l_partkey == p.p_partkey).count()
+            == li.join(p, li.l_partkey == p.p_partkey).count())
