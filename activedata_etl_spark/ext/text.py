@@ -217,3 +217,29 @@ def gopher_keep(min_words: int = 20, max_words: int = 100_000,
         & (F.col("stop_hits") >= min_stop_hits)
         & (F.col("dup_2gram") <= max_dup_2gram)
     )
+
+
+def length_batches(df, shard_col: str, id_col: str, n_tok_col: str,
+                   batch_size: int):
+    """Length-bucketed batching audit: sort each shard's docs by token
+    count, cut into fixed-size batches, report per-batch padding waste
+    (n_docs·max_len − Σ len — the tokens a fixed-shape batch pads).
+    Sorting by length before batching is THE standard padding reducer;
+    this operator quantifies the win per shard so mixtures can be
+    re-sharded where waste is high.
+
+    Scale: the row_number window partitions by SHARD (parallelism =
+    shard count, no global sort); everything after is one partial-agg'd
+    groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(n_tok_col, id_col)
+    batched = df.withColumn(
+        "batch", F.floor((F.row_number().over(w) - 1) / batch_size))
+    return (batched.groupBy(shard_col, "batch")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max(n_tok_col).alias("max_tok"),
+                 F.sum(F.col(n_tok_col)).cast("bigint").alias("sum_tok"))
+            .withColumn("padding_waste",
+                        (F.col("n_docs") * F.col("max_tok")
+                         - F.col("sum_tok")).cast("bigint")))

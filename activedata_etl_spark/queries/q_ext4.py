@@ -284,3 +284,66 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("t3"))
     return (seq.filter(F.col("t3").isNotNull())
             .groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _semantic_pairs_oracle(nlist: int = 16, n_iter: int = 2,
+                           threshold: float = 0.35) -> str:
+    """Within-cluster pairwise ε-ball listing (the O(cluster²) SemDeDup
+    refinement): every same-cluster pair above the cosine threshold."""
+    from .q_ext import _ivf_ctes, _sql_cos
+
+    ctes = _ivf_ctes(nlist, n_iter)
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos('a.vv', 'b.vv')} AS cos
+    FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.vv', 'b.vv')} >= {threshold}""")
+
+
+@query("dedup_semantic_pairs", oracle=_semantic_pairs_oracle())
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact within-cluster pair listing dedup_semantic_clusters
+    anchors away: cluster assignment confines the quadratic to cluster
+    size (N²/nlist expected pairwise work instead of N² — with
+    nlist ≈ √N that is N^1.5), and the equi-join on cid is a plan
+    Catalyst/AQE handles like any LSH bucket join. Threshold 0.35 for
+    this near-orthogonal synthetic fixture."""
+    from ..ext import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assign = SIM.ivf_build(emb, "vec_id", "embedding", nlist=16, n_iter=2)
+    a = assign.select(F.col("vec_id").alias("id_a"), F.col("__v__").alias("va"), "cid")
+    b = assign.select(F.col("vec_id").alias("id_b"), F.col("__v__").alias("vb"), "cid")
+    return (a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", SIM.cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= 0.35)
+            .select("id_a", "id_b", "cos"))
+
+
+@query(
+    "text_length_batches",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY len(string_split_regex(lower(trim(text)), '\\s+')),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, CAST(floor((rn - 1) / 8) AS BIGINT) AS batch,
+           COUNT(*) AS n_docs, MAX(n_tok) AS max_tok,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS padding_waste
+    FROM r GROUP BY source, floor((rn - 1) / 8)
+    """,
+)
+def text_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for fixed-shape training batches: sort each
+    source's docs by token count, batch in eights, report how many pad
+    tokens each batch burns (ext/text.length_batches)."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("n_tok", TX.token_count("text"))
+    return TX.length_batches(d, "source", "doc_id", "n_tok", batch_size=8)

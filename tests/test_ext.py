@@ -294,3 +294,33 @@ def test_cooccurrence_hot_slot_cap(spark):
     capped = GR.cooccurrence_edges(df, "user_id", ["slot"], min_common=1,
                                    max_slot_size=5)
     assert [tuple(r) for r in capped.select("a", "b").collect()] == [(100, 101)]
+
+
+def test_tar_shard_sink_roundtrip(spark, sf_dir, tmp_path):
+    import tarfile
+    from activedata_etl_spark.sources.shards import (read_tar_shards,
+                                                     write_tar_shards)
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    d = d.withColumn("shard", (F.col("doc_id") % 4).cast("long")) \
+         .withColumn("meta", F.to_json(F.struct("lang", "source")))
+    path = str(tmp_path / "shards")
+    write_tar_shards(d, path, "shard", "doc_id",
+                     {"text": "txt", "meta": "json"})
+
+    back = read_tar_shards(path)
+    src = {str(r["doc_id"]): (r["text"], r["lang"]) for r in d.collect()}
+    assert set(back) == set(src)
+    for k, files in back.items():
+        assert files["txt"].decode() == src[k][0]
+        assert src[k][1] in files["json"].decode()
+    # 4 shards, deterministic bytes: rewrite → identical archives
+    import glob, hashlib
+    tars = sorted(glob.glob(path + "/*.tar"))
+    assert len(tars) == 4
+    h1 = [hashlib.md5(open(t, "rb").read()).hexdigest() for t in tars]
+    write_tar_shards(d.repartition(7), path, "shard", "doc_id",
+                     {"text": "txt", "meta": "json"})
+    h2 = [hashlib.md5(open(t, "rb").read()).hexdigest()
+          for t in sorted(glob.glob(path + "/*.tar"))]
+    assert h1 == h2

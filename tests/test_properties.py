@@ -121,3 +121,45 @@ def test_weighted_percentile_matches_brute_force(spark, rows, p):
                 expect = v
                 break
         assert got[k] == expect, (k, p, hist, got[k], expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=60,
+                unique=True),
+       st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=60,
+                unique=True))
+def test_bloom_prefilter_never_false_negative(spark, build, probe):
+    """Bloom's one-sided error, on arbitrary keys: every probe key that
+    IS in the build set must survive the prefilter."""
+    from activedata_etl_spark.operators.joins import bloom_prefilter
+
+    b = spark.createDataFrame([(k,) for k in build], "k: long")
+    p = spark.createDataFrame([(k,) for k in probe], "pk: long")
+    kept = {r["pk"] for r in
+            bloom_prefilter(p, b, "pk", "k", n_bits=1 << 10).collect()}
+    assert set(probe) & set(build) <= kept
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.decimals(min_value=-1000, max_value=1000, places=3),
+                min_size=1, max_size=25))
+def test_ewma_int_matches_sequential_spec(spark, vals):
+    """The closed-form integer EWMA equals the sequential recurrence
+    truncated at the frame horizon, computed in exact Fractions."""
+    from fractions import Fraction
+    from pyspark.sql import Window
+    from activedata_etl_spark.operators import windows as W
+
+    xs = [float(v) for v in vals]
+    df = spark.createDataFrame(list(enumerate(xs)), "t: long, value: double")
+    w = Window.partitionBy().orderBy("t").rowsBetween(-19, 0)
+    got = [r["e"] for r in
+           df.select("t", W.ewma_int("value", w).alias("e")).orderBy("t").collect()]
+    for i in range(len(xs)):
+        lo = max(0, i - 19)
+        weights = [Fraction(1, 2 ** (i - j)) for j in range(lo, i + 1)]
+        spec = (sum(wt * Fraction(str(round(x, 6)))
+                    for wt, x in zip(weights, xs[lo:i + 1]))
+                / sum(weights))
+        assert math.isclose(got[i], float(spec), rel_tol=0, abs_tol=1e-9), \
+            (i, got[i], float(spec))
