@@ -243,3 +243,54 @@ def length_batches(df, shard_col: str, id_col: str, n_tok_col: str,
             .withColumn("padding_waste",
                         (F.col("n_docs") * F.col("max_tok")
                          - F.col("sum_tok")).cast("bigint")))
+
+
+def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
+    """Byte-pair-encoding merge induction (Sennrich et al. 2016) — learn
+    the first ``n_merges`` merges from the corpus, the vocabulary-
+    construction step a tokenizer pipeline runs before token counting.
+
+    The trick that makes this a Spark-sized problem: after ONE corpus
+    scan (word → frequency), every round works on the weighted
+    VOCABULARY (distinct words), not the corpus — pair counting and the
+    merge rewrite are vocab-cardinality jobs however big the text is.
+    Greedy merge application is expressed as leftmost non-overlapping
+    string replace over a separator-joined symbol string, which both
+    Spark's replace() and any oracle engine's replace() implement with
+    identical semantics (probed: 'a~a~a' + (a,a) → [aa, a] on both).
+
+    Returns one row per learned merge: (merge_rank, lhs, rhs, merged, n) with
+    n = the weighted pair count that won the round. Words containing the
+    separator character are excluded (guard, not silent corruption).
+    """
+    from pyspark.sql import functions as F
+
+    words = (df.select(F.explode(tokens(text_col)).alias("w"))
+             .filter(~F.col("w").contains(sep) & (F.length("w") > 0))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wf")))
+    state = words.select(
+        F.concat_ws(sep, F.split(F.col("w"), "")).alias("seq"), "wf")
+    out = None
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.col("seq"), sep)
+        # guard 1-symbol words: sequence(1, 0) DESCENDS in Spark
+        pairs = F.when(F.size(syms) > 1, F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda j: F.struct(F.element_at(syms, j).alias("lhs"),
+                               F.element_at(syms, j + 1).alias("rhs")))) \
+            .otherwise(F.expr(
+                "CAST(array() AS array<struct<lhs:string,rhs:string>>)"))
+        counted = (state.select(F.explode(pairs).alias("p"), "wf")
+                   .groupBy("p.lhs", "p.rhs")
+                   .agg(F.sum("wf").cast("bigint").alias("n")))
+        top = (counted.orderBy(F.col("n").desc(), "lhs", "rhs").limit(1)
+               .select("lhs", "rhs", "n"))
+        row = top.select(F.lit(rank).alias("merge_rank"), "lhs", "rhs",
+                         F.concat("lhs", "rhs").alias("merged"), "n")
+        out = row if out is None else out.unionByName(row)
+        state = (state.crossJoin(F.broadcast(top))
+                 .select(F.replace(
+                     F.col("seq"),
+                     F.concat("lhs", F.lit(sep), "rhs"),
+                     F.concat("lhs", "rhs")).alias("seq"), "wf"))
+    return out

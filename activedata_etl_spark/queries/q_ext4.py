@@ -347,3 +347,47 @@ def text_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.withColumn("n_tok", TX.token_count("text"))
     return TX.length_batches(d, "source", "doc_id", "n_tok", batch_size=8)
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled CTE chain mirroring text.bpe_merges: weighted vocabulary,
+    per-round pair counts, deterministic top pick, leftmost-replace
+    merge (replace() semantics probed identical on both engines)."""
+    ctes = ["""w AS (
+      SELECT w, COUNT(*) AS wf FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE NOT contains(w, '~') AND length(w) > 0 GROUP BY w)""",
+            """s0 AS (
+      SELECT array_to_string(string_split_regex(w, ''), '~') AS seq, wf
+      FROM w)"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+          SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(SUM(wf) AS BIGINT) AS n
+          FROM (
+            SELECT unnest(list_transform(
+                     range(1, len(string_split(seq, '~'))),
+                     j -> struct_pack(lhs := string_split(seq, '~')[j],
+                                      rhs := string_split(seq, '~')[j + 1])))
+                   AS p, wf
+            FROM s{i - 1})
+          GROUP BY 1, 2)""")
+        ctes.append(f"""t{i} AS (
+          SELECT lhs, rhs, n FROM p{i} ORDER BY n DESC, lhs, rhs LIMIT 1)""")
+        ctes.append(f"""s{i} AS (
+          SELECT replace(seq, lhs || '~' || rhs, lhs || rhs) AS seq, wf
+          FROM s{i - 1} CROSS JOIN t{i})""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, lhs || rhs AS merged, n FROM t{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges from the corpus (ext/text.bpe_merges)
+    — tokenizer-vocabulary induction as a query. After one corpus scan
+    the rounds run over the weighted distinct-word table, so the
+    iteration cost is vocabulary-sized at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bpe_merges(d, "text", n_merges=3)

@@ -324,3 +324,16 @@ def test_tar_shard_sink_roundtrip(spark, sf_dir, tmp_path):
     h2 = [hashlib.md5(open(t, "rb").read()).hexdigest()
           for t in sorted(glob.glob(path + "/*.tar"))]
     assert h1 == h2
+
+
+def test_bpe_merges_hand_computed(spark):
+    # Sennrich-style toy corpus; merges derivable by hand:
+    # pair counts r1: lo=4, ow=4 (tie -> lhs 'l' wins), r2: lo+w=4,
+    # r3: four pairs tie at 2 -> lexicographic (e,s)
+    df = spark.createDataFrame(
+        [("low low low lower",), ("newest newest",)], "text: string")
+    got = [tuple(r) for r in
+           TX.bpe_merges(df, "text", n_merges=3).orderBy("merge_rank").collect()]
+    assert got == [(1, "l", "o", "lo", 4),
+                   (2, "lo", "w", "low", 4),
+                   (3, "e", "s", "es", 2)]
