@@ -391,3 +391,82 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration cost is vocabulary-sized at any corpus scale."""
     d = load_table(spark, sf_dir, "documents")
     return TX.bpe_merges(d, "text", n_merges=3)
+
+
+_HLL_REGS_CTE = """h AS (
+      SELECT o_orderstatus, md5(CAST(o_orderkey AS VARCHAR)) AS hx FROM orders
+    ), r AS (
+      SELECT o_orderstatus,
+             (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1 AS bucket,
+             list_reduce(list_transform(range(3, 18),
+               i -> CAST(strpos('0123456789abcdef', substring(hx, i, 1)) - 1
+                         AS BIGINT)),
+               (a, b) -> a * 16 + b) AS x
+      FROM h
+    ), regs AS (
+      SELECT o_orderstatus, CAST(bucket AS INT) AS bucket,
+             MAX(CASE WHEN x = 0 THEN 61 ELSE 61 - length(bin(x)) END)
+               AS max_rho
+      FROM r GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "agg_hll_registers",
+    oracle=f"WITH {_HLL_REGS_CTE}\n    SELECT * FROM regs",
+)
+def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-HLL register table itself (functions/hll.py): md5
+    bucket + leading-zero rank, per order status. Every register is
+    value-checked against the oracle's independent reconstruction —
+    this is the persistable, mergeable NDV-index state, not a black-box
+    sketch blob."""
+    from ..functions import hll
+
+    o = load_table(spark, sf_dir, "orders")
+    return hll.hll_registers(o, ["o_orderstatus"], "o_orderkey")
+
+
+@query(
+    "agg_hll_estimate",
+    oracle=f"""
+    WITH {_HLL_REGS_CTE},
+    hsum AS (
+      SELECT n_buckets,
+             present_sum + (256 - n_buckets)
+               * CAST((CAST(1 AS BIGINT) << 61) AS DECIMAL(38,0)) AS harmonic
+      FROM (SELECT COUNT(*) AS n_buckets,
+                   SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho)) AS DECIMAL(38,0)))
+                     AS present_sum
+            FROM (SELECT DISTINCT bucket, MAX(max_rho) OVER
+                    (PARTITION BY bucket) AS max_rho FROM regs))
+    )
+    SELECT n_buckets, CAST(256 - n_buckets AS BIGINT) AS n_zero,
+           CAST(harmonic AS VARCHAR) AS harmonic_scaled,
+           1.0854228543761655e+23 / CAST(CAST(harmonic AS VARCHAR) AS DOUBLE) AS raw_est,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS exact_ndv,
+           abs(1.0854228543761655e+23 / CAST(CAST(harmonic AS VARCHAR) AS DOUBLE)
+               - (SELECT COUNT(DISTINCT o_orderkey) FROM orders))
+             / (SELECT COUNT(DISTINCT o_orderkey) FROM orders) < 0.15
+             AS within_tolerance
+    FROM hsum
+    """,
+)
+def agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NDV estimate from the merged register table, with the
+    exact count and a tolerance flag in the same row — the sketch audit
+    pattern, but over a sketch whose every intermediate the oracle
+    recomputes. Merging the per-status registers first (max per bucket)
+    exercises the shard-merge path the persisted index relies on."""
+    from ..functions import hll
+
+    o = load_table(spark, sf_dir, "orders")
+    regs = hll.hll_registers(o, ["o_orderstatus"], "o_orderkey")
+    merged = hll.hll_merge(regs, group_cols=[])
+    est = hll.hll_estimate(merged, [])
+    exact = o.agg(F.countDistinct("o_orderkey").alias("exact_ndv"))
+    return (est.crossJoin(F.broadcast(exact))
+            .withColumn("within_tolerance",
+                        F.abs(F.col("raw_est") - F.col("exact_ndv"))
+                        / F.col("exact_ndv") < 0.15))

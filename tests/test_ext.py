@@ -337,3 +337,25 @@ def test_bpe_merges_hand_computed(spark):
     assert got == [(1, "l", "o", "lo", 4),
                    (2, "lo", "w", "low", 4),
                    (3, "e", "s", "es", 2)]
+
+
+def test_hll_merge_equals_single_pass(spark, sf_dir):
+    """Register merge over shards == registers of the union: the
+    property that makes the persisted NDV index incremental."""
+    from activedata_etl_spark.functions import hll
+
+    o = load_table(spark, sf_dir, "orders")
+    h1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    h2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    merged = hll.hll_merge(hll.hll_registers(h1, [], "o_orderkey"),
+                           hll.hll_registers(h2, [], "o_orderkey"),
+                           group_cols=[])
+    single = hll.hll_registers(o, [], "o_orderkey")
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, single.collect()))
+    assert a == b
+
+    # estimate accuracy: 256 registers -> ~6.5% std err; assert 15%
+    est = hll.hll_estimate(single, []).collect()[0]["raw_est"]
+    exact = o.select("o_orderkey").distinct().count()
+    assert abs(est - exact) / exact < 0.15
