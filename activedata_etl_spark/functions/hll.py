@@ -82,3 +82,20 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         (F.lit(M) - F.col("n_buckets")).cast("bigint").alias("n_zero"),
         harmonic.cast("string").alias("harmonic_scaled"),
         (F.lit(num) / harmonic.cast("string").cast("double")).alias("raw_est"))
+
+
+def append_registers(df: DataFrame, group_cols: list[str], value,
+                     path: str) -> None:
+    """Append this batch's registers to an APPEND-ONLY parquet index.
+    Merge happens at read (:func:`read_registers`) — and because merge
+    is max(), replaying a batch appends duplicate rows that change
+    nothing: the index is idempotent under at-least-once delivery with
+    no read-modify-write cycle, no transaction, no lost update."""
+    hll_registers(df, group_cols, value).write.mode("append").parquet(path)
+
+
+def read_registers(spark, path: str, group_cols: list[str]) -> DataFrame:
+    """Merge-on-read of an append-only register index: one max-groupBy
+    over (group, bucket) — ~m rows per group per appended batch, so
+    compaction is optional, not required for correctness."""
+    return hll_merge(spark.read.parquet(path), group_cols=group_cols)

@@ -470,3 +470,31 @@ def agg_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("within_tolerance",
                         F.abs(F.col("raw_est") - F.col("exact_ndv"))
                         / F.col("exact_ndv") < 0.15))
+
+
+@query(
+    "window_rolling_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           len(list_distinct(list(user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 199 PRECEDING AND CURRENT ROW))) AS n_active
+    FROM events
+    """,
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-entity count: distinct users among the trailing
+    200 events of each type — the 'active users right now' series SQL
+    windows can't express with COUNT(DISTINCT ... OVER). The frame is
+    bounded (200 rows) so the per-row set materialization is O(200);
+    unbounded running distincts belong to a groupBy-then-join plan, not
+    a window."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-199, 0))
+    return e.select(
+        "event_id", "event_type",
+        F.size(F.array_distinct(F.collect_list("user_id").over(w)))
+         .alias("n_active"))
