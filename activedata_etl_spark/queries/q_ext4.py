@@ -498,3 +498,104 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         F.size(F.array_distinct(F.collect_list("user_id").over(w)))
          .alias("n_active"))
+
+
+@query(
+    "etl_snapshot_diff",
+    # synthetic snapshots from the fixture: "yesterday" misses keys
+    # divisible by 97 and carries a stale price for keys divisible by 89
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey,
+             md5(CAST(CASE WHEN o_orderkey % 89 = 0
+                           THEN o_totalprice + 1
+                           ELSE o_totalprice END AS VARCHAR)
+                 || '|' || o_orderstatus) AS fp
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             md5(CAST(o_totalprice AS VARCHAR) || '|' || o_orderstatus) AS fp
+      FROM orders
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.fp IS NULL THEN 'added'
+                WHEN new.fp IS NULL THEN 'removed'
+                WHEN old.fp <> new.fp THEN 'changed' END AS change
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE (old.fp IS NULL) OR (new.fp IS NULL) OR (old.fp <> new.fp)
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC (sources/etl.snapshot_diff): keys+hashes
+    only cross the shuffle, bodies never move. Synthetic 'yesterday'
+    derived deterministically from the fixture so added/removed/changed
+    all occur."""
+    from ..sources.etl import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 97 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 89 == 0,
+                              F.col("o_totalprice") + 1)
+                       .otherwise(F.col("o_totalprice"))))
+    return snapshot_diff(old, o, ["o_orderkey"],
+                         ["o_totalprice", "o_orderstatus"])
+
+
+@query(
+    "etl_dq_audit",
+    oracle="""
+    SELECT 'orders_pk_duplicates' AS check_name,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orphans',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'events_user_not_in_customer',
+           (SELECT COUNT(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))
+    """,
+)
+def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality audit in one result set: primary-key
+    uniqueness, referential integrity (anti joins — broadcast when the
+    dim fits, shuffle-hash otherwise), domain constraints, and a
+    cross-dataset membership probe. Each check is a partial-agg'd count;
+    union of 5 one-row frames."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+
+    def row(name, df_count):
+        return df_count.select(F.lit(name).alias("check_name"),
+                               F.col("n").cast("bigint").alias("n"))
+
+    checks = [
+        row("orders_pk_duplicates",
+            o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n"))),
+        row("lineitem_fk_orphans",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+              .agg(F.count(F.lit(1)).alias("n"))),
+        row("orders_nonpositive_price",
+            o.filter(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("n"))),
+        row("lineitem_nonpositive_quantity",
+            li.filter(F.col("l_quantity") <= 0)
+              .agg(F.count(F.lit(1)).alias("n"))),
+        row("events_user_not_in_customer",
+            e.join(c, e.user_id == c.c_custkey, "left_anti")
+              .agg(F.count(F.lit(1)).alias("n"))),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

@@ -72,3 +72,19 @@ def test_incremental_stream_sweep(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(dest).count() == want
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    from activedata_etl_spark.sources.etl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k: long, s: string, v: double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),            # unchanged -> absent from diff
+         (2, "b", 21.0),            # changed
+         (4, "d", 40.0)],           # added; 3 removed
+        "k: long, s: string, v: double")
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
