@@ -150,3 +150,38 @@ def test_sessionize_capped_single_window_exchange(spark, sf_dir):
     aggregate exchange — a per-session re-shuffle would make it three."""
     plan = _plan(spark, sf_dir, "events_sessionize_capped")
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:1200]
+
+
+def test_bloom_prefilter_sits_below_join(spark, sf_dir):
+    """The semi-join reduction must cut the probe BEFORE join machinery:
+    the bloom membership test compiles to a Filter over the lineitem
+    scan side (below any join), and the bloom build side broadcasts."""
+    plan = _plan(spark, sf_dir, "join_bloom_prefiltered")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the probe filter references the bloom map lookup on the scan branch
+    filt = plan.find("element_at")
+    scan = plan.find("FileScan parquet", filt)
+    assert filt != -1 and scan != -1, "bloom bit-test filter not in plan"
+
+
+def test_chunk_dedup_never_shuffles_bodies(spark, sf_dir):
+    """Chunk dedup's exchanges must carry hashes, never document text."""
+    plan = _plan(spark, sf_dir, "dedup_chunk_level")
+    for seg in plan.split("Exchange ")[1:]:
+        # inspect the exchange's immediate output row: first line
+        assert "text#" not in seg.split("\n")[0], "document bodies in shuffle"
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    """Assignment must be map-side: centroids and reps broadcast; the
+    vector table is never the build side of a shuffle join."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_clusters")
+    assert plan.count("BroadcastExchange") >= 2  # centroids + reps
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "etl_snapshot_diff")
+    for seg in plan.split("Exchange ")[1:]:
+        head = seg.split("\n")[0]
+        assert "o_comment" not in head and "o_orderdate" not in head
