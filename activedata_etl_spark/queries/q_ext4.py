@@ -599,3 +599,79 @@ def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+@query(
+    "agg_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           least(greatest(e.value, p.lo), p.hi) AS v_wins
+    FROM events e JOIN p USING (event_type)
+    """,
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping at exact per-group percentiles (the robust
+    alternative to dropping tails): bracket-pruned exact p05/p95 per
+    event type (no per-group sort), broadcast back, clip map-side.
+    The clipped doubles hash exactly because the percentile machinery
+    reproduces percentile_cont interpolation bit-for-bit."""
+    from ..functions import aggs as A
+
+    e = load_table(spark, sf_dir, "events")
+    p = A.pruned_percentiles(e, ["event_type"], "value",
+                             {"lo": 0.05, "hi": 0.95})
+    return (e.join(F.broadcast(p), "event_type")
+            .select("event_id", "event_type",
+                    F.least(F.greatest(F.col("value"), F.col("lo")),
+                            F.col("hi")).alias("v_wins")))
+
+
+@query(
+    "agg_equidepth_histogram",
+    # bucket rule stated identically on both engines: 1 + count of
+    # interior percentile_cont boundaries strictly below the value —
+    # NOT NTILE, which needs a global sort (single task at scale)
+    oracle="""
+    WITH b AS (
+      SELECT """ + ",\n             ".join(
+        f"percentile_cont({i / 8}) WITHIN GROUP "
+        f"(ORDER BY CAST(l_extendedprice AS DOUBLE)) AS b{i}"
+        for i in range(1, 8)) + """
+      FROM lineitem
+    )
+    SELECT 1 """ + " ".join(
+        f"+ CASE WHEN CAST(l_extendedprice AS DOUBLE) > b{i} "
+        "THEN 1 ELSE 0 END" for i in range(1, 8)) + """ AS bucket,
+           COUNT(*) AS n,
+           MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+           MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+    FROM lineitem CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-boundary) histogram without the global sort
+    NTILE needs: 7 exact interior boundaries via the bracket-pruned
+    percentile path (tiny result, broadcast), bucket assignment as 7
+    scan-local comparisons, one partial-agg'd groupBy. The classic
+    optimizer-statistics / data-profiling primitive at any scale."""
+    from ..functions import aggs as A
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    bnd = A.pruned_percentiles(li, [], "l_extendedprice",
+                               {f"b{i}": i / 8 for i in range(1, 8)})
+    bucket = F.lit(1)
+    for i in range(1, 8):
+        bucket = bucket + F.when(v > F.col(f"b{i}"), 1).otherwise(0)
+    return (li.crossJoin(F.broadcast(bnd))
+            .select(bucket.alias("bucket"), v.alias("v"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi")))
