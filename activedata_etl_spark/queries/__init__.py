@@ -33,30 +33,32 @@ from .registry import ORACLES, QUERIES
 # remainder keeps registration order. Every entry is oracle-paired and
 # locally parity-checked either way.
 _FRONT = [
-    # r3 rotation: the r1/r2 driver rounds checked the same 50-entry
-    # prefix twice, so 22 entries that were never driver-checked (18
-    # pass*-only from VERDICT r2 + 4 new-in-r3: sketch audit, funnel,
-    # forward as-of, typed encoding) move in for fresh driver evidence;
-    # the spine (flagship, fixed reds, recently-changed ops) stays.
-    # Rotated-out queries remain covered by the full local sweep.
-    # flagship + TPC-H
+    # r3b rotation: every operator NEW this round (HLL, winsorize, CDC
+    # diff, DQ audit, MAD/EWMA, trigrams, triangles, bloom join, rolling
+    # distinct, semantic dedup + pairs, BPE, gopher gate, chunk dedup,
+    # source overlap) sits in the checked 50 for first-time driver
+    # evidence, alongside the spine (flagship, the r2 red-fixes, and
+    # every op the r3 ngrams/oracle refactors touched). Entries rotated
+    # out were driver-green in r1+r2 and stay covered by the full local
+    # sweep. Whole prefix parity-validated at sf0.01 before commit.
+    # flagship + star join + portable HLL
     "q1_pricing_summary", "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume_customer",
+    "agg_hll_registers", "agg_hll_estimate",
     # aggregates (incl. grouping lattices, set/cardinality kit, skew)
-    "agg_median_percentile", "agg_weighted_percentile", "agg_sketch_audit",
+    "agg_median_percentile", "agg_winsorize", "agg_sketch_audit",
     "agg_rollup", "agg_grouping_sets", "agg_cardinality", "agg_union_set",
     "skew_two_phase_distinct",
-    # edges / cubes (domain completion incl. allowNulls overflow)
-    "edges_set_dense", "jx_edges_two_dim_dense", "jx_edges_allow_nulls",
+    # ETL ops + edges / cubes (domain completion incl. allowNulls)
+    "etl_snapshot_diff", "jx_edges_two_dim_dense", "jx_edges_allow_nulls",
     "jx_cube_allow_nulls",
-    # event-time (incl. the late-r3 time-series/sequence/graph batch)
-    "events_sessionize_30m", "events_sessionize_capped", "events_funnel_steps",
+    # DQ + event-time (incl. the r3b time-series/sequence/graph batch)
+    "etl_dq_audit", "events_sessionize_capped", "events_funnel_steps",
     "events_rolling_mad_anomaly", "events_ewma", "events_path_trigrams",
     "graph_triangle_cooccurrence",
     # expressions
     "expr_null_semantics",
-    # joins
-    "join_asof_forward", "join_salted_skew",
+    # joins + rolling distinct
+    "join_asof_forward", "window_rolling_distinct",
     "join_interval_overlap", "join_asof_tolerance", "join_anti",
     "join_bloom_prefiltered",
     # windows
@@ -64,8 +66,8 @@ _FRONT = [
     # nested / JSON / deep
     "nested_explode_roundtrip", "typed_encoding_fields", "nested_leaves_deep",
     "jx_deep_two_hop",
-    # jx front-end
-    "jx_groupby_agg", "jx_edges_time_dense",
+    # semantic dedup refinement + tokenizer induction
+    "dedup_semantic_pairs", "text_bpe_merges",
     # training-data extensions: text / dedup / similarity / multimodal /
     # sampling / end-to-end
     "text_gopher_rules", "text_pii_redaction",
