@@ -106,3 +106,33 @@ def global_shuffle(df: DataFrame, key: Column, n_shards: int,
     w = Window.partitionBy("shard").orderBy(F.col("__b__"), key)
     return out.withColumn("pos", F.row_number().over(w).cast("bigint") - 1) \
               .drop("__b__")
+
+
+def mixture_budget(df: DataFrame, source_col: str, n_tok_col,
+                   weight_num, budget: int) -> DataFrame:
+    """Plan a token-budget mixture: given per-source token supply, an
+    integer weight per source, and a total token budget, compute each
+    source's target, keep rate, and shortfall — the sizing step BEFORE
+    :func:`weighted_mixture` applies the rates.
+
+    All allocation arithmetic is integer (bigint DIV), so the plan is
+    engine-exact; only the final keep_rate is a double (one division of
+    identical integers). One aggregation over the corpus; output is
+    source-cardinality rows."""
+    n = F.col(n_tok_col) if isinstance(n_tok_col, str) else n_tok_col
+    wn = F.col(weight_num) if isinstance(weight_num, str) else weight_num
+    per_src = (df.groupBy(source_col)
+               .agg(F.sum(n).cast("bigint").alias("n_tokens"),
+                    F.first(wn).alias("wn")))
+    tot = per_src.agg(F.sum("wn").cast("bigint").alias("wsum"))
+    return (per_src.crossJoin(F.broadcast(tot))
+            .withColumn("target_tokens",
+                        F.expr(f"CAST({budget} AS BIGINT) * wn DIV wsum"))
+            .withColumn("keep_rate",
+                        F.least(F.col("target_tokens"), F.col("n_tokens"))
+                         .cast("double") / F.col("n_tokens"))
+            .withColumn("shortfall",
+                        F.greatest(F.col("target_tokens") - F.col("n_tokens"),
+                                   F.lit(0)).cast("bigint"))
+            .select(source_col, "n_tokens", "wn", "target_tokens",
+                    "keep_rate", "shortfall"))

@@ -675,3 +675,36 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("v").alias("lo"), F.max("v").alias("hi")))
+
+
+@query(
+    "sample_mixture_budget",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens,
+             CAST(substring(source, 4) AS INT) % 5 + 1 AS wn
+      FROM documents GROUP BY source
+    ), s AS (SELECT CAST(SUM(wn) AS BIGINT) AS wsum FROM t)
+    SELECT source, n_tokens, wn,
+           CAST(50000 * wn AS BIGINT) // wsum AS target_tokens,
+           CAST(least(CAST(50000 * wn AS BIGINT) // wsum, n_tokens) AS DOUBLE)
+             / n_tokens AS keep_rate,
+           greatest(CAST(50000 * wn AS BIGINT) // wsum - n_tokens, 0)
+             AS shortfall
+    FROM t CROSS JOIN s
+    """,
+)
+def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: supply per source, integer target
+    allocation (bigint DIV — engine-exact), keep rate and shortfall per
+    source. The output feeds sampling.weighted_mixture, which applies
+    the rates as a scan-local hash filter. Source weights derive
+    deterministically from the source id (1..5 cycle)."""
+    from ..ext import sampling as S
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("n_tok", TX.token_count("text")) \
+         .withColumn("wn", F.substring("source", 4, 10).cast("int") % 5 + 1)
+    return S.mixture_budget(d, "source", "n_tok", "wn", budget=50_000)
