@@ -708,3 +708,58 @@ def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn("n_tok", TX.token_count("text")) \
          .withColumn("wn", F.substring("source", 4, 10).cast("int") % 5 + 1)
     return S.mixture_budget(d, "source", "n_tok", "wn", budget=50_000)
+
+
+@query(
+    "corpus_curriculum_order",
+    # quality = type-token ratio quartile via exact boundaries; order =
+    # quartile (easy→hard ≙ high→low TTR), then md5-rank within quartile
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+               * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+')) AS ttr
+      FROM documents
+    ), b AS (
+      SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY ttr) AS b1,
+             percentile_cont(0.5)  WITHIN GROUP (ORDER BY ttr) AS b2,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY ttr) AS b3
+      FROM q
+    )
+    SELECT doc_id,
+           4 - (CASE WHEN ttr > b1 THEN 1 ELSE 0 END
+                + CASE WHEN ttr > b2 THEN 1 ELSE 0 END
+                + CASE WHEN ttr > b3 THEN 1 ELSE 0 END) AS stage,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY 4 - (CASE WHEN ttr > b1 THEN 1 ELSE 0 END
+                               + CASE WHEN ttr > b2 THEN 1 ELSE 0 END
+                               + CASE WHEN ttr > b3 THEN 1 ELSE 0 END)
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM q CROSS JOIN b
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: quality quartile (stage 1 = highest
+    type-token ratio) as the coarse phase, deterministic md5 rank as the
+    within-stage shuffle — easy-to-hard scheduling that is reproducible
+    across engines, retries, and input layout. Boundaries from the
+    exact-percentile path (broadcast); ranking partitions by stage so
+    parallelism is per-stage, and at 100 TB the same plan writes
+    partitionBy(stage) + sortWithinPartitions(rank)."""
+    from pyspark.sql import Window
+    from ..functions import aggs as A
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    q = d.select("doc_id",
+                 (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"))
+    b = A.pruned_percentiles(q, [], "ttr", {"b1": 0.25, "b2": 0.5, "b3": 0.75})
+    staged = (q.crossJoin(F.broadcast(b))
+              .withColumn("stage",
+                          4 - (F.when(F.col("ttr") > F.col("b1"), 1).otherwise(0)
+                               + F.when(F.col("ttr") > F.col("b2"), 1).otherwise(0)
+                               + F.when(F.col("ttr") > F.col("b3"), 1).otherwise(0))))
+    w = Window.partitionBy("stage").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return staged.select("doc_id", "stage",
+                         F.row_number().over(w).cast("bigint").alias("pos"))
