@@ -542,3 +542,26 @@ def chunk_table(df: DataFrame, id_col: str, text_col: str,
                 F.md5(F.array_join("chunk_toks", " ")).alias("h"),
                 F.size("chunk_toks").alias("n_tok"))
     )
+
+
+def append_chunk_index(df: DataFrame, id_col: str, text_col: str,
+                       path: str, chunk: int = 10) -> None:
+    """Append this batch's (chunk-hash, doc) pairs to an APPEND-ONLY
+    parquet index. Like the HLL register index (functions/hll.py), the
+    merge operation — countDistinct at read — absorbs duplicate rows,
+    so at-least-once replay is a no-op without any read-modify-write."""
+    (chunk_table(df, id_col, text_col, chunk)
+     .select(F.col("h"), F.col(id_col).alias("doc"))
+     .write.mode("append").parquet(path))
+
+
+def duplicated_chunks_from_index(spark, path: str,
+                                 min_docs: int = 2) -> DataFrame:
+    """Merge-on-read of the chunk index: hashes occurring in ≥ min_docs
+    distinct docs — the corpus-wide boilerplate set, maintainable
+    incrementally (each nightly batch appends; no corpus rescan)."""
+    return (spark.read.parquet(path)
+            .groupBy("h")
+            .agg(F.countDistinct("doc").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("h", "n_docs"))
