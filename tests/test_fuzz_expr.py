@@ -1,0 +1,111 @@
+"""Differential fuzzing of the jx expression compiler: random predicate
+trees rendered BOTH as jx clause dicts (through plans/expressions — the
+real front-end path) and as DuckDB SQL with jx's explicit semantics
+(null-safe eq, both-present ne, missing-is-false and/or/not). Raw
+boolean outputs are compared INCLUDING nulls — stricter than filter
+equivalence, which would mask null-vs-false drift."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.plans.expressions import compile_expr
+
+COLS = ["a", "b"]
+LITS = [0, 1, 3]
+
+
+def _leaves():
+    col = st.sampled_from(COLS)
+    lit = st.sampled_from(LITS)
+    return st.one_of(
+        st.tuples(st.just("eq"), col, lit),
+        st.tuples(st.just("ne"), col, lit),
+        st.tuples(st.just("lt"), col, lit),
+        st.tuples(st.just("gt"), col, lit),
+        st.tuples(st.just("lte"), col, lit),
+        st.tuples(st.just("gte"), col, lit),
+        st.tuples(st.just("missing"), col),
+        st.tuples(st.just("exists"), col),
+        st.tuples(st.just("in"), col, st.lists(lit, min_size=1, max_size=3)),
+    )
+
+
+TREES = st.recursive(
+    _leaves(),
+    lambda sub: st.one_of(
+        st.tuples(st.just("and"), st.lists(sub, min_size=1, max_size=3)),
+        st.tuples(st.just("or"), st.lists(sub, min_size=1, max_size=3)),
+        st.tuples(st.just("not"), sub),
+    ),
+    max_leaves=8,
+)
+
+
+def to_jx(t):
+    op = t[0]
+    if op in ("and", "or"):
+        return {op: [to_jx(x) for x in t[1]]}
+    if op == "not":
+        return {"not": to_jx(t[1])}
+    if op in ("missing", "exists"):
+        return {op: t[1]}
+    if op == "in":
+        return {"in": [t[1], t[2]]}
+    if op == "eq":
+        return {"eq": {t[1]: t[2]}}
+    return {op: [t[1], t[2]]}
+
+
+def to_sql(t):
+    op = t[0]
+    if op == "and":
+        return "(" + " AND ".join(f"COALESCE({to_sql(x)}, FALSE)"
+                                  for x in t[1]) + ")"
+    if op == "or":
+        return "(" + " OR ".join(f"COALESCE({to_sql(x)}, FALSE)"
+                                 for x in t[1]) + ")"
+    if op == "not":
+        return f"(NOT COALESCE({to_sql(t[1])}, FALSE))"
+    if op == "missing":
+        return f"({t[1]} IS NULL)"
+    if op == "exists":
+        return f"({t[1]} IS NOT NULL)"
+    if op == "in":
+        return f"({t[1]} IN (" + ", ".join(map(str, t[2])) + "))"
+    if op == "eq":
+        return f"({t[1]} IS NOT DISTINCT FROM {t[2]})"
+    if op == "ne":
+        return (f"({t[1]} IS NOT NULL AND {t[2]} IS NOT NULL "
+                f"AND {t[1]} <> {t[2]})")
+    sym = {"lt": "<", "gt": ">", "lte": "<=", "gte": ">="}[op]
+    return f"({t[1]} {sym} {t[2]})"
+
+
+ROWS = [(i * 5 + j, a, b)
+        for i, a in enumerate([None, 0, 1, 2, 3])
+        for j, b in enumerate([None, 0, 1, 2, 3])]
+
+
+@pytest.fixture(scope="module")
+def fuzz_frames(spark):
+    df = spark.createDataFrame(ROWS, "id int, a int, b int")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, a INT, b INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", ROWS)
+    return df, con
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(TREES, min_size=1, max_size=12))
+def test_jx_expr_matches_semantic_sql(fuzz_frames, trees):
+    df, con = fuzz_frames
+    cols = [compile_expr(to_jx(t)).alias(f"e{i}") for i, t in enumerate(trees)]
+    got = {r["id"]: tuple(r[f"e{i}"] for i in range(len(trees)))
+           for r in df.select("id", *cols).collect()}
+    sql = "SELECT id, " + ", ".join(
+        f"{to_sql(t)} AS e{i}" for i, t in enumerate(trees)) + " FROM t"
+    want = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
+    assert got == want
