@@ -109,3 +109,77 @@ def test_jx_expr_matches_semantic_sql(fuzz_frames, trees):
         f"{to_sql(t)} AS e{i}" for i, t in enumerate(trees)) + " FROM t"
     want = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
     assert got == want
+
+
+# --- numeric kit: null-ignoring add/mult, least/greatest, coalesce, when ---
+
+def _num_leaves():
+    return st.one_of(st.sampled_from(COLS),
+                     st.sampled_from(LITS).map(lambda v: ("lit", v)))
+
+
+NUM_TREES = st.recursive(
+    _num_leaves(),
+    lambda sub: st.one_of(
+        st.tuples(st.just("add"), st.lists(sub, min_size=2, max_size=3)),
+        st.tuples(st.just("mult"), st.lists(sub, min_size=2, max_size=3)),
+        st.tuples(st.just("min"), st.lists(sub, min_size=2, max_size=3)),
+        st.tuples(st.just("max"), st.lists(sub, min_size=2, max_size=3)),
+        st.tuples(st.just("coalesce"), st.lists(sub, min_size=2, max_size=3)),
+        st.tuples(st.just("sub"), sub, sub),
+        st.tuples(st.just("when"), _leaves(), sub, sub),
+    ),
+    max_leaves=6,
+)
+
+
+def num_to_jx(t):
+    if isinstance(t, str):
+        return t
+    op = t[0]
+    if op == "lit":
+        return {"literal": t[1]}
+    if op in ("add", "mult", "min", "max", "coalesce"):
+        return {op: [num_to_jx(x) for x in t[1]]}
+    if op == "sub":
+        return {"sub": [num_to_jx(t[1]), num_to_jx(t[2])]}
+    return {"when": to_jx(t[1]), "then": num_to_jx(t[2]),
+            "else": num_to_jx(t[3])}
+
+
+def num_to_sql(t):
+    if isinstance(t, str):
+        return t
+    op = t[0]
+    if op == "lit":
+        return str(t[1])
+    if op in ("add", "mult"):
+        xs = [num_to_sql(x) for x in t[1]]
+        unit, sym = ("0", "+") if op == "add" else ("1", "*")
+        all_null = " AND ".join(f"({x}) IS NULL" for x in xs)
+        folded = sym.join(f"COALESCE({x}, {unit})" for x in xs)
+        return f"(CASE WHEN {all_null} THEN NULL ELSE {folded} END)"
+    if op in ("min", "max"):
+        fn = "least" if op == "min" else "greatest"
+        return f"{fn}(" + ", ".join(num_to_sql(x) for x in t[1]) + ")"
+    if op == "coalesce":
+        return "COALESCE(" + ", ".join(num_to_sql(x) for x in t[1]) + ")"
+    if op == "sub":
+        return f"({num_to_sql(t[1])} - {num_to_sql(t[2])})"
+    return (f"(CASE WHEN COALESCE({to_sql(t[1])}, FALSE) "
+            f"THEN {num_to_sql(t[2])} ELSE {num_to_sql(t[3])} END)")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(NUM_TREES, min_size=1, max_size=12))
+def test_jx_numeric_kit_matches_semantic_sql(fuzz_frames, trees):
+    df, con = fuzz_frames
+    cols = [compile_expr(num_to_jx(t)).cast("long").alias(f"e{i}")
+            for i, t in enumerate(trees)]
+    got = {r["id"]: tuple(r[f"e{i}"] for i in range(len(trees)))
+           for r in df.select("id", *cols).collect()}
+    sql = "SELECT id, " + ", ".join(
+        f"CAST({num_to_sql(t)} AS BIGINT) AS e{i}"
+        for i, t in enumerate(trees)) + " FROM t"
+    want = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
+    assert got == want
