@@ -185,3 +185,22 @@ def test_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
     for seg in plan.split("Exchange ")[1:]:
         head = seg.split("\n")[0]
         assert "o_comment" not in head and "o_orderdate" not in head
+
+
+def test_no_row_python_udfs_or_stray_cartesians_anywhere(spark, sf_dir):
+    """Corpus-wide plan audit: row-at-a-time Python UDFs are banned
+    everywhere (Arrow/mapInPandas only), and cartesian products may
+    appear only where the design calls for a tiny cross product."""
+    cartesian_ok = {
+        "jx_edges_two_dim_dense",   # dense 2-D domain completion (tiny)
+        "sim_cosine_topk",          # documented brute-force baseline
+        "dedup_minhash_estimate",   # shares the brute verify path
+    }
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name}: row-python UDF")
+        if "CartesianProduct" in plan and name not in cartesian_ok:
+            offenders.append(f"{name}: unexpected CartesianProduct")
+    assert not offenders, offenders
