@@ -183,3 +183,105 @@ def test_jx_numeric_kit_matches_semantic_sql(fuzz_frames, trees):
         for i, t in enumerate(trees)) + " FROM t"
     want = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
     assert got == want
+
+
+# --- string kit: left/right/not_left/not_right/concat/find/between ---
+
+S_COLS = ["s", "u"]
+S_LITS = ["a", "ab", "ba"]
+N_LITS = [0, 1, 2, 5]
+
+
+def _str_leaves():
+    return st.one_of(st.sampled_from(S_COLS),
+                     st.sampled_from(S_LITS).map(lambda v: ("slit", v)))
+
+
+STR_TREES = st.recursive(
+    _str_leaves(),
+    lambda sub: st.one_of(
+        st.tuples(st.just("left"), sub, st.sampled_from(N_LITS)),
+        st.tuples(st.just("right"), sub, st.sampled_from(N_LITS)),
+        st.tuples(st.just("not_left"), sub, st.sampled_from(N_LITS)),
+        st.tuples(st.just("not_right"), sub, st.sampled_from(N_LITS)),
+        st.tuples(st.just("concat"), st.lists(sub, min_size=2, max_size=3)),
+        st.tuples(st.just("between"), sub, st.sampled_from(S_LITS),
+                  st.sampled_from(S_LITS)),
+        st.tuples(st.just("upper"), sub),
+        st.tuples(st.just("trim"), sub),
+    ),
+    max_leaves=5,
+)
+
+
+def str_to_col(t):
+    from activedata_etl_spark.functions import jx
+    if isinstance(t, str):
+        return F.col(t)
+    op = t[0]
+    if op == "slit":
+        return F.lit(t[1])
+    if op in ("left", "right", "not_left", "not_right"):
+        return getattr(jx, op)(str_to_col(t[1]), t[2])
+    if op == "concat":
+        return jx.concat("-", *[str_to_col(x) for x in t[1]])
+    if op == "between":
+        return jx.between(str_to_col(t[1]), t[2], t[3])
+    if op == "upper":
+        return jx.upper(str_to_col(t[1]))
+    return jx.trim(str_to_col(t[1]))
+
+
+def str_to_sql(t):
+    if isinstance(t, str):
+        return t
+    op = t[0]
+    if op == "slit":
+        return f"'{t[1]}'"
+    s = str_to_sql(t[1]) if len(t) > 1 and not isinstance(t[1], list) else None
+    if op == "left":
+        return f"substring({s}, 1, greatest({t[2]}, 0))"
+    if op == "right":
+        return (f"substring({s}, greatest(length({s}) - greatest({t[2]}, 0)"
+                f" + 1, 1), greatest({t[2]}, 0))")
+    if op == "not_left":
+        return f"substring({s}, greatest({t[2]}, 0) + 1, length({s}))"
+    if op == "not_right":
+        return (f"substring({s}, 1, greatest(length({s})"
+                f" - greatest({t[2]}, 0), 0))")
+    if op == "concat":
+        return "concat_ws('-', " + ", ".join(str_to_sql(x) for x in t[1]) + ")"
+    if op == "between":
+        pre, suf = t[2], t[3]
+        rest = f"substring({s}, strpos({s}, '{pre}') + {len(pre)})"
+        return (f"(CASE WHEN strpos({s}, '{pre}') = 0"
+                f" OR strpos({rest}, '{suf}') = 0 THEN NULL"
+                f" ELSE substring({rest}, 1, strpos({rest}, '{suf}') - 1) END)")
+    if op == "upper":
+        return f"upper({s})"
+    return f"trim({s})"
+
+
+@pytest.fixture(scope="module")
+def str_frames(spark):
+    rows = [(i, s, u) for i, (s, u) in enumerate(
+        [(None, "ab"), ("", None), ("ab", "ba"), ("aabba", " a b "),
+         ("xyx", "aa"), ("a", "b"), ("ab-ba", "abab")])]
+    df = spark.createDataFrame(rows, "id int, s string, u string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, s VARCHAR, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    return df, con
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(STR_TREES, min_size=1, max_size=12))
+def test_jx_string_kit_matches_semantic_sql(str_frames, trees):
+    df, con = str_frames
+    cols = [str_to_col(t).alias(f"e{i}") for i, t in enumerate(trees)]
+    got = {r["id"]: tuple(r[f"e{i}"] for i in range(len(trees)))
+           for r in df.select("id", *cols).collect()}
+    sql = "SELECT id, " + ", ".join(
+        f"{str_to_sql(t)} AS e{i}" for i, t in enumerate(trees)) + " FROM t"
+    want = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
+    assert got == want
