@@ -763,3 +763,57 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), "doc_id")
     return staged.select("doc_id", "stage",
                          F.row_number().over(w).cast("bigint").alias("pos"))
+
+
+@query(
+    "events_session_features",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT event_id, user_id, ts,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT event_id, user_id, session_no,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS event_in_session,
+           CAST(date_diff('second',
+                MIN(ts) OVER (PARTITION BY user_id, session_no), ts)
+             AS BIGINT) AS secs_into_session
+    FROM numbered
+    """,
+)
+def events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-relative enrichment: each event's session ordinal and
+    seconds-since-session-start — the features behind dwell-time and
+    journey-position models. One window family keyed (user) for the
+    lag+cumsum session ids, then (user, session) windows; both exchanges
+    hash-partition on keys the data already groups by."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("bigint"))
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    return numbered.select(
+        "event_id", "user_id", "session_no",
+        F.row_number().over(ws).cast("bigint").alias("event_in_session"),
+        (F.col("ts").cast("long")
+         - F.min(F.col("ts").cast("long")).over(
+             Window.partitionBy("user_id", "session_no")))
+        .cast("bigint").alias("secs_into_session"))
