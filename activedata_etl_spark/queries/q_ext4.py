@@ -726,16 +726,17 @@ def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
              percentile_cont(0.75) WITHIN GROUP (ORDER BY ttr) AS b3
       FROM q
     )
-    SELECT doc_id,
-           4 - (CASE WHEN ttr > b1 THEN 1 ELSE 0 END
-                + CASE WHEN ttr > b2 THEN 1 ELSE 0 END
-                + CASE WHEN ttr > b3 THEN 1 ELSE 0 END) AS stage,
-           CAST(ROW_NUMBER() OVER (
-             PARTITION BY 4 - (CASE WHEN ttr > b1 THEN 1 ELSE 0 END
-                               + CASE WHEN ttr > b2 THEN 1 ELSE 0 END
-                               + CASE WHEN ttr > b3 THEN 1 ELSE 0 END)
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
-    FROM q CROSS JOIN b
+    SELECT doc_id, stage, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             4 - (CASE WHEN ttr > b1 THEN 1 ELSE 0 END
+                  + CASE WHEN ttr > b2 THEN 1 ELSE 0 END
+                  + CASE WHEN ttr > b3 THEN 1 ELSE 0 END) AS stage,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS shard
+      FROM q CROSS JOIN b)
     """,
 )
 def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,9 +744,12 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio) as the coarse phase, deterministic md5 rank as the
     within-stage shuffle — easy-to-hard scheduling that is reproducible
     across engines, retries, and input layout. Boundaries from the
-    exact-percentile path (broadcast); ranking partitions by stage so
-    parallelism is per-stage, and at 100 TB the same plan writes
-    partitionBy(stage) + sortWithinPartitions(rank)."""
+    exact-percentile path (broadcast). Ranking partitions by
+    (stage, shard) with a hash shard — parallelism is stages x shards,
+    never a per-stage global sort (the global_shuffle design); a reader
+    walks stages in order, shards within a stage in any order. At
+    100 TB the same plan writes partitionBy(stage, shard) +
+    sortWithinPartitions(pos)."""
     from pyspark.sql import Window
     from ..functions import aggs as A
 
@@ -759,9 +763,13 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                           4 - (F.when(F.col("ttr") > F.col("b1"), 1).otherwise(0)
                                + F.when(F.col("ttr") > F.col("b2"), 1).otherwise(0)
                                + F.when(F.col("ttr") > F.col("b3"), 1).otherwise(0))))
-    w = Window.partitionBy("stage").orderBy(
+    from ..ext.sampling import hash_bucket
+
+    staged = staged.withColumn(
+        "shard", F.pmod(hash_bucket(F.col("doc_id")), F.lit(8)).cast("int"))
+    w = Window.partitionBy("stage", "shard").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
-    return staged.select("doc_id", "stage",
+    return staged.select("doc_id", "stage", "shard",
                          F.row_number().over(w).cast("bigint").alias("pos"))
 
 
