@@ -825,3 +825,81 @@ def events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.min(F.col("ts").cast("long")).over(
              Window.partitionBy("user_id", "session_no")))
         .cast("bigint").alias("secs_into_session"))
+
+
+@query(
+    "agg_contingency_chi2",
+    # per-CELL chi-square contributions: no cross-cell float sum exists,
+    # so every double is one identical arithmetic chain on both engines
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, COUNT(*) AS observed FROM documents GROUP BY 1, 2
+    ), r AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS row_n FROM o GROUP BY 1),
+    c AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS col_n FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM o)
+    SELECT o.source, o.lang, o.observed,
+           CAST(r.row_n * c.col_n AS DOUBLE) / total AS expected,
+           (o.observed - CAST(r.row_n * c.col_n AS DOUBLE) / total)
+             * (o.observed - CAST(r.row_n * c.col_n AS DOUBLE) / total)
+             / (CAST(r.row_n * c.col_n AS DOUBLE) / total) AS cell_chi2
+    FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN n
+    """,
+)
+def agg_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence audit of the source × language contingency table:
+    observed counts, expected under independence, and each cell's χ²
+    contribution — the dataset-balance check run before mixture
+    reweighting. Integer marginals broadcast; every float is the same
+    operand-order expression on both engines, so cells hash exactly
+    (the total χ² is the consumer's sum — a cross-cell float sum would
+    be the one order-dependent step, so it stays out of the output)."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("observed"))
+    r = o.groupBy("source").agg(F.sum("observed").cast("bigint").alias("row_n"))
+    c = o.groupBy("lang").agg(F.sum("observed").cast("bigint").alias("col_n"))
+    n = o.agg(F.sum("observed").cast("bigint").alias("total"))
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("total")
+    return (o.join(F.broadcast(r), "source").join(F.broadcast(c), "lang")
+            .crossJoin(F.broadcast(n))
+            .select("source", "lang", "observed", e.alias("expected"),
+                    ((F.col("observed") - e) * (F.col("observed") - e) / e)
+                    .alias("cell_chi2")))
+
+
+@query(
+    "agg_ratio_to_report",
+    oracle="""
+    WITH per AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST((SELECT SUM(rev) FROM per) AS DOUBLE) AS share
+    FROM per
+    """,
+)
+def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution (the ratio_to_report shape):
+    supplier-nation revenue share. Both the numerator and the global
+    denominator are exact decimal sums (order-free), so even the float
+    shares hash identically; the one-row total broadcasts back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    per = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .groupBy("n_name")
+           .agg(F.sum(rev).cast("decimal(38,6)").alias("rev")))
+    tot = per.agg(F.sum("rev").alias("tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("n_name", F.col("rev").cast("double").alias("revenue"),
+                    (F.col("rev").cast("double")
+                     / F.col("tot").cast("double")).alias("share")))
