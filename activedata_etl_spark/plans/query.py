@@ -79,8 +79,17 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
             df = _window(df, wspec)
             wnames.append(wspec["name"])
         if selects:
+            # a select may (re)name a window column — or pull every
+            # column via "." — so only auto-carry window names the
+            # projection doesn't already produce (else: ambiguous dup)
+            produced: set[str] = set()
+            for s in selects:
+                if s.get("value") == ".":
+                    produced.update(df.columns)
+                else:
+                    produced.add(s["name"])
             df = df.select(*_nest_named(df, selects),
-                           *[F.col(n) for n in wnames])
+                           *[F.col(n) for n in wnames if n not in produced])
     if "sort" in q:
         df = df.orderBy(*[_sort_col(s) for s in _listify(q["sort"])])
     if "skip" in q:
