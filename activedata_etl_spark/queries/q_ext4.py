@@ -15,6 +15,7 @@ from ..ext import dedup as DD
 from ..ext import text as TX
 from ..io import load_table
 from .registry import query
+from .q_ext import _near_dup_pairs_cte
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 _STOPS = "[" + ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS) + "]"
@@ -903,3 +904,60 @@ def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_name", F.col("rev").cast("double").alias("revenue"),
                     (F.col("rev").cast("double")
                      / F.col("tot").cast("double")).alias("share")))
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+    WITH RECURSIVE """ + _near_dup_pairs_cte(0.2) + """,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_tok
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc, n_tok AS kept_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tok DESC, doc_id ASC) AS rn
+      FROM scored) WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal with a QUALITY policy: within each connected
+    near-dup cluster keep the highest-token-count member (ties → lowest
+    id), not the arbitrary min-id — the canonicalization real corpora
+    want (the longest variant usually carries the most content).
+    Clusters from the same min-label propagation the clusters query
+    uses; the policy is one max_by per cluster."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+    comp = DD.connected_components(pairs) \
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    scored = (d.select("doc_id", TX.token_count("text").alias("n_tok"))
+              .join(comp, "doc_id", "left")
+              .withColumn("cluster_id",
+                          F.coalesce("cluster_id", F.col("doc_id"))))
+    return (scored.groupBy("cluster_id")
+            .agg(F.max_by(F.struct(F.col("doc_id").alias("kept_doc"),
+                                   F.col("n_tok").alias("kept_tokens")),
+                          F.struct(F.col("n_tok"), -F.col("doc_id")))
+                 .alias("best"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .select("cluster_id", "best.kept_doc", "best.kept_tokens",
+                    "n_members"))
