@@ -166,6 +166,14 @@ def num_to_sql(t):
         return "COALESCE(" + ", ".join(num_to_sql(x) for x in t[1]) + ")"
     if op == "sub":
         return f"({num_to_sql(t[1])} - {num_to_sql(t[2])})"
+    if op == "mod":
+        # jx mod is FLOORED (Python convention): ((a % b) + b) % b
+        x = num_to_sql(t[1])
+        return f"((({x}) % {t[2]} + {t[2]}) % {t[2]})"
+    if op == "floor":
+        # jx floor-to-multiple unifies to double
+        x = num_to_sql(t[1])
+        return f"CAST(floor(CAST({x} AS DOUBLE) / {t[2]}) * {t[2]} AS DOUBLE)"
     return (f"(CASE WHEN COALESCE({to_sql(t[1])}, FALSE) "
             f"THEN {num_to_sql(t[2])} ELSE {num_to_sql(t[3])} END)")
 
