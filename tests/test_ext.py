@@ -359,3 +359,25 @@ def test_hll_merge_equals_single_pass(spark, sf_dir):
     est = hll.hll_estimate(single, []).collect()[0]["raw_est"]
     exact = o.select("o_orderkey").distinct().count()
     assert abs(est - exact) / exact < 0.15
+
+
+def test_multimodal_tar_export(spark, sf_dir, tmp_path):
+    """Binary payload column through the tar sink: multimodal frames
+    export as WebDataset samples (<id>.bin + <id>.json meta)."""
+    from activedata_etl_spark.sources.shards import (read_tar_shards,
+                                                     write_tar_shards)
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    mm = MM.pack(d, "doc_id", "text", "application/fake")
+    mm = mm.withColumn("shard", (F.col("id") % 2).cast("long")) \
+           .withColumn("meta_json", F.to_json("meta"))
+    path = str(tmp_path / "mmshards")
+    write_tar_shards(mm, path, "shard", "id",
+                     {"payload": "bin", "meta_json": "json"})
+    back = read_tar_shards(path)
+    src = {str(r["id"]): (bytes(r["payload"]), r["meta"]["checksum"])
+           for r in mm.collect()}
+    assert set(back) == set(src)
+    for k, files in back.items():
+        assert files["bin"] == src[k][0]          # bytes intact
+        assert src[k][1] in files["json"].decode()  # checksum in meta
