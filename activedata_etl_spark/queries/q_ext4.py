@@ -57,7 +57,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this runs inside the ingest scan, before any shuffle, and
     the flag (not the text) is what downstream stages read."""
     d = load_table(spark, sf_dir, "documents")
-    return (d.select("doc_id", *TX.gopher_metrics("text"))
+    return (TX.gopher_table(d, ["doc_id"], "text")
             .withColumn("keep", TX.gopher_keep()))
 
 
