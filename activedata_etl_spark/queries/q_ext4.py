@@ -961,3 +961,25 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("bigint").alias("n_members"))
             .select("cluster_id", "best.kept_doc", "best.kept_tokens",
                     "n_members"))
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS members,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG/string_agg: per-group member roster with an
+    EXPLICIT order (collect_list order is partition-dependent — the
+    determinism rule every first/last/collect in this repo follows).
+    array_join(array_sort(collect_list)) reproduces string_agg ...
+    ORDER BY exactly."""
+    n = load_table(spark, sf_dir, "nation")
+    return (n.groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("members"),
+                 F.count(F.lit(1)).alias("n")))
