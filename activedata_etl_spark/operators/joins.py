@@ -173,8 +173,16 @@ def bloom_prefilter(probe: DataFrame, build: DataFrame, probe_key, build_key,
     Bloom's one-sided error: follow with the exact join; false positives
     (rate ≈ (1-e^{-kn/m})^k) cost shuffle bytes, never correctness.
     """
-    pk = F.col(probe_key) if isinstance(probe_key, str) else probe_key
-    bk = F.col(build_key) if isinstance(build_key, str) else build_key
+    # xxhash64 is TYPE-sensitive: the same logical key hashed as int vs
+    # bigint (or decimal vs double) lands on different bits, which would
+    # silently break the no-false-negative guarantee — every true match
+    # dropped at the prefilter. Canonicalize both sides to string before
+    # hashing so only logical value equality matters. (Caveat: types whose
+    # string forms differ at equal value — decimal "5.00" vs double "5.0" —
+    # must be pre-cast to a common type by the caller, same as for the
+    # exact join itself.)
+    pk = (F.col(probe_key) if isinstance(probe_key, str) else probe_key).cast("string")
+    bk = (F.col(build_key) if isinstance(build_key, str) else build_key).cast("string")
 
     def positions(key) -> list[Column]:
         return [F.pmod(F.xxhash64(key, F.lit(s)), F.lit(n_bits))

@@ -88,6 +88,10 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
                     produced.update(df.columns)
                 else:
                     produced.add(s["name"])
+                    # a dotted name "a.b" emits the TOP-LEVEL struct column
+                    # "a" (_nest_named): record that head too, else a window
+                    # named "a" is still auto-carried → ambiguous duplicate
+                    produced.add(s["name"].partition(".")[0])
             df = df.select(*_nest_named(df, selects),
                            *[F.col(n) for n in wnames if n not in produced])
     if "sort" in q:

@@ -475,3 +475,36 @@ def jx_cube_allow_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "revenue", "value": "o_totalprice", "aggregate": "sum"},
         ],
     })
+
+
+@query(
+    "jx_window_percentile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           quantile_cont(o_totalprice, 0.5) OVER w AS med5,
+           quantile_cont(o_totalprice, 0.25) OVER w AS p25_5
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def jx_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6: percentile/median as a window aggregate reachable
+    through the jx JSON ``window`` clause (not just the DataFrame helper):
+    plans/query.py routes aggregate=percentile|median to
+    operators.windows.exact_percentile_over, inheriting its in-plan
+    max_frame_rows guard — the bounded-frame exact percentile the
+    reference's incremental window accumulators provide."""
+    return _run(spark, sf_dir, {
+        "from": "orders",
+        "select": ["o_orderkey", "o_custkey"],
+        "window": [
+            {"name": "med5", "value": "o_totalprice", "aggregate": "median",
+             "edges": ["o_custkey"], "sort": ["o_orderkey"],
+             "range": {"min": -4, "max": 0}},
+            {"name": "p25_5", "value": "o_totalprice",
+             "aggregate": "percentile", "percentile": 0.25,
+             "edges": ["o_custkey"], "sort": ["o_orderkey"],
+             "range": {"min": -4, "max": 0}},
+        ],
+    })

@@ -218,3 +218,48 @@ def typed_encoding_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("__enc__", "$.v.~a~[0].~n~").cast("bigint").alias("v_arr0"),
         F.get_json_object("__enc__", "$.~e~").cast("int").alias("e"),
     )
+
+
+@query(
+    "typed_encoding_compiled",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN lang END   AS v_str,
+           CASE WHEN doc_id % 3 = 1 THEN doc_id END AS v_num,
+           CASE WHEN doc_id % 3 = 2 THEN doc_id END AS v_arr0,
+           1 AS e
+    FROM documents
+    """,
+)
+def typed_encoding_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME corpus and oracle as typed_encoding_fields, but encoded by
+    the schema-known COMPILED path (operators/typed.py
+    typed_encode_compiled): each per-source schema compiles to pure
+    from_json → struct rewrite → to_json Column expressions, zero Python
+    in the hot path (plan-asserted in test_typed_encoding). Heterogeneous
+    sources = one compiled encoder per source schema, selected per row —
+    the realistic 100 TB ingest shape (per-source schemas known; the UDF
+    walk stays as the schemaless fallback)."""
+    from ..operators import typed as TY
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    m = F.col("doc_id") % 3
+    raw = (
+        F.when(m == 0, F.concat(F.lit('{"v": "'), F.col("lang"), F.lit('"}')))
+        .when(m == 1, F.concat(F.lit('{"v": '),
+                               F.col("doc_id").cast("string"), F.lit("}")))
+        .otherwise(F.concat(F.lit('{"v": ['), F.col("doc_id").cast("string"),
+                            F.lit(", "), (F.col("doc_id") + 1).cast("string"),
+                            F.lit("]}")))
+    )
+    enc = d.withColumn("__enc__", (
+        F.when(m == 0, TY.typed_encode_compiled(raw, "v string"))
+        .when(m == 1, TY.typed_encode_compiled(raw, "v bigint"))
+        .otherwise(TY.typed_encode_compiled(raw, "v array<bigint>"))))
+    return enc.select(
+        "doc_id",
+        F.get_json_object("__enc__", "$.v.~s~").alias("v_str"),
+        F.get_json_object("__enc__", "$.v.~n~").cast("bigint").alias("v_num"),
+        F.get_json_object("__enc__", "$.v.~a~[0].~n~").cast("bigint").alias("v_arr0"),
+        F.get_json_object("__enc__", "$.~e~").cast("int").alias("e"),
+    )

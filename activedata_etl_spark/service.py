@@ -130,10 +130,24 @@ def make_handler(spark):
                 self.wfile.write(f"{len(data):x}\r\n".encode())
                 self.wfile.write(data + b"\r\n")
 
-            for row in df.toLocalIterator():
-                chunk(json.dumps(row.asDict(recursive=True),
-                                 default=_default).encode() + b"\n")
-            self.wfile.write(b"0\r\n\r\n")
+            # Headers are out: a mid-stream failure (executor death, bad
+            # partition) can no longer become a fresh 400 response — that
+            # would splice a second status line into the chunked body. Emit
+            # one final NDJSON error line, skip the terminating 0-chunk so
+            # the client sees an incomplete stream, and drop the connection.
+            try:
+                for row in df.toLocalIterator():
+                    chunk(json.dumps(row.asDict(recursive=True),
+                                     default=_default).encode() + b"\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception as e:
+                try:
+                    chunk(json.dumps(
+                        {"error": f"{type(e).__name__}: {e}",
+                         "incomplete": True}).encode() + b"\n")
+                except Exception:
+                    pass
+                self.close_connection = True
 
         def log_message(self, *a):  # quiet: don't spam test output
             pass

@@ -34,20 +34,36 @@ def write_tar_shards(df: DataFrame, path: str, shard_col: str, key_col: str,
     ``payload_cols`` maps column name → file extension: each row becomes
     ``<key>.<ext>`` members (string columns utf-8 encoded, binary
     written as-is). Shard ids should be small ints (e.g. from
-    text.pack_bins or a hash bucket)."""
+    text.pack_bins or a hash bucket).
+
+    Tasks write each archive to a task-unique temp name and atomically
+    rename it onto ``shard-<id>.tar`` when the shard is complete, so a
+    retried or speculative attempt never interleaves bytes with another
+    attempt's archive — last completed attempt wins, and both produce the
+    same bytes (content is key-sorted and deterministic). Stale
+    ``shard-*.tar`` from a previous larger run are removed up front so a
+    rewrite over fewer shards can't mix old archives into the result."""
     os.makedirs(path, exist_ok=True)
+    for name in os.listdir(path):  # clear stale shards from a prior run
+        if name.startswith("shard-") and name.endswith(".tar"):
+            os.unlink(os.path.join(path, name))
     cols = [shard_col, key_col, *payload_cols]
     ext = dict(payload_cols)
 
     def write_partition(rows) -> None:
-        tars: dict = {}
+        from pyspark import TaskContext
+
+        attempt = TaskContext.get().taskAttemptId() if TaskContext.get() else 0
+        tars: dict = {}  # shard -> (tarfile, temp path, final path)
         try:
             for r in rows:
                 shard = r[shard_col]
-                t = tars.get(shard)
-                if t is None:
-                    t = tars[shard] = tarfile.open(
-                        os.path.join(path, f"shard-{shard}.tar"), "w")
+                entry = tars.get(shard)
+                if entry is None:
+                    final = os.path.join(path, f"shard-{shard}.tar")
+                    tmp = f"{final}.attempt-{attempt}.tmp"
+                    entry = tars[shard] = (tarfile.open(tmp, "w"), tmp, final)
+                t = entry[0]
                 for col, e in ext.items():
                     payload = r[col]
                     data = (payload.encode("utf-8")
@@ -56,9 +72,15 @@ def write_tar_shards(df: DataFrame, path: str, shard_col: str, key_col: str,
                     info.size = len(data)
                     info.mtime = 0  # fixed: shard bytes are reproducible
                     t.addfile(info, io.BytesIO(data))
-        finally:
-            for t in tars.values():
+        except BaseException:
+            for t, tmp, _ in tars.values():
                 t.close()
+                os.unlink(tmp)
+            raise
+        else:
+            for t, tmp, final in tars.values():
+                t.close()
+                os.replace(tmp, final)  # atomic: complete archives only
 
     (df.select(*cols)
      .repartition(F.col(shard_col))

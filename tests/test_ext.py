@@ -324,6 +324,13 @@ def test_tar_shard_sink_roundtrip(spark, sf_dir, tmp_path):
     h2 = [hashlib.md5(open(t, "rb").read()).hexdigest()
           for t in sorted(glob.glob(path + "/*.tar"))]
     assert h1 == h2
+    # rewrite over FEWER shards clears stale archives (a smaller run must
+    # not mix old shard-2/3 into the result) and leaves no attempt temps
+    import os
+    write_tar_shards(d.filter(F.col("shard") < 2), path, "shard", "doc_id",
+                     {"text": "txt", "meta": "json"})
+    left = sorted(os.path.basename(p) for p in glob.glob(path + "/*"))
+    assert left == ["shard-0.tar", "shard-1.tar"]
 
 
 def test_bpe_merges_hand_computed(spark):

@@ -220,3 +220,17 @@ def test_cube_format_multi_edge_allow_nulls(spark, sf_dir):
     total = sum(v for row in n for v in row if v is not None)
     from activedata_etl_spark.io import load_table
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_window_name_shadowed_by_dotted_select(spark):
+    # A select whose dotted output name "k.key" emits the TOP-LEVEL struct
+    # column "k"; a window also named "k" must NOT be auto-carried through
+    # the projection (pre-fix: duplicate/ambiguous "k" columns).
+    df = JX.run(spark, {
+        "from": "nation",
+        "select": [{"name": "k.key", "value": "n_nationkey"}],
+        "window": [{"name": "k", "value": "n_nationkey",
+                    "aggregate": "max", "edges": "n_regionkey"}],
+    })
+    assert df.columns == ["k"]
+    assert df.count() == 25 and df.select("k.key").distinct().count() == 25

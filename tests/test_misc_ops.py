@@ -223,3 +223,16 @@ def test_bloom_prefilter_reduces_probe_and_never_drops_matches(spark, sf_dir):
     # exact join on the reduced side == exact join on the full side
     assert (reduced.join(p, reduced.l_partkey == p.p_partkey).count()
             == li.join(p, li.l_partkey == p.p_partkey).count())
+
+
+def test_bloom_prefilter_cross_dtype_keys(spark):
+    """xxhash64 is type-sensitive: without key canonicalization, an int
+    probe key vs a bigint build key hashes to different bits and EVERY
+    true match dies at the prefilter (silent false negatives)."""
+    from activedata_etl_spark.operators.joins import bloom_prefilter
+
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k: int")
+    build = spark.createDataFrame([(i,) for i in range(0, 100, 10)], "k: long")
+    kept = {r["k"] for r in
+            bloom_prefilter(probe, build, "k", "k").collect()}
+    assert set(range(0, 100, 10)) <= kept  # no false negatives across dtypes

@@ -174,3 +174,28 @@ def test_stream_format_validates_like_others(endpoint):
     except urllib.error.HTTPError as e:
         body = json.loads(e.read())
         assert e.code == 400 and any(p["path"] == "from" for p in body["invalid"])
+
+
+def test_stream_error_after_headers_is_clean(endpoint):
+    # A mid-stream execution failure (headers already out) must NOT splice
+    # a fresh HTTP status line into the chunked body: the service emits one
+    # final NDJSON error line and drops the connection without the
+    # terminating chunk, so the client sees a clearly-incomplete stream.
+    import http.client
+
+    q = {"from": "nation", "format": "stream",
+         "select": [{"name": "x", "value": {"script":
+             "case when n_nationkey < 5 then n_name "
+             "else raise_error('boom') end"}}]}
+    req = urllib.request.Request(
+        endpoint + "/query", data=json.dumps(q).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200  # headers were committed before the failure
+        try:
+            body = r.read()
+        except http.client.IncompleteRead as e:
+            body = e.partial
+    assert b"HTTP/1.1" not in body  # no second status line in the stream
+    lines = [json.loads(ln) for ln in body.splitlines() if ln]
+    assert lines and lines[-1].get("incomplete") is True

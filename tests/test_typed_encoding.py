@@ -71,3 +71,39 @@ def test_spark_roundtrip_and_mapping_conflict(spark, tmp_path):
         F.col("a.~n~").alias("n"), F.col("a.~s~").alias("s")).collect()
     assert {r["n"] for r in got} == {3, None}
     assert {r["s"] for r in got} == {"x", None}
+
+
+def test_compiled_encoder_matches_udf_bytes(spark):
+    """The schema-known compiled path (pure Column expressions) must be
+    BYTE-identical to the schemaless UDF walk on schema-conformant docs —
+    incl. null-dropping, empty object/array, nested object, and arrays
+    with null elements."""
+    docs = [
+        '{"v":"en","n":3.5,"tags":[1,2],"meta":{"k":"x"},"b":true}',
+        '{"v":null,"n":2.5,"tags":[],"meta":{}}',
+        '{"tags":[5,null,7]}',
+        '{"meta":{"k":null},"b":false}',
+        '{}',
+        None,
+    ]
+    ddl = "v string, n double, tags array<bigint>, meta struct<k: string>, b boolean"
+    df = spark.createDataFrame([(d,) for d in docs], "raw: string")
+    rows = df.select(
+        TY.typed_encode_json("raw").alias("udf"),
+        TY.typed_encode_compiled("raw", ddl).alias("comp"),
+    ).collect()
+    for r in rows:
+        assert r["udf"] == r["comp"]
+
+
+def test_compiled_encoder_is_jvm_only(spark):
+    """No Python in the compiled plan: the whole rewrite must live in
+    JVM expressions (the UDF fallback exists for schemaless data only)."""
+    df = spark.range(5).select(
+        F.concat(F.lit('{"a": '), F.col("id").cast("string"),
+                 F.lit("}")).alias("raw"))
+    out = df.select(TY.typed_encode_compiled("raw", "a bigint").alias("e"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert [r["e"] for r in out.orderBy(F.col("e")).limit(1).collect()] \
+        == ['{"~e~":1,"a":{"~n~":0}}']
