@@ -109,7 +109,8 @@ def sign_band_keys(vec: Column, n_bits: int = 16,
 def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                        threshold: float = 0.95, n_bits: int = 16,
                        n_bands: int = 4,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       cluster_col: str | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
     Scale shape (the r2 verdict's fix list, all three applied):
@@ -139,11 +140,28 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     On a cluster, persist() becomes writing the canonical-vector table
     bucketed by band keys; everything downstream is equi-join-shaped.
+
+    ``cluster_col`` fuses this blocking with a PRE-ASSIGNED partition of
+    the corpus (SemDeDup's k-means clusters from :func:`ivf_build`, a
+    per-source split, a language shard): the bucket key becomes
+    (cluster, band, signature), so candidates must share the cluster AND
+    a band. One operator then serves both policies — global banded
+    near-dup (``cluster_col=None``) and the within-cluster ε-ball
+    refinement of semantic dedup, now with the banding + bucket caps the
+    plain cid self-join lacks. The quadratic is confined to
+    bucket ∩ cluster, so a mega-cluster no longer degenerates: its
+    members still split across 2^n_bits band buckets (measured in
+    SCALE.md's 10× rig — pair-bound growth, not cluster²).
     """
-    groups = (df.groupBy(F.xxhash64(F.col(vec_col)).alias("__h__"))
+    cl = [cluster_col] if cluster_col else []
+    # identical vectors always co-assign (deterministic clustering), so
+    # grouping by (hash, cluster) only splits hash collisions across
+    # clusters — never true copies
+    groups = (df.groupBy(F.xxhash64(F.col(vec_col)).alias("__h__"), *cl)
               .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids__"),
                    F.first(F.col(vec_col)).alias("__v0__")))
     canon = groups.select(
+        *cl,
         F.element_at("__ids__", 1).alias("__cid__"),
         "__ids__",
         F.transform(F.col("__v0__"), lambda x: x.cast("double")).alias("__v__"),
@@ -152,9 +170,10 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     ).persist()
 
     banded = canon.select(
+        *cl,
         F.col("__cid__").alias("id"),
         F.posexplode("__bands__").alias("band_idx", "band_sig"))
-    buckets = (banded.groupBy("band_idx", "band_sig")
+    buckets = (banded.groupBy(*cl, "band_idx", "band_sig")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") >= 2))
     if max_bucket_size is not None:

@@ -489,15 +489,17 @@ def _sql_cos(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
 
 
-def _ivf_ctes(nlist: int, n_iter: int) -> list[str]:
+def _ivf_ctes(nlist: int, n_iter: int, source: str = "embeddings") -> list[str]:
     """CTE chain mirroring similarity.ivf_build: deterministic lowest-id
     seeding, ``n_iter`` unrolled Lloyd iterations with decimal-exact
     per-dimension means, final assignment ``af`` against centroids
-    ``c{n_iter}``. Shared by the IVF-ANN and semantic-dedup oracles."""
+    ``c{n_iter}``. Shared by the IVF-ANN, semantic-dedup, and fused
+    banded-refinement oracles (``source`` lets a caller cluster a derived
+    corpus CTE instead of the base table)."""
     cos = _sql_cos
     ctes = [
         "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS vv FROM embeddings)",
+        f" AS vv FROM {source})",
         f"c0 AS (SELECT vec_id AS cid, vv AS cvec FROM v ORDER BY vec_id LIMIT {nlist})",
     ]
     for i in range(n_iter):

@@ -301,6 +301,61 @@ def _semantic_pairs_oracle(nlist: int = 16, n_iter: int = 2,
     WHERE {_sql_cos('a.vv', 'b.vv')} >= {threshold}""")
 
 
+def _semantic_banded_oracle(nlist: int = 16, n_iter: int = 2,
+                            threshold: float = 0.95,
+                            n_bits: int = 16, n_bands: int = 4) -> str:
+    """The FUSED blocking relation, stated independently: pairs must share
+    the k-means cluster AND agree on ≥1 sign-LSH band, cosine ≥ τ — over
+    the id-shifted duplicated corpus (random fixture vectors never clear
+    τ=0.95 naturally, so the duplicates are the guaranteed signal)."""
+    from .q_ext import _ivf_ctes, _sql_cos
+
+    def band_sig(b: int) -> str:
+        lo, hi = b * n_bits + 1, (b + 1) * n_bits
+        return (f"array_to_string(list_transform(list_slice(vv, {lo}, {hi}),"
+                " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
+
+    corpus = ("corpus AS (SELECT vec_id, embedding FROM embeddings"
+              " UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)")
+    ctes = [corpus, *_ivf_ctes(nlist, n_iter, source="corpus")]
+    values = ",\n          ".join(f"({b}, {band_sig(b)})" for b in range(n_bands))
+    ctes.append(f"""bands AS (
+      SELECT vec_id, vv, cid, b.band_idx, b.band_sig FROM af,
+        LATERAL (SELECT * FROM (VALUES
+          {values}
+        ) t(band_idx, band_sig)) b)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_sql_cos('a.vv', 'c.vv')} AS cos
+    FROM bands a JOIN bands c
+      ON a.cid = c.cid AND a.band_idx = c.band_idx
+     AND a.band_sig = c.band_sig AND a.vec_id < c.vec_id
+    WHERE {_sql_cos('a.vv', 'c.vv')} >= {threshold}""")
+
+
+@query("dedup_semantic_banded_pairs", oracle=_semantic_banded_oracle())
+def dedup_semantic_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r3 #4 — ONE operator, both dedup policies: the SemDeDup
+    within-cluster ε-ball refinement (dedup_semantic_pairs) fused with
+    cosine_dedup_pairs' exact-vector prepass + banded sign-LSH + bucket
+    caps, via its ``cluster_col`` hook. Blocking becomes
+    (cluster, band, signature): a mega-cluster can no longer go
+    cluster² — its members still split across 2^16 band buckets, and
+    max_bucket_size caps the residue (SCALE.md 10× rig: pair-bound
+    growth). The oracle states the fused relation with no prepass and no
+    caps engaged, so a green check proves the plumbing is
+    semantics-preserving."""
+    from ..ext import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    _, assign = SIM.ivf_build(corpus, "vec_id", "embedding", nlist=16, n_iter=2)
+    return SIM.cosine_dedup_pairs(
+        assign.select("vec_id", F.col("__v__").alias("embedding"), "cid"),
+        "vec_id", "embedding", threshold=0.95, cluster_col="cid")
+
+
 @query("dedup_semantic_pairs", oracle=_semantic_pairs_oracle())
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact within-cluster pair listing dedup_semantic_clusters

@@ -263,3 +263,52 @@ def typed_encoding_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("__enc__", "$.v.~a~[0].~n~").cast("bigint").alias("v_arr0"),
         F.get_json_object("__enc__", "$.~e~").cast("int").alias("e"),
     )
+
+
+@query(
+    "snowflake_roundtrip",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*)                                                  AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)   AS sum_qty,
+           MIN(l_linenumber)                                        AS first_ln
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def snowflake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake (parent/child-table) storage — the reference's OTHER
+    nested-document strategy (its embedded jx_sqlite backend normalizes
+    every nested array into a child table; SURVEY.md §1.2): nest lineitem
+    under orders, WRITE the nested frame as parent + child parquet
+    (sources/snowflake.py), re-read and REASSEMBLE the ordered arrays,
+    then aggregate over the rebuilt elements. The oracle computes the
+    same facts straight from the relational base table and never sees
+    the storage — a green check proves the snowflake round-trip is
+    lossless INCLUDING element order (first_ln = the [0] element only if
+    __pos__ reassembly preserved the write-time l_linenumber order)."""
+    import os
+    import tempfile
+
+    from ..operators import nested as N
+    from ..sources import snowflake as SN
+
+    li = load_table(spark, sf_dir, "lineitem")
+    doc = N.nest(li, parent_keys=["l_orderkey"],
+                 item_cols=["l_linenumber", "l_quantity"],
+                 order_by="l_linenumber")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snowflake_{os.path.basename(sf_dir.rstrip('/'))}")
+    SN.write_snowflake(doc, path, ["l_orderkey"], "items")
+    back = SN.read_snowflake(spark, path, "items")
+    dec = "decimal(18,6)"
+    return back.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.aggregate(
+            F.col("items"), F.lit(0).cast(dec),
+            lambda a, x: (a + x["l_quantity"].cast(dec)).cast(dec)
+        ).cast("double").alias("sum_qty"),
+        F.col("items")[0]["l_linenumber"].alias("first_ln"),
+    )

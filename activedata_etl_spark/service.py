@@ -155,12 +155,50 @@ def make_handler(spark):
     return Handler
 
 
-def serve(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
-    """Register ``data_dir`` views and return a ready (unstarted) server;
-    port 0 picks a free port (``server.server_address[1]``)."""
+def attach_indexes(spark, indexes: dict[str, str]) -> list[str]:
+    """Register persisted index tables as queryable views.
+
+    The engine materializes derived indexes — near-dup signatures/shingle
+    sets (ext/dedup_index.py), chunk tables, HLL register tables — as
+    parquet directories. Attaching one here makes it reachable from the jx
+    front-end like any base table (``POST /query {"from": "<view>"}``),
+    the reference's queryable-metadata role (its meta.columns/meta.tables
+    catalog): an index is just another table to the query layer. Each
+    parquet subdir of an index root registers as ``<name>_<subdir>``; a
+    bare parquet dir registers as ``<name>``. Returns the view names."""
+    import os
+
+    def is_parquet_dir(p: str) -> bool:
+        return os.path.isdir(p) and any(
+            e.endswith(".parquet") or e == "_SUCCESS" for e in os.listdir(p))
+
+    out: list[str] = []
+    for name, path in indexes.items():
+        if is_parquet_dir(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+            out.append(name)
+            continue
+        for d in sorted(os.listdir(path)):
+            sub = os.path.join(path, d)
+            if is_parquet_dir(sub):
+                view = f"{name}_{d}"
+                spark.read.parquet(sub).createOrReplaceTempView(view)
+                out.append(view)
+        if not any(v.startswith(f"{name}_") or v == name for v in out):
+            raise ValueError(f"no parquet tables under index path: {path}")
+    return out
+
+
+def serve(spark, data_dir: str, port: int = 0,
+          indexes: dict[str, str] | None = None) -> ThreadingHTTPServer:
+    """Register ``data_dir`` views (plus any persisted ``indexes``) and
+    return a ready (unstarted) server; port 0 picks a free port
+    (``server.server_address[1]``)."""
     from .io import register_views
 
     register_views(spark, data_dir)
+    if indexes:
+        attach_indexes(spark, indexes)
     return ThreadingHTTPServer(("127.0.0.1", port), make_handler(spark))
 
 
@@ -168,11 +206,17 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", required=True)
     ap.add_argument("--port", type=int, default=9200)
+    ap.add_argument("--index", action="append", default=[],
+                    metavar="NAME=PATH",
+                    help="attach a persisted index dir as queryable views "
+                         "(repeatable); subtables register as NAME_<sub>")
     args = ap.parse_args(argv)
 
     from .session import get_spark
 
-    server = serve(get_spark("activedata-service"), args.data, args.port)
+    indexes = dict(s.split("=", 1) for s in args.index)
+    server = serve(get_spark("activedata-service"), args.data, args.port,
+                   indexes=indexes or None)
     print(f"serving on http://127.0.0.1:{server.server_address[1]}/query")
     try:
         server.serve_forever()

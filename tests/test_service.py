@@ -199,3 +199,45 @@ def test_stream_error_after_headers_is_clean(endpoint):
     assert b"HTTP/1.1" not in body  # no second status line in the stream
     lines = [json.loads(ln) for ln in body.splitlines() if ln]
     assert lines and lines[-1].get("incomplete") is True
+
+
+def test_query_persisted_index_through_service(spark, sf_dir, tmp_path):
+    """VERDICT r3 #6: the persisted near-dup index is queryable via POST
+    /query — attach_indexes registers its parquet tables as views, and the
+    jx front-end reads them like any base table. The answer must agree
+    with reading the index directly."""
+    from activedata_etl_spark.ext import dedup_index as DI
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.service import serve
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    idx = str(tmp_path / "neardup")
+    DI.build_index(docs, "doc_id", "text", idx, n_hashes=8, n_bands=2)
+
+    server = serve(spark, sf_dir, port=0, indexes={"neardup": idx})
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        ep = f"http://127.0.0.1:{server.server_address[1]}"
+        # per-band distinct bucket count over the signature index
+        out = _post(ep + "/query", {
+            "from": "neardup_signatures",
+            "select": [
+                {"name": "docs", "aggregate": "count"},
+                {"name": "b0_buckets", "value": "band_0",
+                 "aggregate": "cardinality"},
+            ],
+        })["data"]
+        sig = DI.read_signatures(spark, idx)
+        assert out[0]["docs"] == sig.count() == 300
+        assert out[0]["b0_buckets"] == sig.select("band_0").distinct().count()
+        # shingle sets register too, and row-level reads page through
+        rows = _post(ep + "/query", {
+            "from": "neardup_shingle_sets",
+            "select": [{"name": "id", "value": "id"}],
+            "sort": "id", "limit": 5})["data"]
+        first5 = [r["id"] for r in
+                  DI.read_shingle_sets(spark, idx).orderBy("id").limit(5).collect()]
+        assert [r["id"] for r in rows] == first5
+    finally:
+        server.shutdown()
