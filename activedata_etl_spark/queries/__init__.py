@@ -33,51 +33,50 @@ from .registry import ORACLES, QUERIES
 # remainder keeps registration order. Every entry is oracle-paired and
 # locally parity-checked either way.
 _FRONT = [
-    # r3b rotation: every operator NEW this round (HLL, winsorize, CDC
-    # diff, DQ audit, MAD/EWMA, trigrams, triangles, bloom join, rolling
-    # distinct, semantic dedup + pairs, BPE, gopher gate, chunk dedup,
-    # source overlap) sits in the checked 50 for first-time driver
-    # evidence, alongside the spine (flagship, the r2 red-fixes, and
-    # every op the r3 ngrams/oracle refactors touched). Entries rotated
-    # out were driver-green in r1+r2 and stay covered by the full local
-    # sweep. Whole prefix parity-validated at sf0.01 before commit.
-    # flagship + star join + portable HLL
-    "q1_pricing_summary", "tpch_q5_local_supplier_volume",
-    "agg_hll_registers", "agg_hll_estimate",
-    # aggregates (incl. grouping lattices, set/cardinality kit, skew)
-    "agg_median_percentile", "agg_winsorize", "agg_sketch_audit",
-    "agg_rollup", "agg_grouping_sets", "agg_cardinality", "agg_union_set",
-    "skew_two_phase_distinct",
-    # ETL ops + edges / cubes (domain completion incl. allowNulls)
-    "etl_snapshot_diff", "jx_edges_two_dim_dense", "jx_edges_allow_nulls",
-    "jx_cube_allow_nulls",
-    # DQ + event-time (incl. the r3b time-series/sequence/graph batch)
-    "etl_dq_audit", "events_sessionize_capped", "events_funnel_steps",
-    "events_rolling_mad_anomaly", "events_ewma", "events_path_trigrams",
-    "graph_triangle_cooccurrence",
-    # expressions
-    "expr_null_semantics",
-    # joins + rolling distinct
-    "join_asof_forward", "window_rolling_distinct",
-    "join_interval_overlap", "join_asof_tolerance", "join_anti",
-    "join_bloom_prefiltered",
-    # windows
-    "window_exact_percentile", "window_lag_lead", "window_filtered",
-    # nested / JSON / deep
-    "nested_explode_roundtrip", "typed_encoding_fields", "nested_leaves_deep",
-    "jx_deep_two_hop",
-    # semantic dedup refinement + tokenizer induction
-    "dedup_semantic_pairs", "text_bpe_merges",
-    # training-data extensions: text / dedup / similarity / multimodal /
-    # sampling / end-to-end
-    "text_gopher_rules", "text_pii_redaction",
-    "dedup_chunk_level", "dedup_semantic_clusters",
-    "dedup_lsh_jaccard_pairs", "dedup_containment_pairs",
-    "dedup_embedding_cosine", "sim_ann_ivf_topk",
-    "multimodal_fake_features",
-    "corpus_source_overlap", "corpus_prep_pipeline",
-    # set ops / sort
-    "sort_missing_first",
+    # r4 rotation (VERDICT r3 #1): 86 registered queries had never sat in
+    # a driver-checked prefix. This prefix is ALL first-time evidence —
+    # the TPC-H tail, multimodal, the events time-series batch, the
+    # window/setop/agg tails, agg_count_values (whose only driver datum
+    # was the long-fixed r1 err), sort_missing_first (stranded at
+    # position 51 in r3) — plus the four queries NEW this round. Entries
+    # rotated out were driver-green in r1-r3 and stay covered by the full
+    # local sweep. Whole prefix parity-validated at sf0.01 from a vanilla
+    # session before commit; the ~37 still-unchecked queries rotate in
+    # next round, completing driver history for the whole registry.
+    # the stranded + the r1-err closure
+    "sort_missing_first", "agg_count_values",
+    # TPC-H tail (never driver-checked; q1/q3/q5/q10/q18 have r1-r3 marks)
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_relationship",
+    "tpch_q17_small_quantity_revenue", "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion", "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
+    # multimodal plumbing
+    "multimodal_resize", "multimodal_frame_sample",
+    # the two r3b decimal-trap aggregates + ordered/sketch tails
+    "agg_mode", "agg_corr_covar", "agg_listagg_ordered",
+    "agg_equidepth_histogram", "agg_contingency_chi2", "agg_ratio_to_report",
+    # events time-series batch
+    "events_retention_cohorts", "events_resample_ffill",
+    "events_hourly_ohlc", "events_value_zscore", "events_resample_interp",
+    "events_unpivot_measures", "events_session_features",
+    # window tail
+    "window_range_trailing_7d", "window_sliding_frame",
+    "window_whole_partition", "window_ntile_percent",
+    "window_first_last_value",
+    # join tail
+    "join_full_outer", "join_cross_small",
+    # NEW this round: compiled typed encoder, jx window percentile,
+    # snowflake storage, fused cluster+band dedup
+    "typed_encoding_compiled", "jx_window_percentile",
+    "snowflake_roundtrip", "dedup_semantic_banded_pairs",
+    # index-path proof + url/corpus governance + sampling planners
+    "dedup_index_query", "text_url_kit", "corpus_host_stats",
+    "sample_mixture_budget", "corpus_curriculum_order",
 ]
 
 

@@ -4,9 +4,11 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol (BASELINE.md): 1 discarded warm-up, then median of 3 timed runs;
-wall clock around a full materialization (collect for small outputs,
-count for wide ones so driver-side row transfer doesn't dominate).
+Protocol (BASELINE.md): 1 discarded warm-up, then median of 3 timed runs
+($SPARK_GRAFT_BENCH_RUNS overrides — BASELINE.md tables are recorded at 5
+for a calmer median on a loaded machine); wall clock around a full
+materialization (collect for small outputs, count for wide ones so
+driver-side row transfer doesn't dominate).
 """
 
 from __future__ import annotations
@@ -67,6 +69,11 @@ HEADLINE = [
     "agg_hll_registers",
     "text_bpe_merges",
     "dedup_semantic_clusters",
+    # r4 additions: compiled typed-encoding ingest, snowflake child-table
+    # storage roundtrip, fused cluster+band cosine dedup
+    "typed_encoding_compiled",
+    "snowflake_roundtrip",
+    "dedup_semantic_banded_pairs",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()
@@ -87,13 +94,13 @@ def main() -> None:
         n = df.count()  # warm-up (discarded) + output-size probe
         small = n <= WIDE_THRESHOLD
         runs = []
-        for _ in range(3):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
             t0 = time.perf_counter()
             # One full materialization per run: collect when the output is
             # small enough that driver transfer is negligible, else count.
             df.collect() if small else df.count()
             runs.append(time.perf_counter() - t0)
-        times[name] = round(sorted(runs)[1], 4)
+        times[name] = round(sorted(runs)[len(runs) // 2], 4)
         print(f"  {name}: {times[name]}s", file=sys.stderr)
 
     print(json.dumps({
