@@ -411,3 +411,115 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                     F.col("cos_rep"),
                     ((F.col(id_col) == F.col("rep_id"))
                      | (F.col("cos_rep") < threshold)).alias("keep")))
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 scalar quantization:
+    struct(scale double, q array<int>) with q_i = round(x_i / scale),
+    scale = max|x| / 127.
+
+    The 100 TB ANN lever: a float32 embedding table shrinks 4× (the
+    candidate side of every similarity join shrinks with it), and
+    quantized DOT PRODUCTS become exact integer arithmetic — quantized
+    cosine is int_dot / (sqrt(int_dot_aa) · sqrt(int_dot_bb)), where the
+    two scales cancel, so scores are bit-deterministic across engines and
+    partitionings (no float-accumulation order sensitivity at all).
+    Rounding is floor(x/scale + 0.5) — identical IEEE ops on both engines,
+    vs round() whose half-case rule differs between them. A zero vector
+    quantizes to scale 0, all-zero codes."""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(mx > 0, F.transform(
+        dv, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    ).otherwise(F.transform(dv, lambda x: F.lit(0)))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8-code arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine of two quantized vectors — scales cancel, so this is pure
+    integer dots + two sqrt + one division: bit-deterministic."""
+    return (int_dot(qa, qb).cast("double")
+            / (F.sqrt(int_dot(qa, qa).cast("double"))
+               * F.sqrt(int_dot(qb, qb).cast("double"))))
+
+
+# --- persisted embedding index (quantized codes + band keys) -------------
+
+def _band_cols(n_bands: int) -> list[str]:
+    return [f"band_{b}" for b in range(n_bands)]
+
+
+def band_index_rows(df: DataFrame, id_col: str, vec_col: str,
+                    n_bits: int = 16, n_bands: int = 4) -> DataFrame:
+    """One index row per vector: id, int8 codes (+scale), float-sign band
+    keys. ~vector/4 bytes per row — the embedding analog of the minhash
+    signature table (ext/dedup_index.py): everything pairwise downstream
+    reads THIS, never the float table. Band keys come from the ORIGINAL
+    float signs, so index blocking is identical to the float pipeline's;
+    scores come from the codes, so they are bit-deterministic."""
+    qz = quantize_int8(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        qz["scale"].alias("scale"),
+        qz["q"].alias("q"),
+        *sign_band_keys(F.col(vec_col), n_bits, n_bands))
+
+
+def build_band_index(df: DataFrame, id_col: str, vec_col: str, path: str,
+                     n_bits: int = 16, n_bands: int = 4) -> None:
+    band_index_rows(df, id_col, vec_col, n_bits, n_bands) \
+        .write.mode("overwrite").parquet(path)
+
+
+def append_to_band_index(df_new: DataFrame, id_col: str, vec_col: str,
+                         path: str, n_bits: int = 16, n_bands: int = 4) -> None:
+    """Incremental maintenance: new vectors append their own rows —
+    scan-local, no touch of the historical index. Quantization and band
+    keys are pure functions of the vector, so at-least-once replay writes
+    bit-identical rows that the id-dedupe on read collapses."""
+    band_index_rows(df_new, id_col, vec_col, n_bits, n_bands) \
+        .write.mode("append").parquet(path)
+
+
+def read_band_index(spark, path: str) -> DataFrame:
+    from pyspark.sql import SparkSession  # noqa: F401  (typing only)
+
+    return spark.read.parquet(path)
+
+
+def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
+                          n_bands: int = 4,
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup pairs answered from the INDEX alone (id_a < id_b,
+    quantized cosine ≥ threshold): band-bucket candidate fan-out (one
+    shuffle, same construction as cosine_dedup_pairs) + integer-dot
+    verify. dropDuplicates(id) first makes replayed appends harmless."""
+    idx = read_band_index(spark, path).dropDuplicates(["id"]).persist()
+    banded = idx.select(
+        "id", F.posexplode(F.array(*_band_cols(n_bands)))
+        .alias("band_idx", "band_sig"))
+    buckets = (banded.groupBy("band_idx", "band_sig")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    cand = (buckets.select(F.explode(F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))).alias("p")).select("p.id_a", "p.id_b").distinct())
+    a = idx.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
+    b = idx.select(F.col("id").alias("id_b"), F.col("q").alias("qb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("qcos", quantized_cosine(F.col("qa"), F.col("qb")))
+            .filter(F.col("qcos") >= threshold)
+            .select("id_a", "id_b", "qcos"))

@@ -330,3 +330,66 @@ def gopher_table(df, id_cols: list[str], text_col: str = "text"):
                    1 - F.size(F.array_distinct("__g2__")) / F.size("__g2__")),
             F.lit(0.0)).alias("dup_2gram"),
     )
+
+
+def bigram_lm_tables(ref, text_col: str = "text"):
+    """Reference-corpus bigram language model: (unigrams[w, c1],
+    bigrams[bg, c12], vocab[1 row: __V__]).
+
+    The CCNet-style quality filter trains a small LM on a trusted slice
+    (its Wikipedia KenLM) and scores the whole crawl against it. Here the
+    model IS two count tables — O(reference tokens) rows, built with one
+    shuffle each — plus the vocabulary size for add-one smoothing. At
+    100 TB the reference slice is a fraction of a percent of the corpus,
+    so these tables are small enough to broadcast into the scoring join.
+    """
+    tk = tokens(text_col)
+    uni = (ref.select(F.explode(tk).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    bg = (ref.select(F.explode(ngrams(tk, 2)).alias("bg"))
+          .groupBy("bg").agg(F.count(F.lit(1)).alias("c12")))
+    vocab = uni.groupBy().agg(F.count(F.lit(1)).alias("__V__"))
+    return uni, bg, vocab
+
+
+def bigram_lm_score(df, ref, id_col: str, text_col: str = "text"):
+    """Score every document's bigrams against the reference LM:
+    (id, n_bigrams, n_unseen, mean_p).
+
+    ``mean_p`` is the MEAN TRANSITION PROBABILITY with add-one smoothing,
+    P(w2|w1) = (c12 + 1) / (c1 + V) — deliberately NOT log-perplexity:
+    ln() differs between engines in the last ulp (measured: Spark
+    1.0986122886681096 vs DuckDB ...98 for ln 3), while integer-operand
+    IEEE division and fixed-order summation are bit-deterministic, so
+    the score is hash-exactly oracle-checkable. It ranks documents the
+    same way perplexity does for a filter threshold (monotone in the
+    per-transition likelihoods it averages); ``n_unseen`` (bigrams never
+    seen in the reference) is the heavy-tail signal log-space would
+    amplify. The per-doc sum folds in POSITION order over a sorted
+    struct array, so the result is partition-order independent.
+
+    Plan: the two model tables join onto the exploded corpus bigrams
+    (broadcast when small — the usual case), one groupBy(id) closes.
+    Docs with fewer than two tokens have no transitions and drop out;
+    keep them upstream with a left join if needed.
+    """
+    uni, bg, vocab = bigram_lm_tables(ref, text_col)
+    doc = df.select(
+        F.col(id_col),
+        F.posexplode(ngrams(tokens(text_col), 2)).alias("__pos__", "bg"))
+    joined = (
+        doc.join(bg, "bg", "left")
+        .withColumn("__w1__", F.split("bg", " ")[0])
+        .join(uni.withColumnRenamed("w", "__w1__"), "__w1__", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("__p__",
+                    (F.coalesce("c12", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("c1", F.lit(0)) + F.col("__V__")).cast("double"))
+    )
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(F.col("c12").isNull().cast("bigint")).alias("n_unseen"),
+                 (F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("__pos__", "__p__"))),
+                     F.lit(0.0), lambda a, s: a + s["__p__"])
+                  / F.count(F.lit(1))).alias("mean_p")))

@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     q_ext2,
     q_ext3,
     q_ext4,
+    q_ext5,
     q_flagship,
     q_joins,
     q_jx,
