@@ -500,11 +500,37 @@ def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
     """Near-dup pairs answered from the INDEX alone (id_a < id_b,
     quantized cosine ≥ threshold): band-bucket candidate fan-out (one
     shuffle, same construction as cosine_dedup_pairs) + integer-dot
-    verify. dropDuplicates(id) first makes replayed appends harmless."""
-    idx = read_band_index(spark, path).dropDuplicates(["id"]).persist()
-    banded = idx.select(
-        "id", F.posexplode(F.array(*_band_cols(n_bands)))
-        .alias("band_idx", "band_sig"))
+    verify. dropDuplicates(id) first makes replayed appends harmless.
+
+    Identical-CODE prepass (the quantized twin of cosine_dedup_pairs'
+    exact-vector prepass, same K-copies-inflate-buckets-K× rationale —
+    SCALE.md): rows sharing a code array collapse to one canonical id
+    BEFORE the fan-out, carrying the UNION of the group's band keys
+    (vectors with equal codes can disagree on a float sign where a tiny
+    value rounds to 0, so bands are unioned, not taken from the
+    canonical). Within-group pairs are emitted with
+    quantized_cosine(q, q) — the identical expression the verify stage
+    (and the oracle) computes for equal codes — so the collapse is
+    invisible in the result."""
+    idx = read_band_index(spark, path).dropDuplicates(["id"])
+    bands_arr = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.col(f"band_{b}").alias("band_sig"))
+        for b in range(n_bands)])
+    groups = (idx.select(F.xxhash64("q").alias("__h__"), "id", "q",
+                         bands_arr.alias("__bs__"))
+              .groupBy("__h__")
+              .agg(F.array_sort(F.collect_list("id")).alias("__ids__"),
+                   F.first("q").alias("q"),
+                   F.array_distinct(F.flatten(
+                       F.collect_list("__bs__"))).alias("__bands__")))
+    canon = groups.select(
+        F.element_at("__ids__", 1).alias("__cid__"), "__ids__", "q",
+        "__bands__").persist()
+
+    banded = canon.select(F.col("__cid__").alias("id"),
+                          F.explode("__bands__").alias("b")) \
+        .select("id", "b.band_idx", "b.band_sig")
     buckets = (banded.groupBy("band_idx", "band_sig")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") >= 2))
@@ -514,12 +540,30 @@ def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
         "ids",
         lambda x, i: F.transform(
             F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            lambda y: F.struct(x.alias("ca"), y.alias("cb")),
         ),
-    ))).alias("p")).select("p.id_a", "p.id_b").distinct())
-    a = idx.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
-    b = idx.select(F.col("id").alias("id_b"), F.col("q").alias("qb"))
-    return (cand.join(a, "id_a").join(b, "id_b")
-            .withColumn("qcos", quantized_cosine(F.col("qa"), F.col("qb")))
-            .filter(F.col("qcos") >= threshold)
-            .select("id_a", "id_b", "qcos"))
+    ))).alias("p")).select("p.ca", "p.cb").distinct())
+    a = canon.select(F.col("__cid__").alias("ca"),
+                     F.col("__ids__").alias("ids_a"), F.col("q").alias("qa"))
+    b = canon.select(F.col("__cid__").alias("cb"),
+                     F.col("__ids__").alias("ids_b"), F.col("q").alias("qb"))
+    cross = (cand.join(a, "ca").join(b, "cb")
+             .withColumn("qcos", quantized_cosine(F.col("qa"), F.col("qb")))
+             .filter(F.col("qcos") >= threshold)
+             .select(F.explode("ids_a").alias("x"), F.col("ids_b"), "qcos")
+             .select("x", F.explode("ids_b").alias("y"), "qcos")
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"), "qcos"))
+    within = (canon.filter(F.size("__ids__") >= 2)
+              .withColumn("qcos", quantized_cosine(F.col("q"), F.col("q")))
+              .filter(F.col("qcos") >= threshold)
+              .select(F.explode(F.flatten(F.transform(
+                  "__ids__",
+                  lambda x, i: F.transform(
+                      F.slice(F.col("__ids__"), i + F.lit(2),
+                              F.size(F.col("__ids__"))),
+                      lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                  ),
+              ))).alias("p"), "qcos")
+              .select("p.id_a", "p.id_b", "qcos"))
+    return cross.unionByName(within)
