@@ -393,3 +393,29 @@ def bigram_lm_score(df, ref, id_col: str, text_col: str = "text"):
                      F.array_sort(F.collect_list(F.struct("__pos__", "__p__"))),
                      F.lit(0.0), lambda a, s: a + s["__p__"])
                   / F.count(F.lit(1))).alias("mean_p")))
+
+
+def bpe_apply(words, merges, word_col: str = "w", sep: str = "~"):
+    """Apply learned BPE merges (rank order) to each word — adds ``seq``,
+    the separator-joined subword symbols.
+
+    The ENCODE half of the tokenizer loop (:func:`bpe_merges` is the
+    induction half): the merge table folds over each word as a chain of
+    leftmost-nonoverlapping replaces — the same replace() semantics the
+    induction used, so encode(induce(corpus)) is self-consistent by
+    construction. The merges broadcast (they are vocabulary metadata,
+    a few rows); encoding is a scan-local expression. Apply it to the
+    DISTINCT-word table and join back to documents — per-word work is
+    paid once per vocabulary entry, not once per corpus occurrence."""
+    marr = (merges.groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "merge_rank", "lhs", "rhs"))).alias("__m__")))
+    seq0 = F.concat_ws(sep, F.split(F.col(word_col), ""))
+    return (words.crossJoin(F.broadcast(marr))
+            .withColumn("seq", F.aggregate(
+                "__m__", seq0,
+                lambda acc, m: F.replace(
+                    acc,
+                    F.concat(m["lhs"], F.lit(sep), m["rhs"]),
+                    F.concat(m["lhs"], m["rhs"]))))
+            .drop("__m__"))

@@ -206,3 +206,110 @@ def sim_band_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_band_index_{os.path.basename(sf_dir.rstrip('/'))}")
     SIM.build_band_index(corpus, "vec_id", "embedding", path)
     return SIM.pairs_from_band_index(spark, path, threshold=0.95)
+
+
+def _bpe_encode_oracle(n_merges: int = 3) -> str:
+    """The induction chain of q_ext4._bpe_oracle with the word carried
+    through each merge round, closed by a per-document re-join."""
+    ctes = ["""w AS (
+      SELECT w, COUNT(*) AS wf FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE NOT contains(w, '~') AND length(w) > 0 GROUP BY w)""",
+            """s0 AS (
+      SELECT w, array_to_string(string_split_regex(w, ''), '~') AS seq, wf
+      FROM w)"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+          SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(SUM(wf) AS BIGINT) AS n
+          FROM (
+            SELECT unnest(list_transform(
+                     range(1, len(string_split(seq, '~'))),
+                     j -> struct_pack(lhs := string_split(seq, '~')[j],
+                                      rhs := string_split(seq, '~')[j + 1])))
+                   AS p, wf
+            FROM s{i - 1})
+          GROUP BY 1, 2)""")
+        ctes.append(f"""t{i} AS (
+          SELECT lhs, rhs FROM p{i} ORDER BY n DESC, lhs, rhs LIMIT 1)""")
+        ctes.append(f"""s{i} AS (
+          SELECT w, replace(seq, lhs || '~' || rhs, lhs || rhs) AS seq, wf
+          FROM s{i - 1} CROSS JOIN t{i})""")
+    ctes.append(f"""vocab AS (
+      SELECT w, CAST(len(string_split(seq, '~')) AS INT) AS n_sub FROM s{n_merges})""")
+    ctes.append("""doc_tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents)""")
+    return "WITH " + ",\n".join(ctes) + """
+    SELECT doc_id,
+           COUNT(*)                          AS n_enc_words,
+           CAST(SUM(v.n_sub) AS BIGINT)      AS n_subwords,
+           CAST(SUM(length(d.w)) AS BIGINT)  AS n_chars
+    FROM doc_tok d JOIN vocab v USING (w)
+    GROUP BY doc_id"""
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer loop: learn 3 BPE merges from the
+    corpus (text_bpe_merges), apply them to the DISTINCT-word vocabulary
+    (ext/text.bpe_apply — per-word cost paid once per vocab entry, not
+    per occurrence), join back onto documents, and report per-doc subword
+    budget: encodable words, subword count after merging, character
+    count. This is the token-counting a training-data budget actually
+    uses — counted under the induced tokenizer, not whitespace. The
+    oracle re-derives the merges AND the encoding independently and must
+    agree on every count."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = TX.bpe_merges(d, "text", n_merges=3)
+    vocab = (d.select(F.explode(TX.tokens("text")).alias("w"))
+             .filter(~F.col("w").contains("~") & (F.length("w") > 0))
+             .distinct())
+    enc = TX.bpe_apply(vocab, merges).select(
+        "w", F.size(F.split("seq", "~")).alias("n_sub"))
+    doc_tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    return (doc_tok.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_enc_words"),
+                 F.sum("n_sub").cast("bigint").alias("n_subwords"),
+                 F.sum(F.length("w")).cast("bigint").alias("n_chars")))
+
+
+def _cluster_outlier_oracle(nlist: int = 16, n_iter: int = 2,
+                            frac: float = 0.05) -> str:
+    from .q_ext import _ivf_ctes, _sql_cos
+
+    ctes = _ivf_ctes(nlist, n_iter)
+    ctes.append(f"""scored AS (
+      SELECT a.vec_id, a.cid, {_sql_cos('a.vv', 'c.cvec')} AS ccos
+      FROM af a JOIN c{n_iter} c USING (cid))""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT vec_id, cid, ccos,
+           PERCENT_RANK() OVER (PARTITION BY cid ORDER BY ccos, vec_id)
+             <= {frac} AS is_outlier
+    FROM scored""")
+
+
+@query("sim_cluster_outliers", oracle=_cluster_outlier_oracle())
+def sim_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space junk detection: vectors least aligned with their
+    own k-means centroid are flagged per cluster — the embedding twin of
+    the text quality-percentile filter (mislabeled/garbled/off-manifold
+    samples sit far from every prototype). RANK-based cutoff
+    (percent_rank ≤ 5%, ties broken by id), not a z-score: moments over
+    doubles are accumulation-order-dependent, percent_rank is exact
+    integer division — hash-exact across engines. Plan: broadcast
+    centroid join (no vector shuffle) + one window exchange on cid."""
+    from pyspark.sql import Window
+
+    from ..ext import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, assign = SIM.ivf_build(emb, "vec_id", "embedding", nlist=16, n_iter=2)
+    scored = (assign.join(F.broadcast(cent), "cid")
+              .withColumn("ccos", SIM.cosine(F.col("__v__"), F.col("cvec"))))
+    w = Window.partitionBy("cid").orderBy(F.col("ccos").asc(),
+                                          F.col("vec_id").asc())
+    return scored.select(
+        "vec_id", "cid", "ccos",
+        (F.percent_rank().over(w) <= 0.05).alias("is_outlier"))
