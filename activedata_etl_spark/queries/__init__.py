@@ -65,16 +65,19 @@ _FRONT = [
     "events_retention_cohorts", "events_resample_ffill",
     "events_hourly_ohlc", "events_value_zscore", "events_resample_interp",
     "events_unpivot_measures", "events_session_features",
-    # window tail
-    "window_range_trailing_7d", "window_sliding_frame",
-    "window_whole_partition", "window_ntile_percent",
-    "window_first_last_value",
-    # join tail
-    "join_full_outer", "join_cross_small",
+    # window tail (the rest of it — sliding/whole/ntile/first-last — and
+    # join_full_outer/join_cross_small are builtin-backed lowest-risk and
+    # wait for the r5 rotation; this round's NEW operators take the slots)
+    "window_range_trailing_7d",
     # NEW this round: compiled typed encoder, jx window percentile,
-    # snowflake storage, fused cluster+band dedup
+    # snowflake storage, fused cluster+band dedup, LM quality scoring,
+    # int8 quantized ANN + persisted band index, BPE encode, embedding
+    # outliers, canonical-URL dedup
     "typed_encoding_compiled", "jx_window_percentile",
     "snowflake_roundtrip", "dedup_semantic_banded_pairs",
+    "text_lm_quality_score", "sim_ann_quantized_topk",
+    "sim_band_index_pairs", "text_bpe_encode",
+    "sim_cluster_outliers", "corpus_url_canonical_dedup",
     # index-path proof + url/corpus governance + sampling planners
     "dedup_index_query", "text_url_kit", "corpus_host_stats",
     "sample_mixture_budget", "corpus_curriculum_order",

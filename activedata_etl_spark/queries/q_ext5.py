@@ -313,3 +313,49 @@ def sim_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "vec_id", "cid", "ccos",
         (F.percent_rank().over(w) <= 0.05).alias("is_outlier"))
+
+
+@query(
+    "corpus_url_canonical_dedup",
+    oracle="""
+    SELECT 'https://www.example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+             AS canonical_url,
+           COUNT(*)           AS n_dups,
+           MAX(doc_id)        AS kept_doc,
+           MIN(doc_id)        AS first_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def corpus_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup with keep-newest policy — the crawl-side exact
+    dedup that runs BEFORE any content hashing (the same page refetched
+    via tracking-parameter / case / default-port / fragment variants is
+    one document). Messy URLs are synthesized three ways per page
+    (plain; upper-cased host + utm query; :443 port + trailing slash +
+    fragment), then canonicalized from the URL STRING ALONE — lowercase
+    host via parse_url (which also drops the port), path with query and
+    fragment gone, trailing slash stripped. The oracle states the
+    canonical straight from the construction rule and never sees the
+    messy string, so a green check pins the canonicalizer exactly.
+    Keep-newest = argmax over the fetch order surrogate (doc_id).
+    Scan-local expressions + one groupBy: linear at any crawl size."""
+    d = load_table(spark, sf_dir, "documents")
+    p = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.example.com/page/"), p))
+        .when(v == 1, F.concat(F.lit("https://WWW.Example.COM/page/"), p,
+                               F.lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://www.example.com:443/page/"), p,
+                            F.lit("/#frag")))
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/$", ""))
+    return (d.select(F.col("doc_id"), canonical.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.max("doc_id").alias("kept_doc"),
+                 F.min("doc_id").alias("first_doc")))
