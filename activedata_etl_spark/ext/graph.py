@@ -85,3 +85,51 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .withColumn("clustering",
                         (2.0 * F.col("n_triangles"))
                         / (F.col("degree") * (F.col("degree") - 1))))
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected simple graph given as
+    canonical (a < b, distinct) edges — the crawl-prioritization /
+    host-authority ranking a web pipeline runs over its link graph.
+    Returns (node, r) after ``n_iter`` synchronous iterations from the
+    uniform start.
+
+    Determinism contract (what makes this oracle-checkable): per-node
+    contribution sums fold over a (src)-sorted struct array, never a
+    shuffle-ordered float sum; the teleport term is computed as
+    double(1) − double(damping) IN-PLAN so the oracle can state the
+    bit-identical expression (a Python-side ``1 - 0.85`` bakes the same
+    value, but keeping it symbolic keeps both engines honest).
+    Undirected edges mean no dangling mass: every node that exists has
+    out-degree ≥ 1.
+
+    Scale: each iteration is one equi-join of the edge list against the
+    current rank vector plus one groupBy(dst) — the rank vector is
+    |V| rows (broadcastable for host graphs, shuffle-join for page
+    graphs), the edge list never re-shuffles if pre-partitioned by src.
+    Iterations chain lineage; checkpoint every ~10 on long runs (the
+    connected-components operator documents the same practice)."""
+    directed = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    nodes = directed.select(F.col("src").alias("node")).distinct()
+    nn = nodes.groupBy().agg(F.count(F.lit(1)).alias("__N__"))
+    outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("__d__"))
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.col("__N__")
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("__N__")).alias("r"))
+    for _ in range(n_iter):
+        contribs = (directed.join(outdeg, "src")
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .select("dst", "src",
+                            (F.col("r") / F.col("__d__")).alias("c")))
+        sums = (contribs.groupBy("dst")
+                .agg(F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.lit(0.0), lambda a, s: a + s["c"]).alias("s")))
+        ranks = (nodes.join(sums.withColumnRenamed("dst", "node"), "node", "left")
+                 .crossJoin(F.broadcast(nn))
+                 .select("node",
+                         (teleport + F.lit(damping)
+                          * F.coalesce("s", F.lit(0.0))).alias("r")))
+    return ranks

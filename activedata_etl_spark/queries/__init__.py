@@ -78,9 +78,10 @@ _FRONT = [
     "text_lm_quality_score", "sim_ann_quantized_topk",
     "sim_band_index_pairs", "text_bpe_encode",
     "sim_cluster_outliers", "corpus_url_canonical_dedup",
-    # index-path proof + url/corpus governance + sampling planners
+    "graph_pagerank_cooccurrence",
+    # index-path proof + url/corpus governance + sampling planner
     "dedup_index_query", "text_url_kit", "corpus_host_stats",
-    "sample_mixture_budget", "corpus_curriculum_order",
+    "corpus_curriculum_order",
 ]
 
 

@@ -359,3 +359,63 @@ def corpus_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_dups"),
                  F.max("doc_id").alias("kept_doc"),
                  F.min("doc_id").alias("first_doc")))
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Unrolled synchronous PageRank over the events co-occurrence graph
+    (same edge CTE as graph_triangle_cooccurrence); contribution sums
+    fold in src order, teleport/damping kept symbolic as doubles so both
+    engines compute bit-identical IEEE expressions."""
+    d = "CAST(0.85 AS DOUBLE)"
+    ctes = ["""occ AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      FROM events)""",
+            """e AS (
+      SELECT l.user_id AS a, r.user_id AS b
+      FROM occ l JOIN occ r
+        ON l.event_type = r.event_type AND l.h = r.h AND l.user_id < r.user_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)""",
+            """directed AS (
+      SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)""",
+            "nodes AS (SELECT DISTINCT src AS node FROM directed)",
+            "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+            "od AS (SELECT src, COUNT(*) AS d FROM directed GROUP BY src)",
+            """r0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""c{i} AS (
+          SELECT dd.dst, dd.src, r.r / od.d AS c
+          FROM directed dd JOIN od USING (src)
+          JOIN r{i - 1} r ON dd.src = r.node)""")
+        ctes.append(f"""s{i} AS (
+          SELECT dst, list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+            (a, v) -> a + v) AS s
+          FROM c{i} GROUP BY dst)""")
+        ctes.append(f"""r{i} AS (
+          SELECT n.node,
+                 (CAST(1 AS DOUBLE) - {d}) / nn.n
+                   + {d} * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS r
+          FROM nodes n LEFT JOIN s{i} s ON n.node = s.dst CROSS JOIN nn)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\n    SELECT node AS user_id, r FROM r{n_iter}")
+
+
+@query("graph_pagerank_cooccurrence", oracle=_pagerank_oracle())
+def graph_pagerank_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 synchronous iterations, d=0.85) over the same user
+    co-occurrence graph the triangle query builds — the
+    crawl-prioritization / authority ranking a web pipeline runs on its
+    link graph, here as a generic edges→ranks operator
+    (ext/graph.pagerank). The oracle unrolls the iterations as CTEs and
+    value-checks every rank to the last bit (src-ordered contribution
+    folds; symbolic teleport term)."""
+    from ..ext import graph as G
+
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("h"))
+         .distinct())
+    edges = G.cooccurrence_edges(e, "user_id", ["event_type", "h"],
+                                 min_common=3).select("a", "b")
+    return (G.pagerank(edges, n_iter=3, damping=0.85)
+            .select(F.col("node").alias("user_id"), "r"))

@@ -433,3 +433,25 @@ def test_int8_quantization_properties(spark, sf_dir):
     for r in got:
         assert r["cos"] >= best[r["q_id"]] - 0.05, \
             f"q{r['q_id']}: chosen {r['cos']:.4f} vs best {best[r['q_id']]:.4f}"
+
+
+def test_pagerank_star_graph(spark):
+    """Star K1,3: center must outrank leaves; rank mass stays ~1 (no
+    dangling mass on an undirected graph); leaves tie exactly."""
+    from activedata_etl_spark.ext import graph as G
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a bigint, b bigint")
+    r = {row["node"]: row["r"]
+         for row in G.pagerank(edges, n_iter=5).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[0] > r[1] and r[1] == r[2] == r[3]
+    # exact against a sequential reference of the same algorithm
+    # (same fold order: contributions summed in src order)
+    adj = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    ref = {n: 1.0 / 4 for n in adj}
+    for _ in range(5):
+        ref = {n: (1.0 - 0.85) / 4
+               + 0.85 * sum(ref[s] / len(adj[s]) for s in sorted(adj[n]))
+               for n in adj}
+    assert r == ref
