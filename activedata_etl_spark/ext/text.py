@@ -419,3 +419,83 @@ def bpe_apply(words, merges, word_col: str = "w", sep: str = "~"):
                     F.concat(m["lhs"], F.lit(sep), m["rhs"]),
                     F.concat(m["lhs"], m["rhs"]))))
             .drop("__m__"))
+
+
+def sparse_cosine_pairs(df, id_col: str, text_col: str = "text",
+                        max_df: int | None = None,
+                        threshold: float = 0.5):
+    """Document-pair cosine over SPARSE token-count vectors via an
+    inverted index — the IR-style complement of the dense embedding path:
+    no embeddings needed, pairs materialize only for documents sharing a
+    term (one equi-join shuffle on the term), and all dot products are
+    INTEGER sums (term frequencies), so scores are bit-deterministic.
+
+    ``max_df`` drops terms appearing in more than that many documents
+    before the join — simultaneously the stopword pruning IR does anyway
+    and the hot-key cap every pairwise operator here carries (a term in
+    half the corpus would fan out |corpus|²/4 candidate rows; it also
+    carries no similarity signal).
+
+    Identical-content prepass (the standing rule for pairwise ops, see
+    SCALE.md): docs with identical token arrays collapse to one
+    canonical before the term join — K copies of a page would otherwise
+    grow every posting list K× and the dot-pair stage K². Document
+    frequency for the cap is weighted by copy count, so the df relation
+    is stated over the ORIGINAL corpus, prepass invisible; copy-pairs
+    re-expand at the end with the same dot/(n·n) expression the verify
+    computes, so values match an oracle that never deduped. Returns
+    (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold."""
+    groups = (df.groupBy(F.xxhash64(tokens(text_col)).alias("__h__"))
+              .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids__"),
+                   F.first(F.col(text_col)).alias("__t__"),
+                   F.count(F.lit(1)).alias("__nc__")))
+    canon = groups.select(
+        F.element_at("__ids__", 1).alias("id"), "__ids__", "__t__", "__nc__"
+    ).persist()
+    tf = (canon.select("id", "__nc__", F.explode(tokens("__t__")).alias("term"))
+          .filter(F.length("term") > 0)
+          .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"),
+                                     F.first("__nc__").alias("__nc__")))
+    if max_df is not None:
+        keep = (tf.groupBy("term")
+                .agg(F.sum("__nc__").cast("bigint").alias("__df__"))
+                .filter(F.col("__df__") <= max_df).select("term"))
+        tf = tf.join(keep, "term")
+    sumsq = (tf.groupBy("id")
+             .agg(F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("ss")))
+    norms = sumsq.select("id", F.sqrt(F.col("ss").cast("double")).alias("nrm"))
+    a = tf.select("term", F.col("id").alias("ca"), F.col("tf").alias("tfa"))
+    b = tf.select("term", F.col("id").alias("cb"), F.col("tf").alias("tfb"))
+    dots = (a.join(b, "term")
+            .filter(F.col("ca") < F.col("cb"))
+            .groupBy("ca", "cb")
+            .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("bigint").alias("dot")))
+    na = norms.select(F.col("id").alias("ca"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("cb"), F.col("nrm").alias("nb"))
+    ids_a = canon.select(F.col("id").alias("ca"), F.col("__ids__").alias("ids_a"))
+    ids_b = canon.select(F.col("id").alias("cb"), F.col("__ids__").alias("ids_b"))
+    cross = (dots.join(na, "ca").join(nb, "cb")
+             .withColumn("cos", F.col("dot").cast("double")
+                         / (F.col("na") * F.col("nb")))
+             .filter(F.col("cos") >= threshold)
+             .join(ids_a, "ca").join(ids_b, "cb")
+             .select(F.explode("ids_a").alias("x"), F.col("ids_b"), "cos")
+             .select("x", F.explode("ids_b").alias("y"), "cos")
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"), "cos"))
+    within = (canon.filter(F.size("__ids__") >= 2)
+              .join(sumsq, "id")  # inner: docs with no kept terms never pair
+              .withColumn("cos", F.col("ss").cast("double")
+                          / (F.sqrt(F.col("ss").cast("double"))
+                             * F.sqrt(F.col("ss").cast("double"))))
+              .filter(F.col("cos") >= threshold)
+              .select(F.explode(F.flatten(F.transform(
+                  "__ids__",
+                  lambda x, i: F.transform(
+                      F.slice(F.col("__ids__"), i + F.lit(2),
+                              F.size(F.col("__ids__"))),
+                      lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                  ),
+              ))).alias("p"), "cos")
+              .select("p.id_a", "p.id_b", "cos"))
+    return cross.unionByName(within)

@@ -419,3 +419,46 @@ def graph_pagerank_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  min_common=3).select("a", "b")
     return (G.pagerank(edges, n_iter=3, damping=0.85)
             .select(F.col("node").alias("user_id"), "r"))
+
+
+@query(
+    "text_sparse_cosine_pairs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id AS id, w AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+      WHERE length(w) > 0 GROUP BY 1, 2
+    ),
+    keep AS (
+      SELECT term FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+      WHERE df <= 100
+    ),
+    tfk AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+    norms AS (
+      SELECT id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+      FROM tfk GROUP BY id
+    ),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tfk a JOIN tfk b ON a.term = b.term AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+    FROM dots JOIN norms na ON dots.id_a = na.id
+              JOIN norms nb ON dots.id_b = nb.id
+    WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.5
+    """,
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse (token-count) document cosine via an inverted index
+    (ext/text.sparse_cosine_pairs): pairs exist only for docs sharing a
+    term, dot products are integer sums (bit-deterministic, unlike float
+    accumulation), and the df≤100 cap is both IR stopword pruning and
+    the hot-key bound (a term in half the corpus fans out |corpus|²/4
+    candidates and carries no signal). The lexical-overlap complement of
+    the embedding-cosine and Jaccard dedup paths — catches near-dups
+    that token ORDER changes hide from shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.sparse_cosine_pairs(d, "doc_id", "text",
+                                  max_df=100, threshold=0.5)
