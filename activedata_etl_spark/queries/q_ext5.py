@@ -462,3 +462,34 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return TX.sparse_cosine_pairs(d, "doc_id", "text",
                                   max_df=100, threshold=0.5)
+
+
+@query(
+    "etl_zorder_key",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(range(0, 16),
+             i -> (((o_custkey >> i) & 1) << (2 * i))
+                + ((((o_orderkey % 512) >> i) & 1) << (2 * i + 1))
+           )) AS BIGINT) AS zkey
+    FROM orders
+    """,
+)
+def etl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions of orders
+    (sources/layout.py) — the multi-dimensional layout lever partition
+    pruning and bucketing don't give: files written in z-key ranges hold
+    small hyper-rectangles of (custkey, date) space, so parquet footer
+    min/max skips most files for a predicate on EITHER dimension (the
+    Delta/Iceberg OPTIMIZE ZORDER mechanism as a plain repartition).
+    Pure integer bit interleaving; the oracle reconstructs every key
+    bit-for-bit (disjoint bit positions make OR ≡ SUM). The layout
+    effect itself — per-file stat ranges tightening on both dims at
+    once — is measured in test_etl (test_zorder_layout)."""
+    from ..sources.layout import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        zorder_key([F.col("o_custkey"), F.pmod(F.col("o_orderkey"), F.lit(512))],
+                   bits=16).alias("zkey"))

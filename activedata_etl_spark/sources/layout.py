@@ -1,0 +1,58 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+Partition pruning (sources/etl.py date partitions + DPP) and bucketing
+(sources/bucketing.py) each optimize ONE key. A 100 TB fact table
+queried by several dimensions at once — (customer, date), (host, lang)
+— needs its rows CLUSTERED so parquet row-group min/max stats are tight
+on every dimension simultaneously; sorting by one column makes the
+others' per-file ranges span the whole domain. Z-ordering interleaves
+the bits of the dimension keys into one sort key: files then cover
+small hyper-rectangles of the key space, and a predicate on ANY ordered
+dimension skips most files on footer stats alone (the same mechanism
+Delta/Iceberg OPTIMIZE ZORDER relies on — here as a plain repartition +
+write, no table format required).
+
+Everything is integer bit arithmetic (exact, oracle-checkable); the
+write is one range-shuffle on the z-key. Values must be non-negative
+ints that fit ``bits`` bits — normalize first (rank, bucket, epoch-day)
+as the caller; that normalization is also what makes skewed dimensions
+usable (rank-space is uniform by construction).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton interleave of ``len(cols)`` non-negative int columns,
+    ``bits`` bits each: bit *i* of column *k* lands at position
+    i·n_cols + k. Pure integer shifts/masks — bit-identical on any
+    engine. With the default 16 bits × 2 cols the key fits a bigint."""
+    n = len(cols)
+    assert n * bits <= 63, "z-key must fit a signed 64-bit integer"
+    parts = []
+    for k, c in enumerate(cols):
+        c = F.col(c) if isinstance(c, str) else c
+        c = c.cast("bigint")
+        parts.extend(
+            F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + k)
+            for i in range(bits))
+    return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("zkey")
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   n_files: int, bits: int = 16) -> None:
+    """Cluster ``df`` into ``n_files`` parquet files by z-order of
+    ``cols``: one range-shuffle on the z-key (contiguous key ranges per
+    file — that is what makes footer min/max tight), rows sorted within
+    each file so row-group stats nest the same way. The z-key itself is
+    not stored; it is a layout decision, not data."""
+    zk = zorder_key(cols, bits)
+    (df.withColumn("__zkey__", zk)
+       .repartitionByRange(n_files, F.col("__zkey__"))
+       .sortWithinPartitions("__zkey__")
+       .drop("__zkey__")
+       .write.mode("overwrite").parquet(path))

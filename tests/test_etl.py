@@ -88,3 +88,44 @@ def test_snapshot_diff_classifies_all_three(spark):
     got = {r["k"]: r["change"]
            for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
+    """The point of z-ordering, measured: after a single-column sort the
+    OTHER dimension's per-file min/max spans ~the whole domain (no file
+    can be skipped on its stats); after z-order BOTH dimensions' per-file
+    ranges are small fractions of their domains."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.sources.layout import write_zordered
+
+    # dims normalized to comparable bit widths (the docstring's rule:
+    # a 9-bit dim interleaved with a 7-bit dim wastes the top levels of
+    # the key on one dimension)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.pmod("o_orderkey", F.lit(128)).alias("d"))
+
+    single = str(tmp_path / "single")
+    (o.repartitionByRange(8, "o_custkey").sortWithinPartitions("o_custkey")
+      .write.parquet(single))
+    zpath = str(tmp_path / "zorder")
+    write_zordered(o, zpath, ["o_custkey", "d"], n_files=8, bits=8)
+
+    def avg_range(path, col):
+        per_file = (spark.read.parquet(path)
+                    .groupBy(F.input_file_name())
+                    .agg((F.max(col) - F.min(col)).alias("r")))
+        return per_file.agg(F.avg("r")).first()[0]
+
+    d_domain = 128.0
+    ck_domain = float(o.agg(F.max("o_custkey")).first()[0])
+    # single-column sort: d is unclustered — per-file range ~ full domain
+    assert avg_range(single, "d") > 0.9 * d_domain
+    # z-order: BOTH dimensions clustered at once (8 files = 3 z-key split
+    # levels alternating dims -> each range roughly halves/quarters)
+    assert avg_range(zpath, "d") < 0.65 * d_domain
+    assert avg_range(zpath, "o_custkey") < 0.65 * ck_domain
+    # and nothing was lost in the rewrite
+    assert spark.read.parquet(zpath).count() == o.count()
