@@ -493,3 +493,92 @@ def etl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zorder_key([F.col("o_custkey"), F.pmod(F.col("o_orderkey"), F.lit(512))],
                    bits=16).alias("zkey"))
+
+
+def _split_decontam_oracle(train_frac: float = 0.9, chunk: int = 10) -> str:
+    from ..ext.sampling import sql_hash_bucket
+
+    bucket = sql_hash_bucket("doc_id", salt="split1")
+    cut = f"CAST({train_frac} * 4294967296 AS BIGINT)"
+    return f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN {bucket} < {cut} THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, split,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+             generate_subscripts(
+               string_split_regex(lower(trim(text)), '\\s+'), 1) AS i
+      FROM labeled
+    ),
+    ch AS (
+      SELECT doc_id, split, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM t GROUP BY doc_id, split, floor((i - 1) / {chunk})
+    ),
+    eval_chunks AS (SELECT DISTINCT h FROM ch WHERE split = 'eval'),
+    contaminated AS (
+      SELECT DISTINCT ch.doc_id FROM ch JOIN eval_chunks USING (h)
+      WHERE ch.split = 'train'
+    )
+    SELECT l.doc_id, l.split,
+           c.doc_id IS NOT NULL AS is_contaminated,
+           l.split = 'train' AND c.doc_id IS NULL AS keep_for_train
+    FROM labeled l LEFT JOIN contaminated c USING (doc_id)"""
+
+
+@query("sample_split_decontaminated", oracle=_split_decontam_oracle())
+def sample_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split with a contamination guard — the composition an
+    LLM data pipeline actually ships: a DETERMINISTIC hash split (stable
+    under corpus growth and repartition, ext/sampling.split_label), then
+    any train document sharing a 10-token chunk with ANY eval document
+    is expelled from the training set (benchmark-leakage hygiene, the
+    chunk_table machinery of C4 dedup reused as the decontaminator).
+    Plan: scan-local split labels + chunk hashes, one distinct on eval
+    chunk hashes (a sliver of the corpus — AQE broadcasts it), one
+    semi-join; no text ever shuffles."""
+    from ..ext import dedup as DD
+    from ..ext import sampling as SA
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.withColumn("split", SA.split_label(
+        F.col("doc_id"), {"train": 0.9, "eval": 0.1}, salt="split1"))
+    ch = DD.chunk_table(labeled, "doc_id", "text", chunk=10,
+                        extra_cols=("split",))
+    eval_chunks = ch.filter(F.col("split") == "eval").select("h").distinct()
+    contaminated = (ch.filter(F.col("split") == "train")
+                    .join(eval_chunks, "h", "left_semi")
+                    .select("doc_id").distinct()
+                    .withColumn("__c__", F.lit(True)))
+    return (labeled.join(contaminated, "doc_id", "left")
+            .select("doc_id", "split",
+                    F.coalesce("__c__", F.lit(False)).alias("is_contaminated"),
+                    ((F.col("split") == "train")
+                     & ~F.coalesce("__c__", F.lit(False)))
+                    .alias("keep_for_train")))
+
+
+@query(
+    "etl_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*)      AS group_size,
+           COUNT(*) >= 5 AS meets_k
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a training-data release runs next to PII redaction
+    (text_pii_redaction removes direct identifiers; this measures
+    whether attribute COMBINATIONS still single people out): every
+    (nation, market-segment) equivalence class below k=5 marks rows a
+    linkage attack could re-identify. One groupBy at any scale; the
+    failing classes are the rows to generalize or suppress."""
+    c = load_table(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("group_size"))
+            .withColumn("meets_k", F.col("group_size") >= 5))
