@@ -204,3 +204,27 @@ def test_no_row_python_udfs_or_stray_cartesians_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan and name not in cartesian_ok:
             offenders.append(f"{name}: unexpected CartesianProduct")
     assert not offenders, offenders
+
+
+def test_lm_score_model_tables_broadcast(spark, sf_dir):
+    """The bigram/unigram model tables must join map-side onto the
+    exploded corpus bigrams (they are reference-slice-sized); the only
+    wide shuffles are the model-count groupBys and the final doc agg."""
+    plan = _plan(spark, sf_dir, "text_lm_quality_score")
+    assert plan.count("BroadcastExchange") >= 2  # bg + uni (+ vocab)
+    assert "CartesianProduct" not in plan
+
+
+def test_sparse_cosine_shuffles_terms_not_text(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_sparse_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Exchange ")[1:]:
+        assert "text#" not in seg.split("\n")[0], "document bodies in shuffle"
+
+
+def test_pagerank_rank_vector_joins_are_planned(spark, sf_dir):
+    """No cartesian anywhere in the iteration chain; the node-count
+    scalar rides a broadcast, never a shuffle."""
+    plan = _plan(spark, sf_dir, "graph_pagerank_cooccurrence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
