@@ -56,3 +56,47 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
        .sortWithinPartitions("__zkey__")
        .drop("__zkey__")
        .write.mode("overwrite").parquet(path))
+
+
+def build_manifest(spark, path: str, stat_cols: list[str]) -> DataFrame:
+    """Per-FILE min/max manifest for ``stat_cols`` — the table-format
+    trick (Iceberg manifests / Delta file stats) without the table
+    format: one distributed pass groups rows by ``input_file_name`` and
+    records each file's value ranges. Persist it next to the data and a
+    planner can decide which files a predicate touches WITHOUT opening
+    any parquet footer — at 100 TB the difference between a driver-side
+    list-and-prune over a few thousand manifest rows and a cluster-wide
+    footer stampede. Rebuild (or append per new file) on write; the
+    manifest is derived data, bit-reproducible from the files."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (df.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("n_rows"), *aggs))
+
+
+def prune_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
+    """Files whose [min,max] range intersects [lo, hi] — the candidate
+    list for a range predicate on ``col``. Manifest rows are file-count
+    sized, so collecting them to the driver is the cheap, correct move
+    (this IS the scheduler's job); everything else stays distributed."""
+    hit = manifest.filter((F.col(f"max_{col}") >= lo)
+                          & (F.col(f"min_{col}") <= hi))
+    return [r["file"] for r in hit.select("file").collect()]
+
+
+def scan_pruned(spark, manifest: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Read ONLY the files a range predicate can touch, then apply the
+    exact predicate. Result ≡ full-scan filter (manifest pruning is
+    one-sided: it may admit a file with no matching rows, never drop a
+    file with one); the win is proportional to how well the layout
+    clustered ``col`` — z-ordered data prunes on every ordered
+    dimension."""
+    files = prune_files(manifest, col, lo, hi)
+    if not files:
+        empty = spark.read.parquet(*[r["file"] for r in
+                                     manifest.select("file").limit(1).collect()])
+        return empty.filter(F.lit(False))
+    return (spark.read.parquet(*files)
+            .filter((F.col(col) >= lo) & (F.col(col) <= hi)))

@@ -129,3 +129,29 @@ def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
     assert avg_range(zpath, "o_custkey") < 0.65 * ck_domain
     # and nothing was lost in the rewrite
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_manifest_pruning_on_zordered_layout(spark, sf_dir, tmp_path):
+    """Manifest + z-order end-to-end: a range predicate on EITHER
+    clustered dimension reads a strict subset of files, and the pruned
+    scan equals the full-scan filter exactly."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.pmod("o_orderkey", F.lit(128)).alias("d"))
+    path = str(tmp_path / "z")
+    L.write_zordered(o, path, ["o_custkey", "d"], n_files=8, bits=8)
+    man = L.build_manifest(spark, path, ["o_custkey", "d"]).persist()
+    assert man.count() == 8
+
+    for col, lo, hi in [("o_custkey", 0, 20), ("d", 100, 120)]:
+        files = L.prune_files(man, col, lo, hi)
+        assert 0 < len(files) < 8, f"{col}: no pruning ({len(files)} files)"
+        got = sorted(r["o_orderkey"] for r in
+                     L.scan_pruned(spark, man, col, lo, hi).collect())
+        want = sorted(r["o_orderkey"] for r in
+                      o.filter((F.col(col) >= lo) & (F.col(col) <= hi)).collect())
+        assert got == want
