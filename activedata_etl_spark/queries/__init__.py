@@ -65,23 +65,23 @@ _FRONT = [
     "events_retention_cohorts", "events_resample_ffill",
     "events_hourly_ohlc", "events_value_zscore", "events_resample_interp",
     "events_unpivot_measures", "events_session_features",
-    # window tail (the rest of it — sliding/whole/ntile/first-last — and
-    # join_full_outer/join_cross_small are builtin-backed lowest-risk and
-    # wait for the r5 rotation; this round's NEW operators take the slots)
-    "window_range_trailing_7d",
     # NEW this round: compiled typed encoder, jx window percentile,
     # snowflake storage, fused cluster+band dedup, LM quality scoring,
     # int8 quantized ANN + persisted band index, BPE encode, embedding
-    # outliers, canonical-URL dedup
+    # outliers, canonical-URL dedup, pagerank, sparse cosine, z-order,
+    # decontaminated split, k-anonymity. (Displaced to the r5 rotation:
+    # the builtin-backed window/join tail, url kit, host stats,
+    # curriculum order, range-trailing window — all locally green since
+    # r3b.)
     "typed_encoding_compiled", "jx_window_percentile",
     "snowflake_roundtrip", "dedup_semantic_banded_pairs",
     "text_lm_quality_score", "sim_ann_quantized_topk",
     "sim_band_index_pairs", "text_bpe_encode",
     "sim_cluster_outliers", "corpus_url_canonical_dedup",
-    "graph_pagerank_cooccurrence",
-    # index-path proof + url/corpus governance + sampling planner
-    "dedup_index_query", "text_url_kit", "corpus_host_stats",
-    "corpus_curriculum_order",
+    "graph_pagerank_cooccurrence", "text_sparse_cosine_pairs",
+    "etl_zorder_key", "sample_split_decontaminated", "etl_k_anonymity",
+    # index-path proof
+    "dedup_index_query",
 ]
 
 
