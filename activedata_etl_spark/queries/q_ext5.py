@@ -582,3 +582,85 @@ def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.groupBy("c_nationkey", "c_mktsegment")
             .agg(F.count(F.lit(1)).alias("group_size"))
             .withColumn("meets_k", F.col("group_size") >= 5))
+
+
+_CMS_CELLS = """
+    cms_cells AS (
+      SELECT event_type, CAST(r.row AS INT) AS row,
+             CAST(CAST(('0x' || substring(md5('r' || r.row || '|' ||
+               CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS INT) AS col,
+             user_id
+      FROM events, LATERAL (SELECT unnest(range(0, 4)) AS row) r
+    ),
+    cms_regs AS (
+      SELECT event_type, row, col, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cms_cells GROUP BY 1, 2, 3
+    )"""
+
+
+@query(
+    "agg_cms_registers",
+    oracle=f"WITH {_CMS_CELLS}\n    SELECT * FROM cms_regs",
+)
+def agg_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable count-min register table itself (functions/cms.py):
+    4×64 md5-bucketed counters of user activity per event type — the
+    frequency twin of agg_hll_registers. Every counter is value-checked
+    against the oracle's independent reconstruction; this is the
+    persistable, SUM-mergeable heavy-hitter index state, not a black-box
+    sketch blob."""
+    from ..functions import cms
+
+    e = load_table(spark, sf_dir, "events")
+    return cms.cms_registers(e, ["event_type"], "user_id")
+
+
+@query(
+    "agg_cms_estimate",
+    oracle=f"""
+    WITH {_CMS_CELLS},
+    probes AS (
+      SELECT DISTINCT event_type, user_id FROM events WHERE user_id < 10
+    ),
+    probe_cells AS (
+      SELECT p.event_type, p.user_id, CAST(r.row AS INT) AS row,
+             CAST(CAST(('0x' || substring(md5('r' || r.row || '|' ||
+               CAST(p.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS INT) AS col
+      FROM probes p, LATERAL (SELECT unnest(range(0, 4)) AS row) r
+    ),
+    est AS (
+      SELECT pc.event_type, pc.user_id,
+             CAST(MIN(COALESCE(cr.n, 0)) AS BIGINT) AS est
+      FROM probe_cells pc
+      LEFT JOIN cms_regs cr USING (event_type, row, col)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS exact
+      FROM events WHERE user_id < 10 GROUP BY 1, 2
+    )
+    SELECT est.event_type, est.user_id, est.est, exact.exact,
+           est.est >= exact.exact AS one_sided_ok
+    FROM est JOIN exact USING (event_type, user_id)
+    """,
+)
+def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for a probe set, audited IN-QUERY
+    against the exact counts (the agg_sketch_audit pattern): the
+    estimate is min over the 4 row counters, and the one-sided-error
+    guarantee (never an undercount) is value-checked per probe. The
+    estimate join touches only the 4×64-per-group register table, never
+    the corpus."""
+    from ..functions import cms
+
+    e = load_table(spark, sf_dir, "events")
+    regs = cms.cms_registers(e, ["event_type"], "user_id")
+    probes = (e.filter(F.col("user_id") < 10)
+              .select("event_type", "user_id").distinct())
+    est = cms.cms_estimate(regs, probes, ["event_type"], "user_id")
+    exact = (e.filter(F.col("user_id") < 10)
+             .groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("exact")))
+    return (est.join(exact, ["event_type", "user_id"])
+            .select("event_type", "user_id", "est", "exact",
+                    (F.col("est") >= F.col("exact")).alias("one_sided_ok")))
