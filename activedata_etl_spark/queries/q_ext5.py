@@ -664,3 +664,69 @@ def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (est.join(exact, ["event_type", "user_id"])
             .select("event_type", "user_id", "est", "exact",
                     (F.col("est") >= F.col("exact")).alias("one_sided_ok")))
+
+
+@query(
+    "events_linear_trend",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS us, value FROM events
+    ),
+    mins AS (SELECT event_type, MIN(us) AS us0 FROM base GROUP BY event_type),
+    xy AS (
+      SELECT b.event_type,
+             (b.us - m.us0) // 1000000 AS x,
+             b.value AS y
+      FROM base b JOIN mins m USING (event_type)
+    ),
+    mo AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                       AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+                       AS VARCHAR) AS DOUBLE) AS sxx
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx)            AS slope,
+           sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n)
+                                                                AS intercept
+    FROM mo
+    """,
+)
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend per event type — "is this metric drifting"
+    as one aggregation, no iterative fitting: slope/intercept from the
+    decimal-exact moment sums (the agg_corr_covar machinery: factor-wise
+    decimal casts, exact-string decimal→double, closing arithmetic
+    byte-identical on both engines). x is whole seconds since the
+    group's first event (integer floor-div — keeps x² sums inside
+    decimal precision AND makes x engine-exact); moments are additive,
+    so the same five sums merge across shards/days for an incremental
+    trend index."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", F.unix_micros("ts").alias("us"), "value")
+    mins = base.groupBy("event_type").agg(F.min("us").alias("us0"))
+    xy = (base.join(F.broadcast(mins), "event_type")
+          .select("event_type",
+                  F.expr("(us - us0) div 1000000").alias("x"),
+                  F.col("value").alias("y")))
+    dec = "decimal(19,6)"
+    mo = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec))
+         .cast("string").cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+         .cast("string").cast("double").alias("sxx"),
+    )
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return mo.select(
+        "event_type", "n", slope.alias("slope"),
+        (F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")))
+        .alias("intercept"))
