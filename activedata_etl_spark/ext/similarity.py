@@ -236,8 +236,8 @@ def _argmax_centroid(vectors: DataFrame, id_col: str, vec_col: str,
 def ivf_build(df: DataFrame, id_col: str, vec_col: str,
               nlist: int = 16, n_iter: int = 2) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: k-means (Lloyd) with DETERMINISTIC seeding —
-    the ``nlist`` lowest-id vectors — and per-dimension decimal-exact
-    means, so index construction is reproducible across partitionings and
+    the ``nlist`` lowest-id vectors — and per-dimension floor-quantized
+    integer-sum means (no decimal tie rule; deterministic on every engine), so index construction is reproducible across partitionings and
     engines (the DuckDB oracle unrolls the same iterations as CTEs).
 
     Returns (centroids[cid, cvec], assignment[id, vec, cid]). Per
@@ -256,11 +256,20 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str,
     assign = None
     for _ in range(n_iter):
         assign = _argmax_centroid(v, id_col, "__v__", centroids)
+        # Per-dimension mean via FLOOR-quantized integer sums, not a
+        # decimal cast: double→decimal rounding has a tie rule (Spark
+        # HALF_UP vs DuckDB) and a real tie surfaced at sf0.1 — one
+        # addend off by 1e-9 moved a centroid dimension by 1e-9/n and
+        # broke the first query to EMIT centroid cosines
+        # (sim_cluster_outliers). floor(x·1e9) is a pure function of the
+        # double with no tie rule; sums are exact bigints; the closing
+        # division is one IEEE op — deterministic on every engine.
         centroids = (
             assign.select("cid", F.posexplode("__v__").alias("__i__", "__x__"))
             .groupBy("cid", "__i__")
-            .agg((F.sum(F.col("__x__").cast("decimal(18,9)")).cast("double")
-                  / F.count("__x__")).alias("__m__"))
+            .agg((F.sum(F.floor(F.col("__x__") * F.lit(1000000000.0))
+                        .cast("bigint")).cast("double")
+                  / (F.count("__x__") * F.lit(1000000000.0))).alias("__m__"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("__i__", "__m__"))).alias("__s__"))
             .select("cid", F.col("__s__.__m__").alias("cvec"))

@@ -491,8 +491,8 @@ def _sql_cos(a: str, b: str) -> str:
 
 def _ivf_ctes(nlist: int, n_iter: int, source: str = "embeddings") -> list[str]:
     """CTE chain mirroring similarity.ivf_build: deterministic lowest-id
-    seeding, ``n_iter`` unrolled Lloyd iterations with decimal-exact
-    per-dimension means, final assignment ``af`` against centroids
+    seeding, ``n_iter`` unrolled Lloyd iterations with floor-quantized
+    integer-sum per-dimension means (tie-rule-free, see similarity.ivf_build), final assignment ``af`` against centroids
     ``c{n_iter}``. Shared by the IVF-ANN, semantic-dedup, and fused
     banded-refinement oracles (``source`` lets a caller cluster a derived
     corpus CTE instead of the base table)."""
@@ -512,7 +512,9 @@ def _ivf_ctes(nlist: int, n_iter: int, source: str = "embeddings") -> list[str]:
         ctes.append(f"""c{i + 1} AS (
           SELECT cid, list(m ORDER BY i) AS cvec FROM (
             SELECT cid, i,
-                   CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x) AS m
+                   CAST(CAST(SUM(CAST(floor(x * CAST(1000000000 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS DOUBLE)
+                     / (COUNT(x) * CAST(1000000000 AS DOUBLE)) AS m
             FROM (SELECT cid, unnest(vv) AS x, generate_subscripts(vv, 1) AS i
                   FROM a{i + 1})
             GROUP BY cid, i) GROUP BY cid)""")
