@@ -74,6 +74,14 @@ HEADLINE = [
     "typed_encoding_compiled",
     "snowflake_roundtrip",
     "dedup_semantic_banded_pairs",
+    # late r4: LM quality scoring, quantized band-index pairs, BPE
+    # encode, inverted-index cosine, pagerank, CMS registers
+    "text_lm_quality_score",
+    "sim_band_index_pairs",
+    "text_bpe_encode",
+    "text_sparse_cosine_pairs",
+    "graph_pagerank_cooccurrence",
+    "agg_cms_registers",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()
