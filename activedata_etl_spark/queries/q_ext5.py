@@ -730,3 +730,84 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", slope.alias("slope"),
         (F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")))
         .alias("intercept"))
+
+
+@query(
+    "agg_histogram_2d",
+    oracle="""
+    WITH b AS (
+      SELECT NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS px,
+             NTILE(8) OVER (ORDER BY o_custkey, o_orderkey)    AS py,
+             o_totalprice
+      FROM orders
+    )
+    SELECT px, py, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM b GROUP BY px, py
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth 2-D histogram (the dashboard heatmap / joint-
+    distribution profile): both axes binned by RANK (ntile over a
+    total order — exact integer bucketing, no float bin edges to
+    disagree on), cells carry count + decimal-exact mass. Two window
+    exchanges + one groupBy; at scale swap ntile for the two-pass
+    rank-based percentile cut (functions/aggs) to avoid single-ordering
+    windows over the full table."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wx = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    wy = Window.orderBy(F.col("o_custkey"), F.col("o_orderkey"))
+    b = o.select(F.ntile(8).over(wx).alias("px"),
+                 F.ntile(8).over(wy).alias("py"), "o_totalprice")
+    return (b.groupBy("px", "py")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_price")))
+
+
+@query(
+    "events_funnel_window",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, v.t_view, MIN(e.us) AS t_click
+      FROM v JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+                   WHERE event_type = 'click') e
+        ON e.user_id = v.user_id AND e.us >= v.t_view
+       AND e.us < v.t_view + 3600000000
+      GROUP BY v.user_id, v.t_view
+    )
+    SELECT v.user_id,
+           c.user_id IS NOT NULL AS converted,
+           (c.t_click - v.t_view) // 1000000 AS seconds_to_click
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+    """,
+)
+def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step with a CONVERSION WINDOW — not just "clicked after
+    viewing" (events_funnel_steps) but "clicked within 1 hour of the
+    first view", the form product analytics actually ships. The
+    window-bounded match is a time-binned candidate join in integer
+    microseconds (first view per user broadcasts; click candidates
+    filter on the bound before the min), never an unbounded inequality
+    scan. Seconds-to-convert comes out of integer floor-div — exact."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(us).alias("t_view")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", us.alias("us")))
+    c = (clicks.join(F.broadcast(v), "user_id")
+         .filter((F.col("us") >= F.col("t_view"))
+                 & (F.col("us") < F.col("t_view") + 3600000000))
+         .groupBy("user_id", "t_view").agg(F.min("us").alias("t_click")))
+    return (v.join(c.select("user_id", "t_click"), "user_id", "left")
+            .select("user_id",
+                    F.col("t_click").isNotNull().alias("converted"),
+                    F.expr("(t_click - t_view) div 1000000")
+                    .alias("seconds_to_click")))
