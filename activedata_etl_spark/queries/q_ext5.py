@@ -811,3 +811,102 @@ def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("t_click").isNotNull().alias("converted"),
                     F.expr("(t_click - t_view) div 1000000")
                     .alias("seconds_to_click")))
+
+
+def _hll_setops_oracle() -> str:
+    """Three register tables (orders keys, customer keys, max-merged
+    union) and their raw estimates, reconstructed end to end; the
+    intersection is inclusion–exclusion over the three estimates."""
+    def regs(name: str, src: str) -> str:
+        return f"""r_{name} AS (
+      SELECT (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1 AS bucket,
+             list_reduce(list_transform(range(3, 18),
+               i -> CAST(strpos('0123456789abcdef', substring(hx, i, 1)) - 1
+                         AS BIGINT)),
+               (a, b) -> a * 16 + b) AS x
+      FROM (SELECT md5(CAST(k AS VARCHAR)) AS hx FROM ({src}))
+    ),
+    regs_{name} AS (
+      SELECT CAST(bucket AS INT) AS bucket,
+             MAX(CASE WHEN x = 0 THEN 61 ELSE 61 - length(bin(x)) END)
+               AS max_rho
+      FROM r_{name} GROUP BY 1
+    ),
+    val_{name} AS (
+      SELECT 1.0854228543761655e+23 / CAST(CAST(
+               SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho)) AS DECIMAL(38,0)))
+               + (256 - COUNT(*)) * CAST((CAST(1 AS BIGINT) << 61) AS DECIMAL(38,0))
+             AS VARCHAR) AS DOUBLE) AS est
+      FROM regs_{name}
+    )"""
+
+    return f"""
+    WITH {regs('a', 'SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0')},
+    {regs('b', 'SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0')},
+    regs_u AS (
+      SELECT bucket, MAX(max_rho) AS max_rho FROM (
+        SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+      GROUP BY bucket
+    ),
+    val_u AS (
+      SELECT 1.0854228543761655e+23 / CAST(CAST(
+               SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho)) AS DECIMAL(38,0)))
+               + (256 - COUNT(*)) * CAST((CAST(1 AS BIGINT) << 61) AS DECIMAL(38,0))
+             AS VARCHAR) AS DOUBLE) AS est
+      FROM regs_u
+    ),
+    exact AS (
+      SELECT COUNT(DISTINCT o.o_custkey) AS exact_intersection
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey % 3 = 0 AND c.c_custkey % 2 = 0
+    )
+    SELECT va.est AS est_a, vb.est AS est_b, vu.est AS est_union,
+           va.est + vb.est - vu.est AS est_intersection,
+           exact.exact_intersection,
+           abs(va.est + vb.est - vu.est - exact.exact_intersection)
+             / exact.exact_intersection < 0.3 AS within_tolerance
+    FROM val_a va, val_b vb, val_u vu, exact"""
+
+
+@query("agg_hll_set_cardinality", oracle=_hll_setops_oracle())
+def agg_hll_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra set cardinalities — join-size estimation WITHOUT
+    the join: |orders keys|, |customer keys|, |union| (max-merged
+    registers, the HLL union identity), and |intersection| by
+    inclusion–exclusion over three raw estimates. This is what a 100 TB
+    planner consults before choosing a join strategy: three register
+    tables (~256 rows each, persisted by the HLL index) replace a scan
+    of either side. The exact intersection and a tolerance audit ride
+    along (intersection error compounds three sketches — bound 30%
+    at m=256); every intermediate is oracle-reconstructed."""
+    from ..functions import hll
+
+    # proper subsets with PARTIAL overlap: A = customers placing every
+    # third order, B = even-keyed customers
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 3 == 0)
+         .select(F.col("o_custkey").alias("k")))
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 2 == 0)
+         .select(F.col("c_custkey").alias("k")))
+    ra = hll.hll_registers(o, [], "k")
+    rb = hll.hll_registers(c, [], "k")
+    ru = hll.hll_merge(ra, rb, group_cols=[])
+    ea = hll.hll_estimate(ra, []).select(F.col("raw_est").alias("est_a"))
+    eb = hll.hll_estimate(rb, []).select(F.col("raw_est").alias("est_b"))
+    eu = hll.hll_estimate(ru, []).select(F.col("raw_est").alias("est_union"))
+    exact = (load_table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderkey") % 3 == 0)
+             .join(load_table(spark, sf_dir, "customer")
+                   .filter(F.col("c_custkey") % 2 == 0),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .agg(F.countDistinct("o_custkey").alias("exact_intersection")))
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (ea.crossJoin(eb).crossJoin(eu).crossJoin(F.broadcast(exact))
+            .select("est_a", "est_b", "est_union",
+                    inter.alias("est_intersection"),
+                    "exact_intersection",
+                    (F.abs(inter - F.col("exact_intersection"))
+                     / F.col("exact_intersection") < 0.3)
+                    .alias("within_tolerance")))
