@@ -910,3 +910,52 @@ def agg_hll_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.abs(inter - F.col("exact_intersection"))
                      / F.col("exact_intersection") < 0.3)
                     .alias("within_tolerance")))
+
+
+@query(
+    "etl_scd2_history",
+    oracle="""
+    WITH cur AS (
+      SELECT o_orderkey,
+             md5(CAST(o_totalprice AS VARCHAR) || '|' || o_orderstatus) AS fp2,
+             md5(CAST(o_totalprice + 1 AS VARCHAR) || '|' || o_orderstatus) AS fp1
+      FROM orders
+    )
+    SELECT o_orderkey, fp2 AS fp, 2 AS valid_from,
+           CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+    FROM cur WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT o_orderkey, fp1, 1, 2, FALSE
+    FROM cur WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0
+    UNION ALL
+    SELECT o_orderkey, fp2, 2, CAST(NULL AS INT), TRUE
+    FROM cur WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0
+    UNION ALL
+    SELECT o_orderkey, fp2, 1, CAST(NULL AS INT), TRUE
+    FROM cur WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+    """,
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension history built by folding two snapshot
+    versions through sources/etl.scd2_merge (the same synthetic
+    'yesterday' as etl_snapshot_diff: %97 keys missing, %89 keys stale):
+    changed keys carry a CLOSED row [1,2) plus the open current row,
+    added keys open at 2, unchanged keys stay open from 1. The oracle
+    states the final history straight from the construction rule —
+    never running the merge — so a green check proves the fold
+    (close/open/survive cases) end to end."""
+    from ..sources.etl import scd2_merge
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = (o.filter(F.col("o_orderkey") % 97 != 0)
+          .withColumn("o_totalprice",
+                      F.when(F.col("o_orderkey") % 89 == 0,
+                             F.col("o_totalprice") + 1)
+                      .otherwise(F.col("o_totalprice"))))
+    empty = spark.createDataFrame(
+        [], "o_orderkey bigint, fp string, valid_from int, valid_to int")
+    h1 = scd2_merge(empty, v1, ["o_orderkey"],
+                    ["o_totalprice", "o_orderstatus"], version=1)
+    h2 = scd2_merge(h1, o, ["o_orderkey"],
+                    ["o_totalprice", "o_orderstatus"], version=2)
+    return h2.withColumn("is_current", F.col("valid_to").isNull())

@@ -144,3 +144,39 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
          .when(F.col("__fp_o__") != F.col("__fp_n__"), F.lit("changed")))
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change"))
+
+
+def scd2_merge(history: DataFrame, snap: DataFrame, key_cols: list[str],
+               compare_cols: list[str], version: int) -> DataFrame:
+    """Fold one snapshot into an SCD-type-2 history table — the
+    dimension-versioning primitive a warehouse runs per load:
+    ``history`` rows are (keys..., fp, valid_from, valid_to) with
+    valid_to NULL marking the open version; applying snapshot
+    ``version`` closes open rows whose fingerprint changed or whose key
+    disappeared (valid_to = version) and opens rows for added/changed
+    keys (valid_from = version).
+
+    Same scale shape as :func:`snapshot_diff`: row bodies never move —
+    the open slice and the snapshot reduce to (key, md5) projections,
+    one full-outer join on the key decides every case, and closed
+    history passes through untouched (at 100 TB: partition history by
+    valid_to IS NULL so the closed mass is never even read)."""
+    fp = F.md5(F.concat_ws("|", *[F.col(c).cast("string")
+                                  for c in compare_cols]))
+    snap_fp = snap.select(*key_cols, fp.alias("__new__"))
+    open_rows = history.filter(F.col("valid_to").isNull())
+    closed = history.filter(F.col("valid_to").isNotNull())
+    j = open_rows.join(snap_fp, key_cols, "full_outer")
+    had, has = F.col("fp").isNotNull(), F.col("__new__").isNotNull()
+    same = had & has & (F.col("fp") == F.col("__new__"))
+    survived = j.filter(same).select(
+        *key_cols, "fp", "valid_from", F.lit(None).cast("int").alias("valid_to"))
+    now_closed = j.filter(had & ~same).select(
+        *key_cols, "fp", "valid_from",
+        F.lit(version).cast("int").alias("valid_to"))
+    opened = j.filter(has & ~same).select(
+        *key_cols, F.col("__new__").alias("fp"),
+        F.lit(version).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"))
+    return closed.unionByName(now_closed).unionByName(survived) \
+        .unionByName(opened)
