@@ -959,3 +959,110 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = scd2_merge(h1, o, ["o_orderkey"],
                     ["o_totalprice", "o_orderstatus"], version=2)
     return h2.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def _quality_report_oracle() -> str:
+    from ..ext.pii import PII_PATTERNS
+
+    pii = " + ".join(f"len(regexp_extract_all(text, '{p}'))"
+                     for p in PII_PATTERNS.values())
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, {_TOKS} AS t FROM documents
+    ),
+    doc_bg AS (
+      SELECT doc_id, i - 1 AS pos,
+             list_extract(t, i) || ' ' || list_extract(t, i + 1) AS bg,
+             list_extract(t, i) AS w1
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+    ),
+    ref_uni AS (
+      SELECT w, COUNT(*) AS c1 FROM (
+        SELECT unnest(t) AS w FROM toks WHERE source IN {_LM_REF})
+      GROUP BY w
+    ),
+    ref_bg AS (
+      SELECT bg, COUNT(*) AS c12 FROM doc_bg
+      JOIN documents USING (doc_id) WHERE source IN {_LM_REF}
+      GROUP BY bg
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM ref_uni),
+    lm AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+               (acc, x) -> acc + x) / COUNT(*) AS mean_p
+      FROM (
+        SELECT d.doc_id, d.pos,
+               CAST(COALESCE(r.c12, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(u.c1, 0) + vocab.v AS DOUBLE) AS p
+        FROM doc_bg d
+        LEFT JOIN ref_bg r USING (bg)
+        LEFT JOIN ref_uni u ON d.w1 = u.w
+        CROSS JOIN vocab)
+      GROUP BY doc_id
+    ),
+    chtok AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM chtok GROUP BY doc_id, floor((i - 1) / 10)
+    ),
+    dup AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    chs AS (
+      SELECT ch.doc_id, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM ch LEFT JOIN dup USING (h) GROUP BY ch.doc_id
+    )
+    SELECT t.source,
+           COUNT(*)                                    AS n_docs,
+           CAST(SUM(len(t.t)) AS BIGINT)               AS n_tokens,
+           quantile_cont(CAST(len(t.t) AS DOUBLE), 0.5) AS med_tokens,
+           quantile_cont(lm.mean_p, 0.5)               AS med_lm_score,
+           CAST(SUM(CASE WHEN {pii} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_pii_docs,
+           CAST(SUM(chs.n_dup) AS DOUBLE)
+             / CAST(SUM(chs.n_chunks) AS DOUBLE)       AS dup_chunk_share
+    FROM toks t
+    LEFT JOIN lm USING (doc_id)
+    LEFT JOIN chs USING (doc_id)
+    GROUP BY t.source"""
+
+
+@query("corpus_quality_report", oracle=_quality_report_oracle())
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus REPORT CARD — the governance table a data
+    team reviews before a training run, composed from four independent
+    quality subsystems in ONE Catalyst plan: token volume (scan-local),
+    reference-LM score medians (broadcast model join), C4 chunk-dedup
+    shares (hash-only shuffle), and PII incidence (scan-local regex).
+    Medians are exact interpolations (no mean-of-doubles — the decimal
+    tie lesson lives in NOTES_r4); shares are integer/integer IEEE
+    divisions. The oracle rebuilds all four subsystems independently."""
+    from ..ext import dedup as DD
+    from ..ext.pii import pii_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source").isin("src0", "src1", "src2"))
+    lm = TX.bigram_lm_score(d, ref, "doc_id", "text") \
+        .select("doc_id", "mean_p")
+    chs = DD.chunk_dedup_stats(d, "doc_id", "text", chunk=10, min_docs=2) \
+        .select("doc_id", "n_chunks", "n_dup_chunks")
+    base = d.select("doc_id", "source",
+                    F.size(TX.tokens("text")).alias("n_tok"),
+                    pii_counts("text")[-1].alias("pii_total"))
+    return (base.join(lm, "doc_id", "left").join(chs, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 F.median(F.col("n_tok").cast("double")).alias("med_tokens"),
+                 F.median("mean_p").alias("med_lm_score"),
+                 F.sum((F.col("pii_total") > 0).cast("int")).cast("bigint")
+                  .alias("n_pii_docs"),
+                 (F.sum("n_dup_chunks").cast("double")
+                  / F.sum("n_chunks").cast("double"))
+                 .alias("dup_chunk_share")))
