@@ -135,3 +135,44 @@ def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
             })
 
     return mm.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_energy(mm: DataFrame, frame_bytes: int = 16,
+                 max_frames: int = 8, fake: bool = True) -> DataFrame:
+    """Audio-style frame energy: per fixed-size payload frame, the byte
+    "power" (sum and sum-of-squares) — the silence/voice-activity
+    segmentation primitive of an audio pipeline, with the codec stubbed
+    exactly like resize/frame_sample. Fan-out and arithmetic are real:
+    1:N mapInPandas rows with integer energies, so the fake path is
+    fully ORACLE-PAIRED (the only multimodal ops with driver-grade
+    evidence were single-row shapes until this one)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("energy_sq", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no audio codec in this environment")
+            ids, idxs, lens, es, e2s = [], [], [], [], []
+            for pid, p in zip(pdf["id"], pdf["payload"]):
+                n = min(max_frames,
+                        max(1, (len(p) + frame_bytes - 1) // frame_bytes))
+                for k in range(n):
+                    fr = bytes(p[k * frame_bytes:(k + 1) * frame_bytes])
+                    ids.append(pid)
+                    idxs.append(k)
+                    lens.append(len(fr))
+                    es.append(sum(fr))
+                    e2s.append(sum(b * b for b in fr))
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs,
+                                "n_bytes": lens, "energy": es,
+                                "energy_sq": e2s})
+
+    return mm.mapInPandas(run, schema)

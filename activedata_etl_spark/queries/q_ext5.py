@@ -1066,3 +1066,39 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("n_dup_chunks").cast("double")
                   / F.sum("n_chunks").cast("double"))
                  .alias("dup_chunk_share")))
+
+
+@query(
+    "multimodal_frame_energy",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, k AS frame_idx,
+             substring(text, k * 16 + 1, 16) AS fr
+      FROM documents, LATERAL (
+        SELECT unnest(range(0, least(8,
+          greatest(1, CAST(ceil(length(text) / 16.0) AS BIGINT))))) AS k)
+    )
+    SELECT doc_id AS id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(fr) AS INT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(
+             string_split_regex(fr, ''), ch -> ascii(ch))), 0) AS BIGINT)
+             AS energy,
+           CAST(COALESCE(list_sum(list_transform(
+             string_split_regex(fr, ''), ch -> ascii(ch) * ascii(ch))), 0)
+             AS BIGINT) AS energy_sq
+    FROM frames
+    """,
+)
+def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-frame energy profiling through the REAL multimodal plumbing
+    (BinaryType payloads, Arrow-batched 1:N mapInPandas fan-out,
+    ext/multimodal.frame_energy) with the codec stubbed to byte
+    arithmetic — and, unlike the earlier shape-only multimodal checks,
+    fully value-paired: the fixture text is ASCII, so the oracle
+    recomputes every frame's byte energy from the string side. 16-byte
+    frames, ≤8 per doc; energies are exact integer sums."""
+    from ..ext import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    mm = MM.pack(d, "doc_id", "text", "audio/fake")
+    return MM.frame_energy(mm, frame_bytes=16, max_frames=8)
