@@ -92,6 +92,11 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
                     # "a" (_nest_named): record that head too, else a window
                     # named "a" is still auto-carried → ambiguous duplicate
                     produced.add(s["name"].partition(".")[0])
+                    # a select whose VALUE is the window's name consumed it
+                    # (possibly renamed/nested) — carrying the original too
+                    # would duplicate the data under both names
+                    if isinstance(s.get("value"), str):
+                        produced.add(s["value"])
             df = df.select(*_nest_named(df, selects),
                            *[F.col(n) for n in wnames if n not in produced])
     if "sort" in q:
