@@ -68,6 +68,9 @@ def make_handler(spark):
                              "columns_endpoint": "GET /columns/<table>"})
 
         def do_POST(self):  # noqa: N802
+            if self.path.rstrip("/") == "/sql":
+                self._handle_sql()
+                return
             if self.path.rstrip("/") not in ("", "/query".rstrip("/"), "/query"):
                 self._send(404, {"error": f"no such endpoint: {self.path}"})
                 return
@@ -105,6 +108,52 @@ def make_handler(spark):
                     "format": q.get("format", "list"),
                 }})
             except Exception as e:  # jx errors → 400, like the reference
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def _handle_sql(self) -> None:
+            """``POST /sql`` ``{"sql": "...", "limit"?: n}`` — the
+            reference's secondary SQL surface next to jx (its service
+            exposed a limited SQL translator). READ-ONLY by
+            construction: the statement must parse as a single query
+            (SELECT/WITH/VALUES — checked on the parsed plan class, not
+            by string matching), runs against the same registered views
+            and attached indexes, and is row-capped (default 10k) since
+            this is the interactive role, not the bulk path."""
+            import time
+
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n))
+                sql = body.get("sql")
+                if not isinstance(sql, str) or not sql.strip():
+                    self._send(400, {"error": "invalid request",
+                                     "invalid": [{"path": "sql",
+                                                  "reason": "required string"}]})
+                    return
+                t0 = time.perf_counter()
+                # PARSE-FIRST gate: spark.sql() executes commands EAGERLY
+                # (a DROP runs at call time), so classify the parsed plan
+                # before handing the text to spark.sql. Statements/
+                # commands are refused by plan class, not string matching.
+                plan_cls = (spark._jsparkSession.sessionState().sqlParser()
+                            .parsePlan(sql).getClass().getSimpleName())
+                banned = ("Command", "Statement", "Insert", "Create", "Drop",
+                          "Alter", "Set", "Truncate", "Delete", "Update",
+                          "Merge", "Cache", "Refresh")
+                if any(k in plan_cls for k in banned):
+                    self._send(400, {"error": "read-only endpoint",
+                                     "invalid": [{"path": "sql",
+                                                  "reason": f"not a query: {plan_cls}"}]})
+                    return
+                df = spark.sql(sql)
+                limit = int(body.get("limit", 10_000))
+                rows = [r.asDict(recursive=True)
+                        for r in df.limit(limit).collect()]
+                self._send(200, {"data": rows, "meta": {
+                    "timing": {"total": round(time.perf_counter() - t0, 4)},
+                    "row_cap": limit,
+                }})
+            except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
         def _stream_rows(self, q: dict) -> None:

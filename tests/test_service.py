@@ -241,3 +241,30 @@ def test_query_persisted_index_through_service(spark, sf_dir, tmp_path):
         assert [r["id"] for r in rows] == first5
     finally:
         server.shutdown()
+
+
+def test_sql_endpoint_reads_and_refuses_writes(endpoint, spark):
+    # the secondary SQL surface: same views, read-only, row-capped
+    out = _post(endpoint + "/sql", {
+        "sql": "SELECT n_regionkey, COUNT(*) AS n FROM nation "
+               "GROUP BY n_regionkey ORDER BY n_regionkey"})
+    assert [r["n"] for r in out["data"]] == [5, 5, 5, 5, 5]
+    # WITH works; row cap applies
+    out = _post(endpoint + "/sql", {
+        "sql": "WITH t AS (SELECT * FROM orders) SELECT o_orderkey FROM t "
+               "ORDER BY o_orderkey", "limit": 7})
+    assert len(out["data"]) == 7
+    # commands are refused (read-only endpoint)
+    for bad in ["DROP TABLE nation",
+                "CREATE TABLE x AS SELECT 1",
+                "SET spark.sql.shuffle.partitions=1"]:
+        req = urllib.request.Request(
+            endpoint + "/sql", data=json.dumps({"sql": bad}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, f"expected 400 for: {bad}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    # and the view catalog is untouched
+    assert spark.table("nation").count() == 25
