@@ -1102,3 +1102,94 @@ def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mm = MM.pack(d, "doc_id", "text", "audio/fake")
     return MM.frame_energy(mm, frame_bytes=16, max_frames=8)
+
+
+_BLOOM_POS = ("CAST(('0x' || substring(md5('b' || {s} || '|' ||"
+              " CAST({k} AS VARCHAR)), 1, 8)) AS BIGINT) % 4096")
+
+
+def _bloom_words_sql(src: str, key: str) -> str:
+    return f"""
+    bpos AS (
+      SELECT {_BLOOM_POS.format(s='r.s', k=key)} AS p
+      FROM ({src}), LATERAL (SELECT unnest(range(0, 3)) AS s) r
+    ),
+    bwords AS (
+      SELECT CAST(p // 64 AS INT) AS word,
+             CAST(bit_or(CASE WHEN p % 64 = 63
+               THEN CAST(-9223372036854775808 AS BIGINT)
+               ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END) AS BIGINT)
+               AS bits
+      FROM bpos GROUP BY 1
+    )"""
+
+
+@query(
+    "agg_bloom_words",
+    oracle=f"WITH {_bloom_words_sql('SELECT o_custkey FROM orders', 'o_custkey')}"
+           "\n    SELECT * FROM bwords",
+)
+def agg_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable Bloom word table itself (functions/bloom.py):
+    md5-positioned bits OR'd into 64-bit words — the persistable,
+    bit_or-mergeable MEMBERSHIP index completing the sketch family
+    (HLL=distinct, CMS=frequency, Bloom=membership). Every word is
+    value-checked against the oracle's reconstruction."""
+    from ..functions import bloom
+
+    o = load_table(spark, sf_dir, "orders")
+    return bloom.bloom_build(o, [], "o_custkey")
+
+
+@query(
+    "agg_bloom_probe",
+    oracle=f"""
+    WITH {_bloom_words_sql('SELECT o_custkey FROM orders', 'o_custkey')},
+    probes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 FROM customer WHERE c_custkey % 7 = 0
+    ),
+    ppos AS (
+      SELECT k, {_BLOOM_POS.format(s='r.s', k='k')} AS p
+      FROM probes, LATERAL (SELECT unnest(range(0, 3)) AS s) r
+    ),
+    hits AS (
+      SELECT ppos.k,
+             SUM(CASE WHEN (COALESCE(bw.bits, 0)
+                   & (CASE WHEN ppos.p % 64 = 63
+                      THEN CAST(-9223372036854775808 AS BIGINT)
+                      ELSE CAST(1 AS BIGINT) << CAST(ppos.p % 64 AS INT) END))
+                   <> 0
+                 THEN 1 ELSE 0 END) = 3 AS maybe_present
+      FROM ppos LEFT JOIN bwords bw ON CAST(ppos.p // 64 AS INT) = bw.word
+      GROUP BY ppos.k
+    ),
+    truth AS (SELECT DISTINCT o_custkey AS k FROM orders)
+    SELECT hits.k, hits.maybe_present,
+           truth.k IS NOT NULL AS actually_present,
+           (truth.k IS NULL) OR hits.maybe_present AS one_sided_ok
+    FROM hits LEFT JOIN truth USING (k)
+    """,
+)
+def agg_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership probes against the persisted Bloom words — half the
+    probe keys are real customers with orders, half are shifted absent
+    keys — with the exact membership and the one-sided guarantee (a
+    present key is NEVER reported absent) audited per row. The probe
+    join touches only the 64-row word table."""
+    from ..functions import bloom
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    filt = bloom.bloom_build(o, [], "o_custkey")
+    probes = (c.select(F.col("c_custkey").alias("k"))
+              .unionByName(c.select((F.col("c_custkey") + 1000000).alias("k"))))
+    got = bloom.bloom_probe(filt, probes, [], "k")
+    truth = (o.select(F.col("o_custkey").alias("k")).distinct()
+             .withColumn("__t__", F.lit(True)))
+    return (got.join(truth, "k", "left")
+            .select("k", "maybe_present",
+                    F.coalesce("__t__", F.lit(False)).alias("actually_present"),
+                    (~F.coalesce("__t__", F.lit(False))
+                     | F.col("maybe_present")).alias("one_sided_ok")))
