@@ -1193,3 +1193,62 @@ def agg_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("__t__", F.lit(False)).alias("actually_present"),
                     (~F.coalesce("__t__", F.lit(False))
                      | F.col("maybe_present")).alias("one_sided_ok")))
+
+
+@query(
+    "agg_hll_windowed_ndv",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ), r AS (
+      SELECT hr,
+             (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1 AS bucket,
+             list_reduce(list_transform(range(3, 18),
+               i -> CAST(strpos('0123456789abcdef', substring(hx, i, 1)) - 1
+                         AS BIGINT)),
+               (a, b) -> a * 16 + b) AS x
+      FROM h
+    ), regs AS (
+      SELECT hr, CAST(bucket AS INT) AS bucket,
+             MAX(CASE WHEN x = 0 THEN 61 ELSE 61 - length(bin(x)) END)
+               AS max_rho
+      FROM r GROUP BY 1, 2
+    ), est AS (
+      SELECT hr, COUNT(*) AS n_buckets,
+             1.0854228543761655e+23 / CAST(CAST(
+               SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho)) AS DECIMAL(38,0)))
+               + (256 - COUNT(*)) * CAST((CAST(1 AS BIGINT) << 61) AS DECIMAL(38,0))
+             AS VARCHAR) AS DOUBLE) AS raw_est
+      FROM regs GROUP BY hr
+    ), exact AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             COUNT(DISTINCT user_id) AS exact_ndv
+      FROM events GROUP BY 1
+    )
+    SELECT est.hr, est.n_buckets, est.raw_est, exact.exact_ndv,
+           abs(est.raw_est - exact.exact_ndv) / exact.exact_ndv < 0.2
+             AS within_tolerance
+    FROM est JOIN exact USING (hr)
+    """,
+)
+def agg_hll_windowed_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per HOUR from per-window HLL registers — the
+    sketch × time-series composition a streaming dashboard persists
+    (one 256-row register set per window, appendable and max-mergeable
+    across late batches), audited in-row against the exact windowed
+    count-distinct. Windowed register tables are what the streaming HLL
+    index stores when keyed by event-time bucket."""
+    from ..functions import hll
+
+    e = load_table(spark, sf_dir, "events")
+    hrs = e.select(F.date_trunc("hour", "ts").alias("hr"), "user_id")
+    regs = hll.hll_registers(hrs, ["hr"], "user_id")
+    est = hll.hll_estimate(regs, ["hr"]).select("hr", "n_buckets", "raw_est")
+    exact = hrs.groupBy("hr").agg(F.countDistinct("user_id").alias("exact_ndv"))
+    return (est.join(exact, "hr")
+            .withColumn("within_tolerance",
+                        F.abs(F.col("raw_est") - F.col("exact_ndv"))
+                        / F.col("exact_ndv") < 0.2))
