@@ -1252,3 +1252,94 @@ def agg_hll_windowed_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("within_tolerance",
                         F.abs(F.col("raw_est") - F.col("exact_ndv"))
                         / F.col("exact_ndv") < 0.2))
+
+
+@query(
+    "text_bigram_lift",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+    ),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    cu AS (
+      SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks)
+      GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok
+          FROM (SELECT unnest(t) FROM toks))
+    SELECT w1, w2, c12,
+           CAST(c12 * n.n_tok AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
+    FROM cbg JOIN cu a ON cbg.w1 = a.w JOIN cu b ON cbg.w2 = b.w
+    CROSS JOIN n
+    WHERE c12 >= 20
+    """,
+)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by LIFT — PMI's rational core without the log
+    (c12·N / (c1·c2), exact integer operands → one IEEE division, so it
+    ranks identically to PMI and hash-matches the oracle, where ln()
+    would not). Bigrams with c12 ≥ 20: the multiword-expression
+    candidates a tokenizer/vocabulary builder reviews. Two count
+    shuffles + unigram joins (broadcast at corpus scale — the vocabulary
+    is tiny next to the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bg = (d.select(F.explode(TX.ngrams(toks, 2)).alias("bg"))
+          .select(F.split("bg", " ")[0].alias("w1"),
+                  F.split("bg", " ")[1].alias("w2")))
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cu = (d.select(F.explode(toks).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n = d.select(F.explode(toks).alias("w")) \
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    return (cbg.filter(F.col("c12") >= 20)
+            .join(cu.withColumnRenamed("w", "w1")
+                    .withColumnRenamed("c", "ca"), "w1")
+            .join(cu.withColumnRenamed("w", "w2")
+                    .withColumnRenamed("c", "cb"), "w2")
+            .crossJoin(F.broadcast(n))
+            .select("w1", "w2", "c12",
+                    ((F.col("c12") * F.col("n_tok")).cast("double")
+                     / (F.col("ca") * F.col("cb")).cast("double"))
+                    .alias("lift")))
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    ),
+    c2 AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    c1 AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS total FROM c2 GROUP BY cur)
+    SELECT c2.cur, c2.nxt, c2.n,
+           CAST(c2.n AS DOUBLE) / CAST(c1.total AS DOUBLE) AS p
+    FROM c2 JOIN c1 USING (cur)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next | current) as exact count ratios (the path-mining
+    companion of the trigram query; what funnel designers and bot
+    detectors read). One window pass on the (user, time, id) total
+    order, two count aggregations, one IEEE division per cell."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = e.select("user_id", F.col("event_type").alias("cur"),
+                   F.lead("event_type").over(w).alias("nxt"))
+    c2 = (seq.filter(F.col("nxt").isNotNull())
+          .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")))
+    c1 = c2.groupBy("cur").agg(F.sum("n").cast("bigint").alias("total"))
+    return (c2.join(c1, "cur")
+            .select("cur", "nxt", "n",
+                    (F.col("n").cast("double") / F.col("total").cast("double"))
+                    .alias("p")))
