@@ -1343,3 +1343,42 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cur", "nxt", "n",
                     (F.col("n").cast("double") / F.col("total").cast("double"))
                     .alias("p")))
+
+
+@query(
+    "events_seasonal_deviation",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, value,
+             CAST(extract('hour' FROM ts) AS INT) AS hod
+      FROM events
+    ),
+    med AS (
+      SELECT hod, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+      FROM base GROUP BY hod
+    )
+    SELECT b.event_id, b.hod, b.value, med.m AS hod_median,
+           CAST(b.value AS DOUBLE) - med.m AS deviation,
+           abs(CAST(b.value AS DOUBLE) - med.m) > 50.0 AS is_anomaly
+    FROM base b JOIN med USING (hod)
+    """,
+)
+def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly flags: each event's value against the
+    corpus MEDIAN for its hour-of-day (the robust seasonal baseline —
+    medians are exact interpolations, immune to both outliers and the
+    float-sum ordering that makes mean-based profiles engine-divergent).
+    24-row profile broadcasts back; deviation is one IEEE subtraction.
+    The daily-rhythm companion of the rolling-MAD detector (which
+    flags vs the LOCAL window; this flags vs the seasonal norm)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "value",
+                    F.hour("ts").cast("int").alias("hod"))
+    med = base.groupBy("hod").agg(
+        F.median(F.col("value").cast("double")).alias("m"))
+    dev = F.col("value").cast("double") - F.col("m")
+    return (base.join(F.broadcast(med), "hod")
+            .select("event_id", "hod", "value",
+                    F.col("m").alias("hod_median"),
+                    dev.alias("deviation"),
+                    (F.abs(dev) > 50.0).alias("is_anomaly")))
