@@ -49,6 +49,13 @@ def make_handler(spark):
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (stdlib casing)
+            if self.path.rstrip("/") == "/tables":
+                # the reference's queryable meta.tables catalog: every
+                # registered view — base tables AND attached indexes —
+                # one row each, no scans (names only; /columns/<t> digs in)
+                names = sorted(t.name for t in spark.catalog.listTables())
+                self._send(200, {"tables": names})
+                return
             if self.path.startswith("/columns"):
                 # the reference's queryable meta.columns catalog: GET
                 # /columns/<table> → name/dtype/cardinality/null-count rows

@@ -268,3 +268,24 @@ def test_sql_endpoint_reads_and_refuses_writes(endpoint, spark):
             assert e.code == 400
     # and the view catalog is untouched
     assert spark.table("nation").count() == 25
+
+
+def test_tables_catalog_lists_views_and_indexes(spark, sf_dir, tmp_path):
+    from activedata_etl_spark.ext import dedup_index as DI
+    from activedata_etl_spark.io import TABLES, load_table
+    from activedata_etl_spark.service import serve
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    idx = str(tmp_path / "nd")
+    DI.build_index(docs, "doc_id", "text", idx, n_hashes=8, n_bands=2)
+    server = serve(spark, sf_dir, port=0, indexes={"nd": idx})
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        ep = f"http://127.0.0.1:{server.server_address[1]}"
+        with urllib.request.urlopen(ep + "/tables") as r:
+            tables = set(json.loads(r.read())["tables"])
+        assert set(TABLES) <= tables          # base views
+        assert {"nd_signatures", "nd_shingle_sets"} <= tables  # indexes
+    finally:
+        server.shutdown()
