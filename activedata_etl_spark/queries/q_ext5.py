@@ -1382,3 +1382,123 @@ def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("m").alias("hod_median"),
                     dev.alias("deviation"),
                     (F.abs(dev) > 50.0).alias("is_anomaly")))
+
+
+@query(
+    "etl_scd2_lookup",
+    oracle="""
+    WITH cur AS (
+      SELECT o_orderkey,
+             md5(CAST(o_totalprice AS VARCHAR) || '|' || o_orderstatus) AS fp2,
+             md5(CAST(o_totalprice + 1 AS VARCHAR) || '|' || o_orderstatus) AS fp1
+      FROM orders
+    )
+    SELECT o_orderkey, 1 AS as_of_version,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                WHEN o_orderkey % 89 = 0 THEN fp1
+                ELSE fp2 END AS fp
+    FROM cur
+    UNION ALL
+    SELECT o_orderkey, 2, fp2 FROM cur
+    """,
+)
+def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of SCD2: point-in-version lookup — "which dimension
+    row was valid when this fact happened" — as a range-containment
+    probe into the history table (valid_from ≤ v < valid_to, open rows
+    unbounded). Probing every key at versions 1 AND 2 exercises all
+    three cases: missing-then-added (%97 → NULL at v1), changed (%89 →
+    the superseded fingerprint at v1, current at v2), stable. The
+    history broadcasts here; at warehouse scale both sides bucket on
+    the key and the containment check rides the colocated join."""
+    from ..sources.etl import scd2_merge
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = (o.filter(F.col("o_orderkey") % 97 != 0)
+          .withColumn("o_totalprice",
+                      F.when(F.col("o_orderkey") % 89 == 0,
+                             F.col("o_totalprice") + 1)
+                      .otherwise(F.col("o_totalprice"))))
+    empty = spark.createDataFrame(
+        [], "o_orderkey bigint, fp string, valid_from int, valid_to int")
+    hist = scd2_merge(scd2_merge(empty, v1, ["o_orderkey"],
+                                 ["o_totalprice", "o_orderstatus"], 1),
+                      o, ["o_orderkey"],
+                      ["o_totalprice", "o_orderstatus"], 2)
+    probes = o.select("o_orderkey").crossJoin(
+        spark.range(1, 3).select(F.col("id").cast("int").alias("as_of_version")))
+    hit = ((F.col("valid_from") <= F.col("as_of_version"))
+           & (F.col("valid_to").isNull()
+              | (F.col("as_of_version") < F.col("valid_to"))))
+    return (probes.join(F.broadcast(hist),
+                        (probes.o_orderkey == hist.o_orderkey) & hit, "left")
+            .select(probes.o_orderkey, "as_of_version", "fp"))
+
+
+@query(
+    "text_quality_calibrated",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ),
+    doc_bg AS (
+      SELECT doc_id, i - 1 AS pos,
+             list_extract(t, i) || ' ' || list_extract(t, i + 1) AS bg,
+             list_extract(t, i) AS w1
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+    ),
+    ref_uni AS (
+      SELECT w, COUNT(*) AS c1 FROM (
+        SELECT unnest(t) AS w FROM toks WHERE source IN {_LM_REF})
+      GROUP BY w
+    ),
+    ref_bg AS (
+      SELECT bg, COUNT(*) AS c12 FROM doc_bg
+      JOIN documents USING (doc_id) WHERE source IN {_LM_REF}
+      GROUP BY bg
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM ref_uni),
+    lm AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+               (acc, x) -> acc + x) / COUNT(*) AS mean_p
+      FROM (
+        SELECT d.doc_id, d.pos,
+               CAST(COALESCE(r.c12, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(u.c1, 0) + vocab.v AS DOUBLE) AS p
+        FROM doc_bg d
+        LEFT JOIN ref_bg r USING (bg)
+        LEFT JOIN ref_uni u ON d.w1 = u.w
+        CROSS JOIN vocab)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.source, lm.mean_p,
+           PERCENT_RANK() OVER (PARTITION BY t.source
+                                ORDER BY lm.mean_p, t.doc_id) AS q_source,
+           PERCENT_RANK() OVER (ORDER BY lm.mean_p, t.doc_id) AS q_global
+    FROM toks t JOIN lm USING (doc_id)
+    """,
+)
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: raw LM scores aren't comparable
+    across sources (each source has its own register/style), so the
+    filter threshold that matters is the PER-SOURCE percentile — emitted
+    here next to the global one (both percent_rank: exact integer
+    division, ties broken by id). "Keep the top 60% of each source" is
+    then one predicate on q_source — the per-source quota form of
+    quality filtering that keeps small sources from being wiped out by
+    a global cut."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source").isin("src0", "src1", "src2"))
+    lm = TX.bigram_lm_score(d, ref, "doc_id", "text").select("doc_id", "mean_p")
+    from pyspark.sql import Window
+
+    scored = d.select("doc_id", "source").join(lm, "doc_id")
+    ws = Window.partitionBy("source").orderBy("mean_p", "doc_id")
+    wg = Window.orderBy("mean_p", "doc_id")
+    return scored.select(
+        "doc_id", "source", "mean_p",
+        F.percent_rank().over(ws).alias("q_source"),
+        F.percent_rank().over(wg).alias("q_global"))
