@@ -1502,3 +1502,60 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "mean_p",
         F.percent_rank().over(ws).alias("q_source"),
         F.percent_rank().over(wg).alias("q_global"))
+
+
+@query(
+    "sim_dimension_profile",
+    oracle="""
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT dim,
+             CAST(floor(v * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS qv
+      FROM x
+    ),
+    mo AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(qv) AS BIGINT) AS s1,
+             CAST(CAST(SUM(CAST(qv AS DECIMAL(38,0)) * CAST(qv AS DECIMAL(38,0)))
+                  AS VARCHAR) AS DOUBLE) AS s2
+      FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n,
+           CAST(s1 AS DOUBLE) / (n * CAST(1000000000 AS DOUBLE)) AS mean_v,
+           s2 / (n * 1e18) - (CAST(s1 AS DOUBLE) / (n * CAST(1000000000 AS DOUBLE)))
+             * (CAST(s1 AS DOUBLE) / (n * CAST(1000000000 AS DOUBLE))) AS var_v,
+           CAST(s1 AS DOUBLE) / (n * CAST(1000000000 AS DOUBLE))
+             BETWEEN -0.05 AND 0.05 AS centered_ok
+    FROM mo
+    """,
+)
+def sim_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: per-DIMENSION mean and variance —
+    the diagnostic that catches dead dimensions (zero variance),
+    un-centered encoders (mean drift), and scale outliers before they
+    poison cosine geometry. Moments use the centroid-fix arithmetic
+    (floor-quantized integer sums — no double→decimal tie rule; the
+    square sums multiply exact decimals and exit via the string route),
+    so every float is bit-reproduced by the oracle. One posexplode +
+    one groupBy(dim): 64 output rows at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    B = F.lit(1000000000.0)
+    x = emb.select(F.posexplode("embedding").alias("dim", "v0")) \
+        .select("dim", F.floor(F.col("v0").cast("double") * B)
+                .cast("bigint").alias("qv"))
+    mo = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").cast("bigint").alias("s1"),
+        F.sum(F.col("qv").cast("decimal(38,0)")
+              * F.col("qv").cast("decimal(38,0)"))
+         .cast("string").cast("double").alias("s2"))
+    mean = F.col("s1").cast("double") / (F.col("n") * B)
+    return mo.select(
+        F.col("dim").cast("int").alias("dim"), "n",
+        mean.alias("mean_v"),
+        (F.col("s2") / (F.col("n") * F.lit(1e18)) - mean * mean).alias("var_v"),
+        mean.between(-0.05, 0.05).alias("centered_ok"))
