@@ -289,3 +289,22 @@ def test_tables_catalog_lists_views_and_indexes(spark, sf_dir, tmp_path):
         assert {"nd_signatures", "nd_shingle_sets"} <= tables  # indexes
     finally:
         server.shutdown()
+
+
+def test_concurrent_queries_interleave_safely(endpoint):
+    # the service docstring claims one shared SparkSession serves
+    # concurrent requests (scheduler interleaves jobs) — exercise it:
+    # 8 parallel POSTs, every response complete and correct
+    import concurrent.futures
+
+    def ask(k):
+        return _post(endpoint + "/query", {
+            "from": "orders", "where": {"eq": ["o_custkey", k]},
+            "select": [{"name": "n", "aggregate": "count"}],
+        })["data"][0]["n"]
+
+    keys = list(range(1, 9))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(ask, keys))
+    want = [ask(k) for k in keys]  # serial truth
+    assert got == want and all(isinstance(n, int) for n in got)
