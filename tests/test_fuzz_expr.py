@@ -293,3 +293,55 @@ def test_jx_string_kit_matches_semantic_sql(str_frames, trees):
         f"{str_to_sql(t)} AS e{i}" for i, t in enumerate(trees)) + " FROM t"
     want = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
     assert got == want
+
+
+# --- date-literal kit vs DuckDB interval arithmetic ----------------------
+
+_NOWS = [
+    "2026-01-31 13:45:10",   # month-end into short month
+    "2026-03-31 00:00:00",   # month-end, midnight
+    "2024-02-29 23:59:59",   # leap day
+    "2026-08-14 07:00:00",   # ordinary
+    "2026-12-31 12:00:00",   # year boundary
+]
+_ANCHOR_SQL = {
+    "now": "{t}",
+    "today": "date_trunc('day', {t})",
+    "eod": "date_trunc('day', {t}) + INTERVAL 1 DAY",
+    # jx weeks start SUNDAY (mo_times floor) — DuckDB's date_trunc('week')
+    # is Monday, so express the Sunday floor independently
+    "week": "date_trunc('day', {t}) - to_days(CAST(dayofweek({t}) AS INT))",
+    "month": "date_trunc('month', {t})",
+    "year": "date_trunc('year', {t})",
+}
+
+
+@given(
+    now_s=st.sampled_from(_NOWS),
+    anchor=st.sampled_from(list(_ANCHOR_SQL)),
+    sign=st.sampled_from(["+", "-"]),
+    n=st.integers(min_value=0, max_value=30),
+    unit=st.sampled_from(["second", "hour", "day", "week", "month", "year"]),
+)
+@settings(max_examples=250, deadline=None)
+def test_date_literals_match_duckdb_interval_arithmetic(
+        now_s, anchor, sign, n, unit):
+    """jx relative date literals (functions/dates.parse_date — the
+    clause every `{"gte": ["ts", "today-3month"]}` filter resolves
+    through) vs DuckDB's OWN date_trunc + INTERVAL arithmetic: calendar
+    months must clamp identically (Jan 31 − 1 month, leap days), week
+    floors must be jx-Sunday, zero-count offsets must be no-ops."""
+    import datetime as dt
+
+    from activedata_etl_spark.functions.dates import parse_date
+
+    expr = f"{anchor}{sign}{n}{unit}" if n else anchor
+    now = dt.datetime.strptime(now_s, "%Y-%m-%d %H:%M:%S")
+    py = parse_date(expr, now=now)
+
+    base = _ANCHOR_SQL[anchor].format(t=f"TIMESTAMP '{now_s}'")
+    iv = {"week": f"INTERVAL {7 * n} DAY"}.get(unit, f"INTERVAL {n} {unit.upper()}")
+    core = f"({base}) {sign} {iv}" if n else base
+    sql = f"SELECT CAST({core} AS TIMESTAMP)"
+    duck = duckdb.sql(sql).fetchone()[0]
+    assert py == duck, f"{expr} @ {now_s}: jx={py} duck={duck}"
