@@ -1559,3 +1559,47 @@ def sim_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_v"),
         (F.col("s2") / (F.col("n") * F.lit(1e18)) - mean * mean).alias("var_v"),
         mean.between(-0.05, 0.05).alias("centered_ok"))
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    per_doc AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_types
+      FROM firsts GROUP BY first_doc
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_new_types, 0) AS n_new_types,
+           CAST(SUM(COALESCE(p.n_new_types, 0)) OVER (
+             ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_types
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law measurement a tokenizer/
+    vocab budget is planned against): per document in ingest order, how
+    many never-before-seen word types it contributes, and the running
+    vocabulary size. NOT a quadratic rescan per prefix — each type's
+    FIRST document comes from one min-groupBy, the per-doc novelty
+    counts from a second, and the curve is a running-sum window. All
+    integer arithmetic."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    firsts = (d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+              .groupBy("w").agg(F.min("doc_id").alias("first_doc")))
+    per_doc = (firsts.groupBy(F.col("first_doc").alias("doc_id"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_types")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (d.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"))
+            .withColumn("cum_types",
+                        F.sum("n_new_types").over(w).cast("bigint")))
