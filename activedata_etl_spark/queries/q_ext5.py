@@ -1603,3 +1603,47 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"))
             .withColumn("cum_types",
                         F.sum("n_new_types").over(w).cast("bigint")))
+
+
+@query(
+    "corpus_tokens_by_quality_cut",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tok,
+             NTILE(10) OVER (PARTITION BY source
+               ORDER BY len({_TOKS}), doc_id) AS decile
+      FROM documents
+    )
+    SELECT source, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_in_decile,
+           CAST(SUM(SUM(n_tok)) OVER (PARTITION BY source
+             ORDER BY decile DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS tokens_at_or_above
+    FROM scored GROUP BY source, decile
+    """,
+)
+def corpus_tokens_by_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-budget planning: token volume surviving each per-source
+    quality cut — docs ranked into per-source deciles (here by length
+    as the stand-in score; swap in q_source from
+    text_quality_calibrated unchanged), with the running
+    tokens-at-or-above each decile. "If we keep the top 30% of every
+    source, how many tokens do we train on" is one row lookup. Rank
+    bucketing + integer sums + one running window: exact everywhere."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens("text"))
+    wd = Window.partitionBy("source").orderBy(n_tok, "doc_id")
+    scored = d.select("doc_id", "source", n_tok.alias("n_tok"),
+                      F.ntile(10).over(wd).alias("decile"))
+    per = (scored.groupBy("source", "decile")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("tokens_in_decile")))
+    wc = (Window.partitionBy("source").orderBy(F.col("decile").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return per.withColumn(
+        "tokens_at_or_above",
+        F.sum("tokens_in_decile").over(wc).cast("bigint"))
