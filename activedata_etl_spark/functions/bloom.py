@@ -67,5 +67,10 @@ def bloom_probe(filt: DataFrame, probes: DataFrame,
                 F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m")))
     j = keyed.join(filt, [*group_cols, "word"], "left")
     hit = (F.coalesce("bits", F.lit(0)).bitwiseAND(F.col("m")) != 0).cast("int")
+    # sum==count, NOT sum==N_HASHES: a probe key appearing k>1 times
+    # contributes k*N_HASHES rows to its group (positions are
+    # deterministic per key, so hits repeat identically) — comparing
+    # against the constant would flip present keys to definitely-absent,
+    # breaking the one-sided guarantee.
     return (j.groupBy(*group_cols, key_col)
-            .agg((F.sum(hit) == N_HASHES).alias("maybe_present")))
+            .agg((F.sum(hit) == F.count(F.lit(1))).alias("maybe_present")))

@@ -32,6 +32,109 @@ def _default(o):
     raise TypeError(f"not JSON-serializable: {type(o)}")
 
 
+# The reference service applied a DEFAULT limit to interactive queries
+# (SURVEY §2.7: its default was ~10 rows); without one, a /query with no
+# `limit` over a big table collects the entire result on the driver.
+# Clients that really want more say so with an explicit `limit`;
+# format=stream pages unbounded results with bounded driver memory.
+DEFAULT_ROW_CAP = 10_000
+
+_BANNED_SQL_FUNCTIONS = {"reflect", "java_method"}  # arbitrary JVM calls
+
+
+def _sql_gate(spark, sql: str) -> list[dict]:
+    """ALLOWLIST gate for ``POST /sql`` — returns problems (empty = ok).
+
+    spark.sql() executes commands EAGERLY (a DROP runs at call time), so
+    the statement is classified on its PARSED plan before any execution.
+    Denylisting class-name substrings is not enough: ``ANALYZE TABLE`` →
+    ``AnalyzeTable``, ``MSCK REPAIR`` → ``RepairTable`` carry no banned
+    token, and a pure SELECT can still call arbitrary static methods via
+    ``reflect()``/``java_method()`` or read arbitrary local files via
+    ``parquet.`/path``` relations. So instead:
+
+    - the plan must NOT be a Catalyst ``Command`` (checked with
+      ``Class.isInstance`` against the trait, not name matching — every
+      DDL/DML/utility statement extends it, pure queries never do);
+    - every relation, walked recursively through children, CTE bodies
+      and subquery expressions, must be a single-part name that is a
+      registered view or a CTE defined by the statement itself (kills
+      path-based ``format.`/path``` relations and catalog escapes);
+    - no ``reflect``/``java_method`` function calls anywhere in the tree.
+    """
+    jvm = spark.sparkContext._jvm
+    cls = jvm.java.lang.Class
+    c_command = cls.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command")
+    c_urel = cls.forName(
+        "org.apache.spark.sql.catalyst.analysis.UnresolvedRelation")
+    c_ufun = cls.forName(
+        "org.apache.spark.sql.catalyst.analysis.UnresolvedFunction")
+    c_uwith = cls.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith")
+    c_subq = cls.forName(
+        "org.apache.spark.sql.catalyst.expressions.SubqueryExpression")
+
+    try:
+        plan = (spark._jsparkSession.sessionState().sqlParser()
+                .parsePlan(sql))
+    except Exception as e:
+        return [{"path": "sql", "reason": f"parse error: {e}"}]
+    if c_command.isInstance(plan):
+        return [{"path": "sql",
+                 "reason": f"not a query: {plan.getClass().getSimpleName()}"}]
+
+    relations: list[list[str]] = []
+    functions: set[str] = set()
+    ctes: set[str] = set()
+
+    def walk_plan(node):
+        if c_command.isInstance(node):
+            relations.append(["<nested command>"])  # defensive: reject
+        if c_urel.isInstance(node):
+            mp = node.multipartIdentifier()
+            relations.append([mp.apply(i) for i in range(mp.size())])
+        if c_uwith.isInstance(node):
+            cr = node.cteRelations()
+            for i in range(cr.size()):
+                ctes.add(cr.apply(i)._1().lower())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk_plan(ch.apply(i))
+        ic = node.innerChildren()
+        for i in range(ic.size()):
+            walk_plan(ic.apply(i))
+        ex = node.expressions()
+        for i in range(ex.size()):
+            walk_expr(ex.apply(i))
+
+    def walk_expr(e):
+        if c_ufun.isInstance(e):
+            np_ = e.nameParts()
+            functions.add(np_.apply(np_.size() - 1).lower())
+        if c_subq.isInstance(e):
+            walk_plan(e.plan())
+        ch = e.children()
+        for i in range(ch.size()):
+            walk_expr(ch.apply(i))
+
+    walk_plan(plan)
+
+    problems = []
+    views = {t.name.lower() for t in spark.catalog.listTables()}
+    for parts in relations:
+        name = ".".join(parts)
+        if len(parts) != 1 or (parts[0].lower() not in views
+                               and parts[0].lower() not in ctes):
+            problems.append({"path": "sql",
+                             "reason": f"unknown relation: {name} "
+                                       "(only registered views are queryable)"})
+    for bad in sorted(functions & _BANNED_SQL_FUNCTIONS):
+        problems.append({"path": "sql",
+                         "reason": f"function not allowed: {bad}"})
+    return problems
+
+
 def make_handler(spark):
     from .plans.query import run_formatted
 
@@ -107,13 +210,28 @@ def make_handler(spark):
                 if q.get("format") == "stream":
                     self._stream_rows(q)
                     return
+                # list/table/cube/arrow all collect on the driver — apply
+                # the reference's default-limit behavior when the query
+                # has none (reported back as meta.row_cap so the client
+                # can tell a capped result from a complete one). Stream
+                # format stays unbounded: it pages with bounded memory.
+                row_cap = None
+                if "limit" not in q:
+                    row_cap = DEFAULT_ROW_CAP
+                    q = {**q, "limit": row_cap}
+                if q.get("format") == "arrow":
+                    self._send_arrow(q, row_cap)
+                    return
                 t0 = time.perf_counter()
                 data = run_formatted(spark, q)
                 # reference responses carry meta.timing (active_data app)
-                self._send(200, {"data": data, "meta": {
+                meta = {
                     "timing": {"total": round(time.perf_counter() - t0, 4)},
                     "format": q.get("format", "list"),
-                }})
+                }
+                if row_cap is not None:
+                    meta["row_cap"] = row_cap
+                self._send(200, {"data": data, "meta": meta})
             except Exception as e:  # jx errors → 400, like the reference
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -121,11 +239,12 @@ def make_handler(spark):
             """``POST /sql`` ``{"sql": "...", "limit"?: n}`` — the
             reference's secondary SQL surface next to jx (its service
             exposed a limited SQL translator). READ-ONLY by
-            construction: the statement must parse as a single query
-            (SELECT/WITH/VALUES — checked on the parsed plan class, not
-            by string matching), runs against the same registered views
-            and attached indexes, and is row-capped (default 10k) since
-            this is the interactive role, not the bulk path."""
+            construction: the parsed plan must pass the _sql_gate
+            allowlist (no Command plans, only registered-view relations,
+            no JVM-reflection functions), runs against the same
+            registered views and attached indexes, and is row-capped
+            (default 10k) since this is the interactive role, not the
+            bulk path."""
             import time
 
             try:
@@ -138,19 +257,12 @@ def make_handler(spark):
                                                   "reason": "required string"}]})
                     return
                 t0 = time.perf_counter()
-                # PARSE-FIRST gate: spark.sql() executes commands EAGERLY
-                # (a DROP runs at call time), so classify the parsed plan
-                # before handing the text to spark.sql. Statements/
-                # commands are refused by plan class, not string matching.
-                plan_cls = (spark._jsparkSession.sessionState().sqlParser()
-                            .parsePlan(sql).getClass().getSimpleName())
-                banned = ("Command", "Statement", "Insert", "Create", "Drop",
-                          "Alter", "Set", "Truncate", "Delete", "Update",
-                          "Merge", "Cache", "Refresh")
-                if any(k in plan_cls for k in banned):
+                # PARSE-FIRST allowlist gate (see _sql_gate): commands
+                # rejected by class hierarchy, relations restricted to
+                # registered views, JVM-reflection functions refused.
+                if problems := _sql_gate(spark, sql):
                     self._send(400, {"error": "read-only endpoint",
-                                     "invalid": [{"path": "sql",
-                                                  "reason": f"not a query: {plan_cls}"}]})
+                                     "invalid": problems})
                     return
                 df = spark.sql(sql)
                 limit = int(body.get("limit", 10_000))
@@ -162,6 +274,34 @@ def make_handler(spark):
                 }})
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def _send_arrow(self, q: dict, row_cap: int | None) -> None:
+            """``format=arrow``: the result as an Arrow IPC stream — the
+            big-extract format (columnar, zero JSON encode/decode, reads
+            straight into pandas/polars/duckdb client-side). The result
+            is still driver-collected (Arrow IPC needs whole record
+            batches), so the default row cap applies like list/table —
+            reported in the ``X-Row-Cap`` header since an IPC stream has
+            no JSON meta envelope."""
+            import pyarrow as pa
+
+            from .plans.query import run as run_plan
+
+            df = run_plan(spark, {k: v for k, v in q.items()
+                                  if k != "format"})
+            table = df.toArrow()  # Arrow-native collect, no Row objects
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, table.schema) as w:
+                w.write_table(table)
+            body = sink.getvalue().to_pybytes()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/vnd.apache.arrow.stream")
+            self.send_header("Content-Length", str(len(body)))
+            if row_cap is not None:
+                self.send_header("X-Row-Cap", str(row_cap))
+            self.end_headers()
+            self.wfile.write(body)
 
         def _stream_rows(self, q: dict) -> None:
             """``format=stream``: NDJSON rows over chunked transfer.
@@ -234,14 +374,19 @@ def attach_indexes(spark, indexes: dict[str, str]) -> list[str]:
             spark.read.parquet(path).createOrReplaceTempView(name)
             out.append(name)
             continue
+        # validate THIS index's registrations, not a name-prefix scan of
+        # the cumulative list (an index named 'foo' after 'foo_bar' would
+        # match 'foo_bar_x' and silently attach nothing)
+        mine: list[str] = []
         for d in sorted(os.listdir(path)):
             sub = os.path.join(path, d)
             if is_parquet_dir(sub):
                 view = f"{name}_{d}"
                 spark.read.parquet(sub).createOrReplaceTempView(view)
-                out.append(view)
-        if not any(v.startswith(f"{name}_") or v == name for v in out):
+                mine.append(view)
+        if not mine:
             raise ValueError(f"no parquet tables under index path: {path}")
+        out.extend(mine)
     return out
 
 

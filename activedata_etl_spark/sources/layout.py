@@ -76,6 +76,42 @@ def build_manifest(spark, path: str, stat_cols: list[str]) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"), *aggs))
 
 
+def manifest_path(data_path: str) -> str:
+    """Conventional sibling location for a persisted manifest: the data
+    dir's path + ``.manifest``. io.load_parquet consults this path, so a
+    layout written with write_zordered + write_manifest gets file-level
+    pruning through the STANDARD read path — no opt-in helper call."""
+    return data_path.rstrip("/") + ".manifest"
+
+
+def write_manifest(spark, data_path: str, stat_cols: list[str]) -> str:
+    """Build + persist the per-file min/max manifest next to the data
+    (see manifest_path). Derived data: rebuild after any rewrite of the
+    files (the manifest names files by absolute path, so a moved layout
+    needs a rebuild too). Returns the manifest path."""
+    out = manifest_path(data_path)
+    build_manifest(spark, data_path, stat_cols).write.mode(
+        "overwrite").parquet(out)
+    return out
+
+
+def prune_files_multi(manifest: DataFrame,
+                      bounds: dict[str, tuple]) -> list[str]:
+    """Files whose stat ranges intersect EVERY ``col: (lo, hi)`` bound
+    (None = unbounded on that side) — conjunctive pruning, so a z-ordered
+    layout prunes on all clustered dimensions at once. One-sided like
+    prune_files: may admit a file with no matching rows, never drops a
+    file with one."""
+    cond = F.lit(True)
+    for col, (lo, hi) in bounds.items():
+        if lo is not None:
+            cond = cond & (F.col(f"max_{col}") >= lo)
+        if hi is not None:
+            cond = cond & (F.col(f"min_{col}") <= hi)
+    return [r["file"] for r in
+            manifest.filter(cond).select("file").collect()]
+
+
 def prune_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
     """Files whose [min,max] range intersects [lo, hi] — the candidate
     list for a range predicate on ``col``. Manifest rows are file-count
@@ -95,8 +131,15 @@ def scan_pruned(spark, manifest: DataFrame, col: str, lo, hi) -> DataFrame:
     dimension."""
     files = prune_files(manifest, col, lo, hi)
     if not files:
-        empty = spark.read.parquet(*[r["file"] for r in
-                                     manifest.select("file").limit(1).collect()])
+        # schema recovery needs at least one real file; an empty manifest
+        # means there is no schema to recover from — fail loudly rather
+        # than let spark.read.parquet() raise on zero paths.
+        any_file = manifest.select("file").limit(1).collect()
+        if not any_file:
+            raise ValueError(
+                "empty manifest: no files to recover a schema from — "
+                "build_manifest over a non-empty table first")
+        empty = spark.read.parquet(any_file[0]["file"])
         return empty.filter(F.lit(False))
     return (spark.read.parquet(*files)
             .filter((F.col(col) >= lo) & (F.col(col) <= hi)))

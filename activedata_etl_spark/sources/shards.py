@@ -42,10 +42,15 @@ def write_tar_shards(df: DataFrame, path: str, shard_col: str, key_col: str,
     attempt's archive — last completed attempt wins, and both produce the
     same bytes (content is key-sorted and deterministic). Stale
     ``shard-*.tar`` from a previous larger run are removed up front so a
-    rewrite over fewer shards can't mix old archives into the result."""
+    rewrite over fewer shards can't mix old archives into the result —
+    as are orphaned ``*.tmp`` attempts from executors killed without a
+    Python exception (the except-branch cleanup never ran for those).
+    ``path`` must be shared storage visible to BOTH the driver (this
+    cleanup) and every executor (the writes) — see the module note."""
     os.makedirs(path, exist_ok=True)
-    for name in os.listdir(path):  # clear stale shards from a prior run
-        if name.startswith("shard-") and name.endswith(".tar"):
+    for name in os.listdir(path):  # clear stale shards + dead attempts
+        if name.startswith("shard-") and (name.endswith(".tar")
+                                          or name.endswith(".tmp")):
             os.unlink(os.path.join(path, name))
     cols = [shard_col, key_col, *payload_cols]
     ext = dict(payload_cols)

@@ -236,3 +236,22 @@ def test_bloom_prefilter_cross_dtype_keys(spark):
     kept = {r["k"] for r in
             bloom_prefilter(probe, build, "k", "k").collect()}
     assert set(range(0, 100, 10)) <= kept  # no false negatives across dtypes
+
+
+def test_bloom_probe_duplicate_probe_keys_stay_one_sided(spark):
+    """ADVICE r4: a probe key appearing k>1 times contributes k*N_HASHES
+    exploded rows to its group; comparing sum(hit) against the CONSTANT
+    N_HASHES reported present keys as definitely-absent — a one-sided
+    guarantee violation. The fix compares sum==count per group."""
+    from activedata_etl_spark.functions import bloom
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "k: long")
+    filt = bloom.bloom_build(members, [], "k")
+    # present key 7 duplicated 3x, absent key 999 duplicated 2x
+    probes = spark.createDataFrame(
+        [(7,), (7,), (7,), (11,), (999,), (999,)], "k: long")
+    got = {r["k"]: r["maybe_present"]
+           for r in bloom.bloom_probe(filt, probes, [], "k").collect()}
+    assert got[7] is True     # present, duplicated — MUST stay present
+    assert got[11] is True    # present, unique
+    assert len(got) == 3      # one output row per distinct probe key

@@ -308,3 +308,115 @@ def test_concurrent_queries_interleave_safely(endpoint):
         got = list(ex.map(ask, keys))
     want = [ask(k) for k in keys]  # serial truth
     assert got == want and all(isinstance(n, int) for n in got)
+
+
+def test_default_row_cap_on_query(endpoint):
+    """VERDICT r4 #1: POST /query with no `limit` must NOT collect an
+    unbounded result on the driver — the service applies a default cap
+    (mirroring the reference's default-limit behavior, SURVEY §2.7) and
+    reports it as meta.row_cap so the client can tell capped from
+    complete."""
+    from activedata_etl_spark import service as S
+
+    old = S.DEFAULT_ROW_CAP
+    S.DEFAULT_ROW_CAP = 100
+    try:
+        out = _post(endpoint + "/query", {
+            "from": "orders", "select": ["o_orderkey"]})
+        assert len(out["data"]) == 100
+        assert out["meta"]["row_cap"] == 100
+    finally:
+        S.DEFAULT_ROW_CAP = old
+    # an explicit limit wins, and no row_cap is reported
+    out = _post(endpoint + "/query", {
+        "from": "orders", "select": ["o_orderkey"], "limit": 3})
+    assert len(out["data"]) == 3 and "row_cap" not in out["meta"]
+    # stream format stays unbounded (pages with bounded driver memory):
+    # all 25 nations come back even with a tiny default cap
+    S.DEFAULT_ROW_CAP = 2
+    try:
+        req = urllib.request.Request(
+            endpoint + "/query",
+            data=json.dumps({"from": "nation", "select": ["n_name"],
+                             "format": "stream"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            lines = [ln for ln in r.read().splitlines() if ln]
+        assert len(lines) == 25
+    finally:
+        S.DEFAULT_ROW_CAP = old
+
+
+def test_arrow_format_roundtrip(endpoint):
+    """format=arrow returns an Arrow IPC stream a client opens with
+    pyarrow directly — values must match the list format exactly."""
+    import pyarrow as pa
+
+    q = {"from": "nation", "select": ["n_nationkey", "n_name"],
+         "where": {"lt": {"n_nationkey": 7}}, "sort": "n_nationkey"}
+    req = urllib.request.Request(
+        endpoint + "/query",
+        data=json.dumps({**q, "format": "arrow"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"] == "application/vnd.apache.arrow.stream"
+        assert r.headers["X-Row-Cap"]  # default cap reported via header
+        table = pa.ipc.open_stream(r.read()).read_all()
+    listed = _post(endpoint + "/query", {**q, "format": "list"})["data"]
+    assert table.to_pylist() == listed
+    assert table.schema.names == ["n_nationkey", "n_name"]
+
+
+def test_sql_gate_allowlist_hardening(endpoint, spark):
+    """ADVICE r4: the read-only gate is an ALLOWLIST on the parsed plan —
+    commands with benign class names, JVM-reflection functions, and
+    path-based relations are all refused; only registered views (and
+    statement-local CTEs) are queryable."""
+    refused = [
+        # commands whose class name carries no denylist-able token
+        "ANALYZE TABLE nation COMPUTE STATISTICS",
+        "MSCK REPAIR TABLE nation",
+        "EXPLAIN SELECT 1",
+        # pure SELECTs that reach the JVM / local filesystem
+        "SELECT java_method('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT reflect('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet`",
+        # catalog / unknown relations
+        "SELECT * FROM global_temp.x",
+        "SELECT * FROM no_such_view",
+        # a banned function hidden in a subquery
+        "SELECT 1 WHERE '' IN (SELECT reflect('a','b') FROM nation)",
+    ]
+    for bad in refused:
+        req = urllib.request.Request(
+            endpoint + "/sql", data=json.dumps({"sql": bad}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, f"expected 400 for: {bad}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
+    # CTE names defined by the statement itself still resolve
+    out = _post(endpoint + "/sql", {
+        "sql": "WITH t AS (SELECT n_nationkey FROM nation) "
+               "SELECT COUNT(*) AS n FROM t"})
+    assert out["data"][0]["n"] == 25
+
+
+def test_attach_indexes_prefix_collision(spark, sf_dir, tmp_path):
+    """ADVICE r4: validation tracks THIS index's registrations — an index
+    name that is a prefix of an earlier one must not pass validation on
+    the earlier index's views."""
+    import os
+
+    from activedata_etl_spark.service import attach_indexes
+
+    root = tmp_path / "foo_bar"
+    sub = root / "x"
+    spark.range(3).write.parquet(str(sub))
+    empty = tmp_path / "foo"
+    os.makedirs(empty)  # no parquet beneath
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no parquet tables"):
+        attach_indexes(spark, {"foo_bar": str(root), "foo": str(empty)})
