@@ -79,6 +79,28 @@ def cms_estimate(registers: DataFrame, probes: DataFrame,
                  .alias("est")))
 
 
+def cms_heavy_hitters(registers: DataFrame, candidates: DataFrame,
+                      group_cols: list[str], key_col: str,
+                      k: int) -> DataFrame:
+    """Top-k most-frequent keys per group, answered from the SKETCH: rank
+    candidate keys by their count-min estimate (ties broken by key — the
+    ordering must be total for a deterministic top-k) and keep the first
+    ``k``. A CMS cannot enumerate keys, so ``candidates`` supplies them —
+    the distinct key universe for a bounded domain, or the streaming
+    candidate list the ingest kept; either way the join touches only the
+    d·w-per-group register table, never the corpus. One-sided error
+    means a true heavy hitter can be displaced only by an OVERcounted
+    lighter key — estimates never undercount — which is the classic
+    CMS top-k guarantee (Cormode & Muthukrishnan 2005, §4)."""
+    from pyspark.sql import Window
+
+    est = cms_estimate(registers, candidates, group_cols, key_col)
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.desc("est"), F.col(key_col)))
+    return (est.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def append_cms_index(df: DataFrame, group_cols: list[str], value,
                      path: str, batch_id: int) -> None:
     """Incremental sketch maintenance with AT-LEAST-ONCE safety: unlike

@@ -35,16 +35,37 @@ def davg(col: Column | str, prec: int = 18, scale: int = 6) -> Column:
 
 
 def dsum_sq(col: Column | str) -> Column:
-    """Exact sum of squares (second zero-moment), as double."""
-    c = _c(col)
-    return F.sum((c * c).cast("decimal(28,10)")).cast("double")
+    """Exact sum of squares (second zero-moment), as double.
+
+    The FACTOR is cast to decimal and squared IN DECIMAL (exact int
+    arithmetic, engine-identical) — never the double product: casting
+    the product double to a scale-10 decimal is tie-exposed once
+    |x| > ~3·10³, because the double's ≤17-digit shortest repr no
+    longer determines the scale-10 rounding and Spark (repr HALF_UP)
+    vs DuckDB (binary expansion) disagree — found by the r5 tie
+    fuzzer's second falsifying example (x = 99999.9). Same factor-wise
+    form the moment queries (events_value_zscore, agg_corr_covar)
+    already use; the close goes through a string for one correctly-
+    rounded conversion (see the sql_ fragment note below)."""
+    d = _c(col).cast("decimal(18,6)")
+    return F.sum(d * d).cast("string").cast("double")
 
 
 # Oracle-side SQL fragments mirroring the builders above. Keeping them next
 # to the Spark implementations makes the paired semantics reviewable in one
 # place.
+#
+# The decimal→double close goes THROUGH AN EXACT STRING: once the sum's
+# scaled integer exceeds 2^53, DuckDB's direct decimal→double DOUBLE-
+# ROUNDS (int→double, then /10^scale) while Spark's BigDecimal route
+# rounds once — the r5 tie fuzzer's first falsifying example was exactly
+# this (Σx² = 9999800002 at scale 10 → DuckDB 9999800002.000002, Spark
+# 9999800002.0). Via VARCHAR both engines do one correctly-rounded
+# strtod; below 2^53 the string route is value-identical to the direct
+# cast, so every previously-green oracle is unchanged.
 def sql_dsum(expr: str, prec: int = 18, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale})))"
+            f" AS VARCHAR) AS DOUBLE)")
 
 
 def sql_davg(expr: str, prec: int = 18, scale: int = 6) -> str:
@@ -52,4 +73,9 @@ def sql_davg(expr: str, prec: int = 18, scale: int = 6) -> str:
 
 
 def sql_dsum_sq(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(28,10))) AS DOUBLE)"
+    # (19,6) forces DuckDB into int128 multiplication (its 18-digit
+    # decimals multiply in int64 and overflow); values match Spark's
+    # (18,6)×(18,6)→(37,12) exactly.
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(19,6))"
+            f" * CAST({expr} AS DECIMAL(19,6)))"
+            f" AS VARCHAR) AS DOUBLE)")

@@ -31,7 +31,49 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _apply_bounds(df: DataFrame, bounds: dict[str, tuple]) -> DataFrame:
+    for col, (lo, hi) in bounds.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+    return df
+
+
+def load_parquet(spark: SparkSession, path: str,
+                 bounds: dict[str, tuple] | None = None) -> DataFrame:
+    """Manifest-aware parquet read — THE standard load path.
+
+    ``bounds`` is an optional conjunctive range predicate
+    ``{col: (lo, hi)}`` (inclusive; ``None`` = unbounded side) that is
+    always APPLIED to the result, so the contract is exactly
+    ``read(path).filter(bounds)``. When a persisted per-file manifest
+    exists next to the data (sources/layout.write_manifest) and covers a
+    bounded column, the read opens ONLY the files whose stat ranges
+    intersect the bounds — z-order/manifest pruning through the normal
+    read path, no opt-in helper (VERDICT r4 #3). Pruning is one-sided
+    (may admit a file with no matching rows, never drops one with), so
+    applying the exact predicate on top preserves equivalence."""
+    ensure_runtime_confs(spark)
+    if bounds:
+        from .sources import layout
+
+        mpath = layout.manifest_path(path)
+        if os.path.isdir(mpath):
+            manifest = spark.read.parquet(mpath)
+            usable = {c: b for c, b in bounds.items()
+                      if f"min_{c}" in manifest.columns}
+            if usable:
+                files = layout.prune_files_multi(manifest, usable)
+                base = (spark.read.parquet(*files) if files
+                        else spark.read.parquet(path).filter(F.lit(False)))
+                return _apply_bounds(base, bounds)
+        return _apply_bounds(spark.read.parquet(path), bounds)
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               bounds: dict[str, tuple] | None = None) -> DataFrame:
     """Read one testdata table, normalizing types where parquet physical
     types don't map cleanly onto Spark SQL types.
 
@@ -40,11 +82,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanoseconds, converted here to a microsecond timestamp. The conversion is
     lossless for this data (sub-microsecond digits are zero — FIXTURES.md)
     and uses integer division so no precision is lost at ~1.7e18 magnitudes.
+
+    ``bounds`` routes through the manifest-aware load_parquet (see
+    there); events is excluded from manifest pruning because its ``ts``
+    is normalized AFTER the read, so raw file stats and user-visible
+    values disagree — bounds still apply as plain filters.
     """
     try:
         per_session = _TABLE_CACHE.setdefault(spark, {})
     except TypeError:  # un-weakref-able session double (tests/mocks)
         per_session = {}
+    if bounds and name != "events":
+        from .sources import layout
+
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(layout.manifest_path(path)):
+            # pruned reads are file-subset-specific — never cached
+            return load_parquet(spark, path, bounds)
+        # no manifest → keep the cached scan, bounds apply as filters
     key = (os.path.abspath(sf_dir), name)
     df = per_session.get(key)
     if df is None:
@@ -53,7 +108,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         per_session[key] = df
-    return df
+    return _apply_bounds(df, bounds) if bounds else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -101,9 +156,46 @@ def describe_columns(df: DataFrame) -> DataFrame:
     return stats.select(F.explode(rows).alias("c")).select("c.*")
 
 
+# View name → where its data lives, so the jx front-end can re-resolve a
+# `from` clause through the manifest-aware load path when the query's
+# `where` carries range bounds (plans/query._from). ("table", sf_dir,
+# name) entries keep table-specific normalization (events.ts); ("path",
+# p) entries are plain parquet dirs (register_parquet_table).
+_VIEW_SOURCES: dict[str, tuple] = {}
+
+
+def view_source(name: str) -> tuple | None:
+    return _VIEW_SOURCES.get(name)
+
+
+def scan_view(spark: SparkSession, name: str,
+              bounds: dict[str, tuple] | None = None) -> DataFrame | None:
+    """Re-resolve a registered view through the manifest-aware load path
+    (None if the view wasn't registered through this module)."""
+    src = _VIEW_SOURCES.get(name)
+    if src is None:
+        return None
+    if src[0] == "table":
+        return load_table(spark, src[1], src[2], bounds=bounds)
+    return load_parquet(spark, src[1], bounds=bounds)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view (for the SQL surface)."""
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+        _VIEW_SOURCES[name] = ("table", sf_dir, name)
     return dfs
+
+
+def register_parquet_table(spark: SparkSession, name: str,
+                           path: str) -> DataFrame:
+    """Register an arbitrary parquet dir (a user layout, a persisted
+    index) as a queryable view. If a manifest sits next to it
+    (layout.write_manifest), jx queries with range predicates on
+    manifest'd columns read only the files they can touch."""
+    df = load_parquet(spark, path)
+    df.createOrReplaceTempView(name)
+    _VIEW_SOURCES[name] = ("path", path)
+    return df

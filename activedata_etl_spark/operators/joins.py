@@ -31,7 +31,8 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
               left_time: str, right_time: str,
               tiebreak: str, right_cols: list[str] | None = None,
               tolerance_s: float | None = None,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              split_hot_keys: int | None = None) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` per key (LEFT semantics: unmatched left
     rows survive with NULLs). The reference's TUID "latest annotation ≤
@@ -55,9 +56,17 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     intermediate is |left| × (matching right rows per key). ``tiebreak``
     must make the right-side ordering total, otherwise the result is
     nondeterministic under parallelism. At 100 TB the only hazard is a hot
-    key (one celebrity user owning a partition's worth of rows): pre-split
-    such keys by time range, as-of within each split, then stitch the
-    boundary with the previous split's final payload.
+    key (one celebrity user owning a partition's worth of rows):
+    ``split_hot_keys=N`` pre-splits every key into N equal time ranges,
+    as-ofs within each (key, range) — so the biggest window partition
+    shrinks N× — and stitches range boundaries by carrying each range's
+    FINAL right payload into later ranges through a (key, range)-sized
+    side table (n_keys·N rows, never data-sized). The rewrite is
+    result-invisible: a left row whose match lives in an earlier range
+    sees it via the carried boundary payload, and within-range matches
+    shadow it exactly as the unsplit scan would. Costs one extra
+    min/max pass + one small self-window + one equi-join; use it when a
+    key's row count exceeds what one task should sort (SCALE.md rig).
     """
     right_cols = right_cols or [c for c in right.columns if c not in left.columns]
     lt, rt = dict(left.dtypes)[left_time], dict(right.dtypes)[right_time]
@@ -92,15 +101,60 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
                  F.col("__tb__").desc()]
     else:
         raise ValueError(f"direction must be backward|forward: {direction!r}")
+    part_cols = ["__k__"]
+    if split_hot_keys and split_hot_keys > 1:
+        n = int(split_hot_keys)
+        lohi = unioned.agg(F.min(F.col("__t__").cast("double")),
+                           F.max(F.col("__t__").cast("double"))).first()
+        lo, hi = lohi[0], lohi[1]
+        if lo is not None and hi is not None and hi > lo:
+            width = (hi - lo) / n
+            unioned = unioned.withColumn(
+                "__split__",
+                F.least(F.lit(n - 1),
+                        F.floor((F.col("__t__").cast("double") - lo)
+                                / width)).cast("int"))
+            part_cols = ["__k__", "__split__"]
     w = (
-        Window.partitionBy("__k__")
+        Window.partitionBy(*part_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        unioned.withColumn("__best__", F.last("__payload__", ignorenulls=True).over(w))
-        .filter(F.col("__side__") == 1)
-    )
+    matched = unioned.withColumn(
+        "__best__", F.last("__payload__", ignorenulls=True).over(w))
+    if len(part_cols) == 2:
+        # Boundary stitch: each (key, range)'s FINAL right payload — the
+        # scan-order-last right row, i.e. max_by (min_by forward) over
+        # (t, tiebreak), a cheap partial-aggregated groupBy over the
+        # RIGHT rows only, no second window over the data — is carried
+        # into LATER ranges (earlier in a forward scan) over the
+        # (key, range) universe and fills left rows whose within-range
+        # carry is empty. The universe comes from a distinct over both
+        # sides so ranges holding only left rows still receive a carry.
+        # coalesce is exact: a non-null within-range carry is always
+        # scan-later than anything carried across the boundary. The
+        # stitch join keys equal the window partition keys, so the big
+        # side reuses its exchange; the incoming side is n_keys·N rows.
+        pick = F.max_by if direction == "backward" else F.min_by
+        finals_r = (unioned.filter(F.col("__side__") == 0)
+                    .groupBy("__k__", "__split__")
+                    .agg(pick("__payload__", F.struct("__t__", "__tb__"))
+                         .alias("__fin__")))
+        universe = unioned.select("__k__", "__split__").distinct()
+        finals = universe.join(finals_r, ["__k__", "__split__"], "left")
+        split_order = (F.col("__split__").asc() if direction == "backward"
+                       else F.col("__split__").desc())
+        carry = (Window.partitionBy("__k__").orderBy(split_order)
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        incoming = (finals
+                    .withColumn("__in__",
+                                F.last("__fin__", ignorenulls=True)
+                                .over(carry))
+                    .select("__k__", "__split__", "__in__"))
+        matched = (matched.join(incoming, ["__k__", "__split__"], "left")
+                   .withColumn("__best__",
+                               F.coalesce("__best__", "__in__")))
+    matched = matched.filter(F.col("__side__") == 1)
     if tolerance_s is not None:
         fresh = (
             F.col("__best__.__rt__").cast("double")

@@ -1,0 +1,110 @@
+"""jx front-end reach into the extension operators (VERDICT r4 #9).
+
+The reference's contract is "JSON query in, result out" — but the
+LLM-pipeline operators (near-dup pairs, ANN top-k, quality gates) were
+Python-API-only. This module exposes the flagship ones as a jx ``from``
+clause: a dict with an ``op`` key plans the operator and hands its
+output DataFrame to the ordinary clause pipeline, so where/select/sort/
+limit/format all compose on top —
+
+    {"from": {"op": "near_dup_pairs", "table": "documents",
+              "threshold": 0.2},
+     "where": {"gte": {"jaccard": 0.5}}, "sort": "id_a", "limit": 10}
+
+``table`` resolves through the normal from-resolution (a registered
+view, a deep path, even a nested query dict), so the ops run on
+anything the query layer can already reach. Each op is a thin
+parameter-mapping shim over the ext/ implementation — the plan shape,
+scale posture, and oracle pairing live there, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_OPS: dict[str, Any] = {}
+
+
+def op_names() -> set[str]:
+    return set(_OPS)
+
+
+def _op(name: str):
+    def deco(fn):
+        _OPS[name] = fn
+        return fn
+
+    return deco
+
+
+def run_op(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    """Plan an extension-op ``from`` clause."""
+    name = spec.get("op")
+    if name not in _OPS:
+        raise ValueError(
+            f"unknown extension op {name!r}; one of {sorted(_OPS)}")
+    if "table" not in spec:
+        raise ValueError(f"extension op {name!r} needs a 'table'")
+    from .query import _from
+
+    df = _from(spark, spec["table"])
+    return _OPS[name](spark, df, spec)
+
+
+@_op("near_dup_pairs")
+def _near_dup_pairs(spark, df, spec) -> DataFrame:
+    """MinHash → LSH bands → exact-Jaccard verify (ext/dedup.py:
+    near_dup_pairs). Output: (id_a, id_b, jaccard)."""
+    from ..ext import dedup as DD
+
+    return DD.near_dup_pairs(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        n_hashes=int(spec.get("n_hashes", 16)),
+        n_bands=int(spec.get("n_bands", 4)),
+        shingle_n=int(spec.get("shingle_n", 3)),
+        threshold=float(spec.get("threshold", 0.5)),
+        max_bucket_size=spec.get("max_bucket_size"),
+    )
+
+
+@_op("ann_topk")
+def _ann_topk(spark, df, spec) -> DataFrame:
+    """Cosine top-k per query vector (ext/similarity.py). ``queries`` is
+    a jx expression selecting the query rows (default: every row);
+    output (q_id, <id>, cos). ``method="brute"`` is the exactness
+    baseline; ``"lsh"`` routes through the sign-LSH bucketed variant
+    (the scale path: candidates shrink to same-bucket rows)."""
+    from pyspark.sql import functions as F
+
+    from ..ext import similarity as SIM
+    from .expressions import compile_expr
+
+    id_col = spec.get("id", "vec_id")
+    vec_col = spec.get("vector", "embedding")
+    k = int(spec.get("k", 5))
+    q = df
+    if "queries" in spec:
+        q = df.filter(compile_expr(spec["queries"]))
+    q = q.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    method = spec.get("method", "brute")
+    if method == "brute":
+        return SIM.cosine_topk(q, df, "q_id", "q_vec", id_col, vec_col, k=k)
+    if method == "lsh":
+        return SIM.ann_sign_lsh_topk(q, df, "q_id", "q_vec", id_col, vec_col,
+                                     k=k, n_bits=int(spec.get("n_bits", 8)))
+    raise ValueError(f"unknown ann method {method!r}: brute|lsh")
+
+
+@_op("quality_gate")
+def _quality_gate(spark, df, spec) -> DataFrame:
+    """Gopher quality metrics + keep flag per document (ext/text.py:
+    gopher_table / gopher_keep — Rae et al. 2021 §A1.1)."""
+    from ..ext import text as TX
+
+    id_col = spec.get("id", "doc_id")
+    return (TX.gopher_table(df, [id_col], spec.get("text", "text"))
+            .withColumn("keep", TX.gopher_keep()))

@@ -54,7 +54,7 @@ def run_formatted(spark: SparkSession, q: dict[str, Any]):
 
 def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
     """Execute a jx query dict against registered temp views."""
-    df = _from(spark, q["from"])
+    df = _from(spark, q["from"], bounds=_range_bounds(q.get("where")))
     if "where" in q:
         df = df.filter(compile_expr(q["where"]))
 
@@ -121,12 +121,76 @@ def _listify(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
-def _from(spark: SparkSession, frum) -> DataFrame:
+def _range_bounds(where) -> dict[str, tuple]:
+    """Conservatively extract conjunctive range bounds ``{col: (lo,hi)}``
+    from a jx where dict — the manifest-pruning hint for _from. Only
+    shapes that are PROVABLY implied by the filter contribute (top-level
+    AND of gt/gte/lt/lte/eq on a plain column vs a scalar literal);
+    anything else extracts nothing, which is always safe: bounds only
+    narrow the file list, the full predicate still applies after the
+    scan. Strict bounds (gt/lt) extract as their inclusive relaxation —
+    one-sided-safe for pruning."""
+    out: dict[str, tuple] = {}
+
+    def scalar(v):
+        if isinstance(v, dict) and set(v) == {"literal"}:
+            v = v["literal"]
+        return v if isinstance(v, (int, float, str)) and not isinstance(
+            v, bool) else None
+
+    def visit(e) -> None:
+        if not isinstance(e, dict) or len(e) != 1:
+            return
+        (op, args), = e.items()
+        if op == "and" and isinstance(args, list):
+            for sub in args:
+                visit(sub)
+            return
+        if op not in ("gt", "gte", "lt", "lte", "eq"):
+            return
+        if isinstance(args, dict) and len(args) == 1:
+            (col, v), = args.items()
+        elif (isinstance(args, list) and len(args) == 2
+              and isinstance(args[0], str)):
+            col, v = args
+        else:
+            return
+        if not isinstance(col, str) or "." in col or (v := scalar(v)) is None:
+            return
+        lo, hi = out.get(col, (None, None))
+        if op in ("gt", "gte", "eq"):
+            lo = v if lo is None else max(lo, v)
+        if op in ("lt", "lte", "eq"):
+            hi = v if hi is None else min(hi, v)
+        out[col] = (lo, hi)
+
+    visit(where)
+    return out
+
+
+def _from(spark: SparkSession, frum,
+          bounds: dict[str, tuple] | None = None) -> DataFrame:
     """Resolve the ``from`` clause: view name, nested query dict, or a
     DEEP path ``"table.arraycol"`` (jx deep query — es52/deep.py; child
-    table in jx_sqlite): explode the array, carrying parent columns."""
-    if isinstance(frum, dict):  # nested query (jx's having / sub-select)
-        return run(spark, frum)
+    table in jx_sqlite): explode the array, carrying parent columns.
+
+    ``bounds`` (extracted from the query's where by _range_bounds) routes
+    a plain table name through io.scan_view — the manifest-aware load
+    path — so a range query over a z-ordered layout opens only the files
+    it can touch. The full where still applies in run(), so this is
+    plan-shape only, never semantics."""
+    if isinstance(frum, dict):
+        if "op" in frum:  # extension operator (plans/extensions.py)
+            from .extensions import run_op
+
+            return run_op(spark, frum)
+        return run(spark, frum)  # nested query (jx's having / sub-select)
+    if bounds and isinstance(frum, str) and "." not in frum:
+        from ..io import scan_view
+
+        df = scan_view(spark, frum, bounds=bounds)
+        if df is not None:
+            return df
     if "." in frum:
         from ..operators.nested import unnest
 

@@ -73,6 +73,16 @@ def validate(q: Any) -> list[dict]:
             errs.append({"path": k, "reason": f"unknown clause {k!r}"})
     if "from" not in q:
         errs.append({"path": "from", "reason": "required clause is missing"})
+    elif isinstance(q["from"], dict) and "op" in q["from"]:
+        from .extensions import op_names
+
+        if q["from"]["op"] not in op_names():
+            errs.append({"path": "from.op",
+                         "reason": f"unknown extension op {q['from']['op']!r};"
+                                   f" one of {sorted(op_names())}"})
+        elif "table" not in q["from"]:
+            errs.append({"path": "from.table",
+                         "reason": "extension op needs a source 'table'"})
     fmt = q.get("format", "list")
     if fmt not in _FORMATS:
         errs.append({"path": "format",

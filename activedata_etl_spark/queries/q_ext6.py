@@ -1,0 +1,235 @@
+"""Round-5 queries: manifest-pruned standard reads, hot-key-split as-of
+join, CMS heavy hitters from the persisted index.
+
+Each pairs a VERDICT r4 "next round" item with a driver-checkable
+oracle. The manifest and CMS queries build their derived state under the
+system temp dir (the dedup_index_query pattern): derived data is
+bit-reproducible from the base tables, so the oracle never needs to see
+it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..io import load_parquet, load_table
+from .q_ext5 import _CMS_CELLS
+from .registry import query
+
+
+@query(
+    "etl_manifest_pruned_read",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_custkey >= 100 AND o_custkey <= 500
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r4 #3 — manifest pruning through the STANDARD load path:
+    orders is rewritten once as a z-ordered layout with a persisted
+    per-file min/max manifest (sources/layout.write_manifest), then read
+    back through io.load_parquet with a range bound. load_parquet finds
+    the sibling manifest itself and opens only the files whose stat
+    ranges intersect the bound — no opt-in helper call — and applies the
+    exact predicate on top, so the result is provably the full-scan
+    filter (pruning is one-sided). The oracle never sees the layout:
+    full-scan SQL over the base table. The strict file-subset effect is
+    measured in test_etl (test_load_path_manifest_pruning)."""
+    import os
+    import tempfile
+
+    from ..sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders")
+    data = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_manifest_{os.path.basename(sf_dir.rstrip('/'))}",
+        "orders.parquet")
+    if not os.path.isdir(L.manifest_path(data)):
+        # dims normalized to the SAME 10-bit range (layout.py docstring
+        # rule — a wide dim interleaved with a narrow one parks the
+        # narrow dim in dead high bits and nothing clusters on it):
+        # custkey scaled by its max, orderkey folded mod 1024. The
+        # manifest stores the RAW column stats, so pruning is on real
+        # values; manifest written LAST = completion marker for the
+        # cache.
+        hi_ck = o.agg(F.max("o_custkey")).first()[0]
+        L.write_zordered(
+            o, data,
+            [F.floor(F.col("o_custkey") * 1024 / (hi_ck + 1)).cast("bigint"),
+             F.pmod(F.col("o_orderkey"), F.lit(1024))],
+            n_files=8, bits=10)
+        L.write_manifest(spark, data, ["o_custkey"])
+    pruned = load_parquet(spark, data, bounds={"o_custkey": (100, 500)})
+    return (pruned.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 dsum("o_totalprice").alias("total")))
+
+
+@query(
+    "join_asof_hotkey_split",
+    oracle="""
+    WITH cand AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, c.o_orderkey AS asof_order
+    FROM events e
+    LEFT JOIN (SELECT event_id, o_orderkey FROM cand WHERE rn = 1) c USING (event_id)
+    """,
+)
+def join_asof_hotkey_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r4 #5 — the as-of join under ``split_hot_keys=4``: every
+    key's window partition is pre-split into 4 time ranges and range
+    boundaries are stitched by carrying each range's final right payload
+    forward (operators/joins.asof_join). The oracle is join_asof's,
+    UNCHANGED — the rewrite is result-invisible by construction; this
+    query pins that claim. The skew effect (bounded per-task sort under
+    a planted celebrity key) is measured in the SCALE.md rig
+    (test_asof_hotkey_split_equivalence covers correctness under planted
+    skew)."""
+    from ..operators import joins as J
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+    out = J.asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        tiebreak="o_orderkey", right_cols=["o_orderkey"],
+        split_hot_keys=4,
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("asof_order"))
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH {_CMS_CELLS},
+    cand AS (SELECT DISTINCT event_type, user_id FROM events),
+    probe_cells AS (
+      SELECT p.event_type, p.user_id, CAST(r.row AS INT) AS row,
+             CAST(CAST(('0x' || substring(md5('r' || r.row || '|' ||
+               CAST(p.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS INT) AS col
+      FROM cand p, LATERAL (SELECT unnest(range(0, 4)) AS row) r
+    ),
+    est AS (
+      SELECT pc.event_type, pc.user_id,
+             CAST(MIN(COALESCE(cr.n, 0)) AS BIGINT) AS est
+      FROM probe_cells pc
+      LEFT JOIN cms_regs cr USING (event_type, row, col)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, user_id, est,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY est DESC, user_id) AS INT) AS rank
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS exact
+      FROM events GROUP BY 1, 2
+    )
+    SELECT r.event_type, r.user_id, r.est, r.rank, e.exact,
+           r.est >= e.exact AS one_sided_ok
+    FROM ranked r JOIN exact e USING (event_type, user_id)
+    WHERE r.rank <= 10
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r4 #6 — top-k frequent users per event type answered from
+    the PERSISTED count-min index (functions/cms.py): the sketch is
+    written as two batch-keyed register shards (the streaming-index
+    layout), merged on read with the CMS SUM rule — counters are
+    additive, so two half-corpus sketches merge into exactly the
+    full-corpus sketch the oracle reconstructs — then candidate keys
+    rank by their min-over-rows estimate with a total tie order. The
+    in-query audit pins the one-sided guarantee per returned row
+    (est >= exact, the agg_sketch_audit pattern). At 100 TB the ranking
+    join touches only the d·w-per-group register table; the corpus is
+    scanned exactly once, at index-build time."""
+    import os
+    import tempfile
+
+    from ..functions import cms
+
+    e = load_table(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cms_hh_{os.path.basename(sf_dir.rstrip('/'))}")
+    # two deterministic half-corpus batches — idempotent batch-keyed
+    # overwrites (replay-safe, see append_cms_index)
+    for b in (0, 1):
+        cms.append_cms_index(
+            e.filter(F.pmod("user_id", F.lit(2)) == b),
+            ["event_type"], "user_id", path, batch_id=b)
+    regs = cms.read_cms_index(spark, path, ["event_type"])
+    cand = e.select("event_type", "user_id").distinct()
+    hh = cms.cms_heavy_hitters(regs, cand, ["event_type"], "user_id", k=10)
+    exact = (e.groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("exact")))
+    return (hh.join(exact, ["event_type", "user_id"])
+            .select("event_type", "user_id", "est", "rank", "exact",
+                    (F.col("est") >= F.col("exact")).alias("one_sided_ok")))
+
+
+# ---- jx front-end reach into the extension ops (VERDICT r4 #9) ----
+# Each query drives an LLM-pipeline operator THROUGH the JSON front-end
+# (plans/extensions.py) and reuses the direct-path query's oracle
+# verbatim: green means front-end-routed ≡ Python-API ≡ independent SQL.
+
+from ..io import register_views  # noqa: E402
+from ..plans import query as JXQ  # noqa: E402
+from .registry import ORACLES as _REG  # noqa: E402
+
+
+def _jx(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
+    register_views(spark, sf_dir)
+    return JXQ.run(spark, q)
+
+
+@query("jx_near_dup_pairs", oracle=_REG["dedup_lsh_jaccard_pairs"])
+def jx_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash/LSH near-dup pipeline as a jx query: the reference's
+    "JSON query in, result out" contract now covers the dedup surface.
+    Same oracle as dedup_lsh_jaccard_pairs — the front-end routing must
+    be result-invisible."""
+    return _jx(spark, sf_dir, {
+        "from": {"op": "near_dup_pairs", "table": "documents",
+                 "id": "doc_id", "text": "text", "threshold": 0.2},
+    })
+
+
+@query("jx_ann_topk", oracle=_REG["sim_cosine_topk"])
+def jx_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-cosine top-k through the jx front-end, with the query-row
+    selection expressed as a jx expression (``queries`` clause of the
+    op spec). Same oracle as sim_cosine_topk."""
+    return _jx(spark, sf_dir, {
+        "from": {"op": "ann_topk", "table": "embeddings",
+                 "id": "vec_id", "vector": "embedding",
+                 "queries": {"lt": {"vec_id": 5}}, "k": 5},
+    })
+
+
+@query(
+    "jx_quality_gate",
+    oracle=f"SELECT * FROM (\n{_REG['text_gopher_rules']}\n) WHERE keep",
+)
+def jx_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gate through the jx front-end, COMPOSED with an
+    ordinary jx where on the op's output (keep=true) — proving the op's
+    DataFrame enters the normal clause pipeline."""
+    return _jx(spark, sf_dir, {
+        "from": {"op": "quality_gate", "table": "documents",
+                 "id": "doc_id", "text": "text"},
+        "where": {"eq": {"keep": True}},
+    })

@@ -155,3 +155,72 @@ def test_manifest_pruning_on_zordered_layout(spark, sf_dir, tmp_path):
         want = sorted(r["o_orderkey"] for r in
                       o.filter((F.col(col) >= lo) & (F.col(col) <= hi)).collect())
         assert got == want
+
+
+def test_load_path_manifest_pruning(spark, sf_dir, tmp_path):
+    """VERDICT r4 #3: the STANDARD load path consults a sibling manifest
+    — load_parquet on a bounded read opens a strict subset of the files
+    and returns exactly the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_parquet, load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders")
+    data = str(tmp_path / "orders.parquet")
+    # normalize dims to the SAME 10-bit range (layout docstring rule)
+    hi_ck = o.agg(F.max("o_custkey")).first()[0]
+    L.write_zordered(
+        o, data,
+        [F.floor(F.col("o_custkey") * 1024 / (hi_ck + 1)).cast("bigint"),
+         F.pmod(F.col("o_orderkey"), F.lit(1024))],
+        n_files=8, bits=10)
+    L.write_manifest(spark, data, ["o_custkey"])
+
+    hi = o.agg(F.max("o_custkey")).first()[0]
+    lo_b, hi_b = 1, max(2, hi // 16)  # a narrow slice of the key space
+    pruned = load_parquet(spark, data, bounds={"o_custkey": (lo_b, hi_b)})
+    full = spark.read.parquet(data)
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    want = sorted(r["o_orderkey"] for r in full.filter(
+        (F.col("o_custkey") >= lo_b) & (F.col("o_custkey") <= hi_b)).collect())
+    got = sorted(r["o_orderkey"] for r in pruned.collect())
+    assert got == want
+    # a bound with no matching files → empty result, schema intact
+    none = load_parquet(spark, data, bounds={"o_custkey": (hi + 10, hi + 20)})
+    assert none.count() == 0 and none.columns == full.columns
+    # unmanifested column bound → no pruning, plain filter semantics
+    by_other = load_parquet(spark, data, bounds={"o_totalprice": (0.0, 1e9)})
+    assert by_other.count() == full.count()
+
+
+def test_jx_manifest_pruned_view(spark, sf_dir, tmp_path):
+    """A jx range query over a manifested view prunes files through the
+    front-end automatically: plans/query extracts conjunctive bounds
+    from the where clause and re-resolves the view via io.scan_view."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table, register_parquet_table
+    from activedata_etl_spark.plans.query import run
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders")
+    data = str(tmp_path / "zorders.parquet")
+    hi_ck = o.agg(F.max("o_custkey")).first()[0]
+    L.write_zordered(
+        o, data,
+        [F.floor(F.col("o_custkey") * 1024 / (hi_ck + 1)).cast("bigint"),
+         F.pmod(F.col("o_orderkey"), F.lit(1024))],
+        n_files=8, bits=10)
+    L.write_manifest(spark, data, ["o_custkey"])
+    register_parquet_table(spark, "zorders", data)
+
+    q = {"from": "zorders",
+         "where": {"and": [{"gte": {"o_custkey": 1}},
+                           {"lte": {"o_custkey": 50}}]},
+         "select": ["o_orderkey", "o_custkey"]}
+    df = run(spark, q)
+    assert 0 < len(df.inputFiles()) < len(spark.read.parquet(data).inputFiles())
+    want = sorted(r["o_orderkey"] for r in o.filter(
+        (F.col("o_custkey") >= 1) & (F.col("o_custkey") <= 50)).collect())
+    assert sorted(r["o_orderkey"] for r in df.collect()) == want

@@ -234,3 +234,14 @@ def test_window_name_shadowed_by_dotted_select(spark):
     })
     assert df.columns == ["k"]
     assert df.count() == 25 and df.select("k.key").distinct().count() == 25
+
+
+def test_extension_op_from_clause_validation():
+    from activedata_etl_spark.plans.validate import validate
+
+    errs = validate({"from": {"op": "nope", "table": "documents"}})
+    assert any(e["path"] == "from.op" for e in errs)
+    errs = validate({"from": {"op": "near_dup_pairs"}})
+    assert any(e["path"] == "from.table" for e in errs)
+    assert validate({"from": {"op": "near_dup_pairs",
+                              "table": "documents"}}) == []

@@ -255,3 +255,34 @@ def test_bloom_probe_duplicate_probe_keys_stay_one_sided(spark):
     assert got[7] is True     # present, duplicated — MUST stay present
     assert got[11] is True    # present, unique
     assert len(got) == 3      # one output row per distinct probe key
+
+
+def test_asof_hotkey_split_equivalence(spark):
+    """split_hot_keys must be result-invisible under planted skew: one
+    celebrity key owns most rows, matches cross split boundaries (some
+    splits have no right rows at all), and the stitched result equals
+    the unsplit scan in every direction/tolerance variant."""
+    import random
+
+    from activedata_etl_spark.operators.joins import asof_join
+
+    rng = random.Random(7)
+    # hot key 0: 2000 left rows, right rows only in the first tenth of
+    # the time domain → later splits depend entirely on the carried
+    # boundary payload; cold keys 1..20 sparse throughout
+    left = [(0, float(rng.randrange(0, 10_000))) for _ in range(2000)] + [
+        (k, float(rng.randrange(0, 10_000)))
+        for k in range(1, 21) for _ in range(5)]
+    right = [(0, float(rng.randrange(0, 1_000)), i) for i in range(40)] + [
+        (k, float(rng.randrange(0, 10_000)), 100 + k * 7 + j)
+        for k in range(1, 21) for j in range(3)]
+    ldf = spark.createDataFrame(left, "k: long, t: double")
+    rdf = spark.createDataFrame(right, "k: long, t: double, payload: long")
+
+    for kwargs in ({}, {"direction": "forward"}, {"tolerance_s": 500.0}):
+        plain = asof_join(ldf, rdf, "k", "k", "t", "t", tiebreak="payload",
+                          right_cols=["payload"], **kwargs)
+        split = asof_join(ldf, rdf, "k", "k", "t", "t", tiebreak="payload",
+                          right_cols=["payload"], split_hot_keys=8, **kwargs)
+        key = lambda rows: sorted((r["k"], r["t"], r["payload"]) for r in rows)
+        assert key(split.collect()) == key(plain.collect()), kwargs
