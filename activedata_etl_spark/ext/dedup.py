@@ -544,6 +544,41 @@ def chunk_table(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def source_overlap_matrix(df: DataFrame, id_col: str, text_col: str,
+                          group_col: str, chunk: int = 10) -> DataFrame:
+    """Directed chunk-containment between subcorpora: for each ordered
+    group pair (a, b), how much of a's DISTINCT chunk set also appears
+    in b — the cross-source leakage report a curator reads before
+    mixing subcorpora (frac near 1 = a largely contained in b; high
+    both ways = mirrored crawls or shared boilerplate; it is also the
+    corpus-level view of the per-doc decontamination guard).
+
+    Output: (src_a, src_b, n_shared, n_chunks_a, frac_contained),
+    pairs with zero overlap omitted.
+
+    Plan: chunk hashes are scan-local (bodies never shuffle, the
+    chunk_table invariant); one distinct on (group, h); a self equi-join
+    on h whose per-hash fan-out is bounded by n_groups² — data-size
+    independent, so no hot-hash hazard no matter how common a chunk is;
+    one count aggregation + a broadcast of the n_groups-row totals. At
+    100 TB everything after the scan is hash-width rows."""
+    ch = (chunk_table(df, id_col, text_col, chunk, extra_cols=(group_col,))
+          .select(group_col, "h").distinct())
+    tot = ch.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_chunks_a"))
+    a = ch.select(F.col(group_col).alias("src_a"), "h")
+    b = ch.select(F.col(group_col).alias("src_b"), "h")
+    shared = (a.join(b, "h")
+              .filter(F.col("src_a") != F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared
+            .join(F.broadcast(tot.withColumnRenamed(group_col, "src_a")),
+                  "src_a")
+            .select("src_a", "src_b", "n_shared", "n_chunks_a",
+                    (F.col("n_shared") / F.col("n_chunks_a"))
+                    .alias("frac_contained")))
+
+
 def append_chunk_index(df: DataFrame, id_col: str, text_col: str,
                        path: str, chunk: int = 10) -> None:
     """Append this batch's (chunk-hash, doc) pairs to an APPEND-ONLY

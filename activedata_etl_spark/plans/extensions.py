@@ -108,3 +108,66 @@ def _quality_gate(spark, df, spec) -> DataFrame:
     id_col = spec.get("id", "doc_id")
     return (TX.gopher_table(df, [id_col], spec.get("text", "text"))
             .withColumn("keep", TX.gopher_keep()))
+
+
+@_op("semantic_dedup")
+def _semantic_dedup(spark, df, spec) -> DataFrame:
+    """SemDeDup-style embedding dedup (ext/similarity.semantic_dedup):
+    k-means clusters, per-cluster representative, keep flag."""
+    from ..ext import similarity as SIM
+
+    return SIM.semantic_dedup(
+        df,
+        id_col=spec.get("id", "vec_id"),
+        vec_col=spec.get("vector", "embedding"),
+        nlist=int(spec.get("nlist", 16)),
+        n_iter=int(spec.get("n_iter", 2)),
+        threshold=float(spec.get("threshold", 0.995)),
+    )
+
+
+@_op("split")
+def _split(spark, df, spec) -> DataFrame:
+    """Deterministic hash split (ext/sampling.split_label): adds a
+    ``split`` column from ``weights`` (e.g. {"train": 0.9,
+    "eval": 0.1}) keyed on ``id`` + ``salt`` — stable under corpus
+    growth and repartitioning."""
+    from pyspark.sql import functions as F
+
+    from ..ext import sampling as SA
+
+    weights = spec.get("weights") or {"train": 0.9, "eval": 0.1}
+    return df.withColumn("split", SA.split_label(
+        F.col(spec.get("id", "doc_id")), dict(weights),
+        salt=str(spec.get("salt", ""))))
+
+
+@_op("chunks")
+def _chunks(spark, df, spec) -> DataFrame:
+    """Fixed-size token chunking (ext/dedup.chunk_table): one row per
+    ``chunk``-token window with its md5 — the segmenter behind C4-style
+    dedup, decontamination, and RAG-style corpus chunking."""
+    from ..ext import dedup as DD
+
+    return DD.chunk_table(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        chunk=int(spec.get("chunk", 10)),
+        extra_cols=tuple(spec.get("carry", ())),
+    )
+
+
+@_op("source_overlap")
+def _source_overlap(spark, df, spec) -> DataFrame:
+    """Directed cross-subcorpus chunk containment
+    (ext/dedup.source_overlap_matrix)."""
+    from ..ext import dedup as DD
+
+    return DD.source_overlap_matrix(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        group_col=spec.get("group", "source"),
+        chunk=int(spec.get("chunk", 10)),
+    )

@@ -233,3 +233,45 @@ def jx_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "id": "doc_id", "text": "text"},
         "where": {"eq": {"keep": True}},
     })
+
+
+@query(
+    "corpus_source_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+             generate_subscripts(
+               string_split_regex(lower(trim(text)), '\\s+'), 1) AS i
+      FROM documents
+    ), ch0 AS (
+      SELECT doc_id, source, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM t GROUP BY doc_id, source, floor((i - 1) / 10)
+    ), ch AS (SELECT DISTINCT source, h FROM ch0),
+    tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY source),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ch a JOIN ch b USING (h)
+      WHERE a.source <> b.source GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.n_shared, t2.n AS n_chunks_a,
+           CAST(s.n_shared AS DOUBLE) / t2.n AS frac_contained
+    FROM shared s JOIN tot t2 ON s.src_a = t2.source
+    """,
+)
+def corpus_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED chunk-containment matrix
+    (ext/dedup.source_overlap_matrix): for every ordered source pair,
+    the fraction of a's distinct 10-token chunks appearing in b — the
+    asymmetric complement of corpus_source_overlap's undirected shared
+    counts (q_ext4): containment tells you WHICH side is the mirror/
+    subset, which the symmetric count cannot.
+    Per-hash join fan-out is bounded by n_sources² regardless of how
+    common a chunk is, so there is no hot-key hazard at any corpus
+    size; text never shuffles. The closing fraction is one IEEE
+    division of exact bigints — bit-identical cross-engine."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    return DD.source_overlap_matrix(d, "doc_id", "text", "source", chunk=10)

@@ -82,6 +82,12 @@ HEADLINE = [
     "text_sparse_cosine_pairs",
     "graph_pagerank_cooccurrence",
     "agg_cms_registers",
+    # r5 additions: manifest-pruned standard read, hot-key-split as-of
+    # (the split+stitch overhead must stay visible), CMS heavy hitters
+    # from the persisted index (build + merge-on-read + rank)
+    "etl_manifest_pruned_read",
+    "join_asof_hotkey_split",
+    "agg_cms_heavy_hitters",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()

@@ -245,3 +245,51 @@ def test_extension_op_from_clause_validation():
     assert any(e["path"] == "from.table" for e in errs)
     assert validate({"from": {"op": "near_dup_pairs",
                               "table": "documents"}}) == []
+
+
+def test_extension_ops_front_end_equals_direct(spark, sf_dir):
+    """Every jx extension op must be a pure parameter-mapping shim: the
+    front-end-routed result equals the direct Python-API call row for
+    row. (The flagship three are also oracle-paired in the registry —
+    jx_near_dup_pairs/jx_ann_topk/jx_quality_gate.)"""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import dedup as DD, sampling as SA
+    from activedata_etl_spark.ext import similarity as SIM
+    from activedata_etl_spark.io import load_table, register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = run(spark, {"from": {"op": "semantic_dedup", "table": "embeddings",
+                               "nlist": 4, "threshold": 0.9}})
+    want = SIM.semantic_dedup(emb, "vec_id", "embedding", nlist=4,
+                              threshold=0.9)
+    assert rows(got) == rows(want)
+
+    got = run(spark, {"from": {"op": "split", "table": "documents",
+                               "weights": {"a": 0.5, "b": 0.5},
+                               "salt": "s1"},
+                      "select": ["doc_id", "split"]})
+    want = docs.withColumn("split", SA.split_label(
+        F.col("doc_id"), {"a": 0.5, "b": 0.5}, salt="s1")) \
+        .select("doc_id", "split")
+    assert rows(got) == rows(want)
+
+    got = run(spark, {"from": {"op": "chunks", "table": "documents",
+                               "chunk": 25, "carry": ["source"]}})
+    want = DD.chunk_table(docs, "doc_id", "text", chunk=25,
+                          extra_cols=("source",))
+    assert rows(got) == rows(want)
+
+    got = run(spark, {"from": {"op": "source_overlap",
+                               "table": "documents"},
+                      "where": {"gte": {"frac_contained": 0.01}}})
+    want = DD.source_overlap_matrix(docs, "doc_id", "text", "source") \
+        .filter(F.col("frac_contained") >= 0.01)
+    assert rows(got) == rows(want)

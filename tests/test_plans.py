@@ -228,3 +228,28 @@ def test_pagerank_rank_vector_joins_are_planned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_pagerank_cooccurrence")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_manifest_pruned_read_pushes_exact_predicate(spark, sf_dir):
+    """The manifest-pruned standard read is file-list pruning PLUS a
+    normal pushed filter: the exact range predicate must still reach the
+    parquet scan of the pruned file subset (pruning is one-sided; the
+    scan-level filter is what preserves equivalence)."""
+    plan = _plan(spark, sf_dir, "etl_manifest_pruned_read")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_custkey,100" in plan
+    assert "LessThanOrEqual(o_custkey,500" in plan
+
+
+def test_asof_hotkey_split_no_second_data_window(spark, sf_dir):
+    """The boundary stitch must stay cheap: ONE window over the data
+    (the carry-forward), the stitch built from a partial-aggregated
+    groupBy over right rows — not a second whole-frame window over the
+    union (the first cut did exactly that and was 10x slower than the
+    unsplit join at the SCALE.md rig scale)."""
+    plan = _plan(spark, sf_dir, "join_asof_hotkey_split")
+    # Window operators in the physical plan: the data carry + the tiny
+    # (key, range)-universe carry; a data-sized whole-frame stitch would
+    # add a third
+    assert plan.count("Window") <= 2, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
