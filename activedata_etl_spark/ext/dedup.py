@@ -21,7 +21,7 @@ estimator; strings avoid hex→int conversions that not every engine has.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import fingerprint, shingles, tokens
 
@@ -542,6 +542,58 @@ def chunk_table(df: DataFrame, id_col: str, text_col: str,
                 F.md5(F.array_join("chunk_toks", " ")).alias("h"),
                 F.size("chunk_toks").alias("n_tok"))
     )
+
+
+def cdc_chunk_table(df: DataFrame, id_col: str, text_col: str,
+                    window: int = 4, mask: int = 15,
+                    extra_cols: tuple = ()) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rsync/LBFS boundary trick): a chunk
+    ends wherever the rolling window hash of the last ``window`` tokens
+    hits 0 mod ``mask+1`` (mean chunk ≈ (mask+1) tokens), so boundaries
+    are decided by local CONTENT, not position. Fixed-window chunking
+    (:func:`chunk_table`) loses every downstream chunk when one token is
+    inserted — all windows shift; CDC boundaries re-synchronize within
+    ~one chunk, which is what makes chunk-level dedup catch EDITED
+    near-copies (the common real-world case: a mirrored page with an
+    injected header). Robustness is pinned in
+    test_cdc_chunks_survive_insertion.
+
+    Hashes are md5-derived (engine-portable, oracle-reconstructable).
+    Plan: boundary flags compute INSIDE the token array (O(n·window)
+    work, scan-local, no row blow-up — the per-token row carries one
+    token, never the array); segment ids are one cumulative-sum window
+    and chunks one grouped aggregation, both keyed by (doc, …) — two
+    shuffles of token-width rows, bodies never move.
+
+    Output: (id [, extra_cols], seg, h, n_tok)."""
+    w, m = int(window), int(mask) + 1
+    toks = tokens(text_col)
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: (i >= w) & (
+            F.pmod(F.conv(F.substring(
+                F.md5(F.array_join(
+                    F.slice(toks, F.greatest(i - w + 1, F.lit(1)),
+                            i - F.greatest(i - w + 1, F.lit(1)) + 1), " ")),
+                1, 8), 16, 10).cast("bigint"), F.lit(m)) == 0))
+    t = (df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                   F.posexplode(F.arrays_zip(toks.alias("tok"),
+                                             flags.alias("__b__")))
+                   .alias("pos", "__z__"))
+         .select(id_col, *extra_cols, "pos",
+                 F.col("__z__").getField("tok").alias("tok"),
+                 F.col("__z__").getField("__b__").alias("__b__")))
+    cum = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    seg = (t.withColumn(
+        "seg", F.coalesce(F.sum(F.col("__b__").cast("bigint")).over(cum),
+                          F.lit(0))))
+    return (seg.groupBy(id_col, *extra_cols, "seg")
+            .agg(F.md5(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(
+                         F.struct("pos", "tok"))),
+                         lambda x: x.getField("tok")), " ")).alias("h"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_tok")))
 
 
 def source_overlap_matrix(df: DataFrame, id_col: str, text_col: str,

@@ -45,3 +45,37 @@ def salted_count_distinct(df: DataFrame, key: str, value: str,
         .agg(F.countDistinct(value).alias("__partial__"))
     )
     return stage1.groupBy(key).agg(F.sum("__partial__").alias(f"n_{value}"))
+
+
+def key_skew_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pre-join skew diagnostics: for each candidate key column, its
+    NDV, the corpus share of the hottest key, and of the 10 hottest —
+    the numbers that pick between a plain shuffle join, AQE skew split,
+    salting, or broadcasting the other side (SCALE.md's skew section,
+    as a query instead of a guess).
+
+    Plan, per column: one (key, count) aggregation, one tiny scalar agg
+    over it, and a distributed top-10 (TakeOrdered — no global window,
+    so an NDV of 10^9 keys never lands in one task). Shares are IEEE
+    divisions of exact bigints. At 100 TB run it on the join columns
+    ahead of the nightly join, or on a hash-sampled slice.
+
+    Output: (column, n_rows, ndv, top1_share, top10_share)."""
+    from functools import reduce
+
+    outs = []
+    for c in cols:
+        counts = (df.groupBy(F.col(c).alias("k"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        stats = counts.agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv"),
+            F.max("n").cast("bigint").alias("__top1__"))
+        top10 = (counts.orderBy(F.desc("n")).limit(10)
+                 .agg(F.sum("n").cast("bigint").alias("__t10__")))
+        outs.append(
+            stats.crossJoin(top10).select(
+                F.lit(c).alias("column"), "n_rows", "ndv",
+                (F.col("__top1__") / F.col("n_rows")).alias("top1_share"),
+                (F.col("__t10__") / F.col("n_rows")).alias("top10_share")))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -275,3 +275,111 @@ def corpus_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return DD.source_overlap_matrix(d, "doc_id", "text", "source", chunk=10)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), fl AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks) + 1), i ->
+               i >= 4 AND CAST(('0x' || substring(md5(array_to_string(
+                 list_slice(toks, greatest(i - 3, 1), i), ' ')), 1, 8))
+                 AS BIGINT) % 16 = 0) AS flags
+      FROM tk
+    ), t AS (
+      SELECT doc_id, unnest(toks) AS tok, unnest(flags) AS fl,
+             generate_subscripts(toks, 1) AS i
+      FROM fl
+    ), s AS (
+      SELECT doc_id, tok, i,
+             COALESCE(SUM(CASE WHEN fl THEN 1 ELSE 0 END) OVER
+               (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      FROM t
+    ), ch AS (
+      SELECT doc_id, seg, md5(string_agg(tok, ' ' ORDER BY i)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM s GROUP BY 1, 2
+    ), dup AS (
+      SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN dup.h IS NULL THEN ch.n_tok ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM ch LEFT JOIN dup USING (h)
+    GROUP BY ch.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (ext/dedup.cdc_chunk_table — the
+    rsync/LBFS boundary trick): chunk boundaries are decided by the
+    rolling content hash, not position, so an EDITED near-copy (injected
+    header, changed sentence) still shares most chunks — the case
+    fixed-window chunk dedup (dedup_chunk_level) structurally misses
+    because one inserted token shifts every downstream window. Same
+    cross-doc dup-stats shape as the C4-style query; both engines build
+    boundaries, segments, and chunk hashes independently and every
+    per-doc count must agree. Insertion-robustness is pinned in
+    test_cdc_chunks_survive_insertion."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = DD.cdc_chunk_table(d, "doc_id", "text", window=4, mask=15)
+    dup = (ch.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("__nd__"))
+           .filter(F.col("__nd__") >= 2)
+           .select("h").withColumn("__dup__", F.lit(True)))
+    return (ch.join(dup, "h", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                 F.sum(F.coalesce("__dup__", F.lit(False)).cast("int"))
+                  .cast("bigint").alias("n_dup_chunks"),
+                 F.sum(F.when(F.col("__dup__").isNull(), F.col("n_tok"))
+                       .otherwise(F.lit(0)))
+                  .cast("bigint").alias("kept_tokens")))
+
+
+def _skew_block(table: str, col: str) -> str:
+    return f"""
+    SELECT '{col}' AS "column",
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS ndv,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS top1_share,
+           CAST((SELECT SUM(n) FROM (
+              SELECT COUNT(*) AS n FROM {table} GROUP BY {col}
+              ORDER BY n DESC LIMIT 10)) AS DOUBLE) / SUM(n) AS top10_share
+    FROM (SELECT COUNT(*) AS n FROM {table} GROUP BY {col})"""
+
+
+@query(
+    "etl_skew_audit",
+    oracle=" UNION ALL ".join([
+        _skew_block("lineitem", "l_orderkey"),
+        _skew_block("lineitem", "l_partkey"),
+        _skew_block("lineitem", "l_suppkey"),
+        _skew_block("events", "user_id"),
+    ]),
+)
+def etl_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile (operators/skew.key_skew_profile) over the
+    fact tables' join columns — the measurement that decides shuffle
+    strategy BEFORE the nightly join runs (plain hash join vs AQE skew
+    split vs salting vs broadcast). NDV and hot-key shares per column;
+    the top-10 mass comes from a distributed TakeOrdered, never a
+    global window, so the profile itself is skew-proof. Shares are
+    single IEEE divisions of exact counts — bit-identical
+    cross-engine."""
+    from ..operators.skew import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return (key_skew_profile(li, ["l_orderkey", "l_partkey", "l_suppkey"])
+            .unionByName(key_skew_profile(ev, ["user_id"])))

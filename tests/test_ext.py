@@ -455,3 +455,34 @@ def test_pagerank_star_graph(spark):
                + 0.85 * sum(ref[s] / len(adj[s]) for s in sorted(adj[n]))
                for n in adj}
     assert r == ref
+
+
+def test_cdc_chunks_survive_insertion(spark, sf_dir):
+    """The CDC property, measured: prepend tokens to every document and
+    compare chunk-hash survival. Fixed windows lose (almost) everything
+    — every window shifts; content-defined boundaries re-synchronize
+    within ~one chunk, so most hashes survive. This is why CDC dedup
+    catches edited near-copies that fixed-window dedup misses."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    edited = d.withColumn("text", F.concat(F.lit("injected header xx "),
+                                           F.col("text")))
+
+    def survival(chunker, *args, **kw):
+        a = chunker(d, "doc_id", "text", *args, **kw) \
+            .select("doc_id", "h").distinct()
+        b = chunker(edited, "doc_id", "text", *args, **kw) \
+            .select("doc_id", "h").distinct()
+        n_orig = a.count()
+        n_kept = a.join(b, ["doc_id", "h"], "left_semi").count()
+        return n_kept / n_orig
+
+    cdc = survival(DD.cdc_chunk_table, window=4, mask=15)
+    fixed = survival(DD.chunk_table, chunk=16)
+    assert cdc > 0.6, f"CDC survival collapsed: {cdc:.2f}"
+    assert fixed < 0.3, f"fixed-window survival unexpectedly high: {fixed:.2f}"
+    assert cdc > fixed + 0.4
