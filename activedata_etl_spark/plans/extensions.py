@@ -171,3 +171,31 @@ def _source_overlap(spark, df, spec) -> DataFrame:
         group_col=spec.get("group", "source"),
         chunk=int(spec.get("chunk", 10)),
     )
+
+
+@_op("cdc_chunks")
+def _cdc_chunks(spark, df, spec) -> DataFrame:
+    """Content-defined chunking (ext/dedup.cdc_chunk_table): boundaries
+    from the rolling window hash — the edit-robust chunker."""
+    from ..ext import dedup as DD
+
+    return DD.cdc_chunk_table(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        window=int(spec.get("window", 4)),
+        mask=int(spec.get("mask", 15)),
+        extra_cols=tuple(spec.get("carry", ())),
+    )
+
+
+@_op("skew_profile")
+def _skew_profile(spark, df, spec) -> DataFrame:
+    """Join-key skew diagnostics (operators/skew.key_skew_profile):
+    NDV + top-1/top-10 key shares for ``columns``."""
+    from ..operators.skew import key_skew_profile
+
+    cols = spec.get("columns")
+    if not cols:
+        raise ValueError("skew_profile needs 'columns': [...]")
+    return key_skew_profile(df, list(cols))

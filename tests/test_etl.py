@@ -224,3 +224,39 @@ def test_jx_manifest_pruned_view(spark, sf_dir, tmp_path):
     want = sorted(r["o_orderkey"] for r in o.filter(
         (F.col("o_custkey") >= 1) & (F.col("o_custkey") <= 50)).collect())
     assert sorted(r["o_orderkey"] for r in df.collect()) == want
+
+
+def test_manifest_pruning_conjunctive_two_dims(spark, sf_dir, tmp_path):
+    """Z-order the layout on TWO normalized dims and bound BOTH: the
+    conjunctive prune (prune_files_multi) must open fewer files than
+    either single bound alone, and the result must equal the full-scan
+    filter."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_parquet, load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.pmod("o_orderkey", F.lit(1024)))
+    data = str(tmp_path / "orders2d.parquet")
+    hi_ck = o.agg(F.max("o_custkey")).first()[0]
+    L.write_zordered(
+        o, data,
+        [F.floor(F.col("o_custkey") * 1024 / (hi_ck + 1)).cast("bigint"),
+         F.col("d")],
+        n_files=16, bits=10)
+    L.write_manifest(spark, data, ["o_custkey", "d"])
+
+    b_ck = {"o_custkey": (1, max(2, hi_ck // 8))}
+    b_d = {"d": (0, 127)}
+    n_ck = len(load_parquet(spark, data, bounds=b_ck).inputFiles())
+    n_d = len(load_parquet(spark, data, bounds=b_d).inputFiles())
+    both = load_parquet(spark, data, bounds={**b_ck, **b_d})
+    n_both = len(both.inputFiles())
+    n_all = len(spark.read.parquet(data).inputFiles())
+    assert n_ck < n_all and n_d < n_all     # each dim prunes alone
+    assert 0 < n_both <= min(n_ck, n_d)     # conjunction prunes at least as hard
+    want = sorted(r["o_orderkey"] for r in spark.read.parquet(data).filter(
+        (F.col("o_custkey").between(*b_ck["o_custkey"]))
+        & (F.col("d").between(0, 127))).collect())
+    assert sorted(r["o_orderkey"] for r in both.collect()) == want

@@ -293,3 +293,15 @@ def test_extension_ops_front_end_equals_direct(spark, sf_dir):
     want = DD.source_overlap_matrix(docs, "doc_id", "text", "source") \
         .filter(F.col("frac_contained") >= 0.01)
     assert rows(got) == rows(want)
+
+    got = run(spark, {"from": {"op": "cdc_chunks", "table": "documents",
+                               "window": 4, "mask": 7}})
+    want = DD.cdc_chunk_table(docs, "doc_id", "text", window=4, mask=7)
+    assert rows(got) == rows(want)
+
+    from activedata_etl_spark.operators.skew import key_skew_profile
+    got = run(spark, {"from": {"op": "skew_profile", "table": "lineitem",
+                               "columns": ["l_partkey", "l_suppkey"]}})
+    want = key_skew_profile(spark.table("lineitem"),
+                            ["l_partkey", "l_suppkey"])
+    assert rows(got) == rows(want)
