@@ -383,3 +383,63 @@ def etl_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (key_skew_profile(li, ["l_orderkey", "l_partkey", "l_suppkey"])
             .unionByName(key_skew_profile(ev, ["user_id"])))
+
+
+@query(
+    "agg_percentile_approx_audit",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), bounds AS (
+      SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = greatest(CAST(floor(0.48 * n) AS BIGINT), 1)
+                 THEN l_extendedprice END) AS lo,
+             MAX(CASE WHEN rn = least(CAST(ceil(0.52 * n) AS BIGINT), n)
+                 THEN l_extendedprice END) AS hi
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, lo, hi, TRUE AS within_bounds FROM bounds
+    """,
+)
+def agg_percentile_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's builtin approximate percentile (GK sketch,
+    `percentile_approx(..., accuracy)`) audited IN-QUERY against its
+    documented rank-error guarantee (≤ 1/accuracy): the sketch's median
+    must lie between the EXACT order statistics at ranks (0.5 ± 2ε)·n.
+    The approx value itself is NOT emitted — GK merge order varies with
+    partition layout, so the value isn't hashable cross-engine; the
+    audit boolean and the exact rank bounds are, and both engines
+    compute the bounds independently. Completes the quantile leg of the
+    sketch-audit family (HLL/CMS/Bloom audits emit the same shape). A
+    false `within_bounds` here would hash-mismatch the oracle's TRUE —
+    the gate catches a guarantee violation, not just a crash."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag")).alias("n"))
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(
+            F.col("rn") == F.greatest(F.floor(0.48 * F.col("n"))
+                                      .cast("bigint"), F.lit(1)),
+            F.col("l_extendedprice"))).alias("lo"),
+        F.max(F.when(
+            F.col("rn") == F.least(F.ceil(0.52 * F.col("n"))
+                                   .cast("bigint"), F.col("n")),
+            F.col("l_extendedprice"))).alias("hi"))
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 100).alias("__ap__"))
+    return (bounds.join(approx, "l_returnflag")
+            .select("l_returnflag", "n", "lo", "hi",
+                    ((F.col("__ap__") >= F.col("lo"))
+                     & (F.col("__ap__") <= F.col("hi")))
+                    .alias("within_bounds")))

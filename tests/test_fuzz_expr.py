@@ -345,3 +345,75 @@ def test_date_literals_match_duckdb_interval_arithmetic(
     sql = f"SELECT CAST({core} AS TIMESTAMP)"
     duck = duckdb.sql(sql).fetchone()[0]
     assert py == duck, f"{expr} @ {now_s}: jx={py} duck={duck}"
+
+
+# --- manifest-bounds extraction: plan rewrite must be result-invisible ---
+#
+# plans/query._range_bounds turns conjunctive range predicates into a
+# file-pruning hint consumed by io.load_parquet; with a manifest present
+# the SCAN changes (file subset). A wrong extraction (strict/inclusive
+# mixup, extracting from under an OR/NOT, column/literal confusion)
+# would silently DROP ROWS — so fuzz random predicate trees over a
+# manifested layout and require run(q) ≡ plain filter, row for row.
+
+@pytest.fixture(scope="module")
+def manifested_view(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import register_parquet_table
+    from activedata_etl_spark.sources import layout as L
+
+    rows = [(i, (i * 7) % 50 if i % 11 else None,
+             (i * 13) % 50 if i % 7 else None) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: long, a: int, b: int")
+    path = str(tmp_path_factory.mktemp("fuzzb") / "t.parquet")
+    L.write_zordered(df.fillna(-1, ["a"]).withColumn("a", F.when(
+        F.col("a") >= 0, F.col("a"))), path, ["id"], n_files=6, bits=11)
+    L.write_manifest(spark, path, ["id", "a", "b"])
+    register_parquet_table(spark, "fuzz_bounds_t", path)
+    return spark.read.parquet(path)
+
+
+def _bounds_leaves():
+    col = st.sampled_from(["id", "a", "b"])
+    lit = st.sampled_from([0, 7, 25, 49, 500, 1999])
+    ops = st.sampled_from(["eq", "gt", "gte", "lt", "lte"])
+    return st.tuples(ops, col, lit)
+
+
+BOUND_TREES = st.recursive(
+    _bounds_leaves(),
+    lambda sub: st.one_of(
+        st.tuples(st.just("and"), st.lists(sub, min_size=1, max_size=3)),
+        st.tuples(st.just("or"), st.lists(sub, min_size=1, max_size=3)),
+        st.tuples(st.just("not"), sub),
+    ),
+    max_leaves=6,
+)
+
+
+def _to_jx_bounds(t):
+    op = t[0]
+    if op in ("and", "or"):
+        return {op: [_to_jx_bounds(x) for x in t[1]]}
+    if op == "not":
+        return {"not": _to_jx_bounds(t[1])}
+    if op == "eq":
+        return {"eq": {t[1]: t[2]}}
+    return {op: {t[1]: t[2]}}
+
+
+@settings(max_examples=20, deadline=None)
+@given(BOUND_TREES)
+def test_manifest_bounds_extraction_result_invisible(spark, manifested_view,
+                                                     tree):
+    from activedata_etl_spark.plans.query import run
+
+    w = _to_jx_bounds(tree)
+    got = sorted(r["id"] for r in run(
+        spark, {"from": "fuzz_bounds_t", "where": w,
+                "select": ["id"]}).collect())
+    want = sorted(r["id"] for r in
+                  manifested_view.filter(compile_expr(w))
+                  .select("id").collect())
+    assert got == want, w
