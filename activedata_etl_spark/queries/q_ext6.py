@@ -443,3 +443,36 @@ def agg_percentile_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("__ap__") >= F.col("lo"))
                      & (F.col("__ap__") <= F.col("hi")))
                     .alias("within_bounds")))
+
+
+@query(
+    "dedup_index_delta_pairs",
+    oracle=("SELECT * FROM (\n" + _REG["dedup_lsh_jaccard_pairs"]
+            + "\n) WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
+)
+def dedup_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY-INGEST dedup query (ext/dedup_index.
+    pairs_against_index): near-dup pairs between a delta batch (odd doc
+    ids) and the pre-built corpus index (even ids) plus within-delta
+    pairs — only the delta is ever tokenized; the corpus side is the
+    stored band table (~1% of corpus size). The oracle is the FULL
+    LSH pipeline restricted to pairs touching a delta doc: green means
+    the incremental path produces exactly the pairs a from-scratch run
+    would attribute to the new batch. At 100 TB this is the shape that
+    makes daily dedup O(|delta|), not O(|corpus|)."""
+    import os
+    import tempfile
+
+    from ..ext import dedup_index as DI
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dedup_delta_{os.path.basename(sf_dir.rstrip('/'))}")
+    # shingle_sets is written last in build_index → completion marker
+    if not os.path.isdir(os.path.join(path, "shingle_sets")):
+        DI.build_index(corpus, "doc_id", "text", path)
+    return DI.pairs_against_index(delta, "doc_id", "text", spark, path,
+                                  threshold=0.2)
