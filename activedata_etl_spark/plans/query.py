@@ -429,11 +429,21 @@ def _window(df: DataFrame, spec: dict) -> DataFrame:
     order = [_sort_col(s) for s in _listify(spec.get("sort"))]
     w = W.spec(part, order or None)
     rng = spec.get("range")
-    if rng:
+    agg = spec.get("aggregate")
+    # offset/rank functions take NO frame: Spark rejects an explicit one
+    # for lag/lead (found by the corpus case two_windows_different_frames
+    # — lag with a sort crashed under the blanket running frame), and a
+    # frame is meaningless for the rank family.
+    frameless = agg in ("lag", "lead", "ntile", "rank", "dense_rank",
+                        "row_number") or agg is None
+    if frameless:
+        if rng:
+            raise ValueError(
+                f"window aggregate {agg!r} does not take a range frame")
+    elif rng:
         w = W.sliding(w, rng.get("min", 0), rng.get("max", 0))
     elif order:
         w = W.running(w)
-    agg = spec.get("aggregate")
     v = compile_expr(spec["value"]) if spec.get("value") else F.lit(1)
     if "where" in spec:  # jx window where: non-matching rows feed nothing
         v = F.when(compile_expr(spec["where"]), v)
