@@ -420,3 +420,40 @@ def test_attach_indexes_prefix_collision(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="no parquet tables"):
         attach_indexes(spark, {"foo_bar": str(root), "foo": str(empty)})
+
+
+def test_arrow_format_timestamps_and_arrays(endpoint):
+    """format=arrow must round-trip non-scalar column types: timestamps
+    (events.ts, normalized from parquet nanos) and float arrays
+    (embeddings.embedding) — the columns a real extract pulls."""
+    import pyarrow as pa
+
+    def arrow(q):
+        req = urllib.request.Request(
+            endpoint + "/query",
+            data=json.dumps({**q, "format": "arrow"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            return pa.ipc.open_stream(r.read()).read_all()
+
+    t = arrow({"from": "events", "select": ["event_id", "ts"],
+               "sort": "event_id", "limit": 5})
+    listed = _post(endpoint + "/query", {
+        "from": "events", "select": ["event_id", "ts"],
+        "sort": "event_id", "limit": 5})["data"]
+    assert pa.types.is_timestamp(t.schema.field("ts").type)
+    # Arrow carries the session tz (UTC) explicitly; the JSON path
+    # isoformats naive datetimes — same instants, normalize for compare
+    got = [(r["event_id"], r["ts"].replace(tzinfo=None).isoformat())
+           for r in t.to_pylist()]
+    assert got == [(r["event_id"], r["ts"]) for r in listed]
+
+    t = arrow({"from": "embeddings", "select": ["vec_id", "embedding"],
+               "sort": "vec_id", "limit": 3})
+    assert pa.types.is_list(t.schema.field("embedding").type)
+    rows = t.to_pylist()
+    assert len(rows) == 3 and len(rows[0]["embedding"]) > 0
+    listed = _post(endpoint + "/query", {
+        "from": "embeddings", "select": ["vec_id", "embedding"],
+        "sort": "vec_id", "limit": 3})["data"]
+    assert [r["embedding"] for r in rows] == [r["embedding"] for r in listed]
