@@ -294,6 +294,15 @@ def test_extension_ops_front_end_equals_direct(spark, sf_dir):
         .filter(F.col("frac_contained") >= 0.01)
     assert rows(got) == rows(want)
 
+    q5 = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = run(spark, {"from": {"op": "ann_topk", "table": "embeddings",
+                               "queries": {"lt": {"vec_id": 20}},
+                               "method": "lsh", "k": 3, "n_bits": 8}})
+    want = SIM.ann_sign_lsh_topk(q5, emb, "q_id", "q_vec",
+                                 "vec_id", "embedding", k=3, n_bits=8)
+    assert rows(got) == rows(want)
+
     got = run(spark, {"from": {"op": "cdc_chunks", "table": "documents",
                                "window": 4, "mask": 7}})
     want = DD.cdc_chunk_table(docs, "doc_id", "text", window=4, mask=7)
