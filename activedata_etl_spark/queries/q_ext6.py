@@ -476,3 +476,71 @@ def dedup_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         DI.build_index(corpus, "doc_id", "text", path)
     return DI.pairs_against_index(delta, "doc_id", "text", spark, path,
                                   threshold=0.2)
+
+
+from .q_ext import _FP  # noqa: E402  (md5 fingerprint SQL fragment)
+
+
+@query(
+    "corpus_release_manifest",
+    oracle=f"""
+    WITH q AS ({_REG['text_gopher_rules']}),
+    fp AS (SELECT doc_id, {_FP} AS fp FROM documents),
+    canon AS (SELECT doc_id,
+                     doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                       AS is_canonical
+              FROM fp),
+    sd AS ({_REG['sample_split_decontaminated']})
+    SELECT q.doc_id, q.keep AS quality_keep, c.is_canonical,
+           sd.split, sd.is_contaminated,
+           q.keep AND c.is_canonical AND sd.split = 'train'
+             AND NOT sd.is_contaminated AS keep_final
+    FROM q JOIN canon c ON q.doc_id = c.doc_id
+           JOIN sd ON q.doc_id = sd.doc_id
+    """,
+)
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTEGRATED corpus-release pipeline, per-doc disposition in one
+    plan: Gopher quality gate ∘ exact-dup canonical filter ∘
+    deterministic train/eval split ∘ chunk-level decontamination →
+    quality_keep / is_canonical / split / is_contaminated / keep_final.
+    Each stage is an already-verified operator; this query pins the
+    COMPOSITION (the artifact a release process actually ships — every
+    doc's fate and why). Plan: all stages are scan-local flags or
+    hash-keyed joins (fingerprint groups, chunk-hash semi-join); no
+    stage rescans text another stage already tokenized more than the
+    standalone operators would, and the final assembly is three
+    id-keyed joins AQE sizes. The oracle composes the same three
+    verified oracle fragments verbatim."""
+    from ..ext import dedup as DD
+    from ..ext import sampling as SA
+    from ..ext import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    quality = (TX.gopher_table(d, ["doc_id"], "text")
+               .withColumn("quality_keep", TX.gopher_keep())
+               .select("doc_id", "quality_keep"))
+    fp = d.select("doc_id", TX.fingerprint("text").alias("fp"))
+    groups = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    canon = (fp.join(groups, "fp")
+             .select("doc_id", (F.col("doc_id") == F.col("canonical_id"))
+                     .alias("is_canonical")))
+    labeled = d.withColumn("split", SA.split_label(
+        F.col("doc_id"), {"train": 0.9, "eval": 0.1}, salt="split1"))
+    ch = DD.chunk_table(labeled, "doc_id", "text", chunk=10,
+                        extra_cols=("split",))
+    eval_chunks = ch.filter(F.col("split") == "eval").select("h").distinct()
+    contaminated = (ch.filter(F.col("split") == "train")
+                    .join(eval_chunks, "h", "left_semi")
+                    .select("doc_id").distinct()
+                    .withColumn("__c__", F.lit(True)))
+    return (labeled.select("doc_id", "split")
+            .join(quality, "doc_id")
+            .join(canon, "doc_id")
+            .join(contaminated, "doc_id", "left")
+            .select("doc_id", "quality_keep", "is_canonical", "split",
+                    F.coalesce("__c__", F.lit(False)).alias("is_contaminated"),
+                    (F.col("quality_keep") & F.col("is_canonical")
+                     & (F.col("split") == "train")
+                     & ~F.coalesce("__c__", F.lit(False)))
+                    .alias("keep_final")))
