@@ -178,8 +178,14 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     """Interval-overlap join ([l_start,l_end] ∩ [r_start,r_end] ≠ ∅) via
     TIME BINNING: each interval explodes to the fixed-width bins it
     covers, candidates equi-join on the bin id, and the exact overlap
-    predicate verifies — then distinct (a pair sharing k bins appears k
-    times).
+    predicate verifies. A pair sharing k bins would match k times; the
+    FIRST-SHARED-BIN guard (emit only where the bin equals
+    floor(max(starts)/width) — the first bin both intervals occupy)
+    keeps exactly one match per pair, replacing the r1 design's final
+    ``.distinct()`` — one whole shuffle+aggregate over the matched pairs
+    removed from the plan (plan-asserted), and join multiplicity now
+    follows SQL semantics (duplicate input rows each produce their own
+    matches; the old distinct silently collapsed them).
 
     The naive formulation (inequality-only join) has no equi-key, so
     Spark plans a broadcast nested loop — O(|L|·|R|) comparisons, dead at
@@ -198,14 +204,17 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
         return df.select(F.struct(*df.columns).alias(side), b)
 
     lb, rb = binned(left, l_start, l_end, "l"), binned(right, r_start, r_end, "r")
+    first_shared = F.floor(
+        F.greatest(F.col(f"l.{l_start}"), F.col(f"r.{r_start}"))
+        .cast("double") / bin_width_s).cast("long")
     cond = (F.col("__bin__") == F.col("__rbin__")) \
+        & (F.col("__bin__") == first_shared) \
         & (F.col(f"l.{l_start}") <= F.col(f"r.{r_end}")) \
         & (F.col(f"r.{r_start}") <= F.col(f"l.{l_end}"))
     if extra_cond is not None:
         cond = cond & extra_cond
-    out = (lb.join(rb.withColumnRenamed("__bin__", "__rbin__"), cond)
-           .drop("__bin__", "__rbin__").distinct())
-    return out
+    return (lb.join(rb.withColumnRenamed("__bin__", "__rbin__"), cond)
+            .drop("__bin__", "__rbin__"))
 
 
 def bloom_prefilter(probe: DataFrame, build: DataFrame, probe_key, build_key,

@@ -142,6 +142,11 @@ def test_interval_overlap_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
+    # r5: the first-shared-bin guard replaced the pair-dedup distinct —
+    # NO aggregate may sit above the join (the only HashAggregates are
+    # the sessionize rollups BELOW it)
+    above_join = plan.split("Join", 1)[0]
+    assert "HashAggregate" not in above_join, above_join
 
 
 def test_sessionize_capped_single_window_exchange(spark, sf_dir):
