@@ -29,7 +29,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--data", required=True, help="directory of <table>.parquet files")
     ap.add_argument("--output", default=None, help="write JSON here (default stdout)")
     ap.add_argument("--format", dest="fmt", default=None,
-                    help="override the query's format (list|table|cube)")
+                    help="override the query's format (list|table|cube|"
+                         "parquet — parquet writes DISTRIBUTED to "
+                         "--output, never collecting: the bulk path)")
     args = ap.parse_args(argv)
 
     from .io import register_views
@@ -50,14 +52,39 @@ def main(argv: list[str] | None = None) -> int:
 
     from .plans.validate import validate
 
-    if problems := validate(q):
+    # format=parquet is CLI-only (a write destination, not a response
+    # shape) — validate the query as its collected equivalent
+    to_check = {**q, "format": "list"} if q.get("format") == "parquet" else q
+    if problems := validate(to_check):
         for p in problems:
             print(f"error: invalid query at {p['path']}: {p['reason']}",
                   file=sys.stderr)
         return 2
 
+    if q.get("format") == "parquet" and not args.output:
+        print("error: format=parquet needs --output <dir>", file=sys.stderr)
+        return 2
+
     spark = get_spark("jx-cli")
     register_views(spark, args.data)
+    if q.get("format") == "parquet":
+        # bulk extract: the result DataFrame writes straight to parquet,
+        # every executor writing its own partitions — nothing collects
+        # on the driver, so this scales to any result size (the
+        # list/table/cube formats are the interactive, human-sized path)
+        from .plans.query import run as run_plan
+
+        try:
+            df = run_plan(spark, {k: v for k, v in q.items()
+                                  if k != "format"})
+            df.write.mode("overwrite").parquet(args.output)
+        except Exception as e:
+            msg = str(e).split("\n")[0]
+            print(f"error: query failed to plan/execute: {msg}",
+                  file=sys.stderr)
+            return 3
+        print(json.dumps({"written": args.output}))
+        return 0
     try:
         result = run_formatted(spark, q)
     except ValueError as e:

@@ -71,3 +71,35 @@ def test_cli_invalid_query_paths(tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 2
     assert "where.eeq" in err and "skip" in err
+
+
+def test_cli_parquet_bulk_extract(tmp_path, sf_dir, spark):
+    """format=parquet writes the result DISTRIBUTED to --output (no
+    driver collect) — the CLI's bulk path; values match the same query
+    run in-process."""
+    qfile = tmp_path / "q.json"
+    qfile.write_text(json.dumps({
+        "from": "orders",
+        "where": {"gte": {"o_totalprice": 300000}},
+        "select": ["o_orderkey", "o_custkey"],
+    }))
+    out_dir = tmp_path / "extract"
+    out = subprocess.run(
+        [sys.executable, "-m", "activedata_etl_spark.cli",
+         "--query", str(qfile), "--data", sf_dir,
+         "--format", "parquet", "--output", str(out_dir)],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout)["written"] == str(out_dir)
+    got = spark.read.parquet(str(out_dir))
+    want = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 300000).select("o_orderkey", "o_custkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # parquet without a destination is a clear CLI error, not a crash
+    bad = subprocess.run(
+        [sys.executable, "-m", "activedata_etl_spark.cli",
+         "--query", str(qfile), "--data", sf_dir, "--format", "parquet"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert bad.returncode == 2 and "--output" in bad.stderr
