@@ -596,6 +596,64 @@ def cdc_chunk_table(df: DataFrame, id_col: str, text_col: str,
                  F.count(F.lit(1)).cast("bigint").alias("n_tok")))
 
 
+def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 10) -> DataFrame:
+    """Exact repeated-substring detection (the ExactSubstr dedup of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any ≥k-token run appearing ≥2 times corpus-wide is a
+    duplicated span. The paper builds a suffix array; the distributed
+    equivalent used here is STRIDE-1 window hashing — every k-token
+    window is hashed, a window hash seen twice marks positions, and
+    overlapping/adjacent marked windows merge into spans. Detection is
+    EXACT for repeats of length ≥ k (every such repeat contains a
+    duplicated k-window at each offset; md5 collisions aside), unlike
+    fixed-stride chunking which misses repeats straddling chunk
+    boundaries.
+
+    Output per doc: n_tokens, n_windows, n_dup_windows, covered_tokens
+    (union length of all duplicated spans — the merged-interval fold:
+    a window at p extends the running span by min(k, p − prev_p)),
+    n_spans, dup_token_share.
+
+    Plan: window hashes compute inside the token array (O(n·k)
+    scan-local work, one row per window, no array carried); the global
+    dup test is one hash-keyed groupBy; span merging is one LAG window
+    per doc over dup positions only. Bodies never shuffle; everything
+    keyed on (hash) or (doc)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    hashes = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    w = (df.select(F.col(id_col), F.posexplode(hashes).alias("p0", "h"))
+         .select(id_col, (F.col("p0") + 1).alias("p"), "h"))
+    dup = (w.groupBy("h").agg(F.count(F.lit(1)).alias("__n__"))
+           .filter(F.col("__n__") >= 2).select("h"))
+    dwin = Window.partitionBy(id_col).orderBy("p")
+    dp = (w.join(dup, "h", "left_semi")
+          .withColumn("lg", F.lag("p").over(dwin)))
+    agg = dp.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+        F.sum(F.when(F.col("lg").isNull(), F.lit(k))
+              .otherwise(F.least(F.lit(k), F.col("p") - F.col("lg"))))
+         .cast("bigint").alias("covered_tokens"),
+        F.sum((F.col("lg").isNull()
+               | (F.col("p") - F.col("lg") > k)).cast("int"))
+         .cast("bigint").alias("n_spans"))
+    base = df.select(F.col(id_col), n.cast("bigint").alias("n_tokens"),
+                     F.greatest(n - k + 1, F.lit(0)).cast("bigint")
+                     .alias("n_windows"))
+    return (base.join(agg, id_col, "left")
+            .select(id_col, "n_tokens", "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+                    F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    (F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"))
+                    .alias("dup_token_share")))
+
+
 def source_overlap_matrix(df: DataFrame, id_col: str, text_col: str,
                           group_col: str, chunk: int = 10) -> DataFrame:
     """Directed chunk-containment between subcorpora: for each ordered

@@ -544,3 +544,59 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("split") == "train")
                      & ~F.coalesce("__c__", F.lit(False)))
                     .alias("keep_final")))
+
+
+@query(
+    "dedup_exact_substrings",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id, i AS p,
+             md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS h
+      FROM tk, LATERAL (SELECT unnest(range(1,
+             greatest(len(toks) - 10 + 2, 1))) AS i)
+    ), dup AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2
+    ), dp AS (
+      SELECT w.doc_id, w.p,
+             LAG(w.p) OVER (PARTITION BY w.doc_id ORDER BY w.p) AS lg
+      FROM w JOIN dup USING (h)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+             CAST(SUM(CASE WHEN lg IS NULL THEN 10
+                           ELSE LEAST(10, p - lg) END) AS BIGINT)
+               AS covered_tokens,
+             CAST(SUM(CASE WHEN lg IS NULL OR p - lg > 10
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+      FROM dp GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(greatest(len(toks) - 10 + 1, 0) AS BIGINT) AS n_windows
+      FROM tk
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_windows,
+           COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(a.covered_tokens, 0) AS covered_tokens,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE) / b.n_tokens
+             AS dup_token_share
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-substring dedup (Lee et al. 2022) via
+    stride-1 window hashing (ext/dedup.exact_substring_spans): every
+    ≥10-token run appearing twice anywhere in the corpus is detected
+    EXACTLY (a repeat contains a duplicated 10-window at every offset —
+    no chunk-boundary misses), marked positions merge into spans, and
+    each doc reports its duplicated-token coverage. The oracle
+    reconstructs windows, the global dup test, and the merged-interval
+    fold independently; every count and the final share must agree."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_substring_spans(d, "doc_id", "text", k=10)

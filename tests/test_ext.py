@@ -486,3 +486,31 @@ def test_cdc_chunks_survive_insertion(spark, sf_dir):
     assert cdc > 0.6, f"CDC survival collapsed: {cdc:.2f}"
     assert fixed < 0.3, f"fixed-window survival unexpectedly high: {fixed:.2f}"
     assert cdc > fixed + 0.4
+
+
+def test_exact_substring_spans_golden(spark):
+    """Hand-built corpus with one planted 12-token repeat: window
+    positions, merged-span arithmetic, and coverage are checked against
+    hand-computed values (k=4)."""
+    from activedata_etl_spark.ext.dedup import exact_substring_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    docs = spark.createDataFrame([
+        (1, f"a1 a2 {shared}"),            # repeat at positions 3..14
+        (2, f"{shared} b1 b2 b3"),         # repeat at positions 1..12
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),    # no repeats
+    ], "doc_id: long, text: string")
+    got = {r["doc_id"]: r.asDict() for r in
+           exact_substring_spans(docs, "doc_id", "text", k=4).collect()}
+    # doc 1: 14 tokens, 11 windows; dup windows at p=3..11 (9 of them);
+    # merged span covers the 12 shared tokens
+    assert got[1]["n_tokens"] == 14 and got[1]["n_windows"] == 11
+    assert got[1]["n_dup_windows"] == 9
+    assert got[1]["covered_tokens"] == 12 and got[1]["n_spans"] == 1
+    assert abs(got[1]["dup_token_share"] - 12 / 14) < 1e-12
+    # doc 2: 15 tokens, 12 windows; dup windows p=1..9
+    assert got[2]["n_dup_windows"] == 9
+    assert got[2]["covered_tokens"] == 12 and got[2]["n_spans"] == 1
+    # doc 3: clean
+    assert got[3]["n_dup_windows"] == 0 and got[3]["covered_tokens"] == 0
+    assert got[3]["n_spans"] == 0 and got[3]["dup_token_share"] == 0.0
