@@ -189,6 +189,20 @@ def _cdc_chunks(spark, df, spec) -> DataFrame:
     )
 
 
+@_op("exact_substrings")
+def _exact_substrings(spark, df, spec) -> DataFrame:
+    """ExactSubstr-style repeated-substring spans
+    (ext/dedup.exact_substring_spans, Lee et al. 2022)."""
+    from ..ext import dedup as DD
+
+    return DD.exact_substring_spans(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        k=int(spec.get("k", 10)),
+    )
+
+
 @_op("skew_profile")
 def _skew_profile(spark, df, spec) -> DataFrame:
     """Join-key skew diagnostics (operators/skew.key_skew_profile):

@@ -303,6 +303,11 @@ def test_extension_ops_front_end_equals_direct(spark, sf_dir):
                                  "vec_id", "embedding", k=3, n_bits=8)
     assert rows(got) == rows(want)
 
+    got = run(spark, {"from": {"op": "exact_substrings",
+                               "table": "documents", "k": 8}})
+    want = DD.exact_substring_spans(docs, "doc_id", "text", k=8)
+    assert rows(got) == rows(want)
+
     got = run(spark, {"from": {"op": "cdc_chunks", "table": "documents",
                                "window": 4, "mask": 7}})
     want = DD.cdc_chunk_table(docs, "doc_id", "text", window=4, mask=7)
