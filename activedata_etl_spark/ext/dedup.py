@@ -654,6 +654,82 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
                     .alias("dup_token_share")))
 
 
+def exact_substring_removal(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 10) -> DataFrame:
+    """The ACTION half of ExactSubstr dedup (Lee et al. 2022): cut every
+    duplicated ≥k-token run, keeping its corpus-CANONICAL occurrence —
+    the smallest (doc, position) holding each duplicated window.
+
+    Per token the rule is: removable iff ≥1 duplicated window covers it
+    and NO canonical window covers it. Canonical spans survive intact,
+    second occurrences (across docs OR within one doc) lose their
+    tokens, text outside duplicated spans is untouched. Output:
+    (id, n_tokens, n_removed, kept_text — kept tokens re-joined in
+    order).
+
+    Plan: stride-1 window hashes (scan-local, as exact_substring_spans);
+    one hash groupBy marks dup windows and elects the canonical
+    occurrence (min struct — deterministic); token rows get their
+    covering-window flags via ONE integer range-frame window per doc
+    ([-(k-1), 0] over window positions); kept text is one ordered
+    grouped fold. Bodies never shuffle — only (hash) and (doc)-keyed
+    token-width rows."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    win_hashes = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    w = (df.select(F.col(id_col), F.posexplode(win_hashes).alias("p0", "h"))
+         .select(F.col(id_col).alias("__d__"), (F.col("p0") + 1).alias("p"),
+                 "h"))
+    marked = (w.groupBy("h")
+              .agg(F.count(F.lit(1)).alias("__n__"),
+                   F.min(F.struct(F.col("__d__").alias("d"),
+                                  F.col("p").alias("p"))).alias("__c__"))
+              .filter(F.col("__n__") >= 2)
+              .select("h", "__c__"))
+    flags = (w.join(marked, "h")
+             .select("__d__", "p",
+                     F.lit(1).alias("dup"),
+                     ((F.col("__d__") == F.col("__c__.d"))
+                      & (F.col("p") == F.col("__c__.p"))).cast("int")
+                     .alias("canon")))
+    t = (df.select(F.col(id_col).alias("__d__"),
+                   F.posexplode(toks).alias("i0", "tok"))
+         .select("__d__", (F.col("i0") + 1).alias("i"), "tok"))
+    # token rows and window-flag rows share the integer position axis:
+    # union them, and a range frame [-(k-1), 0] over position sees every
+    # window covering the token (window at p covers tokens p..p+k-1)
+    u = (t.select("__d__", F.col("i").alias("pos"), "tok",
+                  F.lit(None).cast("int").alias("dup"),
+                  F.lit(None).cast("int").alias("canon"))
+         .unionByName(flags.select(
+             "__d__", F.col("p").alias("pos"),
+             F.lit(None).cast("string").alias("tok"), "dup", "canon")))
+    cover = (Window.partitionBy("__d__").orderBy("pos")
+             .rangeBetween(-(k - 1), 0))
+    scored = (u.withColumn("__dup_cov__", F.max("dup").over(cover))
+              .withColumn("__can_cov__", F.max("canon").over(cover))
+              .filter(F.col("tok").isNotNull()))
+    kept = scored.withColumn(
+        "__keep__",
+        F.col("__dup_cov__").isNull() | (F.col("__can_cov__") == 1))
+    return (kept.groupBy("__d__")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum((~F.col("__keep__")).cast("int")).cast("bigint")
+                 .alias("n_removed"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("__keep__"),
+                             F.struct(F.col("pos"), F.col("tok"))))),
+                         lambda x: x.getField("tok")), " ")
+                 .alias("kept_text"))
+            .withColumnRenamed("__d__", id_col))
+
+
 def source_overlap_matrix(df: DataFrame, id_col: str, text_col: str,
                           group_col: str, chunk: int = 10) -> DataFrame:
     """Directed chunk-containment between subcorpora: for each ordered

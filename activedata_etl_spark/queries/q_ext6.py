@@ -600,3 +600,68 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return DD.exact_substring_spans(d, "doc_id", "text", k=10)
+
+
+@query(
+    "dedup_exact_substr_removal",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id AS d, i AS p,
+             md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS h
+      FROM tk, LATERAL (SELECT unnest(range(1,
+             greatest(len(toks) - 10 + 2, 1))) AS i)
+    ), marked AS (
+      SELECT h, d, p,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY d, p) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS cnt
+      FROM w
+    ), flags AS (
+      SELECT d, p, 1 AS dup,
+             CASE WHEN rn = 1 THEN 1 ELSE 0 END AS canon
+      FROM marked WHERE cnt >= 2
+    ), t AS (
+      SELECT doc_id AS d, generate_subscripts(toks, 1) AS i,
+             unnest(toks) AS tok
+      FROM tk
+    ), u AS (
+      SELECT d, i AS pos, tok, CAST(NULL AS INT) AS dup,
+             CAST(NULL AS INT) AS canon FROM t
+      UNION ALL
+      SELECT d, p, NULL, dup, canon FROM flags
+    ), scored AS (
+      SELECT d, pos, tok,
+             MAX(dup) OVER (PARTITION BY d ORDER BY pos
+               RANGE BETWEEN 9 PRECEDING AND CURRENT ROW) AS dc,
+             MAX(canon) OVER (PARTITION BY d ORDER BY pos
+               RANGE BETWEEN 9 PRECEDING AND CURRENT ROW) AS cc
+      FROM u
+    )
+    SELECT d AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN dc IS NOT NULL AND COALESCE(cc, 0) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(
+             CASE WHEN dc IS NULL OR cc = 1 THEN tok END,
+             ' ' ORDER BY pos), '')) AS kept_hash
+    FROM scored WHERE tok IS NOT NULL
+    GROUP BY d
+    """,
+)
+def dedup_exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of ExactSubstr dedup
+    (ext/dedup.exact_substring_removal): every duplicated ≥10-token run
+    is CUT, keeping only its corpus-canonical occurrence (smallest
+    (doc, position) — deterministic, so both engines elect the same
+    survivor). The rewritten text is compared by md5 so the gate checks
+    every kept token in order without hashing megabytes of rows. Golden
+    span arithmetic in test_exact_substring_removal_golden."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    out = DD.exact_substring_removal(d, "doc_id", "text", k=10)
+    return out.select("doc_id", "n_tokens", "n_removed",
+                      F.md5("kept_text").alias("kept_hash"))

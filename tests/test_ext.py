@@ -514,3 +514,27 @@ def test_exact_substring_spans_golden(spark):
     # doc 3: clean
     assert got[3]["n_dup_windows"] == 0 and got[3]["covered_tokens"] == 0
     assert got[3]["n_spans"] == 0 and got[3]["dup_token_share"] == 0.0
+
+
+def test_exact_substring_removal_golden(spark):
+    """Canonical-survivor semantics, hand-checked (k=4): the earliest
+    (doc, pos) occurrence of a duplicated run keeps its tokens; every
+    other occurrence — in other docs or LATER IN THE SAME DOC — is cut;
+    text outside duplicated spans is untouched."""
+    from activedata_etl_spark.ext.dedup import exact_substring_removal
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    docs = spark.createDataFrame([
+        (1, f"a1 a2 {shared}"),          # canonical holder (doc 1 < doc 2)
+        (2, f"{shared} b1 b2 b3"),       # loses the shared run
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),  # untouched
+        (4, "d1 r1 r2 r3 r4 d2 r1 r2 r3 r4 d3"),  # within-doc repeat
+    ], "doc_id: long, text: string")
+    got = {r["doc_id"]: r.asDict() for r in
+           exact_substring_removal(docs, "doc_id", "text", k=4).collect()}
+    assert got[1]["n_removed"] == 0 and got[1]["kept_text"] == f"a1 a2 {shared}"
+    assert got[2]["n_removed"] == 12 and got[2]["kept_text"] == "b1 b2 b3"
+    assert got[3]["n_removed"] == 0
+    # doc 4: first r1..r4 (pos 2..5) is canonical; second (pos 7..10) cut
+    assert got[4]["n_removed"] == 4
+    assert got[4]["kept_text"] == "d1 r1 r2 r3 r4 d2 d3"
