@@ -203,6 +203,20 @@ def _exact_substrings(spark, df, spec) -> DataFrame:
     )
 
 
+@_op("exact_substr_removal")
+def _exact_substr_removal(spark, df, spec) -> DataFrame:
+    """Cut duplicated runs, keep the canonical occurrence
+    (ext/dedup.exact_substring_removal)."""
+    from ..ext import dedup as DD
+
+    return DD.exact_substring_removal(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        k=int(spec.get("k", 10)),
+    )
+
+
 @_op("skew_profile")
 def _skew_profile(spark, df, spec) -> DataFrame:
     """Join-key skew diagnostics (operators/skew.key_skew_profile):

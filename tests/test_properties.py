@@ -163,3 +163,53 @@ def test_ewma_int_matches_sequential_spec(spark, vals):
                 / sum(weights))
         assert math.isclose(got[i], float(spec), rel_tol=0, abs_tol=1e-9), \
             (i, got[i], float(spec))
+
+
+def test_exact_substring_spans_matches_python_reference(spark):
+    """exact_substring_spans vs a brute-force Python reference over a
+    deterministic battery of small corpora (every window enumerated,
+    duplicated positions unioned literally) — pins the merged-interval
+    fold beyond the hand-built golden."""
+    import itertools
+    import random
+
+    from activedata_etl_spark.ext.dedup import exact_substring_spans
+
+    rng = random.Random(11)
+    K = 3
+    corpora = []
+    for trial in range(6):
+        docs = []
+        for d in range(1, 5):
+            n = rng.randrange(0, 14)
+            docs.append((d, " ".join(
+                f"t{rng.randrange(4)}" for _ in range(n)) if n else "x"))
+        corpora.append(docs)
+
+    for docs in corpora:
+        toks = {d: t.split() for d, t in docs}
+        wins = {}  # hash key (tuple of tokens) -> [(d, p)]
+        for d, ts in toks.items():
+            for p in range(1, len(ts) - K + 2):
+                wins.setdefault(tuple(ts[p - 1:p - 1 + K]), []).append((d, p))
+        want = {}
+        for d, ts in toks.items():
+            covered = set()
+            dup_ws = 0
+            for p in range(1, len(ts) - K + 2):
+                if len(wins[tuple(ts[p - 1:p - 1 + K])]) >= 2:
+                    dup_ws += 1
+                    covered.update(range(p, p + K))
+            spans = 0
+            for i in sorted(covered):
+                if i - 1 not in covered:
+                    spans += 1
+            want[d] = (len(ts), max(len(ts) - K + 1, 0), dup_ws,
+                       len(covered), spans)
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        got = {r["doc_id"]: (r["n_tokens"], r["n_windows"],
+                             r["n_dup_windows"], r["covered_tokens"],
+                             r["n_spans"])
+               for r in exact_substring_spans(
+                   df, "doc_id", "text", k=K).collect()}
+        assert got == want, (docs, got, want)
