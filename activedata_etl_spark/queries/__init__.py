@@ -62,13 +62,19 @@ _FRONT = [
     "jx_edges_duration_histogram", "jx_edges_expression",
     "jx_agg_percentile_union", "jx_nested_having", "jx_select_default",
     # expression/edge-domain tail
-    "expr_split_get_tuple", "expr_number_to_string",
+    "expr_split_get_tuple",
     "edges_set_allow_nulls", "edges_predicate_parts",
     # nested ops
     "nested_array_path", "nested_leaves",
-    # join/setop/sort/window tails
-    "join_full_outer", "join_cross_small",
-    "setop_union_all", "setop_intersect", "setop_except",
+    # join/setop/sort/window tails (join_cross_small / setop_union_all /
+    # expr_number_to_string — trivial builtin wrappers — swapped out for
+    # the round's riskiest NEW operators: the ExactSubstr pair and the
+    # integrated release manifest; the swapped-out three stay in the r6
+    # backlog, same size either way)
+    "dedup_exact_substrings", "dedup_exact_substr_removal",
+    "corpus_release_manifest",
+    "join_full_outer",
+    "setop_intersect", "setop_except",
     "setop_array_values", "sort_paging",
     "window_first_last_value", "window_ntile_percent",
     "window_sliding_frame", "window_whole_partition",
