@@ -136,3 +136,45 @@ def mixture_budget(df: DataFrame, source_col: str, n_tok_col,
                                    F.lit(0)).cast("bigint"))
             .select(source_col, "n_tokens", "wn", "target_tokens",
                     "keep_rate", "shortfall"))
+
+
+def priority_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int, salt: str = "") -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007):
+    weighted sampling WITHOUT replacement of exactly ``k`` rows, with
+    the unbiased subset-sum estimator ``max(w, τ)`` where τ is the
+    (k+1)-th largest priority.
+
+    Each row gets priority ``w / u`` with ``u`` uniform in (0,1]. The
+    textbook weighted-without-replacement key is ``u^(1/w)``
+    (Efraimidis–Spirakis) — but pow()/ln() are libm calls that differ in
+    the last ulp across engines, so a hash-seeded sample would not be
+    bit-reproducible. Priority sampling needs only ONE IEEE division of
+    exact integer operands: ``u = (h+1)/2^32`` from the md5
+    :func:`hash_bucket`, so ``priority = (w·2^32)/(h+1)`` — both
+    operands exact in a double for ``w < 2^21`` (caller's bound; weights
+    here are document lengths). Deterministic, engine-portable,
+    append-stable like every sampler in this module.
+
+    Scale: the priority is scan-local; the global top-(k+1) lowers to
+    TakeOrderedAndProject (per-partition heaps, driver merges k+1 rows
+    per partition) — no global sort, no single-reducer window. Requires
+    the corpus to have > k rows (with ≤ k rows the estimator would need
+    the no-threshold branch; this helper targets corpus ≫ k).
+
+    Returns (id, weight, priority, est_weight): the k sampled rows;
+    Σ est_weight is an unbiased estimate of Σ w over the corpus.
+    """
+    w = F.col(weight_col).cast("bigint")
+    keyed = df.select(
+        F.col(id_col), w.alias("__w__"),
+        ((w * F.lit(_DENOM)).cast("double")
+         / (hash_bucket(F.col(id_col), salt) + F.lit(1)).cast("double")
+         ).alias("priority"))
+    top = keyed.orderBy(F.desc("priority"), id_col).limit(k + 1)
+    tau = top.agg(F.min("priority").alias("__tau__"))
+    return (top.orderBy(F.desc("priority"), id_col).limit(k)
+            .crossJoin(F.broadcast(tau))
+            .select(id_col, F.col("__w__").alias(weight_col), "priority",
+                    F.greatest(F.col("__w__").cast("double"),
+                               F.col("__tau__")).alias("est_weight")))

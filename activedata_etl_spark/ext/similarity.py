@@ -576,3 +576,41 @@ def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
               ))).alias("p"), "qcos")
               .select("p.id_a", "p.id_b", "qcos"))
     return cross.unionByName(within)
+
+
+def knn_graph(df: DataFrame, id_col: str, vec_col: str,
+              k: int = 3, nlist: int = 8, n_iter: int = 2) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus, cluster-
+    confined: every vector gets its exact top-``k`` cosine neighbors
+    WITHIN its IVF cluster (the deterministic :func:`ivf_build`
+    k-means). The standard substrate for graph-based semantic analysis
+    — connected-component topic grouping, kNN-density outlier scores,
+    label propagation — and the offline half of HNSW-style index
+    builders.
+
+    Approximation contract: like IVF search with nprobe=1, neighbors
+    across a cluster boundary are missed; the SemDeDup literature
+    (Abbas et al. 2023) accepts exactly this trade for corpus-scale
+    grouping. Recall lever = larger clusters (smaller ``nlist``).
+
+    Scale: the quadratic pair space is confined per cluster — the
+    self-join is an equi-join on cid, so candidate volume is
+    Σ|cluster|², not |corpus|². ``nlist`` must GROW with the corpus
+    (target |cluster| ≈ a few thousand: at 100 TB, nlist ~ N/4096),
+    which simultaneously bounds per-task memory and keeps shuffle
+    parallelism ≥ nlist. The assignment is persisted before the
+    self-join so k-means doesn't run twice (both join sides read one
+    materialization; write-out partitioned by cid in a real pipeline).
+    """
+    _, assign = ivf_build(df, id_col, vec_col, nlist, n_iter)
+    assign = assign.persist()
+    a = assign.select("cid", F.col(id_col).alias("src"),
+                      F.col("__v__").alias("__sv__"))
+    b = assign.select("cid", F.col(id_col).alias("dst"),
+                      F.col("__v__").alias("__dv__"))
+    scored = (a.join(b, "cid")
+              .filter(F.col("src") != F.col("dst"))
+              .withColumn("cos", dot(F.col("__sv__"), F.col("__dv__"))
+                          / (norm(F.col("__sv__")) * norm(F.col("__dv__")))))
+    return (topk_per_query(scored, "src", "cos", "dst", k)
+            .select("src", "dst", "cos"))

@@ -499,3 +499,64 @@ def sparse_cosine_pairs(df, id_col: str, text_col: str = "text",
               ))).alias("p"), "cos")
               .select("p.id_a", "p.id_b", "cos"))
     return cross.unionByName(within)
+
+
+def bm25_topk(df, id_col: str, text_col: str, terms: list[str],
+              k: int = 15, k1_x10: int = 12, b_x100: int = 75):
+    """Okapi BM25 (Robertson et al., TREC-3 1994) top-k retrieval over
+    the corpus for a fixed term set — the lexical-search complement of
+    the embedding ANN path, and the retrieval scorer most training-data
+    pipelines use for decontamination lookups and hard-negative mining.
+
+    Cross-engine determinism: BM25 is normally written with an ln() idf
+    and double accumulation — both non-portable (libm last-ulp; sum
+    order). Rearranged here as a RATIO OF EXACT INTEGERS per (doc,term):
+
+        score = A·tf·(2N−2df+1)·total
+                / [(2df+1)·(1000·tf·total + B1·total + B2·dl·N)]
+
+    with A = 100·(k1_x10+10), B1 = k1_x10·(100−b_x100),
+    B2 = k1_x10·b_x100 — k1/b folded to integers (×1000), and idf as
+    the Robertson ratio (N−df+½)/(df+½) ⇒ ×2 ⇒ (2N−2df+1)/(2df+1):
+    ln() is monotone in it, so ranking is the classic BM25 ranking.
+    Every operand above is an exact BIGINT; the only floating ops are
+    one multiply and one divide per (doc,term) — IEEE-identical in any
+    engine — and the per-doc combine, which floor-quantizes each term
+    score to 1e-6 and sums BIGINTs (order-free, no decimal tie rule).
+
+    Plan at 100 TB: tokenization and the term filter are scan-local, so
+    the only doc-keyed shuffle carries |terms|·(matching docs) rows —
+    never the corpus; df and the (N, total) pair are tiny broadcasts;
+    the final top-k lowers to TakeOrderedAndProject (per-partition
+    heaps, no global sort).
+    """
+    A = 100 * (k1_x10 + 10)
+    B1 = k1_x10 * (100 - b_x100)
+    B2 = k1_x10 * b_x100
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t__"))
+    tf = (base.select(id_col, F.size("__t__").cast("bigint").alias("__dl__"),
+                      F.explode("__t__").alias("__w__"))
+          .filter(F.col("__w__").isin(terms))
+          .groupBy(id_col, "__w__")
+          .agg(F.count(F.lit(1)).alias("__tf__"),
+               F.first("__dl__").alias("__dl__")))
+    dfreq = (tf.groupBy("__w__")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("__df__")))
+    n = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n__"),
+                 F.sum(F.size("__t__")).cast("bigint").alias("__total__"))
+    num = (F.lit(A) * F.col("__tf__")
+           * (2 * F.col("__n__") - 2 * F.col("__df__") + 1)).cast("bigint")
+    den_inner = (1000 * F.col("__tf__") * F.col("__total__")
+                 + F.lit(B1) * F.col("__total__")
+                 + F.lit(B2) * F.col("__dl__") * F.col("__n__")).cast("bigint")
+    scored = (tf.join(F.broadcast(dfreq), "__w__")
+              .crossJoin(F.broadcast(n))
+              .withColumn("__s__",
+                          num.cast("double") * F.col("__total__").cast("double")
+                          / ((2 * F.col("__df__") + 1).cast("double")
+                             * den_inner.cast("double"))))
+    agg = (scored.groupBy(id_col)
+           .agg((F.sum(F.floor(F.col("__s__") * F.lit(1000000.0))
+                       .cast("bigint")).cast("double")
+                 / F.lit(1000000.0)).alias("bm25")))
+    return agg.orderBy(F.desc("bm25"), id_col).limit(k)

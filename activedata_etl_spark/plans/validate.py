@@ -18,7 +18,8 @@ _CLAUSES = {
     "from", "select", "where", "edges", "groupby", "window", "sort",
     "limit", "skip", "format", "meta", "name",
 }
-_FORMATS = {"list", "table", "cube", "explain", "stream", "arrow"}
+_FORMATS = {"list", "table", "cube", "explain", "stream", "arrow",
+            "arrow-stream"}
 _DOMAIN_TYPES = {"default", "set", "range", "time", "duration"}
 # expression-dict keys that are op MODIFIERS, not ops (mirrors
 # expressions._single_op)

@@ -1,0 +1,117 @@
+"""Round-5 (late) queries: BM25 lexical retrieval, priority sampling,
+cluster-confined kNN graph — three training-data-pipeline operators the
+inventory did not yet cover, each with a bit-exact DuckDB oracle.
+
+Shared determinism discipline (see ext/text.bm25_topk and SCALE.md):
+no ln()/pow() across the engine boundary (libm last-ulp), no double
+accumulation (order-dependent) — exact-integer rationals, single IEEE
+divisions, floor-quantized sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ext import sampling as SA, similarity as SIM, text as TX
+from ..io import load_table
+from .q_ext import _ivf_ctes, _sql_cos
+from .registry import query
+
+#: Fixed BM25 query — common corpus terms with distinct document
+#: frequencies, so idf actually differentiates.
+_BM25_TERMS = ("spark", "vector", "merge")
+
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS w FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total FROM dl
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE w IN ('spark', 'vector', 'merge') GROUP BY doc_id, w
+    ), dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(2200 * tf.tf * (2 * n.n_docs - 2 * dfreq.df + 1) AS DOUBLE)
+               * CAST(n.total AS DOUBLE)
+             / (CAST(2 * dfreq.df + 1 AS DOUBLE)
+                * CAST(1000 * tf.tf * n.total + 300 * n.total
+                       + 900 * dl.dl * n.n_docs AS DOUBLE)) AS s
+      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(CAST(SUM(CAST(floor(s * 1000000.0) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a fixed 3-term query (k1=1.2, b=0.75) — the
+    exact-integer rearrangement in ext/text.bm25_topk; the oracle
+    inlines the same rational with the constants folded
+    (A=2200, B1=300, B2=900)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bm25_topk(d, "doc_id", "text", list(_BM25_TERMS), k=15)
+
+
+@query(
+    "sample_priority_weighted",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars * 4294967296 AS DOUBLE)
+             / CAST({SA.sql_hash_bucket('doc_id', 'prio1')} + 1 AS DOUBLE)
+               AS priority
+      FROM documents
+    ), top AS (
+      SELECT * FROM (
+        SELECT p.*, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+        FROM p
+      ) WHERE rn <= 21
+    ), tau AS (SELECT MIN(priority) AS tau FROM top)
+    SELECT doc_id, n_chars, priority,
+           GREATEST(CAST(n_chars AS DOUBLE), tau.tau) AS est_weight
+    FROM top CROSS JOIN tau WHERE rn <= 20
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): 20 documents drawn
+    without replacement with probability ∝ length, plus the unbiased
+    per-row subset-sum estimator max(w, τ). The md5 coin makes the draw
+    reproducible in any engine; the oracle's single-window ROW_NUMBER is
+    the semantic spec — the Spark plan lowers the same total order to
+    TakeOrderedAndProject (no global sort; asserted in test_plans)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SA.priority_sample(d, "doc_id", "n_chars", k=20, salt="prio1")
+
+
+@query(
+    "sim_knn_graph",
+    oracle="WITH " + ",\n".join(_ivf_ctes(8, 2)) + f"""
+    SELECT src, dst, cos FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_sql_cos('a.vv', 'b.vv')} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY {_sql_cos('a.vv', 'b.vv')} DESC, b.vec_id ASC) AS rn
+      FROM af a JOIN af b USING (cid) WHERE a.vec_id <> b.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-confined exact kNN graph (top-3 cosine neighbors within
+    each vector's IVF cluster, nlist=8) — the substrate for kNN-density
+    outliers / label propagation. Oracle reuses the shared deterministic
+    k-means CTE chain (q_ext._ivf_ctes) and self-joins the final
+    assignment, mirroring the equi-join-on-cid plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, "vec_id", "embedding", k=3, nlist=8, n_iter=2)

