@@ -178,3 +178,52 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
             .select(id_col, F.col("__w__").alias(weight_col), "priority",
                     F.greatest(F.col("__w__").cast("double"),
                                F.col("__tau__")).alias("est_weight")))
+
+
+def temperature_mixture(df: DataFrame, source_col: str, id_col: str,
+                        size_col: str, budget: int,
+                        salt: str = "") -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-corpus
+    standard, e.g. mBERT/XLM-R exponential smoothing): each source's
+    share of a token/char ``budget`` is ∝ its size^α with α = 0.5
+    (temperature τ = 1/α = 2) — big sources are damped, small sources
+    up-weighted, the budget split sums to ≤ budget exactly.
+
+    Engine-exact despite the fractional power: sqrt is a CORRECTLY-
+    ROUNDED IEEE-754 operation (unlike pow/ln, which are libm), and the
+    damped weight is floor-quantized to 1e-6 before the integer share
+    arithmetic — so shares are BIGINT ratios, the keep rate is one IEEE
+    division, and the realized sample is the usual md5 hash filter
+    (layout-free, append-stable).
+
+    Returns one row per source: size, damped weight, target units,
+    keep_rate, and the REALIZED kept docs/units under the hash filter.
+    Plan: one groupBy(source) agg (source-cardinality rows, broadcast
+    back), then a scan-local filter + one more groupBy(source) — the
+    corpus is never shuffled.
+    """
+    n = F.col(size_col).cast("bigint")
+    per = (df.groupBy(source_col)
+           .agg(F.sum(n).cast("bigint").alias("n_units")))
+    per = per.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_units").cast("double"))
+                     * F.lit(1000000.0)).cast("bigint"))
+    tot = per.agg(F.sum("w").cast("bigint").alias("__wsum__"))
+    plan = (per.crossJoin(F.broadcast(tot))
+            .withColumn("target_units",
+                        F.expr(f"CAST({int(budget)} AS BIGINT) * w DIV __wsum__"))
+            .withColumn("keep_rate",
+                        F.least(F.lit(1.0),
+                                F.col("target_units").cast("double")
+                                / F.col("n_units").cast("double"))))
+    thr = F.floor(F.col("keep_rate") * F.lit(float(_DENOM))).cast("bigint")
+    kept = (df.join(F.broadcast(plan.select(source_col, "keep_rate")),
+                    source_col)
+            .filter(hash_bucket(F.col(id_col), salt) < thr)
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+                 F.sum(n).cast("bigint").alias("kept_units")))
+    return (plan.join(kept, source_col, "left")
+            .select(source_col, "n_units", "w", "target_units", "keep_rate",
+                    F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+                    F.coalesce("kept_units", F.lit(0)).cast("bigint").alias("kept_units")))

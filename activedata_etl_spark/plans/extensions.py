@@ -227,3 +227,76 @@ def _skew_profile(spark, df, spec) -> DataFrame:
     if not cols:
         raise ValueError("skew_profile needs 'columns': [...]")
     return key_skew_profile(df, list(cols))
+
+
+@_op("bm25")
+def _bm25(spark, df, spec) -> DataFrame:
+    """BM25 lexical retrieval (ext/text.bm25_topk): ``terms`` is the
+    query; output (<id>, bm25), top-``k`` by score."""
+    from ..ext import text as TX
+
+    terms = spec.get("terms")
+    if not terms or not isinstance(terms, list):
+        raise ValueError("bm25 needs 'terms': [\"...\", ...]")
+    return TX.bm25_topk(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        terms=[str(t) for t in terms],
+        k=int(spec.get("k", 15)),
+    )
+
+
+@_op("knn_graph")
+def _knn_graph(spark, df, spec) -> DataFrame:
+    """Cluster-confined kNN graph (ext/similarity.knn_graph): output
+    (src, dst, cos), top-``k`` cosine neighbors within each vector's
+    IVF cluster."""
+    from ..ext import similarity as SIM
+
+    return SIM.knn_graph(
+        df,
+        id_col=spec.get("id", "vec_id"),
+        vec_col=spec.get("vector", "embedding"),
+        k=int(spec.get("k", 3)),
+        nlist=int(spec.get("nlist", 8)),
+        n_iter=int(spec.get("n_iter", 2)),
+    )
+
+
+@_op("priority_sample")
+def _priority_sample(spark, df, spec) -> DataFrame:
+    """Weighted sampling without replacement (ext/sampling.
+    priority_sample): ``weight`` column, ``k`` rows; output
+    (<id>, <weight>, priority, est_weight)."""
+    from ..ext import sampling as SA
+
+    if "weight" not in spec:
+        raise ValueError("priority_sample needs 'weight': \"<column>\"")
+    return SA.priority_sample(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        weight_col=str(spec["weight"]),
+        k=int(spec.get("k", 10)),
+        salt=str(spec.get("salt", "")),
+    )
+
+
+@_op("temperature_mixture")
+def _temperature_mixture(spark, df, spec) -> DataFrame:
+    """Temperature (size^0.5) mixture plan + realized keep
+    (ext/sampling.temperature_mixture). Needs ``source``, ``size``,
+    ``budget``."""
+    from ..ext import sampling as SA
+
+    for req in ("source", "size", "budget"):
+        if req not in spec:
+            raise ValueError(f"temperature_mixture needs {req!r}")
+    return SA.temperature_mixture(
+        df,
+        source_col=str(spec["source"]),
+        id_col=spec.get("id", "doc_id"),
+        size_col=str(spec["size"]),
+        budget=int(spec["budget"]),
+        salt=str(spec.get("salt", "")),
+    )

@@ -115,3 +115,60 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, mirroring the equi-join-on-cid plan."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.knn_graph(emb, "vec_id", "embedding", k=3, nlist=8, n_iter=2)
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_units,
+             CAST(floor(sqrt(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM per),
+    plan AS (
+      SELECT source, n_units, w,
+             CAST(100000 AS BIGINT) * w // wsum AS target_units,
+             LEAST(1.0, CAST(CAST(100000 AS BIGINT) * w // wsum AS DOUBLE)
+                        / CAST(n_units AS DOUBLE)) AS keep_rate
+      FROM per CROSS JOIN tot
+    ), kept AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS kept_units
+      FROM documents d JOIN plan p USING (source)
+      WHERE {SA.sql_hash_bucket('d.doc_id', 'temp1')}
+            < CAST(floor(p.keep_rate * 4294967296.0) AS BIGINT)
+      GROUP BY d.source
+    )
+    SELECT plan.source, n_units, w, target_units, keep_rate,
+           COALESCE(kept_docs, 0) AS kept_docs,
+           COALESCE(kept_units, 0) AS kept_units
+    FROM plan LEFT JOIN kept ON plan.source = kept.source
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (size^0.5) mixture over documents by source with a
+    100k-char budget: damped shares, integer target split, md5-realized
+    keep — the multilingual-corpus reweighting standard. sqrt is
+    correctly-rounded IEEE (engine-portable, unlike pow/ln); shares are
+    BIGINT ratios of the floor-quantized damped weights."""
+    d = load_table(spark, sf_dir, "documents")
+    return SA.temperature_mixture(d, "source", "doc_id", "n_chars",
+                                  budget=100_000, salt="temp1")
+
+
+from ..io import register_views  # noqa: E402
+from ..plans import query as JXQ  # noqa: E402
+from .registry import ORACLES as _REG  # noqa: E402
+
+
+@query("jx_bm25_topk", oracle=_REG["text_bm25_topk"])
+def jx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval through the jx front-end — the lexical-search
+    surface under the reference's "JSON query in, result out" contract.
+    Same oracle as text_bm25_topk: routing must be result-invisible."""
+    register_views(spark, sf_dir)
+    return JXQ.run(spark, {
+        "from": {"op": "bm25", "table": "documents", "id": "doc_id",
+                 "text": "text", "terms": list(_BM25_TERMS), "k": 15},
+    })

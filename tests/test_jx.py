@@ -319,3 +319,44 @@ def test_extension_ops_front_end_equals_direct(spark, sf_dir):
     want = key_skew_profile(spark.table("lineitem"),
                             ["l_partkey", "l_suppkey"])
     assert rows(got) == rows(want)
+
+
+def test_new_extension_ops_front_end_equals_direct(spark, sf_dir):
+    """bm25 / knn_graph / priority_sample / temperature_mixture routed
+    through the jx from clause equal the direct Python-API call."""
+    from activedata_etl_spark.ext import sampling as SA, similarity as SIM
+    from activedata_etl_spark.ext import text as TX
+    from activedata_etl_spark.io import load_table, register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = run(spark, {"from": {"op": "bm25", "table": "documents",
+                               "terms": ["spark", "vector"], "k": 10}})
+    want = TX.bm25_topk(docs, "doc_id", "text", ["spark", "vector"], k=10)
+    assert rows(got) == rows(want)
+
+    got = run(spark, {"from": {"op": "knn_graph", "table": "embeddings",
+                               "k": 2, "nlist": 4},
+                      "where": {"gte": {"cos": 0.0}}})
+    want = SIM.knn_graph(emb, "vec_id", "embedding", k=2, nlist=4) \
+        .filter("cos >= 0.0")
+    assert rows(got) == rows(want)
+
+    got = run(spark, {"from": {"op": "priority_sample",
+                               "table": "documents",
+                               "weight": "n_chars", "k": 5, "salt": "x"}})
+    want = SA.priority_sample(docs, "doc_id", "n_chars", k=5, salt="x")
+    assert rows(got) == rows(want)
+
+    got = run(spark, {"from": {"op": "temperature_mixture",
+                               "table": "documents", "source": "source",
+                               "size": "n_chars", "budget": 50000}})
+    want = SA.temperature_mixture(docs, "source", "doc_id", "n_chars",
+                                  budget=50000)
+    assert rows(got) == rows(want)
