@@ -172,3 +172,96 @@ def jx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from": {"op": "bm25", "table": "documents", "id": "doc_id",
                  "text": "text", "terms": list(_BM25_TERMS), "k": 15},
     })
+
+
+from ..functions.exact import dsum, sql_dsum  # noqa: E402
+
+
+@query(
+    "etl_manifest_pruned_2d",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_custkey >= 200 AND o_custkey <= 700
+      AND o_orderkey >= 1000 AND o_orderkey <= 30000
+    GROUP BY o_orderstatus
+    """,
+)
+def etl_manifest_pruned_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D conjunctive manifest pruning through the standard load path:
+    orders re-laid-out z-ordered on BOTH o_custkey and o_orderkey (each
+    scaled to the same 10-bit range — the layout.py normalization rule),
+    manifest with stats on both columns, then a read with bounds on
+    both. prune_files_multi intersects the per-column candidate sets, so
+    the 2-D read opens at most as many files as either 1-D bound alone
+    (asserted in test_etl's 2-D pruning test); the oracle is the plain
+    full-scan filter — pruning must be result-invisible."""
+    import os
+    import tempfile
+
+    from ..io import load_parquet
+    from ..sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders")
+    data = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_manifest2d_{os.path.basename(sf_dir.rstrip('/'))}",
+        "orders.parquet")
+    if not os.path.isdir(L.manifest_path(data)):
+        hi = o.agg(F.max("o_custkey").alias("ck"),
+                   F.max("o_orderkey").alias("ok")).first()
+        L.write_zordered(
+            o, data,
+            [F.floor(F.col("o_custkey") * 1024 / (hi["ck"] + 1)).cast("bigint"),
+             F.floor(F.col("o_orderkey") * 1024 / (hi["ok"] + 1)).cast("bigint")],
+            n_files=8, bits=10)
+        L.write_manifest(spark, data, ["o_custkey", "o_orderkey"])
+    pruned = load_parquet(spark, data,
+                          bounds={"o_custkey": (200, 700),
+                                  "o_orderkey": (1000, 30000)})
+    return (pruned.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 dsum("o_totalprice").alias("total")))
+
+
+@query(
+    "sim_knn_components",
+    oracle="WITH RECURSIVE " + ",\n".join(_ivf_ctes(8, 2)) + f""",
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_sql_cos('a.vv', 'b.vv')} DESC, b.vec_id ASC) AS rn
+        FROM af a JOIN af b USING (cid) WHERE a.vec_id <> b.vec_id
+      ) WHERE rn <= 3
+    ),
+    edges AS (
+      SELECT src, dst FROM knn UNION SELECT dst, src FROM knn
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    )
+    SELECT src AS vec_id, least(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic grouping = connected components over the kNN graph (the
+    mutual-reachability topic clusters a corpus map is built from).
+    Composition of two verified operators: knn_graph edges (undirected)
+    → min-label propagation. Components cannot span IVF clusters (the
+    knn edges are cluster-confined), so component size — and the
+    recursive closure the oracle materializes — is bounded by the
+    cluster-size contract, not the corpus."""
+    from ..ext import dedup as DD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, "vec_id", "embedding", k=3, nlist=8, n_iter=2)
+    pairs = edges.select(F.least("src", "dst").alias("id_a"),
+                         F.greatest("src", "dst").alias("id_b")).distinct()
+    return (DD.connected_components(pairs)
+            .select(F.col("id").alias("vec_id"), "cluster_id"))

@@ -260,3 +260,42 @@ def test_manifest_pruning_conjunctive_two_dims(spark, sf_dir, tmp_path):
         (F.col("o_custkey").between(*b_ck["o_custkey"]))
         & (F.col("d").between(0, 127))).collect())
     assert sorted(r["o_orderkey"] for r in both.collect()) == want
+
+
+def test_load_path_2d_manifest_pruning(spark, sf_dir, tmp_path):
+    """2-D conjunctive bounds through the STANDARD load path: with both
+    dims z-ordered into the same bit range and both in the manifest, the
+    2-D read opens at most as many files as either 1-D bound alone, and
+    the result equals the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_parquet, load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders")
+    data = str(tmp_path / "orders2d.parquet")
+    hi = o.agg(F.max("o_custkey").alias("ck"),
+               F.max("o_orderkey").alias("ok")).first()
+    L.write_zordered(
+        o, data,
+        [F.floor(F.col("o_custkey") * 1024 / (hi["ck"] + 1)).cast("bigint"),
+         F.floor(F.col("o_orderkey") * 1024 / (hi["ok"] + 1)).cast("bigint")],
+        n_files=8, bits=10)
+    L.write_manifest(spark, data, ["o_custkey", "o_orderkey"])
+
+    b_ck = (1, max(2, hi["ck"] // 8))
+    b_ok = (1, max(2, hi["ok"] // 8))
+    full = spark.read.parquet(data)
+    n_ck = len(load_parquet(spark, data,
+                            bounds={"o_custkey": b_ck}).inputFiles())
+    n_ok = len(load_parquet(spark, data,
+                            bounds={"o_orderkey": b_ok}).inputFiles())
+    both = load_parquet(spark, data,
+                        bounds={"o_custkey": b_ck, "o_orderkey": b_ok})
+    n_both = len(both.inputFiles())
+    assert 0 < n_both <= min(n_ck, n_ok) < len(full.inputFiles())
+    want = sorted(r["o_orderkey"] for r in full.filter(
+        (F.col("o_custkey").between(*b_ck))
+        & (F.col("o_orderkey").between(*b_ok))).collect())
+    got = sorted(r["o_orderkey"] for r in both.collect())
+    assert got == want
