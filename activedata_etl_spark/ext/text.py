@@ -560,3 +560,30 @@ def bm25_topk(df, id_col: str, text_col: str, terms: list[str],
                        .cast("bigint")).cast("double")
                  / F.lit(1000000.0)).alias("bm25")))
     return agg.orderBy(F.desc("bm25"), id_col).limit(k)
+
+
+def rrf_fuse(lex, sem, id_col: str, n: int, k0: int = 60):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    result lists — the standard hybrid-retrieval combiner (lexical BM25
+    leg + semantic ANN leg) because it needs no score calibration:
+    fused = Σ 1/(k0 + rank_leg), missing leg contributes 0.
+
+    Inputs are the ALREADY-TRUNCATED top-N legs (each a handful of rows
+    straight out of a TakeOrderedAndProject), each carrying a ``rank``
+    column. Determinism: ranks are exact integers, each reciprocal is
+    one IEEE division, and the two-term sum has a FIXED order (lex then
+    sem) — mirror the same order in any oracle. The window/join here run
+    over ≤2N rows, so the single-partition concern does not apply; the
+    heavy lifting (corpus-scale scoring) happened inside the legs.
+    """
+    a = lex.select(F.col(id_col), F.col("rank").alias("__rl__"))
+    b = sem.select(F.col(id_col), F.col("rank").alias("__rs__"))
+    one = F.lit(1).cast("double")
+    return (a.join(b, id_col, "full_outer")
+            .withColumn("rrf",
+                        F.coalesce(one / (F.lit(k0) + F.col("__rl__"))
+                                   .cast("double"), F.lit(0.0))
+                        + F.coalesce(one / (F.lit(k0) + F.col("__rs__"))
+                                     .cast("double"), F.lit(0.0)))
+            .select(id_col, F.col("__rl__").alias("rank_lex"),
+                    F.col("__rs__").alias("rank_sem"), "rrf"))

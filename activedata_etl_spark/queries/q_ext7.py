@@ -24,10 +24,11 @@ _BM25_TERMS = ("spark", "vector", "merge")
 _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH tok AS (
+def _bm25_ctes() -> str:
+    """The BM25 CTE chain (terms fixed to _BM25_TERMS, constants folded
+    for k1=1.2 / b=0.75): ends at ``bm`` = (doc_id, bm25). Shared by the
+    direct, jx-routed, and hybrid-RRF oracles."""
+    return f"""tok AS (
       SELECT doc_id, unnest({_TOK}) AS w FROM documents
     ), dl AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
@@ -47,12 +48,18 @@ _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
                 * CAST(1000 * tf.tf * n.total + 300 * n.total
                        + 900 * dl.dl * n.n_docs AS DOUBLE)) AS s
       FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN n
-    )
-    SELECT doc_id,
-           CAST(CAST(SUM(CAST(floor(s * 1000000.0) AS BIGINT)) AS BIGINT)
-                AS DOUBLE) / 1000000.0 AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id LIMIT 15
+    ), bm AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(CAST(floor(s * 1000000.0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 1000000.0 AS bm25
+      FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle="WITH " + _bm25_ctes() + """
+    SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 15
     """,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,3 +272,63 @@ def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.greatest("src", "dst").alias("id_b")).distinct()
     return (DD.connected_components(pairs)
             .select(F.col("id").alias("vec_id"), "cluster_id"))
+
+
+@query(
+    "text_hybrid_rrf_topk",
+    oracle="WITH " + _bm25_ctes() + f""",
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+      FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)
+    ),
+    qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id = 0),
+    cosed AS (
+      SELECT vec_id AS doc_id,
+             {_sql_cos("list_transform(e.embedding, x -> CAST(x AS DOUBLE))", "qv.v")} AS cos
+      FROM embeddings e CROSS JOIN qv
+    ),
+    sem AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rs
+      FROM (SELECT * FROM cosed ORDER BY cos DESC, doc_id LIMIT 50)
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.rl AS rank_lex, sem.rs AS rank_sem,
+             COALESCE(CAST(1 AS DOUBLE) / CAST(60 + lex.rl AS DOUBLE), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + sem.rs AS DOUBLE), 0.0)
+               AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg (top-50 for the fixed terms)
+    fused with a semantic leg (cosine to doc 0's embedding, top-50 —
+    brute here as the exactness baseline; the ANN variants are the
+    scale path for the leg) by reciprocal-rank fusion (k0=60,
+    ext/text.rrf_fuse). Ranks are exact integers, the fusion is two
+    IEEE divisions summed in a fixed order — engine-exact. The windows
+    rank ALREADY-TRUNCATED 50-row legs (TakeOrderedAndProject upstream),
+    so no corpus-scale single-partition window exists in the plan."""
+    from pyspark.sql import Window
+
+    from ..ext.similarity import cosine
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = TX.bm25_topk(d, "doc_id", "text", list(_BM25_TERMS), k=50)
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = lex.withColumn("rank", F.row_number().over(wl))
+    qv = (emb.filter(F.col("vec_id") == 0)
+          .select(F.col("embedding").alias("__qv__")))
+    sem = (emb.crossJoin(F.broadcast(qv))
+           .withColumn("cos", cosine(F.col("embedding"), F.col("__qv__")))
+           .orderBy(F.desc("cos"), "vec_id").limit(50)
+           .select(F.col("vec_id").alias("doc_id"), "cos"))
+    ws = Window.orderBy(F.desc("cos"), "doc_id")
+    sem = sem.withColumn("rank", F.row_number().over(ws))
+    fused = TX.rrf_fuse(lex, sem, "doc_id", n=10)
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
