@@ -176,3 +176,79 @@ def frame_energy(mm: DataFrame, frame_bytes: int = 16,
                                 "energy_sq": e2s})
 
     return mm.mapInPandas(run, schema)
+
+
+#: aHash geometry: 64 "pixels" (the classic 8×8 average hash), split
+#: into 4 bands of 16 bits for the LSH-style candidate join.
+AHASH_PX = 64
+AHASH_BANDS = 4
+_BAND_BITS = AHASH_PX // AHASH_BANDS
+
+
+def ahash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perceptual average-hash (aHash — the classic 8×8 mean-threshold
+    image fingerprint) over the multimodal payload, emitted as 4×16-bit
+    band integers.
+
+    Decode is stubbed per this module's convention: the "grayscale
+    pixels" are the code points of the payload's first 64 characters
+    (deterministic, engine-portable — with a real image codec the pixel
+    extraction is the only stage that changes; the thresholding, band
+    packing, and pair search below are codec-independent). bit_i =
+    pixel_i ≥ mean, computed as ``v·64 ≥ Σv`` so the threshold is exact
+    integer arithmetic with no division, and each band is Σ bit·2^j —
+    everything scan-local, pure codegen, no shuffle.
+    """
+    c = F.rpad(F.col(text_col), AHASH_PX, " ")
+    vals = [F.ascii(F.substring(c, i + 1, 1)) for i in range(AHASH_PX)]
+    total = vals[0]
+    for v in vals[1:]:
+        total = total + v
+    bands = []
+    for b in range(AHASH_BANDS):
+        e = None
+        for j in range(_BAND_BITS):
+            bit = (vals[b * _BAND_BITS + j] * AHASH_PX >= total) \
+                .cast("bigint") * F.lit(1 << j)
+            e = bit if e is None else e + bit
+        bands.append(e.alias(f"band{b}"))
+    return df.select(F.col(id_col).alias("id"), *bands)
+
+
+def ahash_pairs(df: DataFrame, id_col: str, text_col: str,
+                max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-dup pairs: documents whose aHashes differ in at
+    most ``max_hamming`` of 64 bits AND share at least one exact 16-bit
+    band. The band condition is the standard pigeonhole blocker (any
+    pair within hamming 6 < 4 bands MUST agree on ≥1 full band... when
+    the 6 flips hit ≤3 bands; a worst-case spread of ≥4 flips across all
+    4 bands is missed — the documented LSH-style recall trade), so
+    candidates materialize from 4 equi-joins' worth of rows, never the
+    |corpus|² product.
+
+    One-pass dedup of multi-band matches: a candidate row survives only
+    where the matched band is the FIRST shared band (array_position on
+    the zipped equality vector) — no distinct, no second shuffle (the
+    interval-overlap first-shared-bin pattern). Output (id_a, id_b,
+    hamming), exact integers end to end.
+    """
+    h = ahash_bands(df, id_col, text_col)
+    arr = h.select("id", F.array(*[f"band{b}"
+                                   for b in range(AHASH_BANDS)]).alias("bands"))
+    ex = arr.select("id", "bands",
+                    F.posexplode("bands").alias("bidx", "bval"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("bands").alias("__ba__"),
+                  "bidx", "bval")
+    b = ex.select(F.col("id").alias("id_b"), F.col("bands").alias("__bb__"),
+                  "bidx", "bval")
+    eq = F.zip_with("__ba__", "__bb__", lambda x, y: x == y)
+    hamming = F.aggregate(
+        F.zip_with("__ba__", "__bb__",
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return (a.join(b, ["bidx", "bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.array_position(eq, True) == F.col("bidx") + 1)
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

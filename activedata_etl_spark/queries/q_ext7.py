@@ -332,3 +332,52 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = sem.withColumn("rank", F.row_number().over(ws))
     fused = TX.rrf_fuse(lex, sem, "doc_id", n=10)
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+def _ahash_oracle(max_hamming: int = 6) -> str:
+    """DuckDB rendering of the aHash pipeline: 64 code-point pixels,
+    integer mean-threshold bits, 4×16-bit bands, OR-of-bands blocking +
+    exact hamming — the blocking is result-equivalent to the Spark
+    side's first-shared-band equi-join form."""
+    vals = ", ".join(f"ord(substring(p, {i + 1}, 1))" for i in range(64))
+    pw = "list_value(" + ", ".join(str(1 << j) for j in range(16)) + ")"
+
+    def band(b: int) -> str:
+        return (f"CAST(list_sum(list_transform(list_zip("
+                f"list_slice(bits, {b * 16 + 1}, {b * 16 + 16}), {pw}), "
+                f"p -> p[1] * p[2])) AS BIGINT) AS b{b}")
+
+    return f"""
+    WITH t AS (SELECT doc_id, rpad(text, 64, ' ') AS p FROM documents),
+    v AS (SELECT doc_id, list_value({vals}) AS vs FROM t),
+    s AS (SELECT doc_id, vs, CAST(list_sum(vs) AS BIGINT) AS tot FROM v),
+    bt AS (SELECT doc_id,
+             list_transform(vs, x -> CASE WHEN x * 64 >= tot
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+           FROM s),
+    h AS (SELECT doc_id, {band(0)}, {band(1)}, {band(2)}, {band(3)} FROM bt)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        <= {max_hamming}
+    """
+
+
+@query("multimodal_ahash_pairs", oracle=_ahash_oracle(6))
+def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs by average-hash (aHash), hamming ≤ 6 of
+    64 bits with 16-bit-band blocking — image dedup's standard cheap
+    fingerprint, over the module's stubbed decode (pixels = payload code
+    points; a real codec swaps only the pixel stage). All-integer end to
+    end; the Spark side blocks via a banded equi-join with the
+    first-shared-band guard (no distinct), the oracle states the same
+    pair set with an OR-of-bands join."""
+    from ..ext import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    return MM.ahash_pairs(d, "doc_id", "text", max_hamming=6)

@@ -610,3 +610,26 @@ def test_knn_graph_symmetric_core(spark, sf_dir):
     cid = {r["vec_id"]: r["cid"] for r in assign.collect()}
     for r in g:
         assert cid[r["src"]] == cid[r["dst"]]
+
+
+def test_ahash_planted_near_dups(spark):
+    """aHash must pair an exact copy at hamming 0 and a lightly-edited
+    copy at small hamming, and must not pair a structurally different
+    payload; bands are pure codegen (no shuffle until the pair join)."""
+    from activedata_etl_spark.ext.multimodal import ahash_bands, ahash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    edited = "THE quick brown fox jumps over the lazy dog " * 3  # case flip
+    other = "zzzzzz completely different content 0123456789 " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)], ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in ahash_pairs(df, "doc_id", "text", max_hamming=16).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got and 0 < got[(1, 3)] <= 16
+    assert not any(4 in p for p in got)
+    # bands are deterministic under repartition
+    b1 = sorted(map(tuple, ahash_bands(df, "doc_id", "text").collect()))
+    b2 = sorted(map(tuple,
+                    ahash_bands(df.repartition(3), "doc_id", "text").collect()))
+    assert b1 == b2

@@ -285,3 +285,12 @@ def test_knn_graph_equijoin_on_cluster(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_knn_graph")
     assert "CartesianProduct" not in plan
     assert "Join [cid" in plan and "Inner" in plan
+
+
+def test_ahash_pairs_banded_equijoin(spark, sf_dir):
+    """The aHash pair search must be a banded equi-join — no cartesian,
+    no BNLJ — and the hash computation must push no shuffle before the
+    band explode."""
+    plan = _plan(spark, sf_dir, "multimodal_ahash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
