@@ -200,19 +200,39 @@ def ahash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     everything scan-local, pure codegen, no shuffle.
     """
     c = F.rpad(F.col(text_col), AHASH_PX, " ")
-    vals = [F.ascii(F.substring(c, i + 1, 1)) for i in range(AHASH_PX)]
-    total = vals[0]
-    for v in vals[1:]:
-        total = total + v
-    bands = []
-    for b in range(AHASH_BANDS):
-        e = None
-        for j in range(_BAND_BITS):
-            bit = (vals[b * _BAND_BITS + j] * AHASH_PX >= total) \
-                .cast("bigint") * F.lit(1 << j)
-            e = bit if e is None else e + bit
-        bands.append(e.alias(f"band{b}"))
-    return df.select(F.col(id_col).alias("id"), *bands)
+    # STAGED: pixels land in ONE array column, the total in one more —
+    # inlining the 64-term sum into each of 64 bit expressions makes a
+    # 4096-term tree per row (catalyst CSE does not share across them;
+    # the gopher-gate lesson) and blew the JIT heap at sf0.1.
+    vs = F.array(*[F.ascii(F.substring(c, i + 1, 1))
+                   for i in range(AHASH_PX)])
+    staged = (df.select(F.col(id_col).alias("id"), vs.alias("__vs__"))
+              .withColumn("__tot__",
+                          F.aggregate("__vs__", F.lit(0).cast("bigint"),
+                                      lambda acc, v: acc + v)))
+    powers = F.array(*[F.lit(1 << j).cast("bigint")
+                       for j in range(_BAND_BITS)])
+    # coalesce makes each band provably NON-NULL: without it, a
+    # downstream filter over the bands makes Catalyst infer
+    # isnotnull(band) constraints and push them to the SCAN — where the
+    # projection staging collapses and the 64-term total re-inlines into
+    # every element lambda (64×64 terms per null-check per row; measured
+    # 46s at sf0.1 and an OOM in the unstaged form, vs ~4s with this).
+    bands = [
+        F.coalesce(
+            F.aggregate(
+                F.zip_with(F.slice("__vs__", b * _BAND_BITS + 1, _BAND_BITS),
+                           powers,
+                           lambda x, p: F.when(
+                               x * AHASH_PX >= F.col("__tot__"), p
+                           ).otherwise(F.lit(0).cast("bigint"))),
+                F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias(f"band{b}")
+        for b in range(AHASH_BANDS)
+    ]
+    return staged.select("id", *bands)
 
 
 def ahash_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -231,24 +251,69 @@ def ahash_pairs(df: DataFrame, id_col: str, text_col: str,
     the zipped equality vector) — no distinct, no second shuffle (the
     interval-overlap first-shared-bin pattern). Output (id_a, id_b,
     hamming), exact integers end to end.
+
+    Identical-hash prepass (the standing rule for pairwise ops, see
+    SCALE.md): docs with IDENTICAL 64-bit hashes collapse to one
+    canonical before the band join — K perceptual copies of an image
+    would otherwise grow every band bucket K× and the candidate stage
+    K². Hash-groups re-expand at the end (within-group pairs at hamming
+    0 plus cross-group pairs fanned to members), so the pair set is
+    exactly what the no-prepass form emits and the oracle never sees
+    the rewrite.
     """
     h = ahash_bands(df, id_col, text_col)
-    arr = h.select("id", F.array(*[f"band{b}"
-                                   for b in range(AHASH_BANDS)]).alias("bands"))
-    ex = arr.select("id", "bands",
-                    F.posexplode("bands").alias("bidx", "bval"))
-    a = ex.select(F.col("id").alias("id_a"), F.col("bands").alias("__ba__"),
+    names = [f"band{b}" for b in range(AHASH_BANDS)]
+    groups = (h.groupBy(*names)
+              .agg(F.array_sort(F.collect_list("id")).alias("__ids__")))
+    canon = groups.select(F.element_at("__ids__", 1).alias("id"),
+                          "__ids__", *names)
+    # candidate generation explodes the bands; the hamming/guard stage
+    # carries the four bands as SCALAR columns — a hot bucket pushes
+    # millions of candidate rows through this stage, and scalar
+    # bit_count/boolean exprs stay in whole-stage codegen where the
+    # array zip_with/aggregate HOF form is interpreted per row
+    # (measured 46s → ~3s at sf0.1).
+    ex = canon.select(
+        "id", "__ids__", *names,
+        F.posexplode(F.array(*names)).alias("bidx", "bval"))
+    a = ex.select(F.col("id").alias("ca"), F.col("__ids__").alias("ids_a"),
+                  *[F.col(n).alias(f"a{i}") for i, n in enumerate(names)],
                   "bidx", "bval")
-    b = ex.select(F.col("id").alias("id_b"), F.col("bands").alias("__bb__"),
+    b = ex.select(F.col("id").alias("cb"), F.col("__ids__").alias("ids_b"),
+                  *[F.col(n).alias(f"b{i}") for i, n in enumerate(names)],
                   "bidx", "bval")
-    eq = F.zip_with("__ba__", "__bb__", lambda x, y: x == y)
-    hamming = F.aggregate(
-        F.zip_with("__ba__", "__bb__",
-                   lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
-    return (a.join(b, ["bidx", "bval"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(F.array_position(eq, True) == F.col("bidx") + 1)
-            .withColumn("hamming", hamming)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    hamming = None
+    for i in range(AHASH_BANDS):
+        t = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        hamming = t if hamming is None else hamming + t
+    hamming = hamming.cast("bigint")
+    diff = [F.col(f"a{i}") != F.col(f"b{i}") for i in range(AHASH_BANDS)]
+    first_shared = F.when(F.col("bidx") == 0, F.lit(True))
+    for i in range(1, AHASH_BANDS):
+        cond = diff[0]
+        for d_ in diff[1:i]:
+            cond = cond & d_
+        first_shared = first_shared.when(F.col("bidx") == i, cond)
+    # cross-group: canonical pairs (hamming > 0 by construction), fanned
+    # back out to every member pair with id_a < id_b normalization
+    cross = (a.join(b, ["bidx", "bval"])
+             .filter(F.col("ca") < F.col("cb"))
+             .filter(first_shared)
+             .withColumn("hamming", hamming)
+             .filter(F.col("hamming") <= max_hamming)
+             .select(F.explode("ids_a").alias("x"), "ids_b", "hamming")
+             .select("x", F.explode("ids_b").alias("y"), "hamming")
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"), "hamming"))
+    # within-group: every member pair of a hash group, hamming 0
+    within = (canon.filter(F.size("__ids__") >= 2)
+              .select(F.explode(F.flatten(F.transform(
+                  "__ids__",
+                  lambda x, i: F.transform(
+                      F.slice(F.col("__ids__"), i + F.lit(2),
+                              F.size(F.col("__ids__"))),
+                      lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                  ),
+              ))).alias("p"))
+              .select("p.id_a", "p.id_b", F.lit(0).cast("bigint").alias("hamming")))
+    return cross.unionByName(within)
