@@ -587,3 +587,74 @@ def rrf_fuse(lex, sem, id_col: str, n: int, k0: int = 60):
                                      .cast("double"), F.lit(0.0)))
             .select(id_col, F.col("__rl__").alias("rank_lex"),
                     F.col("__rs__").alias("rank_sem"), "rrf"))
+
+
+def bm25_postings(df, id_col: str, text_col: str):
+    """Per-document posting facts for the BM25 index: (id, term, tf, dl).
+    Facts, not counters — so the index stays replay-safe under batch-
+    keyed overwrite (unlike CMS sums); df / N / total-token stats are
+    DERIVED on read, which also means deleting a batch directory
+    correctly retracts its documents from every statistic."""
+    base = df.select(F.col(id_col).alias("id"),
+                     tokens(text_col).alias("__t__"))
+    return (base.select("id", F.size("__t__").cast("bigint").alias("dl"),
+                        F.explode("__t__").alias("term"))
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"),
+                 F.first("dl").alias("dl")))
+
+
+def append_bm25_index(df, id_col: str, text_col: str,
+                      path: str, batch_id: int) -> None:
+    """Incremental retrieval-index maintenance with AT-LEAST-ONCE
+    safety: each micro-batch OVERWRITES its own batch-keyed directory
+    (the idempotent etl-key pattern every index here uses) — replaying
+    batch k rewrites identical posting bytes instead of duplicating
+    them."""
+    import os
+
+    bm25_postings(df, id_col, text_col).write.mode("overwrite") \
+        .parquet(os.path.join(path, f"batch={batch_id}"))
+
+
+def bm25_query_index(spark, path: str, terms: list[str], k: int = 15,
+                     k1_x10: int = 12, b_x100: int = 75):
+    """BM25 top-k served from the PERSISTED postings index — the
+    retrieval path a service hits, with corpus stats derived
+    merge-on-read so appended batches are searchable immediately.
+
+    Same exact-integer rational as :func:`bm25_topk` (byte-identical
+    scores, so the oracle for an index-served query is the plain
+    corpus SQL — index invisibility). Plan: the term filter hits the
+    postings scan (only the query's terms are read — at 100 TB, store
+    the postings bucketed/sorted by term and this becomes an index
+    seek); df and the (N, total) pair are two tiny aggregates of the
+    dl facts, broadcast back."""
+    A = 100 * (k1_x10 + 10)
+    B1 = k1_x10 * (100 - b_x100)
+    B2 = k1_x10 * b_x100
+    post = spark.read.option("basePath", path).parquet(path) \
+        .select("id", "term", "tf", "dl")
+    docs = post.groupBy("id").agg(F.first("dl").alias("dl"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n__"),
+                 F.sum("dl").cast("bigint").alias("__total__"))
+    tf = post.filter(F.col("term").isin(terms))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("__df__")))
+    num = (F.lit(A) * F.col("tf")
+           * (2 * F.col("__n__") - 2 * F.col("__df__") + 1)).cast("bigint")
+    den_inner = (1000 * F.col("tf") * F.col("__total__")
+                 + F.lit(B1) * F.col("__total__")
+                 + F.lit(B2) * F.col("dl") * F.col("__n__")).cast("bigint")
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("__s__",
+                          num.cast("double") * F.col("__total__").cast("double")
+                          / ((2 * F.col("__df__") + 1).cast("double")
+                             * den_inner.cast("double"))))
+    agg = (scored.groupBy("id")
+           .agg((F.sum(F.floor(F.col("__s__") * F.lit(1000000.0))
+                       .cast("bigint")).cast("double")
+                 / F.lit(1000000.0)).alias("bm25")))
+    return (agg.select(F.col("id").alias("doc_id"), "bm25")
+            .orderBy(F.desc("bm25"), "doc_id").limit(k))

@@ -381,3 +381,28 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return MM.ahash_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+@query("text_bm25_from_index", oracle=_REG["text_bm25_topk"])
+def text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED postings index (two batch shards,
+    stats derived merge-on-read) — must be byte-identical to scoring the
+    corpus directly, so the oracle is text_bm25_topk's corpus SQL
+    verbatim (index invisibility, the dedup_index_query pattern). The
+    cached index under the system temp dir is rebuilt from the base
+    table if absent; postings written LAST per shard = completion
+    marker."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bm25_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(os.path.join(path, "batch=1")):
+        half = d.count() // 2
+        TX.append_bm25_index(d.filter(F.col("doc_id") < half),
+                             "doc_id", "text", path, 0)
+        TX.append_bm25_index(d.filter(F.col("doc_id") >= half),
+                             "doc_id", "text", path, 1)
+    return TX.bm25_query_index(spark, path, list(_BM25_TERMS), k=15)
