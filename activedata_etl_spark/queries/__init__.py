@@ -51,6 +51,17 @@ _FRONT = [
     # driver-green in r1-r4 and stay covered by the full local sweep.
     # Whole prefix parity-validated at sf0.01 from a vanilla session
     # before commit.
+    # NEWEST (continuation session): the 10 operators written after the
+    # first r5 rotation — newest code carries the most risk, so they
+    # lead. To keep the prefix at 50, ten LOW-RISK builtin wrappers
+    # (window/setop tails, join_full_outer, sort_paging) moved to the
+    # r6 backlog alongside the 28 already deferred; all ten are
+    # sweep-green at both scales this session.
+    "multimodal_ahash_pairs", "text_bm25_from_index",
+    "text_hybrid_rrf_topk", "sim_knn_components", "text_bm25_topk",
+    "sim_knn_graph", "sample_priority_weighted",
+    "sample_temperature_mixture", "etl_manifest_pruned_2d",
+    "jx_bm25_topk",
     # NEW this round: manifest-pruned standard read, hot-key-split as-of,
     # CMS heavy hitters from the persisted index, and the three
     # jx-front-end-routed extension ops
@@ -74,12 +85,6 @@ _FRONT = [
     # backlog, same size either way)
     "dedup_exact_substrings", "dedup_exact_substr_removal",
     "corpus_release_manifest",
-    "join_full_outer",
-    "setop_intersect", "setop_except",
-    "setop_array_values", "sort_paging",
-    "window_first_last_value", "window_ntile_percent",
-    "window_sliding_frame", "window_whole_partition",
-    "window_range_trailing_7d",
     # agg/sketch tail — bloom first (probe fix this round)
     "agg_bloom_words", "agg_bloom_probe",
     "agg_cms_registers", "agg_cms_estimate",
