@@ -88,6 +88,18 @@ HEADLINE = [
     "etl_manifest_pruned_read",
     "join_asof_hotkey_split",
     "agg_cms_heavy_hitters",
+    # r5 continuation: BM25 retrieval (direct + persisted index +
+    # hybrid RRF), priority/temperature sampling, 2-D manifest pruning,
+    # perceptual aHash near-dup. sim_knn_graph is deliberately NOT
+    # headline (k-means dominates; its scaling story is the SCALE.md
+    # rig) — these seven are the service-shaped fast paths.
+    "text_bm25_topk",
+    "text_bm25_from_index",
+    "text_hybrid_rrf_topk",
+    "sample_priority_weighted",
+    "sample_temperature_mixture",
+    "etl_manifest_pruned_2d",
+    "multimodal_ahash_pairs",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()
