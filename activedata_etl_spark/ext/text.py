@@ -658,3 +658,44 @@ def bm25_query_index(spark, path: str, terms: list[str], k: int = 15,
                  / F.lit(1000000.0)).alias("bm25")))
     return (agg.select(F.col("id").alias("doc_id"), "bm25")
             .orderBy(F.desc("bm25"), "doc_id").limit(k))
+
+
+RERANK_SCHEMA = "doc_id bigint, rerank double"
+
+
+def rerank_stub(candidates, id_col: str, text_col: str, query: str):
+    """Model-based rerank stage for retrieval pipelines (the cross-
+    encoder step after BM25/ANN candidate generation), with the MODEL
+    STUBBED per the multimodal convention: no transformer runtime exists
+    in this environment, so the scorer is a deterministic stand-in —
+    md5(query || text) → uniform [0,1) — and the REAL part is the Spark
+    plumbing a true cross-encoder needs: Arrow-batched ``mapInPandas``
+    over the candidate rows (one pandas batch per partition chunk,
+    bytes never cross a Python row boundary), score column out,
+    deterministic re-sort downstream. Swapping in a real model changes
+    only the body of ``score_batch``.
+
+    Because the stand-in is md5, the whole stage is oracle-expressible
+    — so unlike most model stages the plumbing itself is value-checked
+    against SQL, not just shape-checked. Scores: one IEEE division of
+    exact integers, engine-portable."""
+    import hashlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    prefix = query + "|"
+
+    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            h = b[text_col].map(
+                lambda t: int(hashlib.md5(
+                    (prefix + t).encode()).hexdigest()[:8], 16))
+            yield pd.DataFrame({
+                "doc_id": b[id_col],
+                "rerank": h.astype("float64") / 4294967296.0,
+            })
+
+    return candidates.select(F.col(id_col), F.col(text_col)) \
+        .mapInPandas(score_batch, RERANK_SCHEMA)

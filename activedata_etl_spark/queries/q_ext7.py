@@ -406,3 +406,66 @@ def text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.append_bm25_index(d.filter(F.col("doc_id") >= half),
                              "doc_id", "text", path, 1)
     return TX.bm25_query_index(spark, path, list(_BM25_TERMS), k=15)
+
+
+@query(
+    "text_rerank_stub_topk",
+    oracle="WITH " + _bm25_ctes() + """,
+    cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)
+    SELECT d.doc_id,
+           CAST(('0x' || substring(md5(concat('spark vector merge|', d.text)),
+                                   1, 8)) AS BIGINT) / 4294967296.0 AS rerank
+    FROM documents d JOIN cand USING (doc_id)
+    ORDER BY rerank DESC, d.doc_id LIMIT 10
+    """,
+)
+def text_rerank_stub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage retrieval shape: BM25 candidate generation (top-50)
+    → model rerank → top-10. The rerank model is a deterministic md5
+    stand-in (ext/text.rerank_stub) so the Arrow mapInPandas plumbing is
+    VALUE-checked against SQL — the only query in the registry whose
+    Python stage is oracle-paired rather than shape-tested. Candidates
+    re-join their text via the doc_id broadcast (50 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = TX.bm25_topk(d, "doc_id", "text", list(_BM25_TERMS), k=50)
+    withtext = d.join(F.broadcast(cand.select("doc_id")), "doc_id")
+    scored = TX.rerank_stub(withtext, "doc_id", "text",
+                            " ".join(_BM25_TERMS))
+    return scored.orderBy(F.desc("rerank"), "doc_id").limit(10)
+
+
+@query(
+    "sim_knn_density_outliers",
+    oracle="WITH " + ",\n".join(_ivf_ctes(8, 2)) + f""",
+    knn AS (
+      SELECT src, cos FROM (
+        SELECT a.vec_id AS src, {_sql_cos('a.vv', 'b.vv')} AS cos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_sql_cos('a.vv', 'b.vv')} DESC, b.vec_id ASC) AS rn
+        FROM af a JOIN af b USING (cid) WHERE a.vec_id <> b.vec_id
+      ) WHERE rn <= 3
+    ),
+    dens AS (
+      SELECT src AS vec_id,
+             CAST(SUM(CAST(floor(cos * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000000.0) AS knn_density
+      FROM knn GROUP BY src
+    )
+    SELECT vec_id, knn_density FROM dens
+    ORDER BY knn_density ASC, vec_id LIMIT 20
+    """,
+)
+def sim_knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-density outlier scoring: a vector whose top-k neighbors are
+    all FAR (low mean cosine) sits in a sparse region — the classic
+    density-based outlier signal, here as a composition over the
+    cluster-confined kNN graph. Bottom-20 by floor-quantized mean
+    neighbor cosine (order-free integer sum; one IEEE division)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, "vec_id", "embedding", k=3, nlist=8, n_iter=2)
+    dens = (edges.groupBy(F.col("src").alias("vec_id"))
+            .agg((F.sum(F.floor(F.col("cos") * F.lit(1000000000.0))
+                        .cast("bigint")).cast("double")
+                  / (F.count(F.lit(1)) * F.lit(1000000000.0)))
+                 .alias("knn_density")))
+    return dens.orderBy("knn_density", "vec_id").limit(20)
