@@ -51,12 +51,17 @@ _FRONT = [
     # driver-green in r1-r4 and stay covered by the full local sweep.
     # Whole prefix parity-validated at sf0.01 from a vanilla session
     # before commit.
-    # NEWEST (continuation session): the 10 operators written after the
+    # NEWEST (continuation session): the 12 operators written after the
     # first r5 rotation — newest code carries the most risk, so they
-    # lead. To keep the prefix at 50, ten LOW-RISK builtin wrappers
-    # (window/setop tails, join_full_outer, sort_paging) moved to the
-    # r6 backlog alongside the 28 already deferred; all ten are
-    # sweep-green at both scales this session.
+    # lead; text_rerank_stub_topk first (the registry's ONLY Python-
+    # stage oracle pair — mapInPandas under driver conditions is the
+    # riskiest surface here). To keep the prefix at 50, twelve entries
+    # moved to the r6 backlog alongside the 28 already deferred: ten
+    # LOW-RISK builtin wrappers (window/setop tails, join_full_outer,
+    # sort_paging) plus embedding_centroids / multimodal_frame_energy
+    # (both machinery-shared with queries that remain in the prefix).
+    # All twelve newest are sweep-green at both scales this session.
+    "text_rerank_stub_topk", "sim_knn_density_outliers",
     "multimodal_ahash_pairs", "text_bm25_from_index",
     "text_hybrid_rrf_topk", "sim_knn_components", "text_bm25_topk",
     "sim_knn_graph", "sample_priority_weighted",
@@ -95,7 +100,6 @@ _FRONT = [
     # ETL / quality / similarity tail
     "etl_scd2_history", "etl_scd2_lookup",
     "text_quality_calibrated", "sim_dimension_profile",
-    "embedding_centroids", "multimodal_frame_energy",
 ]
 
 
