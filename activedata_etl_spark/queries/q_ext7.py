@@ -469,3 +469,60 @@ def sim_knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (F.count(F.lit(1)) * F.lit(1000000000.0)))
                  .alias("knn_density")))
     return dens.orderBy("knn_density", "vec_id").limit(20)
+
+
+@query(
+    "text_term_drift_tv",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS snap, unnest({_TOK}) AS w FROM documents
+    ), c AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM tok GROUP BY w
+    ), n AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+      FROM c
+    ), term AS (
+      SELECT w, c0, c1,
+             CAST(abs(c0 * n.n1 - c1 * n.n0) AS DOUBLE)
+               / CAST(n.n0 * n.n1 AS DOUBLE) AS tv_term
+      FROM c CROSS JOIN n
+    )
+    SELECT w, c0, c1, tv_term FROM term
+    ORDER BY tv_term DESC, w LIMIT 25
+    """,
+)
+def text_term_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitoring: total-variation contribution per term
+    between two corpus snapshots (even/odd doc ids stand in for
+    yesterday/today) — the distribution-shift alarm an ingest pipeline
+    watches, as TV distance rather than KL because |p−q| has a RATIONAL
+    form: |c0·N1 − c1·N0| / (N0·N1), exact integer numerators (no log,
+    no per-term double sums). Top-25 drifting terms. One token-count
+    shuffle + a 1-row broadcast; scan-local otherwise. 0.5·Σ tv_term is
+    the corpus-level TV distance.
+
+    Bound: the cross-products live in BIGINT, exact while each
+    snapshot stays under ~3·10⁹ tokens (N0·N1 < 2^63). Beyond that,
+    switch the expression to floor-quantized per-snapshot rates
+    (|floor(c0·1e12/n0) − floor(c1·1e12/n1)|/1e12) — same integer-exact
+    discipline, no cross-product."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select((F.col("doc_id") % 2).alias("snap"),
+                   F.explode(TX.tokens("text")).alias("w"))
+    c = (tok.groupBy("w")
+         .agg(F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+              .cast("bigint").alias("c0"),
+              F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+              .cast("bigint").alias("c1")))
+    n = c.agg(F.sum("c0").cast("bigint").alias("n0"),
+              F.sum("c1").cast("bigint").alias("n1"))
+    term = (c.crossJoin(F.broadcast(n))
+            .withColumn("tv_term",
+                        F.abs(F.col("c0") * F.col("n1")
+                              - F.col("c1") * F.col("n0")).cast("double")
+                        / (F.col("n0") * F.col("n1")).cast("double")))
+    return (term.select("w", "c0", "c1", "tv_term")
+            .orderBy(F.desc("tv_term"), "w").limit(25))

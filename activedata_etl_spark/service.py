@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import json
+import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -460,7 +461,9 @@ def attach_indexes(spark, indexes: dict[str, str]) -> list[str]:
         for d in sorted(os.listdir(path)):
             sub = os.path.join(path, d)
             if is_parquet_dir(sub):
-                view = f"{name}_{d}"
+                # batch-keyed shards ('batch=0') carry '=' — sanitize to
+                # a legal view identifier (bm25 postings, CMS shards)
+                view = f"{name}_{re.sub(r'[^0-9A-Za-z_]', '_', d)}"
                 spark.read.parquet(sub).createOrReplaceTempView(view)
                 mine.append(view)
         if not mine:

@@ -504,3 +504,22 @@ def test_arrow_stream_empty_result(endpoint):
     with urllib.request.urlopen(req) as r:
         table = pa.ipc.open_stream(r.read()).read_all()
     assert table.num_rows == 0 and table.schema.names == ["n_name"]
+
+
+def test_attach_bm25_index_queryable(spark, sf_dir, tmp_path):
+    """A persisted BM25 postings index attaches like any derived index
+    and is reachable from the SQL surface — the retrieval-index
+    analog of the near-dup/HLL index attachment."""
+    from activedata_etl_spark.ext import text as TX
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.service import attach_indexes
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = tmp_path / "bm25" / "postings"
+    TX.append_bm25_index(d, "doc_id", "text", str(idx.parent), 0)
+    # attach the batch dir as a view (one parquet table under the root)
+    views = attach_indexes(spark, {"bm25": str(tmp_path / "bm25")})
+    assert any(v.startswith("bm25_") for v in views)
+    view = [v for v in views if v.startswith("bm25_")][0]
+    n = spark.sql(f"SELECT COUNT(*) AS n FROM {view}").first()["n"]
+    assert n > 0
