@@ -786,3 +786,69 @@ def duplicated_chunks_from_index(spark, path: str,
             .agg(F.countDistinct("doc").alias("n_docs"))
             .filter(F.col("n_docs") >= min_docs)
             .select("h", "n_docs"))
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 4, w: int = 4) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): from each window of ``w``
+    consecutive k-gram hashes, keep the minimum (ties → RIGHTMOST
+    occurrence, the paper's rule), then dedup selections. Guarantees:
+    any shared run of ≥ w+k-1 tokens between two documents shares at
+    least one selected fingerprint, while storing only ~2/(w+1) of all
+    k-gram hashes — the density/guarantee trade the paper proves, and
+    the third fingerprint family here next to fixed chunks and CDC.
+
+    Entirely scan-local array arithmetic (no self-join for the window
+    selection — the SQL form needs a positional self-join; the Spark
+    form is one ``transform`` over window starts, O(n·w) inside the
+    row). Hashes are md5-derived 32-bit ints, bit-reproducible by any
+    engine. Output: (id, fpos, h) — selected position + fingerprint.
+    """
+    g = F.transform(
+        _shingle_source(df, text_col, k),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"))
+    n = F.size(g)
+    starts = F.when(n >= w, F.sequence(F.lit(1), n - (w - 1))) \
+        .otherwise(F.expr("CAST(array() AS array<int>)"))
+    sel = F.transform(starts, lambda i: F.struct(
+        (i + w - F.array_position(
+            F.reverse(F.slice(g, i, w)),
+            F.array_min(F.slice(g, i, w)))).cast("int").alias("fpos"),
+        F.array_min(F.slice(g, i, w)).alias("h")))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(sel)).alias("fp"))
+            .select("id", "fp.fpos", "fp.h"))
+
+
+def _shingle_source(df: DataFrame, text_col: str, k: int) -> Column:
+    """Ordered k-gram strings (duplicates kept — winnowing is position-
+    sensitive, unlike the distinct-set shingles minhash uses)."""
+    from .text import ngrams
+
+    return ngrams(tokens(text_col), k)
+
+
+def winnowing_pairs(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 4, w: int = 4, min_shared: int = 2,
+                    max_df: int | None = 50) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS match candidates. One equi-join shuffle on the fingerprint
+    hash; ``max_df`` drops hashes present in more than that many docs
+    before the join (the standing hot-key cap: a boilerplate fingerprint
+    in half the corpus fans out quadratically and carries no match
+    signal). Output (id_a, id_b, shared)."""
+    fp = winnowing_fingerprints(df, id_col, text_col, k, w)
+    fph = fp.select("id", "h").distinct()
+    if max_df is not None:
+        keep = (fph.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("__df__"))
+                .filter(F.col("__df__") <= max_df).select("h"))
+        fph = fph.join(keep, "h")
+    a = fph.select(F.col("id").alias("id_a"), "h")
+    b = fph.select(F.col("id").alias("id_b"), "h")
+    return (a.join(b, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+            .filter(F.col("shared") >= min_shared))

@@ -526,3 +526,52 @@ def text_term_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.col("n0") * F.col("n1")).cast("double")))
     return (term.select("w", "c0", "c1", "tv_term")
             .orderBy(F.desc("tv_term"), "w").limit(25))
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    kg AS (
+      SELECT doc_id, s.pos,
+             CAST(('0x' || substring(md5(array_to_string(
+               list_slice(toks, s.pos, s.pos + 3), ' ')), 1, 8)) AS BIGINT) AS h
+      FROM t, UNNEST(range(1, greatest(len(toks) - 3, 0) + 1)) AS s(pos)
+    ),
+    wn AS (
+      SELECT a.doc_id, a.pos AS wstart, b.pos, b.h
+      FROM kg a JOIN kg b ON a.doc_id = b.doc_id
+                         AND b.pos BETWEEN a.pos AND a.pos + 3
+    ),
+    sel AS (
+      SELECT doc_id, wstart, MIN(h) AS mh FROM wn
+      GROUP BY doc_id, wstart HAVING COUNT(*) = 4
+    ),
+    fp0 AS (
+      SELECT w.doc_id, w.wstart, s.mh, MAX(w.pos) AS fpos
+      FROM wn w JOIN sel s ON w.doc_id = s.doc_id AND w.wstart = s.wstart
+                          AND w.h = s.mh
+      GROUP BY w.doc_id, w.wstart, s.mh
+    ),
+    fph AS (SELECT DISTINCT doc_id, mh AS h FROM fp0),
+    filt AS (SELECT h FROM fph GROUP BY h HAVING COUNT(*) <= 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM fph a JOIN fph b USING (h) JOIN filt USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match candidates: pairs sharing ≥2 winnowing
+    fingerprints (k=4-gram hashes, window w=4, rightmost-min rule —
+    Schleimer et al. SIGMOD'03). The Spark side selects fingerprints
+    with scan-local array arithmetic; the oracle needs a positional
+    self-join to express the same windows — the relational form the
+    paper's guarantee (any shared ≥ w+k−1 token run yields a shared
+    fingerprint) is usually stated in."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    return DD.winnowing_pairs(d, "doc_id", "text", k=4, w=4,
+                              min_shared=2, max_df=50)

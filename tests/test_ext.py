@@ -633,3 +633,33 @@ def test_ahash_planted_near_dups(spark):
     b2 = sorted(map(tuple,
                     ahash_bands(df.repartition(3), "doc_id", "text").collect()))
     assert b1 == b2
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al.'s theorem, checked concretely: any shared token
+    run of length ≥ w+k−1 (= 7 here) yields ≥1 shared fingerprint; and
+    selection keeps far fewer than all k-gram hashes."""
+    from activedata_etl_spark.ext.dedup import (winnowing_fingerprints,
+                                                winnowing_pairs)
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    docs = [
+        (1, "xx yy " + shared_run + " zz ww qq"),
+        (2, "aa bb cc dd " + shared_run + " ee"),
+        (3, "totally different words only here nothing matches at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = winnowing_pairs(df, "doc_id", "text", k=4, w=4,
+                            min_shared=1, max_df=None).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+    # density: selections ≤ k-gram count, and dedup'd positions unique
+    fp = winnowing_fingerprints(df, "doc_id", "text", k=4, w=4).collect()
+    from collections import Counter
+
+    per_doc = Counter(r["id"] for r in fp)
+    n_tokens = {i: len(t.split()) for i, t in docs}
+    for d_, n_sel in per_doc.items():
+        assert n_sel < n_tokens[d_] - 3  # fewer than all k-grams
+    assert len({(r["id"], r["fpos"]) for r in fp}) == len(fp)
