@@ -805,9 +805,16 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     row). Hashes are md5-derived 32-bit ints, bit-reproducible by any
     engine. Output: (id, fpos, h) — selected position + fingerprint.
     """
-    g = F.transform(
+    g_expr = F.transform(
         _shingle_source(df, text_col, k),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"))
+    # STAGE the hash array into a column: inlined into every window
+    # lambda, the md5 chain re-evaluates per window element (O(n²) md5
+    # work per row — the ahash re-inlining lesson again; unstaged, the
+    # sf0.1 fingerprint scan did not finish in 4 minutes, staged it is
+    # sub-second).
+    staged = df.select(F.col(id_col).alias("id"), g_expr.alias("__g__"))
+    g = F.col("__g__")
     n = F.size(g)
     starts = F.when(n >= w, F.sequence(F.lit(1), n - (w - 1))) \
         .otherwise(F.expr("CAST(array() AS array<int>)"))
@@ -816,8 +823,7 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
             F.reverse(F.slice(g, i, w)),
             F.array_min(F.slice(g, i, w)))).cast("int").alias("fpos"),
         F.array_min(F.slice(g, i, w)).alias("h")))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(sel)).alias("fp"))
+    return (staged.select("id", F.explode(F.array_distinct(sel)).alias("fp"))
             .select("id", "fp.fpos", "fp.h"))
 
 
