@@ -575,3 +575,126 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return DD.winnowing_pairs(d, "doc_id", "text", k=4, w=4,
                               min_shared=2, max_df=50)
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=r"""
+    WITH per AS (
+      SELECT lang,
+             CAST(SUM(len(regexp_extract_all(text,
+               '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS n_bpe,
+             CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+               AS BIGINT) AS n_words,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_bpe, n_words, n_chars,
+           CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+           CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE) AS chars_per_token
+    FROM per
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: subword tokens per word
+    and chars per token — the numbers a multilingual pipeline watches to
+    catch a tokenizer that fragments some language's text (high
+    fertility = that language pays more compute per word, and mixture
+    budgets in 'tokens' silently skew). Exact integer sums per language,
+    two IEEE divisions; one groupBy(lang) shuffle of counts only."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = TX.bpe_ish_tokens("text")
+    per = (d.groupBy("lang")
+           .agg(F.sum(F.size(bpe)).cast("bigint").alias("n_bpe"),
+                F.sum(F.size(TX.tokens("text"))).cast("bigint").alias("n_words"),
+                F.sum("n_chars").cast("bigint").alias("n_chars"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    return per.select(
+        "lang", "n_docs", "n_bpe", "n_words", "n_chars",
+        (F.col("n_bpe").cast("double") / F.col("n_words").cast("double"))
+        .alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("n_bpe").cast("double"))
+        .alias("chars_per_token"))
+
+
+@query(
+    "sim_anisotropy_profile",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ), dims AS (
+      SELECT i,
+             CAST(SUM(CAST(floor(x * 1000000000.0) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(vv) AS x, generate_subscripts(vv, 1) AS i FROM v)
+      GROUP BY i
+    ), mu AS (
+      SELECT CAST(SUM(CAST(floor(
+               (CAST(sx AS DOUBLE) / 1000000000.0)
+               * (CAST(sx AS DOUBLE) / 1000000000.0)
+               * 10000000000.0) AS BIGINT)) AS DOUBLE)
+               / (ANY_VALUE(n) * ANY_VALUE(n) * 10000000000.0) AS mu_sq,
+             ANY_VALUE(n) AS n FROM dims
+    ), norms AS (
+      SELECT CAST(SUM(CAST(floor(
+               list_sum(list_transform(vv, x -> x * x)) * 1000000000.0)
+               AS BIGINT)) AS BIGINT) AS s_sq,
+             CAST(COUNT(*) AS BIGINT) AS n2
+      FROM v
+    )
+    SELECT mu.n AS n_vectors,
+           mu.mu_sq AS mean_vec_sq_norm,
+           CAST(norms.s_sq AS DOUBLE) / (norms.n2 * 1000000000.0)
+             AS mean_sq_norm,
+           mu.mu_sq / (CAST(norms.s_sq AS DOUBLE) / (norms.n2 * 1000000000.0))
+             AS anisotropy
+    FROM mu CROSS JOIN norms
+    """,
+)
+def sim_anisotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: anisotropy = ‖mean vector‖² /
+    mean ‖x‖² — near 0 for a well-spread (isotropic) embedding space,
+    near 1 when all vectors crowd a cone (the 'representation collapse'
+    signal; Ethayarajh 2019 popularized the diagnosis). Also the exact
+    expected-cosine numerator: E[⟨x,y⟩] over independent pairs equals
+    ‖μ‖² without materializing any pair. One posexplode + per-dim
+    integer-quantized sums (order-free), one norm scan; two tiny
+    single-row frames joined — nothing pairwise, nothing collected."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("vv"))
+    dims = (v.select(F.posexplode("vv").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.sum(F.floor(F.col("x") * F.lit(1000000000.0))
+                       .cast("bigint")).cast("bigint").alias("sx"),
+                 F.count(F.lit(1)).cast("bigint").alias("n")))
+    # each (sx/1e9)² term is deterministic (exact int, one division,
+    # one multiply) but their SUM over dims is not — floor-quantize to
+    # 1e-10 and sum BIGINTs (the same order-free close every moment
+    # query uses; an un-quantized double sum lost the last ulp between
+    # engines on the first parity run)
+    mu = dims.agg(
+        (F.sum(F.floor((F.col("sx").cast("double") / F.lit(1000000000.0))
+                       * (F.col("sx").cast("double") / F.lit(1000000000.0))
+                       * F.lit(10000000000.0)).cast("bigint")).cast("double")
+         / (F.any_value("n") * F.any_value("n") * F.lit(10000000000.0)))
+        .alias("mu_sq"),
+        F.any_value("n").alias("n"))
+    norms = (v.select(
+        F.floor(F.aggregate("vv", F.lit(0.0),
+                            lambda acc, x: acc + x * x)
+                * F.lit(1000000000.0)).cast("bigint").alias("sq"))
+        .agg(F.sum("sq").cast("bigint").alias("s_sq"),
+             F.count(F.lit(1)).cast("bigint").alias("n2")))
+    return (mu.crossJoin(F.broadcast(norms))
+            .select(F.col("n").alias("n_vectors"),
+                    F.col("mu_sq").alias("mean_vec_sq_norm"),
+                    (F.col("s_sq").cast("double")
+                     / (F.col("n2") * F.lit(1000000000.0)))
+                    .alias("mean_sq_norm"),
+                    (F.col("mu_sq")
+                     / (F.col("s_sq").cast("double")
+                        / (F.col("n2") * F.lit(1000000000.0))))
+                    .alias("anisotropy")))
