@@ -698,3 +698,78 @@ def sim_anisotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.col("s_sq").cast("double")
                         / (F.col("n2") * F.lit(1000000000.0))))
                     .alias("anisotropy")))
+
+
+def _multi_eval_oracle() -> str:
+    hb = SA.sql_hash_bucket
+    bench_sel = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}' AS bench FROM documents "
+        f"WHERE {hb('doc_id', s)} < {int(f * 4294967296)}"
+        for b, s, f in (("arc", "ev_arc", 0.04), ("mmlu", "ev_mmlu", 0.06),
+                        ("gsm", "ev_gsm", 0.05)))
+    return f"""
+    WITH evals AS ({bench_sel}),
+    t AS (
+      SELECT doc_id, unnest({_TOK}) AS tok,
+             generate_subscripts({_TOK}, 1) AS i
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM t GROUP BY doc_id, floor((i - 1) / 10)
+    ), train AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM evals)
+    ), eval_ch AS (
+      SELECT DISTINCT e.bench, c.h FROM ch c JOIN evals e USING (doc_id)
+    ), hits AS (
+      SELECT DISTINCT c.doc_id, e.bench
+      FROM ch c JOIN train USING (doc_id) JOIN eval_ch e USING (h)
+    )
+    SELECT e.bench,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train_docs,
+           CAST(COALESCE(MAX(hit.n), 0) AS BIGINT) AS n_contaminated
+    FROM evals e
+    LEFT JOIN (SELECT bench, COUNT(*) AS n FROM hits GROUP BY bench) hit
+      ON e.bench = hit.bench
+    GROUP BY e.bench, hit.n
+    """
+
+
+@query("corpus_multi_eval_overlap", oracle=_multi_eval_oracle())
+def corpus_multi_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark contamination matrix: three eval sets (hash-drawn
+    stand-ins for arc/mmlu/gsm; possibly overlapping, as real benchmark
+    pulls are) checked against the training remainder in ONE pass —
+    per benchmark, how many training docs share a 10-token chunk with
+    any of its eval docs. The chunk table is computed once and tagged,
+    so adding a benchmark adds a broadcast row-set, not a corpus scan.
+    Plan: chunks scan-local; one distinct on (bench, h) for the eval
+    sliver; one semi-ish hash join back; counts only shuffle."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    benches = [("arc", "ev_arc", 0.04), ("mmlu", "ev_mmlu", 0.06),
+               ("gsm", "ev_gsm", 0.05)]
+    evals = None
+    for b, s, f in benches:
+        e = (d.filter(SA.hash_bucket(F.col("doc_id"), s)
+                      < int(f * 4294967296))
+             .select("doc_id", F.lit(b).alias("bench")))
+        evals = e if evals is None else evals.unionByName(e)
+    ch = DD.chunk_table(d, "doc_id", "text", chunk=10)
+    train = d.join(evals.select("doc_id").distinct(), "doc_id", "left_anti") \
+        .select("doc_id")
+    eval_ch = ch.join(evals, "doc_id").select("bench", "h").distinct()
+    hits = (ch.join(train, "doc_id", "left_semi")
+            .join(eval_ch, "h")
+            .select("doc_id", "bench").distinct()
+            .groupBy("bench").agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    n_train = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train_docs"))
+    per_bench = evals.groupBy("bench").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_eval_docs"))
+    return (per_bench.crossJoin(F.broadcast(n_train))
+            .join(hits, "bench", "left")
+            .select("bench", "n_eval_docs", "n_train_docs",
+                    F.coalesce("n", F.lit(0)).cast("bigint")
+                    .alias("n_contaminated")))
