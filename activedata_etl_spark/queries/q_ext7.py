@@ -773,3 +773,86 @@ def corpus_multi_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("bench", "n_eval_docs", "n_train_docs",
                     F.coalesce("n", F.lit(0)).cast("bigint")
                     .alias("n_contaminated")))
+
+
+@query(
+    "events_user_sequences",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, CAST(ANY_VALUE(n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS seq_len,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
+    FROM r WHERE rn <= 8 GROUP BY user_id
+    """,
+)
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence construction from an event log: per user, the
+    LAST 8 events in time order — the behavioral-sequence shape
+    recommendation/SFT pipelines feed a model (most-recent truncation,
+    deterministic (ts, event_id) tiebreak). One window shuffle on
+    user_id; the sequence assembles with collect_list over a sorted
+    struct, so arrays build shard-local after the single exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = (ev.withColumn("rn", F.row_number().over(w))
+         .withColumn("n_events", F.count(F.lit(1)).over(
+             Window.partitionBy("user_id"))))
+    return (r.filter(F.col("rn") <= 8)
+            .groupBy("user_id")
+            .agg(F.any_value("n_events").cast("bigint").alias("n_events"),
+                 F.count(F.lit(1)).cast("bigint").alias("seq_len"),
+                 F.array_sort(F.collect_list(F.struct("ts", "event_id",
+                                                      "event_type")))
+                 .alias("__s__"))
+            .select("user_id", "n_events", "seq_len",
+                    F.concat_ws(">", F.col("__s__.event_type"))
+                    .alias("sequence")))
+
+
+@query(
+    "sample_dedup_aware",
+    oracle=f"""
+    WITH g AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+             MIN(doc_id) AS canonical, CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM documents GROUP BY h
+    ), p AS (
+      SELECT canonical AS doc_id, group_size,
+             CAST(group_size * 4294967296 AS DOUBLE)
+             / CAST({SA.sql_hash_bucket('canonical', 'ddaw')} + 1 AS DOUBLE)
+               AS priority
+      FROM g
+    ), top AS (
+      SELECT * FROM (
+        SELECT p.*, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+        FROM p
+      ) WHERE rn <= 16
+    ), tau AS (SELECT MIN(priority) AS tau FROM top)
+    SELECT doc_id, group_size, priority,
+           GREATEST(CAST(group_size AS DOUBLE), tau.tau) AS est_weight
+    FROM top CROSS JOIN tau WHERE rn <= 15
+    """,
+)
+def sample_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware sampling: collapse exact-duplicate groups to their
+    canonical doc, then priority-sample canonicals WEIGHTED BY GROUP
+    SIZE — the sample keeps the corpus's true content distribution
+    (a page duplicated 1000× gets its weight once, not 1000 draws) with
+    the DLT estimator still unbiased for duplicated-mass totals.
+    Composition of two verified operators: exact_dedup fingerprint
+    groups ∘ priority_sample."""
+    from ..ext.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (d.groupBy(fingerprint("text").alias("h"))
+         .agg(F.min("doc_id").alias("doc_id"),
+              F.count(F.lit(1)).cast("bigint").alias("group_size")))
+    return SA.priority_sample(g, "doc_id", "group_size", k=15, salt="ddaw")
