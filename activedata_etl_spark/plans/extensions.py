@@ -300,3 +300,21 @@ def _temperature_mixture(spark, df, spec) -> DataFrame:
         budget=int(spec["budget"]),
         salt=str(spec.get("salt", "")),
     )
+
+
+@_op("winnowing_pairs")
+def _winnowing_pairs(spark, df, spec) -> DataFrame:
+    """MOSS winnowing match candidates (ext/dedup.winnowing_pairs):
+    k-gram size ``k``, window ``w``, ``min_shared`` fingerprints,
+    ``max_df`` hot-hash cap. Output (id_a, id_b, shared)."""
+    from ..ext import dedup as DD
+
+    return DD.winnowing_pairs(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        k=int(spec.get("k", 4)),
+        w=int(spec.get("w", 4)),
+        min_shared=int(spec.get("min_shared", 2)),
+        max_df=spec.get("max_df", 50),
+    )

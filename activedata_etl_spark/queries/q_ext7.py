@@ -856,3 +856,96 @@ def sample_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.min("doc_id").alias("doc_id"),
               F.count(F.lit(1)).cast("bigint").alias("group_size")))
     return SA.priority_sample(g, "doc_id", "group_size", k=15, salt="ddaw")
+
+
+@query(
+    "events_next_event_examples",
+    oracle="""
+    WITH ctx AS (
+      SELECT user_id, event_id, event_type AS label,
+             string_agg(event_type, '>') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS context,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx_len
+      FROM events
+    )
+    SELECT user_id, event_id, context, CAST(ctx_len AS BIGINT) AS ctx_len,
+           label
+    FROM ctx WHERE ctx_len >= 2 AND user_id < 30
+    """,
+)
+def events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event training examples from the event log: for every event,
+    (context = up to 4 preceding event types, label = this event) — the
+    sliding-window example-generation shape next-token/next-action
+    models train on, keeping only contexts of ≥2 (first events carry no
+    signal). The context serializes '>'-joined; collect_list over a
+    ROWS frame preserves frame order, so the string is deterministic.
+    One window exchange on user_id; 1:1 per event (the 1:N explosion of
+    naive example generation never materializes — each row IS its own
+    example)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, -1))
+    return (ev.select(
+        "user_id", "event_id",
+        F.concat_ws(">", F.collect_list("event_type").over(w))
+        .alias("context"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("ctx_len"),
+        F.col("event_type").alias("label"))
+        .filter(F.col("ctx_len") >= 2))
+
+
+@query(
+    "events_hourly_seasonal_baseline",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             value
+      FROM events WHERE value IS NOT NULL
+    ), prof AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_dsum('value')} AS hod_sum
+      FROM h GROUP BY event_type, hod
+    ), tot AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n_all,
+             {sql_dsum('hod_sum')} AS sum_all
+      FROM prof GROUP BY event_type
+    )
+    SELECT p.event_type, p.hod, p.n,
+           p.hod_sum / p.n AS hod_mean,
+           t.sum_all / t.n_all AS overall_mean,
+           (p.hod_sum / p.n) - (t.sum_all / t.n_all) AS seasonal_offset
+    FROM prof p JOIN tot t USING (event_type)
+    """,
+)
+def events_hourly_seasonal_baseline(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per event type — the decomposition
+    step before anomaly flagging (the EWMA/MAD queries measure residual
+    dynamics; this gives the additive seasonal component they subtract
+    in a full pipeline). Decimal-exact sums close per the standing rule;
+    the two means divide once each and the offset subtracts identically
+    in both engines. Two count-size shuffles, nothing row-wise."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = ev.select("event_type", F.hour("ts").cast("bigint").alias("hod"),
+                  "value")
+    prof = (h.groupBy("event_type", "hod")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 dsum("value").alias("hod_sum")))
+    tot = (prof.groupBy("event_type")
+           .agg(F.sum("n").cast("bigint").alias("n_all"),
+                dsum("hod_sum").alias("sum_all")))
+    return (prof.join(tot, "event_type")
+            .select("event_type", "hod", "n",
+                    (F.col("hod_sum") / F.col("n")).alias("hod_mean"),
+                    (F.col("sum_all") / F.col("n_all")).alias("overall_mean"),
+                    ((F.col("hod_sum") / F.col("n"))
+                     - (F.col("sum_all") / F.col("n_all")))
+                    .alias("seasonal_offset")))

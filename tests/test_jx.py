@@ -360,3 +360,18 @@ def test_new_extension_ops_front_end_equals_direct(spark, sf_dir):
     want = SA.temperature_mixture(docs, "source", "doc_id", "n_chars",
                                   budget=50000)
     assert rows(got) == rows(want)
+
+
+def test_winnowing_op_front_end_equals_direct(spark, sf_dir):
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table, register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    got = run(spark, {"from": {"op": "winnowing_pairs",
+                               "table": "documents", "min_shared": 1},
+                      "where": {"gte": {"shared": 2}}})
+    want = DD.winnowing_pairs(docs, "doc_id", "text", min_shared=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
