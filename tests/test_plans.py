@@ -294,3 +294,31 @@ def test_ahash_pairs_banded_equijoin(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_ahash_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_index_pushes_term_filter_to_scan(spark, sf_dir):
+    """Index-served BM25 must push the query's term filter into the
+    postings parquet scan (at 100 TB with term-bucketed storage this is
+    the index seek) — PushedFilters must carry the In(term, ...)."""
+    plan = _plan(spark, sf_dir, "text_bm25_from_index")
+    import re
+
+    scans = [s for s in plan.split("FileScan") if "term" in s[:2000]]
+    assert any(re.search(r"PushedFilters: \[.*In\(term", s) for s in scans), \
+        "term In-filter not pushed to postings scan"
+
+
+def test_term_drift_single_count_shuffle(spark, sf_dir):
+    """TV drift: one token-count shuffle + the broadcast totals — no
+    second corpus-wide exchange."""
+    plan = _plan(spark, sf_dir, "text_term_drift_tv")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_next_event_examples_single_window_exchange(spark, sf_dir):
+    """Example generation must reuse ONE user_id window partitioning
+    for context, length, and label — not an exchange per derived col."""
+    plan = _plan(spark, sf_dir, "events_next_event_examples")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
