@@ -213,3 +213,47 @@ def test_exact_substring_spans_matches_python_reference(spark):
                for r in exact_substring_spans(
                    df, "doc_id", "text", k=K).collect()}
         assert got == want, (docs, got, want)
+
+
+def test_bm25_matches_python_reference(spark):
+    """Property: ext/text.bm25_topk equals a direct Python evaluation of
+    the documented integer rational (A·tf·(2N−2df+1)·total over
+    (2df+1)·(1000·tf·total+B1·total+B2·dl·N), floor-1e6 summed) on
+    random corpora — pins the Column implementation to the formula."""
+    import math
+    import random
+
+    from activedata_etl_spark.ext.text import bm25_topk
+
+    rnd = random.Random(20260814)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for _ in range(5):
+        docs = [(i, " ".join(rnd.choices(vocab, k=rnd.randint(1, 12))))
+                for i in range(rnd.randint(3, 10))]
+        terms = rnd.sample(vocab, k=2)
+        df_ = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r["doc_id"]: r["bm25"]
+               for r in bm25_topk(df_, "doc_id", "text", terms,
+                                  k=len(docs)).collect()}
+
+        toks = {i: t.split() for i, t in docs}
+        N = len(docs)
+        total = sum(len(v) for v in toks.values())
+        tf = {(i, w): toks[i].count(w) for i in toks for w in terms
+              if w in toks[i]}
+        dfreq = {w: sum(1 for i in toks if toks[i].count(w)) for w in terms}
+        want = {}
+        for i in toks:
+            s = 0
+            for w in terms:
+                t = tf.get((i, w), 0)
+                if not t:
+                    continue
+                num = 2200 * t * (2 * N - 2 * dfreq[w] + 1) * 1.0 * total
+                den = (2 * dfreq[w] + 1) * 1.0 * (
+                    1000 * t * total + 300 * total + 900 * len(toks[i]) * N)
+                s += math.floor(num / den * 1e6)
+            if s:
+                want[i] = s / 1e6
+        for i, v in want.items():
+            assert got[i] == v, (i, got[i], v)
