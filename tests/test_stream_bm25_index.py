@@ -53,3 +53,30 @@ def test_stream_bm25_appends_and_replay_idempotence(spark, sf_dir, tmp_path):
         docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text",
         ["spark", "vector", "merge"], k=10).collect()]
     assert _topk(spark, idx) == want_half
+
+
+def test_bm25_index_compaction_invisible(spark, sf_dir, tmp_path):
+    """Compacting N batch shards into one must not change any served
+    result (postings are facts; stats derive on read either way), and
+    a disjoint append AFTER compaction serves correctly — the real
+    lifecycle: append... compact, append more."""
+    import os
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        TX.append_bm25_index(docs.filter(F.col("doc_id") % 4 == b),
+                             "doc_id", "text", idx, b)
+    before = _topk(spark, idx)
+    n = TX.compact_bm25_index(spark, idx)
+    assert n == 3
+    assert sorted(os.listdir(idx)) == ["batch=0"]
+    assert _topk(spark, idx) == before
+    # disjoint append after compaction: index == direct corpus scoring
+    TX.append_bm25_index(docs.filter(F.col("doc_id") % 4 == 3),
+                         "doc_id", "text", idx, 1)
+    want = [(r["doc_id"], r["bm25"]) for r in TX.bm25_topk(
+        docs, "doc_id", "text", ["spark", "vector", "merge"],
+        k=10).collect()]
+    assert _topk(spark, idx) == want
