@@ -858,3 +858,78 @@ def winnowing_pairs(df: DataFrame, id_col: str, text_col: str,
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def append_winnowing_index(df: DataFrame, id_col: str, text_col: str,
+                           path: str, batch_id: int,
+                           k: int = 4, w: int = 4) -> None:
+    """Persist a batch's winnowing fingerprints (id, fpos, h) —
+    per-document FACTS like the bm25 postings, so batch-keyed overwrite
+    gives at-least-once replay safety and deleting a batch directory
+    retracts its documents. Completes the persisted-index family: every
+    fingerprint scheme here (minhash bands, chunks, CDC, band-LSH,
+    winnowing) has an incremental index form."""
+    import os
+
+    winnowing_fingerprints(df, id_col, text_col, k, w) \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(path, f"batch={batch_id}"))
+
+
+def winnowing_pairs_from_index(spark, path: str, min_shared: int = 2,
+                               max_df: int | None = 50) -> DataFrame:
+    """MOSS match candidates served from the PERSISTED fingerprint
+    index — same pair set as :func:`winnowing_pairs` over the union of
+    appended batches (verified by the maintenance test). The stored
+    index skips re-tokenizing the corpus: the join input is fingerprint
+    rows only."""
+    fp = spark.read.option("basePath", path).parquet(path)
+    fph = fp.select("id", "h").distinct()
+    if max_df is not None:
+        keep = (fph.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("__df__"))
+                .filter(F.col("__df__") <= max_df).select("h"))
+        fph = fph.join(keep, "h")
+    a = fph.select(F.col("id").alias("id_a"), "h")
+    b = fph.select(F.col("id").alias("id_b"), "h")
+    return (a.join(b, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
+def winnowing_delta_pairs(spark, path: str, delta: DataFrame,
+                          id_col: str, text_col: str,
+                          k: int = 4, w: int = 4, min_shared: int = 2,
+                          max_df: int | None = 50) -> DataFrame:
+    """Nightly-ingest shape: pairs between a NEW batch and the stored
+    corpus (plus within-batch pairs) with only the delta tokenized —
+    the stored side contributes fingerprint rows straight from parquet.
+    Two legs so nothing double-counts: delta×stored (all orientations
+    distinct by construction) and delta×delta (id_a < id_b). Join
+    volume: |delta fingerprints| × matching hashes, never the corpus."""
+    new_fp = winnowing_fingerprints(delta, id_col, text_col, k, w) \
+        .select("id", "h").distinct()
+    old_fp = spark.read.option("basePath", path).parquet(path) \
+        .select("id", "h").distinct()
+    if max_df is not None:
+        keep = (new_fp.unionByName(old_fp).groupBy("h")
+                .agg(F.count(F.lit(1)).alias("__df__"))
+                .filter(F.col("__df__") <= max_df).select("h"))
+        new_fp = new_fp.join(keep, "h")
+        old_fp = old_fp.join(keep, "h")
+    a = new_fp.select(F.col("id").alias("id_a"), "h")
+    # delta ids are assumed disjoint from stored ids (the ingest
+    # contract); a re-ingested id still cannot self-pair
+    cross = (a.join(old_fp.select(F.col("id").alias("id_b"), "h"), "h")
+             .filter(F.col("id_a") != F.col("id_b"))
+             .select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b")))
+    within = (a.join(new_fp.select(F.col("id").alias("id_b"), "h"), "h")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b"))
+    return (cross.unionByName(within)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+            .filter(F.col("shared") >= min_shared))

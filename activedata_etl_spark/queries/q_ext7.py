@@ -949,3 +949,27 @@ def events_hourly_seasonal_baseline(spark: SparkSession,
                     ((F.col("hod_sum") / F.col("n"))
                      - (F.col("sum_all") / F.col("n_all")))
                     .alias("seasonal_offset")))
+
+
+@query("dedup_winnowing_index_pairs", oracle=_REG["dedup_winnowing_pairs"])
+def dedup_winnowing_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing match candidates served from the PERSISTED fingerprint
+    index (two batch shards) — index invisibility: same oracle as
+    dedup_winnowing_pairs verbatim. The stored index skips
+    re-tokenizing; only fingerprint rows join."""
+    import os
+    import tempfile
+
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_winnow_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(os.path.join(path, "batch=1")):
+        half = d.count() // 2
+        DD.append_winnowing_index(d.filter(F.col("doc_id") < half),
+                                  "doc_id", "text", path, 0)
+        DD.append_winnowing_index(d.filter(F.col("doc_id") >= half),
+                                  "doc_id", "text", path, 1)
+    return DD.winnowing_pairs_from_index(spark, path)
