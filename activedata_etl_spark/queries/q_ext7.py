@@ -1030,3 +1030,143 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n_found))
             .withColumn("recall",
                         F.col("n_found") * F.lit(1.0) / F.col("n_true")))
+
+
+@query(
+    "text_budget_truncate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           len(toks) > 24 AS truncated,
+           CASE WHEN len(toks) > 24 THEN
+             array_to_string(list_slice(toks, 1, 16), ' ')
+             || ' … ' ||
+             array_to_string(list_slice(toks, len(toks) - 7, len(toks)), ' ')
+           ELSE array_to_string(toks, ' ') END AS kept_text,
+           CAST(LEAST(len(toks), 24) AS BIGINT) AS kept_tokens
+    FROM t WHERE doc_id < 120
+    """,
+)
+def text_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget truncation with head+tail keep (16 head + 8 tail of
+    a 24-token budget, ellipsis marker between) — the standard long-doc
+    preprocessing that preserves both the opening and the conclusion
+    instead of naive head-only cuts. Pure scan-local array slicing."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    head = F.array_join(F.slice(toks, 1, 16), " ")
+    tail = F.array_join(F.slice(toks, -8, 8), " ")
+    return d.select(
+        "doc_id", n.cast("bigint").alias("n_tokens"),
+        (n > 24).alias("truncated"),
+        F.when(n > 24, F.concat(head, F.lit(" … "), tail))
+        .otherwise(F.array_join(toks, " ")).alias("kept_text"),
+        F.least(n, F.lit(24)).cast("bigint").alias("kept_tokens"))
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOK}) AS w FROM documents),
+    c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+    r AS (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk,
+                 CAST(SUM(n) OVER (ORDER BY n DESC, w
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM c),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms FROM c),
+    sizes AS (SELECT unnest([8, 16, 24, 32, 40]) AS vocab_size)
+    SELECT s.vocab_size,
+           CAST(MAX(r.cum) AS BIGINT) AS covered,
+           tot.total AS total_tokens,
+           CAST(MAX(r.cum) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+             AS coverage
+    FROM sizes s JOIN r ON r.rk <= s.vocab_size CROSS JOIN tot
+    GROUP BY s.vocab_size, tot.total
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for candidate vocab sizes, the
+    fraction of all token OCCURRENCES covered by the top-V terms — the
+    table a tokenizer/vocab-size decision reads (where the curve
+    flattens is the right V; 1−coverage is the OOV/byte-fallback rate).
+    Term counts shuffle once; the rank/cumsum runs over the VOCABULARY
+    (thousands of rows at any corpus scale — vocabulary grows
+    sublinearly, so the single-partition window is bounded by Heaps'
+    law, not corpus size); sizes broadcast-join the ranked table."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    c = (d.select(F.explode(TX.tokens("text")).alias("w"))
+         .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w = Window.orderBy(F.desc("n"), "w")
+    r = (c.withColumn("rk", F.row_number().over(w))
+         .withColumn("cum", F.sum("n").over(
+             w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint")))
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"),
+                F.count(F.lit(1)).cast("bigint").alias("n_terms"))
+    sizes = spark.createDataFrame([(v,) for v in (8, 16, 24, 32, 40)],
+                                  ["vocab_size"])
+    return (F.broadcast(sizes).join(r, r["rk"] <= sizes["vocab_size"])
+            .crossJoin(F.broadcast(tot))
+            .groupBy("vocab_size", "total")
+            .agg(F.max("cum").cast("bigint").alias("covered"))
+            .select("vocab_size", "covered",
+                    F.col("total").alias("total_tokens"),
+                    (F.col("covered").cast("double")
+                     / F.col("total").cast("double")).alias("coverage")))
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, w
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    m AS (
+      SELECT w, CAST(SUM(tf) AS BIGINT) AS s1,
+             CAST(SUM(tf * tf) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY w
+    )
+    SELECT w, s1 AS total_tf, df,
+           CAST(s1 AS DOUBLE) / nd.n_docs AS mean_tf,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / nd.n_docs)
+             / CAST(s1 AS DOUBLE) AS burstiness
+    FROM m CROSS JOIN nd
+    WHERE s1 >= 200 ORDER BY burstiness DESC, w LIMIT 20
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness = index of dispersion of per-doc tf (variance /
+    mean over ALL docs incl. zeros — computed without materializing the
+    zeros: Var·N = Σtf² − (Σtf)²/N). ≈1 means Poisson-scattered
+    (function words); ≫1 means the term CLUMPS in few docs (topical /
+    boilerplate — the terms chunk-dedup and df caps should watch).
+    Integer moments, engine-identical double close; top-20 bursty terms
+    with Σtf ≥ 200. One (doc,term) count shuffle + a term rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+          .groupBy("doc_id", "w")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    m = (tf.groupBy("w")
+         .agg(F.sum("tf").cast("bigint").alias("s1"),
+              F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("s2"),
+              F.count(F.lit(1)).cast("bigint").alias("df")))
+    return (m.crossJoin(F.broadcast(nd))
+            .filter(F.col("s1") >= 200)
+            .select(
+                "w", F.col("s1").alias("total_tf"), "df",
+                (F.col("s1").cast("double") / F.col("n_docs"))
+                .alias("mean_tf"),
+                ((F.col("s2").cast("double")
+                  - F.col("s1").cast("double") * F.col("s1").cast("double")
+                  / F.col("n_docs"))
+                 / F.col("s1").cast("double")).alias("burstiness"))
+            .orderBy(F.desc("burstiness"), "w").limit(20))
