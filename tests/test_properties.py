@@ -257,3 +257,29 @@ def test_bm25_matches_python_reference(spark):
                 want[i] = s / 1e6
         for i, v in want.items():
             assert got[i] == v, (i, got[i], v)
+
+
+def test_priority_sample_matches_python_reference(spark, sf_dir):
+    """Property: priority_sample equals a direct Python evaluation of
+    the documented DLT construction (md5-uniform, w·2^32/(h+1), top-k,
+    τ = (k+1)-th, est = max(w, τ)) across salts and k."""
+    import hashlib
+
+    from activedata_etl_spark.ext.sampling import priority_sample
+    from activedata_etl_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = [(r["doc_id"], r["n_chars"])
+            for r in d.select("doc_id", "n_chars").collect()]
+    for salt, k in (("s1", 5), ("s2", 12), ("", 3)):
+        got = [(r["doc_id"], r["n_chars"], r["priority"], r["est_weight"])
+               for r in priority_sample(d, "doc_id", "n_chars",
+                                        k=k, salt=salt).collect()]
+        prio = []
+        for i, w in rows:
+            h = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16)
+            prio.append((i, w, (w * 4294967296) / (h + 1)))
+        prio.sort(key=lambda t: (-t[2], t[0]))
+        tau = prio[k][2]
+        want = [(i, w, p, max(float(w), tau)) for i, w, p in prio[:k]]
+        assert sorted(got) == sorted(want), (salt, k)
