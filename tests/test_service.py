@@ -523,3 +523,22 @@ def test_attach_bm25_index_queryable(spark, sf_dir, tmp_path):
     view = [v for v in views if v.startswith("bm25_")][0]
     n = spark.sql(f"SELECT COUNT(*) AS n FROM {view}").first()["n"]
     assert n > 0
+
+
+def test_concurrent_queries_thread_safety(endpoint):
+    """The service must serve parallel queries correctly (threaded HTTP
+    handler + one shared SparkSession running concurrent jobs) — every
+    response matches its own request, no cross-talk."""
+    import concurrent.futures as cf
+
+    def one(k):
+        out = _post(endpoint + "/query", {
+            "from": "nation", "select": ["n_nationkey", "n_name"],
+            "where": {"eq": {"n_nationkey": k}}})
+        rows = out["data"]
+        assert len(rows) == 1 and rows[0]["n_nationkey"] == k
+        return rows[0]["n_name"]
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        names = list(ex.map(one, list(range(20)) * 2))
+    assert len(names) == 40 and len(set(names)) == 20
