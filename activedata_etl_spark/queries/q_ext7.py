@@ -1170,3 +1170,54 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.col("n_docs"))
                  / F.col("s1").cast("double")).alias("burstiness"))
             .orderBy(F.desc("burstiness"), "w").limit(20))
+
+
+@query(
+    "dedup_review_sample",
+    oracle="WITH " + _near_dup_pairs_cte(0.2) + f""",
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    ), banded2 AS (
+      SELECT id_a, id_b, jaccard,
+             CASE WHEN jaccard >= 0.7 THEN 'high'
+                  WHEN jaccard >= 0.4 THEN 'mid'
+                  ELSE 'low' END AS band
+      FROM scored
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band ORDER BY
+        {SA.sql_hash_bucket("id_a || ':' || id_b", 'rev')},
+        id_a, id_b) AS rk
+      FROM banded2
+    )
+    SELECT band, id_a, id_b, jaccard FROM ranked WHERE rk <= 5
+    """,
+)
+def dedup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-review sheet for the near-dup pipeline: verified pairs
+    stratified by similarity band (low/mid/high Jaccard), 5 per band
+    drawn by hash rank — reproducible, so reviewers and reruns see the
+    SAME sheet (the calibration loop that tunes thresholds). Composition
+    of near_dup_pairs ∘ banding ∘ stratified hash-rank take."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+    banded = pairs.withColumn(
+        "band",
+        F.when(F.col("jaccard") >= 0.7, "high")
+        .when(F.col("jaccard") >= 0.4, "mid").otherwise("low"))
+    from pyspark.sql import Window
+
+    key = F.concat(F.col("id_a").cast("string"), F.lit(":"),
+                   F.col("id_b").cast("string"))
+    w = Window.partitionBy("band").orderBy(
+        SA.hash_bucket(key, "rev"), "id_a", "id_b")
+    return (banded.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("band", "id_a", "id_b", "jaccard"))
