@@ -729,3 +729,36 @@ def compact_bm25_index(spark, path: str) -> int:
         shutil.rmtree(os.path.join(path, d))
     os.rename(tmp, os.path.join(path, "batch=0"))
     return len(batches)
+
+
+def pack_bins_split(df, shard_col: str, id_col: str, n_tok_col: str,
+                    capacity: int):
+    """Sequence packing WITH document splitting — the variant
+    :func:`pack_bins` documents as out of scope there: documents longer
+    than ``capacity`` are first split into capacity-sized pieces (so
+    every piece fits one context window), then the per-shard greedy
+    cumulative packing assigns pieces to bins. Max in-bin waste stays
+    < capacity AND no piece ever exceeds the window — the two
+    guarantees a trainer's collator needs together.
+
+    Output: one row per piece (shard, id, piece, piece_tok, bin). Same
+    scaling shape as pack_bins: per-shard window over (id, piece), one
+    exchange; the piece explode is scan-local integer arithmetic."""
+    from pyspark.sql import Window
+
+    n = F.col(n_tok_col).cast("bigint")
+    pieces = df.select(
+        F.col(shard_col), F.col(id_col), n.alias("__n__"),
+        F.explode(F.sequence(
+            F.lit(0).cast("bigint"),
+            ((n - 1) / capacity).cast("bigint"))).alias("piece"))
+    pieces = pieces.withColumn(
+        "piece_tok",
+        F.least(F.lit(capacity).cast("bigint"),
+                F.col("__n__") - F.lit(capacity) * F.col("piece")))
+    w = (Window.partitionBy(shard_col).orderBy(id_col, "piece")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (pieces.withColumn(
+        "bin", F.floor(F.coalesce(F.sum("piece_tok").over(w), F.lit(0))
+                       / F.lit(float(capacity))).cast("bigint"))
+        .select(shard_col, id_col, "piece", "piece_tok", "bin"))

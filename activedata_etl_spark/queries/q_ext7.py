@@ -1221,3 +1221,42 @@ def dedup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (banded.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 5)
             .select("band", "id_a", "id_b", "jaccard"))
+
+
+@query(
+    "pack_split_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tok
+      FROM documents
+    ), pieces AS (
+      SELECT lang, doc_id, p.piece,
+             LEAST(32, n_tok - 32 * p.piece) AS piece_tok
+      FROM t, UNNEST(range(0, (n_tok - 1) // 32 + 1)) AS p(piece)
+    ), c AS (
+      SELECT *, COALESCE(SUM(piece_tok) OVER (
+        PARTITION BY lang ORDER BY doc_id, piece
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM pieces
+    )
+    SELECT lang, CAST(FLOOR(prev / 32.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(piece_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(piece_tok) AS BIGINT) AS max_piece
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_split_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-aware packing audit at a deliberately tiny capacity (32
+    tokens — most fixture docs split): per (lang, bin), piece/doc/token
+    fill and max piece size (must never exceed capacity; asserted by
+    the max_piece column being value-checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(TX.tokens("text")).alias("n_tok"))
+    packed = TX.pack_bins_split(t, "lang", "doc_id", "n_tok", capacity=32)
+    return (packed.groupBy("lang", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.sum("piece_tok").cast("bigint").alias("n_tokens"),
+                 F.max("piece_tok").cast("bigint").alias("max_piece")))
