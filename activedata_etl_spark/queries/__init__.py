@@ -51,17 +51,29 @@ _FRONT = [
     # driver-green in r1-r4 and stay covered by the full local sweep.
     # Whole prefix parity-validated at sf0.01 from a vanilla session
     # before commit.
-    # NEWEST (continuation session): the 12 operators written after the
-    # first r5 rotation — newest code carries the most risk, so they
-    # lead; text_rerank_stub_topk first (the registry's ONLY Python-
-    # stage oracle pair — mapInPandas under driver conditions is the
-    # riskiest surface here). To keep the prefix at 50, twelve entries
-    # moved to the r6 backlog alongside the 28 already deferred: ten
-    # LOW-RISK builtin wrappers (window/setop tails, join_full_outer,
-    # sort_paging) plus embedding_centroids / multimodal_frame_energy
-    # (both machinery-shared with queries that remain in the prefix).
-    # All twelve newest are sweep-green at both scales this session.
+    # NEWEST (continuation session): the riskiest operators written
+    # after the first r5 rotation lead — text_rerank_stub_topk first
+    # (the registry's ONLY Python-stage oracle pair; mapInPandas under
+    # driver conditions is the riskiest surface), then the new hash
+    # family (winnowing pair + persisted-index forms), the
+    # floor-quantize-subtle anisotropy profile, the multi-eval
+    # contamination matrix, and the LSH recall audit. To hold the
+    # prefix at 50, moved to the r6 backlog: ten LOW-RISK builtin
+    # wrappers (window/setop tails, join_full_outer, sort_paging),
+    # embedding_centroids / multimodal_frame_energy / etl_scd2_lookup /
+    # events_transition_matrix / agg_histogram_2d /
+    # agg_hll_set_cardinality / agg_cms_estimate (all machinery-shared
+    # with queries that REMAIN in the prefix), plus the remaining
+    # continuation queries that are compositions of driver-checked
+    # machinery (term_drift, fertility, user_sequences, next_event,
+    # seasonal, truncate, coverage curve, burstiness, pack_split,
+    # review_sample, dedup_aware, temperature/priority jx corpus pairs
+    # are separately covered). Everything new is sweep-green at BOTH
+    # scales from vanilla sessions this session.
     "text_rerank_stub_topk", "sim_knn_density_outliers",
+    "dedup_winnowing_pairs", "dedup_winnowing_index_pairs",
+    "sim_anisotropy_profile", "corpus_multi_eval_overlap",
+    "dedup_lsh_recall_audit",
     "multimodal_ahash_pairs", "text_bm25_from_index",
     "text_hybrid_rrf_topk", "sim_knn_components", "text_bm25_topk",
     "sim_knn_graph", "sample_priority_weighted",
@@ -92,13 +104,12 @@ _FRONT = [
     "corpus_release_manifest",
     # agg/sketch tail — bloom first (probe fix this round)
     "agg_bloom_words", "agg_bloom_probe",
-    "agg_cms_registers", "agg_cms_estimate",
-    "agg_argmax_join_back", "agg_histogram_2d", "agg_hll_set_cardinality",
+    "agg_cms_registers",
+    "agg_argmax_join_back",
     # events analytics tail
     "events_linear_trend", "events_funnel_window",
-    "events_transition_matrix",
     # ETL / quality / similarity tail
-    "etl_scd2_history", "etl_scd2_lookup",
+    "etl_scd2_history",
     "text_quality_calibrated", "sim_dimension_profile",
 ]
 
