@@ -133,3 +133,61 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
                          (teleport + F.lit(damping)
                           * F.coalesce("s", F.lit(0.0))).alias("r")))
     return ranks
+
+
+def bipartite_hits(edges: DataFrame, src_col: str, dst_col: str,
+                   n_iter: int = 2) -> DataFrame:
+    """HITS (Kleinberg, JACM 1999) on a bipartite interaction graph —
+    hubs on the ``src`` side, authorities on the ``dst`` side (users ×
+    items: the classic co-HITS recommendation primitive; on a directed
+    web graph the same recursion ranks pages). ``n_iter`` synchronous
+    half-step pairs from the all-ones start, L1-normalizing after each
+    half-step.
+
+    Determinism contract (the pagerank rules plus one): neighbor sums
+    fold over join-key-sorted struct arrays, and the GLOBAL L1 norm —
+    which pagerank avoids via its teleport form but HITS requires —
+    closes through the floor-quantize pattern (Σ floor(x·1e12) as
+    BIGINT, one double division), so normalization is order-free and
+    engine-exact.
+
+    Scale: each half-step is one equi-join of the edge list against a
+    score vector + one groupBy — the same shape as a pagerank
+    iteration; norms are single-row aggregates broadcast back. Returns
+    (kind 'hub'|'authority', node STRING, score)."""
+    e = edges.select(F.col(src_col).alias("s"),
+                     F.col(dst_col).alias("d")).distinct()
+    hubs = e.select(F.col("s").alias("node")).distinct()
+    auths = e.select(F.col("d").alias("node")).distinct()
+
+    def _norm(df, col):
+        s = df.agg(F.sum(F.floor(F.col(col) * F.lit(1e12))
+                         .cast("bigint")).cast("bigint").alias("__S__"))
+        return (df.crossJoin(F.broadcast(s))
+                .select("node", (F.col(col)
+                                 / (F.col("__S__").cast("double")
+                                    / F.lit(1e12))).alias(col)))
+
+    h = hubs.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(n_iter):
+        a_raw = (e.join(h.withColumnRenamed("node", "s"), "s")
+                 .groupBy(F.col("d").alias("node"))
+                 .agg(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("s", "h"))),
+                     F.lit(0.0), lambda acc, x: acc + x["h"]).alias("a")))
+        a = _norm(auths.join(a_raw, "node", "left")
+                  .select("node", F.coalesce("a", F.lit(0.0)).alias("a")), "a")
+        h_raw = (e.join(a.withColumnRenamed("node", "d"), "d")
+                 .groupBy(F.col("s").alias("node"))
+                 .agg(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("d", "a"))),
+                     F.lit(0.0), lambda acc, x: acc + x["a"]).alias("h")))
+        h = _norm(hubs.join(h_raw, "node", "left")
+                  .select("node", F.coalesce("h", F.lit(0.0)).alias("h")), "h")
+    return (h.select(F.lit("hub").alias("kind"),
+                     F.col("node").cast("string").alias("node"),
+                     F.col("h").alias("score"))
+            .unionByName(a.select(F.lit("authority").alias("kind"),
+                                  F.col("node").cast("string").alias("node"),
+                                  F.col("a").alias("score"))))

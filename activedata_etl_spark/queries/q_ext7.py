@@ -1260,3 +1260,116 @@ def pack_split_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
                  F.sum("piece_tok").cast("bigint").alias("n_tokens"),
                  F.max("piece_tok").cast("bigint").alias("max_piece")))
+
+
+_LANGID_SQL = """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['der','die','und','das','nicht'])) AS s_de,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['the','and','of','to','is'])) AS s_en,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['el','la','los','que','de'])) AS s_es,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['le','la','et','les','des'])) AS s_fr,
+        len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+            ['的','是','了','在','我'])) AS s_zh
+      FROM documents
+    ), pred AS (
+      SELECT doc_id, lang,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS lang_guess
+      FROM scored
+    )"""
+
+
+@query(
+    "text_langid_confusion",
+    oracle=_LANGID_SQL + """
+    SELECT lang AS actual, lang_guess AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY lang, lang_guess
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval harness for the language-ID heuristic: the full
+    (actual, predicted) confusion matrix against the labeled lang
+    column — which languages the stopword heuristic confuses, and the
+    per-cell counts a threshold/marker-list change is judged by. The
+    shape generalizes to any labeled classifier audit (quality gates,
+    lang filters). One groupBy shuffle of counts."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", TX.lang_id(TX.tokens("text")).alias("lang_guess"))
+    return (pred.groupBy(F.col("lang").alias("actual"),
+                         F.col("lang_guess").alias("predicted"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.when(F.col("lang") == F.col("lang_guess"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_correct")))
+
+
+def _hits_oracle(n_iter: int = 2) -> str:
+    """Unrolled bipartite HITS over the user→event_type interaction
+    graph; join-key-ordered folds + floor-quantized L1 norms (the
+    pagerank determinism rules plus the global-norm close)."""
+    q = "1000000000000.0"
+    ctes = [
+        "e AS (SELECT DISTINCT user_id AS s, event_type AS d FROM events)",
+        "hubs AS (SELECT DISTINCT s AS node FROM e)",
+        "auths AS (SELECT DISTINCT d AS node FROM e)",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM hubs)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""ar{i} AS (
+          SELECT e.d AS node, list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE), list(h.h ORDER BY e.s)),
+            (acc, v) -> acc + v) AS a
+          FROM e JOIN h{i - 1} h ON e.s = h.node GROUP BY e.d)""")
+        ctes.append(f"""af{i} AS (
+          SELECT au.node, COALESCE(ar.a, CAST(0.0 AS DOUBLE)) AS a
+          FROM auths au LEFT JOIN ar{i} ar USING (node))""")
+        ctes.append(f"""asum{i} AS (
+          SELECT CAST(SUM(CAST(floor(a * {q}) AS BIGINT)) AS BIGINT) AS S
+          FROM af{i})""")
+        ctes.append(f"""a{i} AS (
+          SELECT node, a / (CAST(S AS DOUBLE) / {q}) AS a
+          FROM af{i} CROSS JOIN asum{i})""")
+        ctes.append(f"""hr{i} AS (
+          SELECT e.s AS node, list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE), list(a.a ORDER BY e.d)),
+            (acc, v) -> acc + v) AS h
+          FROM e JOIN a{i} a ON e.d = a.node GROUP BY e.s)""")
+        ctes.append(f"""hf{i} AS (
+          SELECT hu.node, COALESCE(hr.h, CAST(0.0 AS DOUBLE)) AS h
+          FROM hubs hu LEFT JOIN hr{i} hr USING (node))""")
+        ctes.append(f"""hsum{i} AS (
+          SELECT CAST(SUM(CAST(floor(h * {q}) AS BIGINT)) AS BIGINT) AS S
+          FROM hf{i})""")
+        ctes.append(f"""h{i} AS (
+          SELECT node, h / (CAST(S AS DOUBLE) / {q}) AS h
+          FROM hf{i} CROSS JOIN hsum{i})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT 'hub' AS kind, CAST(node AS VARCHAR) AS node, h AS score
+    FROM h{n_iter}
+    UNION ALL
+    SELECT 'authority' AS kind, node, a AS score FROM a{n_iter}
+    """)
+
+
+@query("graph_hits_bipartite", oracle=_hits_oracle(2))
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite HITS over user→event_type interactions: user hubs and
+    event-type authorities (2 synchronous iterations) — the co-HITS
+    primitive next to pagerank/triangles in the graph family. Oracle
+    unrolls every half-step and value-checks each score to the last
+    bit."""
+    from ..ext import graph as G
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return G.bipartite_hits(ev, "user_id", "event_type", n_iter=2)
