@@ -1373,3 +1373,58 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     return G.bipartite_hits(ev, "user_id", "event_type", n_iter=2)
+
+
+@query(
+    "dedup_corpus_summary",
+    oracle="WITH " + _near_dup_pairs_cte(0.2) + """,
+    g AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY fp
+    ),
+    nd AS (
+      SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_near_dup_docs
+      FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_unique_contents,
+           (SELECT CAST(SUM(n_copies - 1) AS BIGINT) FROM g)
+             AS n_exact_dup_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_near_dup_pairs,
+           (SELECT n_near_dup_docs FROM nd) AS n_near_dup_docs,
+           (SELECT CAST(SUM(n_copies - 1) AS BIGINT) FROM g) * 1.0
+             / (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+             AS exact_dup_ratio
+    """,
+)
+def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dedup report a corpus release ships: doc count,
+    distinct contents, exact-duplicate docs (and ratio), verified
+    near-dup pairs, and docs touched by near-duplication — every number
+    an exact integer from the verified pipelines (fingerprint groups +
+    LSH-verified pairs), one division."""
+    from ..ext import dedup as DD
+    from ..ext.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (d.groupBy(fingerprint("text").alias("fp"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_copies")))
+    pairs = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    uniq = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_unique_contents"),
+                 F.sum(F.col("n_copies") - 1).cast("bigint")
+                 .alias("n_exact_dup_docs"))
+    np_ = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_near_dup_pairs"))
+    ndocs = (pairs.select(F.col("id_a").alias("id"))
+             .union(pairs.select("id_b")).distinct()
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_dup_docs")))
+    return (n_docs.crossJoin(F.broadcast(uniq))
+            .crossJoin(F.broadcast(np_))
+            .crossJoin(F.broadcast(ndocs))
+            .withColumn("exact_dup_ratio",
+                        F.col("n_exact_dup_docs") * F.lit(1.0)
+                        / F.col("n_docs"))
+            .select("n_docs", "n_unique_contents", "n_exact_dup_docs",
+                    "n_near_dup_pairs", "n_near_dup_docs",
+                    "exact_dup_ratio"))
