@@ -1428,3 +1428,70 @@ def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_docs", "n_unique_contents", "n_exact_dup_docs",
                     "n_near_dup_pairs", "n_near_dup_docs",
                     "exact_dup_ratio"))
+
+
+@query(
+    "dedup_winnowing_containment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    kg AS (
+      SELECT doc_id, s.pos,
+             CAST(('0x' || substring(md5(array_to_string(
+               list_slice(toks, s.pos, s.pos + 3), ' ')), 1, 8)) AS BIGINT) AS h
+      FROM t, UNNEST(range(1, greatest(len(toks) - 3, 0) + 1)) AS s(pos)
+    ),
+    wn AS (
+      SELECT a.doc_id, a.pos AS wstart, b.pos, b.h
+      FROM kg a JOIN kg b ON a.doc_id = b.doc_id
+                         AND b.pos BETWEEN a.pos AND a.pos + 3
+    ),
+    sel AS (
+      SELECT doc_id, wstart, MIN(h) AS mh FROM wn
+      GROUP BY doc_id, wstart HAVING COUNT(*) = 4
+    ),
+    fph AS (SELECT DISTINCT doc_id, mh AS h FROM sel),
+    nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fph
+            GROUP BY doc_id),
+    filt AS (SELECT h FROM fph GROUP BY h HAVING COUNT(*) <= 50),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM fph a JOIN fph b USING (h) JOIN filt USING (h)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT s.id_a, s.id_b, s.shared,
+           CAST(s.shared AS DOUBLE) / CAST(na.nf AS DOUBLE) AS containment
+    FROM shared s JOIN nfp na ON na.doc_id = s.id_a
+    """,
+)
+def dedup_winnowing_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED winnowing containment — MOSS's actual report metric:
+    what fraction of A's selected fingerprints appear in B (ordered
+    pairs, so a quote/subset relationship shows asymmetrically:
+    contained-in ≈ 1 one way, small the other). Same fingerprint table
+    and hot-hash cap as the pair query; one extra broadcast of per-doc
+    fingerprint counts. Note the tie-follows-window subtlety: the
+    UNDIRECTED pair query dedups selections by (pos, hash); containment
+    denominators count DISTINCT HASHES (a doc repeating a fingerprint
+    contributes one), which the oracle mirrors."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = DD.winnowing_fingerprints(d, "doc_id", "text", k=4, w=4)
+    fph = fp.select("id", "h").distinct()
+    nfp = fph.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
+    keep = (fph.groupBy("h").agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") <= 50).select("h"))
+    fk = fph.join(keep, "h")
+    a = fk.select(F.col("id").alias("id_a"), "h")
+    b = fk.select(F.col("id").alias("id_b"), "h")
+    shared = (a.join(b, "h")
+              .filter(F.col("id_a") != F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+              .filter(F.col("shared") >= 2))
+    return (shared.join(nfp.withColumnRenamed("id", "id_a"), "id_a")
+            .select("id_a", "id_b", "shared",
+                    (F.col("shared").cast("double")
+                     / F.col("nf").cast("double")).alias("containment")))
