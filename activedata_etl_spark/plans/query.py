@@ -368,7 +368,15 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
             elif dense:
                 domains.append(None)  # default domain = observed values
         elif dom["type"] == "range":
-            bucket = (F.floor(val / dom["interval"]) * dom["interval"]).cast("double")
+            # bins anchor at MIN, not zero: the dense domain enumerates
+            # min, min+i, … so the bucket key must be
+            # floor((v−min)/i)·i+min — identical to the old 0-anchored
+            # form whenever min is a multiple of interval (every prior
+            # query), but a min like 1 with interval 2 mis-binned every
+            # row to a key the domain never contains (caught by the
+            # edges-over-extension-op composition test).
+            bucket = (F.floor((val - dom["min"]) / dom["interval"])
+                      * dom["interval"] + dom["min"]).cast("double")
             if allow:
                 bucket = F.when((val >= dom["min"]) & (val < dom["max"]), bucket)
             keys.append(bucket.alias(name))
@@ -380,7 +388,8 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
         elif dom["type"] == "duration":
             lo_s, hi_s, iv_s = (D.parse_duration_seconds(dom[k])
                                 for k in ("min", "max", "interval"))
-            bucket = (F.floor(val / iv_s) * iv_s).cast("bigint")
+            # min-anchored like the range domain (same latent mis-bin)
+            bucket = (F.floor((val - lo_s) / iv_s) * iv_s + lo_s).cast("bigint")
             if allow:
                 bucket = F.when((val >= lo_s) & (val < hi_s), bucket)
             keys.append(bucket.alias(name))

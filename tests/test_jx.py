@@ -375,3 +375,34 @@ def test_winnowing_op_front_end_equals_direct(spark, sf_dir):
     want = DD.winnowing_pairs(docs, "doc_id", "text", min_shared=2)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_edges_cube_over_extension_op(spark, sf_dir):
+    """An extension-op from clause composes with the EDGES clause too:
+    dense range-domain histogram over winnowing shared-counts — the op
+    output enters the same aggregate/domain pipeline as a base table."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table, register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    q = {"from": {"op": "winnowing_pairs", "table": "documents",
+                  "min_shared": 1},
+         "edges": [{"name": "shared_bin", "value": "shared",
+                    "domain": {"type": "range", "min": 1, "max": 9,
+                               "interval": 2}}],
+         "select": [{"name": "n", "aggregate": "count"}]}
+    got = {r["shared_bin"]: r["n"] for r in run(spark, q).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.winnowing_pairs(docs, "doc_id", "text", min_shared=1)
+    want_rows = (pairs.filter((F.col("shared") >= 1) & (F.col("shared") < 9))
+                 .groupBy((F.floor((F.col("shared") - 1) / 2) * 2 + 1)
+                          .cast("double").alias("b"))
+                 .count().collect())
+    want = {r["b"]: r["count"] for r in want_rows}
+    for b, n in want.items():
+        assert got.get(b, 0) == n, (b, got.get(b), n)
+    # dense completion: every bin in [1,9) step 2 is present even if 0
+    assert {1.0, 3.0, 5.0, 7.0} <= set(got)
