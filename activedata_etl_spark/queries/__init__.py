@@ -70,6 +70,7 @@ _FRONT = [
     # review_sample, dedup_aware, temperature/priority jx corpus pairs
     # are separately covered). Everything new is sweep-green at BOTH
     # scales from vanilla sessions this session.
+    "jx_edges_range_offset_bins",  # pins the r5 min-anchor bin fix
     "text_rerank_stub_topk", "sim_knn_density_outliers",
     "dedup_winnowing_pairs", "dedup_winnowing_index_pairs",
     "sim_anisotropy_profile", "corpus_multi_eval_overlap",
@@ -105,7 +106,6 @@ _FRONT = [
     # agg/sketch tail — bloom first (probe fix this round)
     "agg_bloom_words", "agg_bloom_probe",
     "agg_cms_registers",
-    "agg_argmax_join_back",
     # events analytics tail
     "events_linear_trend", "events_funnel_window",
     # ETL / quality / similarity tail

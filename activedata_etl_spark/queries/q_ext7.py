@@ -1495,3 +1495,37 @@ def dedup_winnowing_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", "shared",
                     (F.col("shared").cast("double")
                      / F.col("nf").cast("double")).alias("containment")))
+
+
+@query(
+    "jx_edges_range_offset_bins",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(unnest([25000, 75000, 125000, 175000, 225000])
+                  AS DOUBLE) AS price_bin
+    ), a AS (
+      SELECT CAST(floor((o_totalprice - 25000) / 50000) * 50000 + 25000
+                  AS DOUBLE) AS price_bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      WHERE o_totalprice >= 25000 AND o_totalprice < 275000
+      GROUP BY 1
+    )
+    SELECT b.price_bin, COALESCE(a.n, 0) AS n
+    FROM b LEFT JOIN a USING (price_bin)
+    """,
+)
+def jx_edges_range_offset_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range edge domain whose min (25000) is NOT a multiple of the
+    interval (50000) — the configuration that silently zero-filled
+    before the min-anchor fix (floor(v/i)·i keys never matched the
+    min-anchored dense domain). Driver-pins the fix; allowNulls=false
+    drops out-of-range rows like the reference."""
+    register_views(spark, sf_dir)
+    return JXQ.run(spark, {
+        "from": "orders",
+        "edges": [{"name": "price_bin", "value": "o_totalprice",
+                   "domain": {"type": "range", "min": 25000,
+                              "max": 275000, "interval": 50000}}],
+        "select": [{"name": "n", "aggregate": "count"}],
+    })
