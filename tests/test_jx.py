@@ -406,3 +406,42 @@ def test_edges_cube_over_extension_op(spark, sf_dir):
         assert got.get(b, 0) == n, (b, got.get(b), n)
     # dense completion: every bin in [1,9) step 2 is present even if 0
     assert {1.0, 3.0, 5.0, 7.0} <= set(got)
+
+
+def test_window_and_cube_over_extension_op(spark, sf_dir):
+    """The jx window clause and the cube formatter also compose over an
+    extension-op from clause — op outputs are full citizens of every
+    downstream stage."""
+    from pyspark.sql import Window, functions as F
+
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table, register_views
+    from activedata_etl_spark.plans.query import run, run_formatted
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    # window: rank each doc's matches by shared desc (where precedes
+    # window in the jx clause order, so the rank column is compared on
+    # the full output)
+    got = run(spark, {
+        "from": {"op": "winnowing_pairs", "table": "documents",
+                 "min_shared": 1},
+        "window": [{"name": "rk", "value": "shared", "aggregate": "rank",
+                    "edges": ["id_a"],
+                    "sort": [{"value": "shared", "sort": -1}]}],
+    })
+    pairs = DD.winnowing_pairs(docs, "doc_id", "text", min_shared=1)
+    w = Window.partitionBy("id_a").orderBy(F.desc("shared"))
+    want = pairs.withColumn("rk", F.rank().over(w))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # cube format over an op output
+    cube = run_formatted(spark, {
+        "from": {"op": "skew_profile", "table": "lineitem",
+                 "columns": ["l_partkey"]},
+        "edges": ["column"],
+        "select": [{"name": "n", "aggregate": "count"}],
+        "format": "cube"})
+    assert sum(cube["data"]["n"]) >= 1
