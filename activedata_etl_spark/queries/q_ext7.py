@@ -1529,3 +1529,73 @@ def jx_edges_range_offset_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "max": 275000, "interval": 50000}}],
         "select": [{"name": "n", "aggregate": "count"}],
     })
+
+
+@query(
+    "corpus_source_term_tv_matrix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK}) AS w FROM documents
+    ), c AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY source, w
+    ), tot AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY source
+    ), terms AS (SELECT DISTINCT w FROM c),
+    srcs AS (SELECT source, nt FROM tot),
+    grid AS (
+      SELECT a.source AS src_a, a.nt AS na, b.source AS src_b, b.nt AS nb,
+             t.w
+      FROM srcs a JOIN srcs b ON a.source < b.source CROSS JOIN terms t
+    ), j AS (
+      SELECT g.src_a, g.src_b, g.na, g.nb,
+             COALESCE(ca.n, 0) AS ca, COALESCE(cb.n, 0) AS cb
+      FROM grid g
+      LEFT JOIN c ca ON ca.source = g.src_a AND ca.w = g.w
+      LEFT JOIN c cb ON cb.source = g.src_b AND cb.w = g.w
+    )
+    SELECT src_a, src_b,
+           CAST(SUM(abs(ca * nb - cb * na)) AS BIGINT) AS tv_num,
+           ANY_VALUE(na) * ANY_VALUE(nb) AS tv_den,
+           CAST(SUM(abs(ca * nb - cb * na)) AS DOUBLE)
+             / (2.0 * ANY_VALUE(na) * ANY_VALUE(nb)) AS tv
+    FROM j GROUP BY src_a, src_b
+    ORDER BY tv DESC, src_a, src_b LIMIT 25
+    """,
+)
+def corpus_source_term_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity by term distribution: total-variation
+    distance between every source pair's unigram distributions — which
+    sources are near-duplicates of each other AT THE DISTRIBUTION level
+    (mirror feeds, scraped re-hosts) even when no document pair matches.
+    Rational arithmetic end-to-end (|ca·nb − cb·na| summed as BIGINT,
+    one closing division; the ×2 halves the L1 into [0,1]). The term
+    grid is |sources|²·|vocab| — vocabulary-bounded (Heaps), source
+    count is tiny; at 100 TB the per-source count table is the only
+    corpus-scale scan."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (d.select("source", F.explode(TX.tokens("text")).alias("w"))
+         .groupBy("source", "w")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("nt"))
+    terms = c.select("w").distinct()
+    srcs = tot.select("source", "nt")
+    a = srcs.select(F.col("source").alias("src_a"), F.col("nt").alias("na"))
+    b = srcs.select(F.col("source").alias("src_b"), F.col("nt").alias("nb"))
+    grid = (a.join(b, F.col("src_a") < F.col("src_b"))
+            .crossJoin(terms))
+    ca = c.select(F.col("source").alias("src_a"), "w", F.col("n").alias("ca"))
+    cb = c.select(F.col("source").alias("src_b"), "w", F.col("n").alias("cb"))
+    j = (grid.join(ca, ["src_a", "w"], "left")
+         .join(cb, ["src_b", "w"], "left")
+         .select("src_a", "src_b", "na", "nb",
+                 F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    return (j.groupBy("src_a", "src_b")
+            .agg(F.sum(F.abs(F.col("ca") * F.col("nb")
+                             - F.col("cb") * F.col("na")))
+                 .cast("bigint").alias("tv_num"),
+                 (F.any_value("na") * F.any_value("nb")).alias("tv_den"))
+            .withColumn("tv", F.col("tv_num").cast("double")
+                        / (F.lit(2.0) * F.col("tv_den")))
+            .orderBy(F.desc("tv"), "src_a", "src_b").limit(25))
