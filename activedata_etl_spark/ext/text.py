@@ -762,3 +762,45 @@ def pack_bins_split(df, shard_col: str, id_col: str, n_tok_col: str,
         "bin", F.floor(F.coalesce(F.sum("piece_tok").over(w), F.lit(0))
                        / F.lit(float(capacity))).cast("bigint"))
         .select(shard_col, id_col, "piece", "piece_tok", "bin"))
+
+
+def purge_from_fact_index(spark, path: str, ids, id_col: str = "id") -> int:
+    """Right-to-be-forgotten over a batch-keyed FACT index (bm25
+    postings, winnowing fingerprints, chunk tables): rewrite every
+    batch shard that contains any of ``ids`` WITHOUT those rows —
+    because the indexes store per-document facts and derive statistics
+    merge-on-read, removing the rows removes the documents from every
+    served number (df, N, total, pair sets) with no tombstone logic.
+
+    Only shards that actually contain a purged id are rewritten (a
+    membership probe per shard — cheap column-pruned scans); each
+    rewrite goes through a temp dir + rename so a crash leaves either
+    the old or the new shard, never a partial one. Returns the number
+    of shards rewritten. ``ids`` may be a list or a single-column
+    DataFrame."""
+    import os
+    import shutil
+
+    from pyspark.sql import DataFrame as _DF, functions as _F
+
+    if isinstance(ids, _DF):
+        ids_df = ids.toDF(id_col)
+    else:
+        ids_df = spark.createDataFrame([(i,) for i in ids], [id_col])
+    rewritten = 0
+    for d in sorted(os.listdir(path)):
+        sub = os.path.join(path, d)
+        if not (d.startswith("batch=") and os.path.isdir(sub)):
+            continue
+        shard = spark.read.parquet(sub)
+        hit = shard.join(_F.broadcast(ids_df), id_col, "left_semi").limit(1)
+        if not hit.count():
+            continue
+        kept = shard.join(_F.broadcast(ids_df), id_col, "left_anti")
+        tmp = sub + ".purge.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(sub)
+        os.rename(tmp, sub)
+        rewritten += 1
+    return rewritten

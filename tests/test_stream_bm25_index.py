@@ -80,3 +80,30 @@ def test_bm25_index_compaction_invisible(spark, sf_dir, tmp_path):
         docs, "doc_id", "text", ["spark", "vector", "merge"],
         k=10).collect()]
     assert _topk(spark, idx) == want
+
+
+def test_purge_ids_removes_from_every_statistic(spark, sf_dir, tmp_path):
+    """GDPR purge: after purge_from_fact_index, the served BM25 result
+    equals a fresh index built WITHOUT the purged docs — df/N/total all
+    reflect the removal (facts + merge-on-read, no tombstones); only
+    shards containing purged ids were rewritten."""
+    import os
+
+    from activedata_etl_spark.ext.text import purge_from_fact_index
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        TX.append_bm25_index(docs.filter(F.col("doc_id") % 3 == b),
+                             "doc_id", "text", idx, b)
+    purged = [0, 3, 7, 9]
+    n = purge_from_fact_index(spark, idx, purged, id_col="id")
+    assert n >= 1
+    remaining = docs.filter(~F.col("doc_id").isin(purged))
+    want = [(r["doc_id"], r["bm25"]) for r in TX.bm25_topk(
+        remaining, "doc_id", "text", ["spark", "vector", "merge"],
+        k=10).collect()]
+    assert _topk(spark, idx) == want
+    # shard 1 (ids ≡ 1 mod 3) contained no purged id → untouched
+    assert n == 2
