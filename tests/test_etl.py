@@ -299,3 +299,27 @@ def test_load_path_2d_manifest_pruning(spark, sf_dir, tmp_path):
         & (F.col("o_orderkey").between(*b_ok))).collect())
     got = sorted(r["o_orderkey"] for r in both.collect())
     assert got == want
+
+
+def test_retention_sweep_drops_old_periods(spark, sf_dir, tmp_path):
+    """Retention: periods before the cutoff disappear; the surviving
+    data equals a cutoff-filtered read of the original (period-atomic,
+    no row-level rewrite)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.sources.etl import (read_rollover,
+                                                  retention_sweep,
+                                                  rollover_write)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    path = str(tmp_path / "roll")
+    rollover_write(ev, path, "ts", unit="day")
+    cutoff = str(ev.agg(F.date_trunc("day", F.expr(
+        "min(ts) + INTERVAL 2 DAYS")).cast("date")).first()[0])
+    removed = retention_sweep(path, cutoff)
+    assert removed and all(p < cutoff for p in removed)
+    got = sorted(r["event_id"] for r in read_rollover(spark, path).collect())
+    want = sorted(r["event_id"] for r in ev.filter(
+        F.date_trunc("day", "ts").cast("date") >= cutoff).collect())
+    assert got == want
