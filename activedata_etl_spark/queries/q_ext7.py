@@ -1599,3 +1599,55 @@ def corpus_source_term_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("tv", F.col("tv_num").cast("double")
                         / (F.lit(2.0) * F.col("tv_den")))
             .orderBy(F.desc("tv"), "src_a", "src_b").limit(25))
+
+
+@query(
+    "text_term_gini",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT doc_id, unnest({_TOK}) AS w FROM documents)
+      GROUP BY doc_id, w
+    ), r AS (
+      SELECT doc_id, f,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, w) AS i,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n,
+             SUM(f) OVER (PARTITION BY doc_id) AS s
+      FROM tf
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_terms,
+           CAST(ANY_VALUE(s) AS BIGINT) AS n_tokens,
+           (2.0 * CAST(SUM(i * f) AS DOUBLE))
+             / (ANY_VALUE(n) * CAST(ANY_VALUE(s) AS DOUBLE))
+             - (CAST(ANY_VALUE(n) AS DOUBLE) + 1.0) / ANY_VALUE(n) AS gini
+    FROM r WHERE doc_id < 150 GROUP BY doc_id
+    """,
+)
+def text_term_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term-frequency Gini coefficient — the repetitiveness
+    /information-density scalar (0 = every term used equally, →1 = one
+    term dominates), computed by the exact rank formula
+    G = 2·Σ i·f₍ᵢ₎/(n·Σf) − (n+1)/n over ties-broken-by-term sorted
+    frequencies: integer products and sums, two divisions, NO
+    entropy/log. Complements repetition_ratio (n-gram-based) with a
+    distributional view. One (doc,term) count shuffle; the rank window
+    reuses its partitioning."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    tf = (d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+          .groupBy("doc_id", "w")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("f")))
+    wr = Window.partitionBy("doc_id").orderBy("f", "w")
+    wp = Window.partitionBy("doc_id")
+    r = (tf.withColumn("i", F.row_number().over(wr))
+         .withColumn("n", F.count(F.lit(1)).over(wp))
+         .withColumn("s", F.sum("f").over(wp)))
+    return (r.groupBy("doc_id")
+            .agg(F.any_value("n").cast("bigint").alias("n_terms"),
+                 F.any_value("s").cast("bigint").alias("n_tokens"),
+                 ((F.lit(2.0) * F.sum(F.col("i") * F.col("f")).cast("double"))
+                  / (F.any_value("n") * F.any_value("s").cast("double"))
+                  - (F.any_value("n").cast("double") + F.lit(1.0))
+                  / F.any_value("n")).alias("gini")))
