@@ -1651,3 +1651,60 @@ def text_term_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (F.any_value("n") * F.any_value("s").cast("double"))
                   - (F.any_value("n").cast("double") + F.lit(1.0))
                   / F.any_value("n")).alias("gini")))
+
+
+@query(
+    "etl_join_size_estimate",
+    oracle="""
+    WITH ca AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na
+      FROM orders GROUP BY o_custkey
+    ), cb AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM customer GROUP BY c_custkey
+    ), j AS (
+      SELECT ca.k, ca.na, cb.nb FROM ca JOIN cb USING (k)
+    )
+    SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_join_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS rows_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS rows_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS ndv_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS ndv_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+             * (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+             // GREATEST((SELECT CAST(COUNT(*) AS BIGINT) FROM ca),
+                        (SELECT CAST(COUNT(*) AS BIGINT) FROM cb))
+             AS textbook_estimate
+    FROM j
+    """,
+)
+def etl_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size planning audit: the EXACT join cardinality (Σ per-key
+    count products — computed from the two count tables, never by
+    materializing the join) next to the textbook |A|·|B|/max(ndv)
+    estimate every cost-based optimizer starts from. The gap between
+    the two columns IS the skew/correlation error a planner would make
+    — the companion number to etl_skew_audit's key shares. Integer
+    arithmetic; count tables only."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ca = o.groupBy(F.col("o_custkey").alias("k")) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    cb = c.groupBy(F.col("c_custkey").alias("k")) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    j = ca.join(cb, "k")
+    exact = j.agg(F.sum(F.col("na") * F.col("nb")).cast("bigint")
+                  .alias("exact_join_rows"))
+    stats = (o.agg(F.count(F.lit(1)).cast("bigint").alias("rows_a"))
+             .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint")
+                              .alias("rows_b")))
+             .crossJoin(ca.agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("ndv_a")))
+             .crossJoin(cb.agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("ndv_b"))))
+    return (exact.crossJoin(F.broadcast(stats))
+            .withColumn("textbook_estimate",
+                        F.expr("rows_a * rows_b DIV "
+                               "GREATEST(ndv_a, ndv_b)").cast("bigint"))
+            .select("exact_join_rows", "rows_a", "rows_b", "ndv_a", "ndv_b",
+                    "textbook_estimate"))
