@@ -143,3 +143,31 @@ def scan_pruned(spark, manifest: DataFrame, col: str, lo, hi) -> DataFrame:
         return empty.filter(F.lit(False))
     return (spark.read.parquet(*files)
             .filter((F.col(col) >= lo) & (F.col(col) <= hi)))
+
+
+def append_zordered(df: DataFrame, path: str, cols: list[str],
+                    n_files: int, stat_cols: list[str],
+                    bits: int = 16) -> None:
+    """Incremental maintenance of a z-ordered layout: the DELTA is
+    z-clustered among itself and APPENDED as new files, then the
+    manifest rebuilds over the whole directory — the steady-state
+    ingest path (full re-clustering of 100 TB per batch is not a plan;
+    periodic compaction re-tightens global clustering like any
+    lakehouse). New files carry tight stats for the delta's value
+    ranges, so pruning stays strict on every dimension; correctness
+    never depends on clustering quality (the manifest records ACTUAL
+    per-file ranges, and pruning is one-sided by construction).
+
+    Manifest ordering: rebuilt only AFTER the append lands, preserving
+    the manifest-written-last completion-marker convention — a crash
+    between append and rebuild leaves a stale manifest that simply
+    prunes the new files out until the next write; callers that need
+    crash-atomicity for the delta should route through a batch-keyed
+    staging dir like the index appends."""
+    zk = zorder_key(cols, bits)
+    (df.withColumn("__zkey__", zk)
+       .repartitionByRange(n_files, F.col("__zkey__"))
+       .sortWithinPartitions("__zkey__")
+       .drop("__zkey__")
+       .write.mode("append").parquet(path))
+    write_manifest(df.sparkSession, path, stat_cols)

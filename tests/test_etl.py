@@ -323,3 +323,38 @@ def test_retention_sweep_drops_old_periods(spark, sf_dir, tmp_path):
     want = sorted(r["event_id"] for r in ev.filter(
         F.date_trunc("day", "ts").cast("date") >= cutoff).collect())
     assert got == want
+
+
+def test_append_zordered_keeps_pruning_and_data(spark, sf_dir, tmp_path):
+    """Incremental z-order append: all rows survive, pruning through the
+    standard load path still opens a strict file subset on the clustered
+    dim, and the manifest covers the appended files."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_parquet, load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.agg(F.max("o_custkey")).first()[0]
+    zcols = [F.floor(F.col("o_custkey") * 1024 / (hi + 1)).cast("bigint"),
+             F.pmod(F.col("o_orderkey"), F.lit(1024))]
+    base = o.filter(F.col("o_orderkey") % 2 == 0)
+    delta = o.filter(F.col("o_orderkey") % 2 == 1)
+    data = str(tmp_path / "orders.parquet")
+    L.write_zordered(base, data, zcols, n_files=6, bits=10)
+    L.write_manifest(spark, data, ["o_custkey"])
+    L.append_zordered(delta, data, zcols, n_files=3,
+                      stat_cols=["o_custkey"], bits=10)
+
+    full = spark.read.parquet(data)
+    assert full.count() == o.count()
+    # manifest covers every live file
+    mf = spark.read.parquet(L.manifest_path(data))
+    assert mf.count() == len(full.inputFiles())
+    lo_b, hi_b = 1, max(2, hi // 16)
+    pruned = load_parquet(spark, data, bounds={"o_custkey": (lo_b, hi_b)})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    want = sorted(r["o_orderkey"] for r in o.filter(
+        F.col("o_custkey").between(lo_b, hi_b)).collect())
+    got = sorted(r["o_orderkey"] for r in pruned.collect())
+    assert got == want
