@@ -1708,3 +1708,50 @@ def etl_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "GREATEST(ndv_a, ndv_b)").cast("bigint"))
             .select("exact_join_rows", "rows_a", "rows_b", "ndv_a", "ndv_b",
                     "textbook_estimate"))
+
+
+@query(
+    "sim_norm_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), th AS (
+      SELECT percentile_cont(0.02) WITHIN GROUP (ORDER BY nrm) AS p_lo,
+             percentile_cont(0.98) WITHIN GROUP (ORDER BY nrm) AS p_hi
+      FROM v
+    )
+    SELECT vec_id, nrm,
+           nrm < th.p_lo AS too_small, nrm > th.p_hi AS too_large
+    FROM v CROSS JOIN th
+    WHERE nrm < th.p_lo OR nrm > th.p_hi
+    """,
+)
+def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC: vectors whose L2 norm falls outside the exact
+    [p2, p98] band — the broken-embedding detector (zero vectors,
+    un-normalized stragglers, numeric blowups) run before any cosine
+    machinery trusts the corpus. Norms are sequential in-array folds
+    (deterministic); thresholds are exact interpolated percentiles
+    (functions/aggs.sorted_percentiles — bit-identical to DuckDB
+    percentile_cont). The threshold sort runs over the norms column
+    only (8 bytes/row; at extreme scale swap in the histogram-strategy
+    percentile, same module)."""
+    from ..ext.similarity import norm
+    from ..functions.aggs import sorted_percentiles
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id",
+                   norm(F.transform("embedding",
+                                    lambda x: x.cast("double"))).alias("nrm"))
+    th = (sorted_percentiles(v.withColumn("__g__", F.lit(1)), ["__g__"],
+                             "nrm", {"p_lo": 0.02, "p_hi": 0.98})
+          .drop("__g__"))
+    return (v.crossJoin(F.broadcast(th))
+            .filter((F.col("nrm") < F.col("p_lo"))
+                    | (F.col("nrm") > F.col("p_hi")))
+            .select("vec_id", "nrm",
+                    (F.col("nrm") < F.col("p_lo")).alias("too_small"),
+                    (F.col("nrm") > F.col("p_hi")).alias("too_large")))
