@@ -1755,3 +1755,81 @@ def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "nrm",
                     (F.col("nrm") < F.col("p_lo")).alias("too_small"),
                     (F.col("nrm") > F.col("p_hi")).alias("too_large")))
+
+
+@query(
+    "text_quality_quantile_norm",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ), p AS (
+      SELECT doc_id, source, v,
+             CAST(rk - 1 AS DOUBLE) / (ns - 1) AS pct
+      FROM w WHERE ns > 1
+    ), g AS (
+      SELECT CAST(n_chars AS DOUBLE) AS gv,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gi,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ), lk AS (
+      SELECT p.doc_id, p.source, p.v, p.pct,
+             CAST(floor(p.pct * (g2.n - 1)) AS BIGINT) + 1 AS lo_i,
+             p.pct * (g2.n - 1) - floor(p.pct * (g2.n - 1)) AS f
+      FROM p CROSS JOIN (SELECT ANY_VALUE(n) AS n FROM g) g2
+    )
+    SELECT lk.doc_id, lk.source, lk.v AS raw, lk.pct,
+           glo.gv * (1.0 - lk.f) + ghi.gv * lk.f AS normalized
+    FROM lk
+    JOIN g glo ON glo.gi = lk.lo_i
+    JOIN g ghi ON ghi.gi = LEAST(lk.lo_i + 1,
+                                 (SELECT ANY_VALUE(n) FROM g))
+    WHERE lk.doc_id < 150
+    """,
+)
+def text_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True quantile NORMALIZATION across sources: each document's
+    within-source percentile rank maps onto the GLOBAL score
+    distribution (interpolated order statistics) — the calibration that
+    makes one quality threshold mean the same thing for every source
+    regardless of its score scale (per-source score drift is the
+    classic quality-gate failure). Exact throughout: ranks are
+    integers, the interpolation is the percentile helper's
+    lo·(1−f)+hi·f. Two rank windows + two integer-keyed lookups into
+    the global order statistics — no percentile map, no collect; the
+    global order-statistics table is corpus-sized but 16 bytes/row
+    (value + rank)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wsp = Window.partitionBy("source")
+    p = (d.select("doc_id", "source",
+                  F.col("n_chars").cast("double").alias("v"))
+         .withColumn("rk", F.row_number().over(
+             ws.orderBy(F.col("v"), F.col("doc_id"))))
+         .withColumn("ns", F.count(F.lit(1)).over(wsp))
+         .filter(F.col("ns") > 1)
+         .withColumn("pct", (F.col("rk") - 1).cast("double")
+                     / (F.col("ns") - 1)))
+    wg = Window.orderBy("gv", "doc_id")
+    g = (d.select(F.col("n_chars").cast("double").alias("gv"), "doc_id")
+         .withColumn("gi", F.row_number().over(wg))
+         .select("gv", "gi"))
+    n = g.agg(F.max("gi").alias("n"))
+    lk = (p.crossJoin(F.broadcast(n))
+          .withColumn("lo_i", F.floor(F.col("pct") * (F.col("n") - 1))
+                      .cast("bigint") + 1)
+          .withColumn("f", F.col("pct") * (F.col("n") - 1)
+                      - F.floor(F.col("pct") * (F.col("n") - 1))))
+    glo = g.select(F.col("gi").alias("lo_i"), F.col("gv").alias("glo"))
+    ghi = g.select(F.col("gi").alias("hi_i"), F.col("gv").alias("ghi"))
+    return (lk.withColumn("hi_i", F.least(F.col("lo_i") + 1, F.col("n")))
+            .join(glo, "lo_i").join(ghi, "hi_i")
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id", "source", F.col("v").alias("raw"), "pct",
+                    (F.col("glo") * (F.lit(1.0) - F.col("f"))
+                     + F.col("ghi") * F.col("f")).alias("normalized")))
