@@ -1833,3 +1833,33 @@ def text_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", F.col("v").alias("raw"), "pct",
                     (F.col("glo") * (F.lit(1.0) - F.col("f"))
                      + F.col("ghi") * F.col("f")).alias("normalized")))
+
+
+@query(
+    "events_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(ts) AS latest,
+           CAST(date_diff('second', MAX(ts), g.global_max) AS BIGINT)
+             AS lag_seconds
+    FROM events CROSS JOIN g
+    GROUP BY event_type, g.global_max
+    """,
+)
+def events_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion freshness monitor: per event type, the newest event and
+    its lag behind the stream head — the staleness alarm a pipeline
+    pages on (a type whose lag grows is a stuck upstream). One count
+    shuffle + a 1-row broadcast; integer seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("global_max"))
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.max("ts").alias("latest"))
+            .crossJoin(F.broadcast(g))
+            .select("event_type", "n", "latest",
+                    (F.unix_timestamp("global_max")
+                     - F.unix_timestamp("latest")).cast("bigint")
+                    .alias("lag_seconds")))
