@@ -1863,3 +1863,66 @@ def events_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.unix_timestamp("global_max")
                      - F.unix_timestamp("latest")).cast("bigint")
                     .alias("lag_seconds")))
+
+
+@query(
+    "sample_split_balance_audit",
+    oracle=f"""
+    WITH lab AS (
+      SELECT source,
+             CASE WHEN {SA.sql_hash_bucket('doc_id', 'sb1')}
+                       < 3435973836 THEN 'train'
+                  WHEN {SA.sql_hash_bucket('doc_id', 'sb1')}
+                       < 3865470565 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), c AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_val,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_test,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY source
+    )
+    SELECT source, n, n_train, n_val, n_test,
+           (CAST(n_train AS DOUBLE) - n * 0.8)
+             * (CAST(n_train AS DOUBLE) - n * 0.8) / (n * 0.8)
+           + (CAST(n_val AS DOUBLE) - n * 0.1)
+             * (CAST(n_val AS DOUBLE) - n * 0.1) / (n * 0.1)
+           + (CAST(n_test AS DOUBLE) - n * 0.1)
+             * (CAST(n_test AS DOUBLE) - n * 0.1) / (n * 0.1) AS chi2
+    FROM c
+    """,
+)
+def sample_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit: per source, realized train/val/test counts
+    under the 80/10/10 hash split and the chi² statistic against the
+    target proportions — the check that the GLOBAL hash coin doesn't
+    systematically skew any source (it can, by chance, for small
+    sources; chi² ≫ 6 on two degrees of freedom is the flag). Fixed
+    three-term chi² sum (pivoted columns, not an aggregated float sum)
+    — engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select("source", SA.split_label(
+        F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="sb1").alias("split"))
+    c = (lab.groupBy("source")
+         .agg(F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+              .cast("bigint").alias("n_train"),
+              F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+              .cast("bigint").alias("n_val"),
+              F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+              .cast("bigint").alias("n_test"),
+              F.count(F.lit(1)).cast("bigint").alias("n")))
+
+    def term(col, frac):
+        e = F.col("n") * F.lit(frac)
+        d_ = F.col(col).cast("double") - e
+        return d_ * d_ / e
+
+    return c.select("source", "n", "n_train", "n_val", "n_test",
+                    (term("n_train", 0.8) + term("n_val", 0.1)
+                     + term("n_test", 0.1)).alias("chi2"))
