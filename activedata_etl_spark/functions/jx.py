@@ -117,7 +117,13 @@ def add(*xs, default=None) -> Column:
     SQL ``a + b`` null-poisons; jx treats missing operands as absent.
     """
     cols = [_c(x) for x in xs]
-    total = F.lit(0)
+    # init with a BIGINT zero: int32 operands promote to bigint (a
+    # product/sum of realistic counts overflows int32 and ANSI mode
+    # makes that an ERROR, not a wrap — found by the widened numeric
+    # fuzzer); double operands promote the whole expression to double.
+    # Overflow beyond bigint is out of contract (the reference's Python
+    # ints were arbitrary-precision; no fixed-width engine can match).
+    total = F.lit(0).cast("bigint")
     any_present = F.lit(False)
     for c in cols:
         total = total + F.coalesce(c, F.lit(0))
@@ -128,7 +134,7 @@ def add(*xs, default=None) -> Column:
 def mult(*xs, default=None) -> Column:
     """Null-ignoring variadic product (MultOp)."""
     cols = [_c(x) for x in xs]
-    prod = F.lit(1)
+    prod = F.lit(1).cast("bigint")  # int32-overflow guard, see add()
     any_present = F.lit(False)
     for c in cols:
         prod = prod * F.coalesce(c, F.lit(1))

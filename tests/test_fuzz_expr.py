@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from activedata_etl_spark.plans.expressions import compile_expr
 
 COLS = ["a", "b"]
-LITS = [0, 1, 3]
+LITS = [-2, 0, 1, 3]
 
 
 def _leaves():
@@ -84,9 +84,9 @@ def to_sql(t):
     return f"({t[1]} {sym} {t[2]})"
 
 
-ROWS = [(i * 5 + j, a, b)
-        for i, a in enumerate([None, 0, 1, 2, 3])
-        for j, b in enumerate([None, 0, 1, 2, 3])]
+ROWS = [(i * 6 + j, a, b)
+        for i, a in enumerate([None, -2, 0, 1, 2, 3])
+        for j, b in enumerate([None, -2, 0, 1, 2, 3])]
 
 
 @pytest.fixture(scope="module")
