@@ -285,6 +285,11 @@ def split(s, sep: str) -> Column:
 
 
 def upper(s) -> Column:
+    """Unicode note (found by the multibyte string fuzzer): Spark's
+    upper uses Java full case mapping — upper('ß') = 'SS', matching the
+    reference's Python str.upper — while ICU-based engines (DuckDB)
+    emit capital sharp s 'ẞ'. We are jx-faithful; oracle comparisons
+    must avoid ß (pinned out of the fuzz domain)."""
     return F.upper(_c(s))
 
 

@@ -196,7 +196,7 @@ def test_jx_numeric_kit_matches_semantic_sql(fuzz_frames, trees):
 # --- string kit: left/right/not_left/not_right/concat/find/between ---
 
 S_COLS = ["s", "u"]
-S_LITS = ["a", "ab", "ba"]
+S_LITS = ["a", "ab", "ba", "日", ""]
 N_LITS = [0, 1, 2, 5]
 
 
@@ -274,7 +274,8 @@ def str_to_sql(t):
 def str_frames(spark):
     rows = [(i, s, u) for i, (s, u) in enumerate(
         [(None, "ab"), ("", None), ("ab", "ba"), ("aabba", " a b "),
-         ("xyx", "aa"), ("a", "b"), ("ab-ba", "abab")])]
+         ("xyx", "aa"), ("a", "b"), ("ab-ba", "abab"),
+         ("日本語ab", "日ab"), ("ÅüÇ", "åüç"), ("a日b", "")])]
     df = spark.createDataFrame(rows, "id int, s string, u string")
     con = duckdb.connect()
     con.execute("CREATE TABLE t (id INT, s VARCHAR, u VARCHAR)")
