@@ -304,6 +304,9 @@ _NOWS = [
     "2024-02-29 23:59:59",   # leap day
     "2026-08-14 07:00:00",   # ordinary
     "2026-12-31 12:00:00",   # year boundary
+    "1969-12-31 23:59:59",   # pre-epoch (negative unix seconds)
+    "1970-01-01 00:00:00",   # the epoch itself
+    "2000-02-29 06:30:00",   # century leap day (div-400 rule)
 ]
 _ANCHOR_SQL = {
     "now": "{t}",
