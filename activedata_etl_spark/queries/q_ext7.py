@@ -1926,3 +1926,53 @@ def sample_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("source", "n", "n_train", "n_val", "n_test",
                     (term("n_train", 0.8) + term("n_val", 0.1)
                      + term("n_test", 0.1)).alias("chi2"))
+
+
+@query(
+    "sample_split_dedup_safe",
+    oracle="WITH RECURSIVE " + _near_dup_pairs_cte(0.2) + f""",
+    edges2 AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges2
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges2 e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN {SA.sql_hash_bucket('split_key', 'ds1')}
+                     < {int(0.9 * 4294967296)} THEN 'train'
+                ELSE 'eval' END AS split
+    FROM keyed
+    """,
+)
+def sample_split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: the hash coin flips on the
+    near-dup CLUSTER canonical, not the document — so a document and
+    its near-duplicates always land in the SAME split (the classic
+    eval-contamination hole in naive per-doc splits: train memorizes a
+    near-copy of an eval doc). Docs outside any cluster key on their
+    own id; membership stays append-stable as long as clusters are
+    (re-run dedup, re-split — deterministic both times)."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+    comp = (DD.connected_components(pairs)
+            .select(F.col("id").alias("doc_id"), "cluster_id"))
+    keyed = (d.join(comp, "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("cluster_id", "doc_id").alias("split_key")))
+    return keyed.withColumn(
+        "split", SA.split_label(F.col("split_key"),
+                                {"train": 0.9, "eval": 0.1}, salt="ds1"))
