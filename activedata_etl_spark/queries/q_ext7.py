@@ -1976,3 +1976,60 @@ def sample_split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.withColumn(
         "split", SA.split_label(F.col("split_key"),
                                 {"train": 0.9, "eval": 0.1}, salt="ds1"))
+
+
+@query(
+    "corpus_release_signature",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id % 2 AS half, unnest({sh_expr}) AS s
+      FROM documents
+    ), mins AS (
+      SELECT half, {min_cols}
+      FROM sh GROUP BY half
+    )
+    SELECT a.half AS half_a, b.half AS half_b,
+           CAST(({agree}) AS BIGINT) AS n_agree,
+           ({agree}) / 16.0 AS est_jaccard
+    FROM mins a JOIN mins b ON a.half < b.half
+    """.format(
+        sh_expr="list_distinct(list_transform("
+                "range(1, greatest(len(string_split_regex(lower(trim(text)),"
+                " '\\s+')) - 2, 0) + 1), i -> array_to_string(list_slice("
+                "string_split_regex(lower(trim(text)), '\\s+'), i, i + 2),"
+                " ' ')))",
+        min_cols=", ".join(
+            f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(16)),
+        agree=" + ".join(
+            f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+            for i in range(16)),
+    ),
+)
+def corpus_release_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-level MinHash: 16 GLOBAL shingle-hash minima per corpus
+    half (even/odd ids stand in for release N / release N+1) and the
+    agreement-fraction Jaccard estimate between them — an O(1)-storage
+    corpus fingerprint for 'how much did this release change', the
+    whole-corpus analog of the per-doc signature. One scan + a
+    16-column min aggregate; the estimate is a count of equalities."""
+    from ..ext.dedup import shingles
+    from ..ext.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select((F.col("doc_id") % 2).alias("half"),
+                  F.explode(shingles(tokens("text"), 3)).alias("s"))
+    mins = sh.groupBy("half").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(16)])
+    a = mins.select(F.col("half").alias("half_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)])
+    b = mins.select(F.col("half").alias("half_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)])
+    agree = None
+    for i in range(16):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    return (a.join(b, F.col("half_a") < F.col("half_b"))
+            .select("half_a", "half_b",
+                    agree.cast("bigint").alias("n_agree"),
+                    (agree / F.lit(16.0)).alias("est_jaccard")))
