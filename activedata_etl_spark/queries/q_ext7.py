@@ -2033,3 +2033,45 @@ def corpus_release_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("half_a", "half_b",
                     agree.cast("bigint").alias("n_agree"),
                     (agree / F.lit(16.0)).alias("est_jaccard")))
+
+
+@query(
+    "text_bm25_and_phrase",
+    oracle="WITH " + _bm25_ctes() + """,
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit FROM tf
+      GROUP BY doc_id HAVING COUNT(*) = 3
+    )
+    SELECT bm.doc_id, bm.bm25, h.n_terms_hit,
+           contains(lower(trim(d.text)), 'vector merge') AS has_phrase
+    FROM bm JOIN hits h USING (doc_id) JOIN documents d USING (doc_id)
+    ORDER BY bm.bm25 DESC, bm.doc_id LIMIT 10
+    """,
+)
+def text_bm25_and_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval: BM25 top-10 restricted to documents that
+    contain ALL query terms (the AND mode a search box defaults to),
+    plus an exact-phrase flag for 'vector merge' — the two precision
+    levers on top of the ranked OR-mode list. The AND filter is one
+    HAVING over the per-doc term hits; the phrase test is a scan-local
+    substring."""
+    d = load_table(spark, sf_dir, "documents")
+    # k = corpus size: the "top-k" is the full scored list here (the
+    # AND filter downstream does the cutting); a huge literal k would
+    # make TakeOrdered allocate a k-entry heap PER PARTITION (measured
+    # OOM with k=1e9)
+    bm = TX.bm25_topk(d, "doc_id", "text", list(_BM25_TERMS),
+                      k=int(d.count()))
+    base = d.select("doc_id", TX.tokens("text").alias("__t__"), "text")
+    hits = (base.select("doc_id", F.explode("__t__").alias("__w__"))
+            .filter(F.col("__w__").isin(list(_BM25_TERMS)))
+            .groupBy("doc_id", "__w__").count()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"))
+            .filter(F.col("n_terms_hit") == len(_BM25_TERMS)))
+    return (bm.join(hits, "doc_id")
+            .join(d.select("doc_id",
+                           F.contains(F.lower(F.trim("text")),
+                                      F.lit("vector merge"))
+                           .alias("has_phrase")), "doc_id")
+            .orderBy(F.desc("bm25"), "doc_id").limit(10))
