@@ -322,3 +322,32 @@ def test_next_event_examples_single_window_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_next_event_examples")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_temperature_mixture_broadcasts_plan_rows(spark, sf_dir):
+    """The per-source plan (source-cardinality rows) must broadcast back
+    onto the corpus — never a shuffled join of the corpus against it."""
+    plan = _plan(spark, sf_dir, "sample_temperature_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_no_cartesian_edge_iterations(spark, sf_dir):
+    """Every HITS half-step must be an equi-join of the edge list
+    against a score vector — no cartesian anywhere in the unrolled
+    iterations."""
+    plan = _plan(spark, sf_dir, "graph_hits_bipartite")
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_norm_integer_keyed_lookups(spark, sf_dir):
+    """The global order-statistic lookups must be HASH equi-joins on the
+    computed integer rank keys (lo_i/hi_i) — not a percentile map or a
+    range join.  (One BroadcastNestedLoopJoin IS expected: the 1-row
+    global-count scalar attach; what must not appear is a cartesian or
+    a data-sized nested loop — pinned by requiring exactly one BNLJ and
+    both lookups as BroadcastHashJoin.)"""
+    plan = _plan(spark, sf_dir, "text_quality_quantile_norm")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row scalar attach
+    assert plan.count("BroadcastHashJoin") >= 2  # the lo_i / hi_i lookups
