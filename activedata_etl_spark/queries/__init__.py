@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     q_ext5,
     q_ext6,
     q_ext7,
+    q_ext8,
     q_flagship,
     q_joins,
     q_jx,

