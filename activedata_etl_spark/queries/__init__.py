@@ -71,44 +71,68 @@ _FRONT = [
     # review_sample, dedup_aware, temperature/priority jx corpus pairs
     # are separately covered). Everything new is sweep-green at BOTH
     # scales from vanilla sessions this session.
+    # FINAL r5 rotation: everything registered AFTER the previous rotation
+    # leads (new code carries the most risk, and driver evidence is the
+    # hard signal) — this session's three operators first, then the
+    # late-round batch (iterative HITS, the two-window quantile
+    # normalization, the AND/phrase BM25 variant, the global-MinHash
+    # release signature, the leakage-critical cluster-atomic split + its
+    # chi2 balance audit, the pairwise source TV matrix, directed
+    # winnowing containment, term Gini, embedding norm QC, and the
+    # one-row corpus release report). To hold the prefix at 50, moved to
+    # the r6 backlog 14 entries whose machinery is exercised by queries
+    # that REMAIN in the prefix or by prior driver-green relatives:
+    # text_bm25_from_index / text_hybrid_rrf_topk (bm25 legs stay via
+    # text_bm25_topk + jx_bm25_topk), sim_knn_components (CC machinery
+    # driver-green r2), sample_priority_weighted /
+    # sample_temperature_mixture (scan-local integer arithmetic,
+    # property- and plan-tested), etl_manifest_pruned_2d (pruning stays
+    # via etl_manifest_pruned_read), jx_edges_duration_histogram /
+    # jx_select_default / jx_nested_having (jx machinery heavily
+    # represented), edges_predicate_parts, nested_array_path
+    # (nested_leaves stays), agg_bloom_words (agg_bloom_probe stays and
+    # exercises registers + probe), agg_cms_registers
+    # (agg_cms_heavy_hitters stays, merge-on-read of the same registers),
+    # events_linear_trend (moment machinery driver-green r4 via
+    # agg_corr_covar). Whole prefix parity-validated at sf0.01 from a
+    # vanilla session after the swap.
+    "sim_silhouette", "sim_dim_truncation_audit", "etl_file_compaction_plan",
+    "graph_hits_bipartite", "text_quality_quantile_norm",
+    "text_bm25_and_phrase", "corpus_release_signature",
+    "sample_split_dedup_safe", "sample_split_balance_audit",
+    "corpus_source_term_tv_matrix", "dedup_winnowing_containment",
+    "text_term_gini", "sim_norm_outliers", "dedup_corpus_summary",
     "jx_edges_range_offset_bins",  # pins the r5 min-anchor bin fix
     "text_rerank_stub_topk", "sim_knn_density_outliers",
     "dedup_winnowing_pairs", "dedup_winnowing_index_pairs",
     "sim_anisotropy_profile", "corpus_multi_eval_overlap",
     "dedup_lsh_recall_audit",
-    "multimodal_ahash_pairs", "text_bm25_from_index",
-    "text_hybrid_rrf_topk", "sim_knn_components", "text_bm25_topk",
-    "sim_knn_graph", "sample_priority_weighted",
-    "sample_temperature_mixture", "etl_manifest_pruned_2d",
+    "multimodal_ahash_pairs", "text_bm25_topk",
+    "sim_knn_graph",
     "jx_bm25_topk",
-    # NEW this round: manifest-pruned standard read, hot-key-split as-of,
-    # CMS heavy hitters from the persisted index, and the three
-    # jx-front-end-routed extension ops
+    # manifest-pruned standard read, hot-key-split as-of, CMS heavy
+    # hitters from the persisted index, and the three jx-front-end-routed
+    # extension ops
     "etl_manifest_pruned_read", "join_asof_hotkey_split",
     "agg_cms_heavy_hitters", "jx_near_dup_pairs", "jx_ann_topk",
     "jx_quality_gate",
-    # jx tail (the verdict's named priority)
+    # jx tail (the VERDICT r4 named priority)
     "jx_deep_query", "jx_select_nested_output", "jx_window_ntile_first_last",
     "jx_edges_set_dense", "jx_edges_range_histogram",
-    "jx_edges_duration_histogram", "jx_edges_expression",
-    "jx_agg_percentile_union", "jx_nested_having", "jx_select_default",
+    "jx_edges_expression", "jx_agg_percentile_union",
     # expression/edge-domain tail
     "expr_split_get_tuple",
-    "edges_set_allow_nulls", "edges_predicate_parts",
+    "edges_set_allow_nulls",
     # nested ops
-    "nested_array_path", "nested_leaves",
-    # join/setop/sort/window tails (join_cross_small / setop_union_all /
-    # expr_number_to_string — trivial builtin wrappers — swapped out for
-    # the round's riskiest NEW operators: the ExactSubstr pair and the
-    # integrated release manifest; the swapped-out three stay in the r6
-    # backlog, same size either way)
+    "nested_leaves",
+    # the round's riskiest mid-session operators: the ExactSubstr pair
+    # and the integrated release manifest
     "dedup_exact_substrings", "dedup_exact_substr_removal",
     "corpus_release_manifest",
-    # agg/sketch tail — bloom first (probe fix this round)
-    "agg_bloom_words", "agg_bloom_probe",
-    "agg_cms_registers",
+    # sketch tail — bloom probe (probe fix this round)
+    "agg_bloom_probe",
     # events analytics tail
-    "events_linear_trend", "events_funnel_window",
+    "events_funnel_window",
     # ETL / quality / similarity tail
     "etl_scd2_history",
     "text_quality_calibrated", "sim_dimension_profile",

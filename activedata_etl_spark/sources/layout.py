@@ -212,3 +212,53 @@ def compaction_plan(manifest: DataFrame, target: int,
                         F.sum(size_col).over(wg).cast("bigint"))
             .withColumn("grp_files",
                         F.count(F.lit(1)).over(wg).cast("bigint")))
+
+
+def compact_layout(spark, path: str, stat_cols: list[str],
+                   target: int, size_col: str = "n_rows") -> int:
+    """Execute a compaction plan (the OPTIMIZE rewrite): each group of
+    small files from :func:`compaction_plan` is rewritten as ONE file,
+    then the directory is swapped and the manifest rebuilt. Returns the
+    number of files after compaction.
+
+    Mechanics: one coalesce(1) write job per group into a staging dir —
+    a driver loop over GROUPS is scheduler-side work (group count =
+    file count / files-per-target, the same manifest-sized scale this
+    module already collects); the data volume each job moves is the
+    group's files, read and written exactly once, and jobs are
+    independent (a real deployment can submit them concurrently).
+    Name order inside each group is preserved by the read, so a
+    clustered layout stays clustered across the rewrite.
+
+    Durability: the rewrite lands in ``<path>.compacting``, then the
+    old dir moves aside, the new one takes its place, the old one is
+    deleted, and the manifest is rebuilt LAST (the completion-marker
+    convention — a crash mid-swap leaves either the old layout intact
+    or the new layout with a stale manifest that over-admits files,
+    which pruning tolerates by its one-sided contract). On object
+    storage this swap is the table-format transaction log's job; this
+    helper encodes the local-FS equivalent.
+    """
+    import shutil
+
+    fresh = build_manifest(spark, path, stat_cols)
+    plan = compaction_plan(fresh, target=target, size_col=size_col)
+    groups: dict[int, list[str]] = {}
+    for r in plan.select("grp", "file").collect():
+        groups.setdefault(r["grp"], []).append(r["file"])
+
+    staging = path.rstrip("/") + ".compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    for grp in sorted(groups):
+        (spark.read.parquet(*sorted(groups[grp]))
+         .coalesce(1)
+         .write.mode("append").parquet(staging))
+
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    import os
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    write_manifest(spark, path, stat_cols)
+    return len(groups)

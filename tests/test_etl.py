@@ -404,3 +404,47 @@ def test_compaction_plan_on_real_manifest(spark, sf_dir, tmp_path):
         if g != last:
             assert sum(x["n_rows"] for x in rows) >= 1  # non-empty
     assert len(by_grp) >= 2, "target should force multiple groups"
+
+
+def test_compact_layout_executes_plan(spark, sf_dir, tmp_path):
+    """compact_layout end-to-end on a z-ordered many-small-files layout:
+    rows preserved exactly, file count collapses to the group count,
+    and manifest pruning still reads a strict file subset afterwards."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.pmod("o_orderkey", F.lit(128)).alias("d"))
+    path = str(tmp_path / "z")
+    L.write_zordered(o, path, ["o_custkey", "d"], n_files=12, bits=8)
+
+    before = L.build_manifest(spark, path, ["o_custkey", "d"])
+    total = before.agg(F.sum("n_rows")).collect()[0][0]
+    n_before = before.count()
+    assert n_before == 12
+
+    n_groups = L.compact_layout(spark, path, ["o_custkey", "d"],
+                                target=total // 4 + 1)
+    after = L.build_manifest(spark, path, ["o_custkey", "d"])
+    assert after.count() == n_groups < n_before
+
+    # rows preserved exactly (count + keyed checksum)
+    compacted = spark.read.parquet(path)
+    assert compacted.count() == total
+    chk = lambda df: df.agg(
+        F.sum(F.xxhash64("o_orderkey", "o_custkey", "d").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    assert chk(compacted) == chk(o)
+
+    # pruning still strict through the rebuilt manifest
+    man = spark.read.parquet(L.manifest_path(path))
+    files = L.prune_files(man, "o_custkey", 0, 10)
+    assert 0 < len(files) < n_groups or n_groups <= 2
+    got = sorted(r["o_orderkey"] for r in
+                 L.scan_pruned(spark, man, "o_custkey", 0, 10).collect())
+    want = sorted(r["o_orderkey"] for r in
+                  o.filter(F.col("o_custkey").between(0, 10)).collect())
+    assert got == want
