@@ -614,3 +614,56 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
                           / (norm(F.col("__sv__")) * norm(F.col("__dv__")))))
     return (topk_per_query(scored, "src", "cos", "dst", k)
             .select("src", "dst", "cos"))
+
+
+def top_component(df: DataFrame, id_col: str, vec_col: str,
+                  n_iter: int = 3) -> DataFrame:
+    """Dominant principal direction of the (uncentered) second-moment
+    matrix XᵀX by power iteration — the representation-collapse axis
+    (pair with :func:`anisotropy` for the MEAN direction; together they
+    answer "is the embedding space degenerating onto one line?").
+
+    Determinism contract (the HITS rules applied to linear algebra):
+    per-row dot products are sequential in-array folds; the global
+    per-dimension accumulation Σᵢ xᵢⱼ·(xᵢ·v) closes through the
+    floor-quantize pattern (Σ floor(x·dp·1e9) as BIGINT, one double
+    division — order-free on any partitioning); the L2 normalization
+    folds over the POSITION-ORDERED 64-term array (same order as the
+    oracle's list_sum); the seed is the lowest-id vector normalized (no
+    randomness, sign pinned). Every emitted value is engine-exact.
+
+    Scale: each iteration is one broadcast of the current direction
+    (dim-sized) against the corpus — scan-local scoring — plus one
+    (pos)-keyed shuffle of dim rows. Vectors never shuffle. The BIGINT
+    quantized sums bound the corpus at ~1e6 rows per unit |x·dp| at the
+    1e9 scale; widen to decimal(38,0) sums past that (same pattern,
+    see functions/exact.py).
+
+    Returns a 1-row frame (vt array<double>, lam double) — ``lam`` is
+    ‖(XᵀX)v‖ at the last step, the eigenvalue estimate.
+    """
+    v = df.select(F.col(id_col).alias("__id__"),
+                  _dvec(F.col(vec_col)).alias("__v__"))
+    seed = (v.orderBy("__id__").limit(1)
+            .withColumn("__n__", norm(F.col("__v__")))
+            .select(F.transform("__v__",
+                                lambda x: x / F.col("__n__")).alias("vt"),
+                    F.lit(0.0).alias("lam")))
+    vt = seed
+    for _ in range(n_iter):
+        d = (v.crossJoin(F.broadcast(vt.select("vt")))
+             .withColumn("__dp__", dot(F.col("__v__"), F.col("vt"))))
+        w = (d.select("__dp__", F.posexplode("__v__").alias("pos", "x"))
+             .groupBy("pos")
+             .agg((F.sum(F.floor(F.col("x") * F.col("__dp__") * F.lit(1e9))
+                         .cast("bigint")).cast("double")
+                   / F.lit(1e9)).alias("w")))
+        wa = (w.groupBy()
+              .agg(F.array_sort(F.collect_list(F.struct("pos", "w")))
+                   .alias("__s__"))
+              .select(F.col("__s__.w").alias("wv")))
+        vt = (wa.withColumn("__n__", norm(F.col("wv")))
+              .select(F.transform("wv",
+                                  lambda x: x / F.col("__n__")).alias("vt"),
+                      F.col("__n__").alias("lam")))
+    return vt

@@ -96,14 +96,15 @@ _FRONT = [
     # events_linear_trend (moment machinery driver-green r4 via
     # agg_corr_covar). Whole prefix parity-validated at sf0.01 from a
     # vanilla session after the swap.
-    "sim_silhouette", "sim_dim_truncation_audit", "etl_file_compaction_plan",
+    "sim_top_component", "sim_silhouette", "sim_dim_truncation_audit",
+    "etl_file_compaction_plan",
     "graph_hits_bipartite", "text_quality_quantile_norm",
     "text_bm25_and_phrase", "corpus_release_signature",
     "sample_split_dedup_safe", "sample_split_balance_audit",
     "corpus_source_term_tv_matrix", "dedup_winnowing_containment",
     "text_term_gini", "sim_norm_outliers", "dedup_corpus_summary",
     "jx_edges_range_offset_bins",  # pins the r5 min-anchor bin fix
-    "text_rerank_stub_topk", "sim_knn_density_outliers",
+    "text_rerank_stub_topk",
     "dedup_winnowing_pairs", "dedup_winnowing_index_pairs",
     "sim_anisotropy_profile", "corpus_multi_eval_overlap",
     "dedup_lsh_recall_audit",

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..ext import similarity as SIM
 from ..io import load_table
-from .q_ext import _ivf_ctes, _sql_cos
+from .q_ext import _ivf_ctes, _sql_cos, _sql_dot
 from .registry import query
 
 
@@ -204,3 +204,74 @@ def etl_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(files, target=_COMPACT_TARGET,
                            size_col="n_rows").select(
         "file", "n_rows", "grp", "grp_size", "grp_files")
+
+
+def _top_component_oracle(n_iter: int = 3) -> str:
+    """CTE-unrolled power iteration mirroring similarity.top_component:
+    lowest-id normalized seed, floor-quantized per-dimension sums,
+    position-ordered norm folds."""
+    dot = _sql_dot
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)",
+        "seed AS (SELECT vv FROM v ORDER BY vec_id LIMIT 1)",
+        f"n0 AS (SELECT vv, sqrt({dot('vv', 'vv')}) AS nrm FROM seed)",
+        "vt0 AS (SELECT list_transform(vv, x -> x / nrm) AS vt FROM n0)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""d{i} AS (
+          SELECT a.vec_id, a.vv, {dot('a.vv', 't.vt')} AS dp
+          FROM v a CROSS JOIN vt{i - 1} t)""")
+        ctes.append(f"""w{i} AS (
+          SELECT pos,
+                 CAST(SUM(CAST(floor(x * dp * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS w
+          FROM (SELECT dp, unnest(vv) AS x,
+                       generate_subscripts(vv, 1) AS pos FROM d{i})
+          GROUP BY pos)""")
+        ctes.append(f"wa{i} AS (SELECT list(w ORDER BY pos) AS wv FROM w{i})")
+        ctes.append(f"nn{i} AS (SELECT wv, sqrt({dot('wv', 'wv')}) AS nrm "
+                    f"FROM wa{i})")
+        ctes.append(f"vt{i} AS (SELECT list_transform(wv, x -> x / nrm) AS vt,"
+                    f" nrm AS lam FROM nn{i})")
+    ctes.append("""tot AS (
+      SELECT CAST(SUM(CAST(floor(sq * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS total_sq
+      FROM (SELECT {d} AS sq FROM v))""".format(d=dot("vv", "vv")))
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT CAST(pos - 1 AS BIGINT) AS pos, x AS v, lam,
+           lam / total_sq AS ev_share
+    FROM (SELECT unnest(vt) AS x, generate_subscripts(vt, 1) AS pos, lam
+          FROM vt{n_iter})
+    CROSS JOIN tot""")
+
+
+@query("sim_top_component", oracle=_top_component_oracle())
+def sim_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by DETERMINISTIC
+    power iteration (ext/similarity.top_component) — the collapse-axis
+    diagnostic: a large ev_share means one direction dominates the
+    second moment and cosine similarities are saturating (pairs with
+    sim_anisotropy_profile, which measures the MEAN direction's share).
+    Emits the unit component long-form (pos, v) with the eigenvalue
+    estimate ``lam`` = ‖(XᵀX)v‖ and its share of total second moment —
+    every value bit-exact against the CTE-unrolled oracle.
+
+    Scale: per iteration, one dim-sized broadcast against the corpus
+    (scan-local dot products) + one dim-rows shuffle; vectors never
+    move. Brute-force-free and sample-free — this runs on the full
+    corpus at any size."""
+    from ..ext.similarity import dot as _dot, top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = top_component(emb, "vec_id", "embedding", n_iter=3)
+    v = emb.select(F.transform("embedding",
+                               lambda x: x.cast("double")).alias("vv"))
+    tot = (v.select(_dot(F.col("vv"), F.col("vv")).alias("sq"))
+           .agg((F.sum(F.floor(F.col("sq") * F.lit(1e9)).cast("bigint"))
+                 .cast("double") / F.lit(1e9)).alias("total_sq")))
+    return (comp.select(F.posexplode("vt").alias("pos", "v"), "lam")
+            .withColumn("pos", F.col("pos").cast("long"))
+            .crossJoin(F.broadcast(tot))
+            .select("pos", "v", "lam",
+                    (F.col("lam") / F.col("total_sq")).alias("ev_share")))

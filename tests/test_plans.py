@@ -351,3 +351,12 @@ def test_quantile_norm_integer_keyed_lookups(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row scalar attach
     assert plan.count("BroadcastHashJoin") >= 2  # the lo_i / hi_i lookups
+
+
+def test_top_component_no_cartesian_no_vector_shuffle(spark, sf_dir):
+    """Power iteration must broadcast the dim-sized direction against the
+    corpus each round — never a cartesian; the only Exchanges are the
+    dim-rows (pos) aggregations and singleton reassemblies."""
+    plan = _plan(spark, sf_dir, "sim_top_component")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row direction attach
