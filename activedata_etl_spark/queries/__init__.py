@@ -97,7 +97,8 @@ _FRONT = [
     # agg_corr_covar). Whole prefix parity-validated at sf0.01 from a
     # vanilla session after the swap.
     "sim_top_component", "sim_silhouette", "sim_dim_truncation_audit",
-    "etl_file_compaction_plan",
+    "etl_file_compaction_plan", "text_dup_ngram_report",
+    "corpus_dedup_pareto",
     "graph_hits_bipartite", "text_quality_quantile_norm",
     "text_bm25_and_phrase", "corpus_release_signature",
     "sample_split_dedup_safe", "sample_split_balance_audit",
@@ -105,8 +106,8 @@ _FRONT = [
     "text_term_gini", "sim_norm_outliers", "dedup_corpus_summary",
     "jx_edges_range_offset_bins",  # pins the r5 min-anchor bin fix
     "text_rerank_stub_topk",
-    "dedup_winnowing_pairs", "dedup_winnowing_index_pairs",
-    "sim_anisotropy_profile", "corpus_multi_eval_overlap",
+    "dedup_winnowing_pairs",
+    "sim_anisotropy_profile",
     "dedup_lsh_recall_audit",
     "multimodal_ahash_pairs", "text_bm25_topk",
     "sim_knn_graph",

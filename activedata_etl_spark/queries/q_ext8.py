@@ -275,3 +275,102 @@ def sim_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(tot))
             .select("pos", "v", "lam",
                     (F.col("lam") / F.col("total_sq")).alias("ev_share")))
+
+
+_NG5 = ("list_transform("
+        " range(1, greatest(len({t}) - 4, 0) + 1),"
+        " i -> array_to_string(list_slice({t}, i, i + 4), ' '))"
+        ).format(t="string_split_regex(lower(trim(text)), '\\s+')")
+
+
+@query(
+    "text_dup_ngram_report",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_NG5}) AS g FROM documents
+    )
+    SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS example_doc2
+    FROM occ GROUP BY g
+    ORDER BY n_docs DESC, g ASC LIMIT 20
+    """,
+)
+def text_dup_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk report (the Lee et al. 2022 'most duplicated
+    n-grams' table): the 20 word-5-grams appearing in the most documents,
+    with occurrence counts and example doc ids — the triage list a
+    dedup/decontamination pass starts from (a 5-gram in thousands of
+    docs is boilerplate or a template; a model WILL memorize it).
+
+    Plan: one n-gram explode (scan-local staged slices, the non-quadratic
+    form — ext/text.ngrams), one groupBy on the n-gram, then global
+    top-20 via orderBy+limit = TakeOrderedAndProject (heap of 20 per
+    partition, no global sort). Deterministic total order (n_docs desc,
+    gram asc)."""
+    from ..ext import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id",
+                   F.explode(TX.ngrams(TX.tokens("text"), 5)).alias("g"))
+    return (occ.groupBy("g")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+                 F.min("doc_id").cast("bigint").alias("example_doc"),
+                 F.max("doc_id").cast("bigint").alias("example_doc2"))
+            .orderBy(F.col("n_docs").desc(), F.col("g").asc())
+            .limit(20))
+
+
+@query(
+    "corpus_dedup_pareto",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), top AS (
+      SELECT h, n FROM g ORDER BY n DESC, h ASC LIMIT 50
+    ), r AS (
+      SELECT h, n, ROW_NUMBER() OVER (ORDER BY n DESC, h ASC) AS rank,
+             CAST(SUM(n) OVER (ORDER BY n DESC, h ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_docs
+      FROM top
+    )
+    SELECT rank, n AS grp_docs, cum_docs,
+           CAST(cum_docs AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)
+             AS cum_share
+    FROM r CROSS JOIN tot
+    """,
+)
+def corpus_dedup_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-mass concentration curve (the dedup-ROI chart): the 50
+    largest exact-duplicate groups ranked by size, with the cumulative
+    fraction of ALL documents they account for — 'removing the top-k
+    duplicate clusters shrinks the corpus by X%'. Steep curves say cheap
+    targeted dedup wins; flat curves say the duplication is long-tail
+    and needs the full near-dup pipeline.
+
+    Scale: only groups with ≥2 docs enter the ranking, and the global
+    order is a top-50 heap (TakeOrderedAndProject), so the
+    single-partition cumulative window runs over 50 rows — never the
+    group universe. Shares are integer-operand IEEE divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (d.groupBy(F.md5("text").alias("h"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+         .filter(F.col("n") >= 2))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    top = g.orderBy(F.col("n").desc(), F.col("h").asc()).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("h").asc())
+    r = (top.withColumn("rank", F.row_number().over(w))
+         .withColumn("cum_docs",
+                     F.sum("n").over(
+                         w.rowsBetween(Window.unboundedPreceding, 0))
+                     .cast("bigint")))
+    return (r.crossJoin(F.broadcast(tot))
+            .select("rank", F.col("n").alias("grp_docs"), "cum_docs",
+                    (F.col("cum_docs").cast("double")
+                     / F.col("n_docs").cast("double")).alias("cum_share")))

@@ -360,3 +360,18 @@ def test_top_component_no_cartesian_no_vector_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_top_component")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row direction attach
+
+
+def test_dup_ngram_report_heap_topk(spark, sf_dir):
+    """Global top-20 must be a TakeOrderedAndProject heap — a full sort
+    of the n-gram universe would be a 100 TB global sort."""
+    plan = _plan(spark, sf_dir, "text_dup_ngram_report")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_pareto_heap_then_tiny_window(spark, sf_dir):
+    """The dup-group ranking must heap-select 50 rows BEFORE the
+    cumulative window — the single-partition window is then 50 rows,
+    never the group universe."""
+    plan = _plan(spark, sf_dir, "corpus_dedup_pareto")
+    assert "TakeOrderedAndProject" in plan
