@@ -170,6 +170,76 @@ def asof_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     )
 
 
+def asof_join_nearest(left: DataFrame, right: DataFrame,
+                      left_on: str, right_on: str,
+                      left_time: str, right_time: str,
+                      tiebreak: str,
+                      right_cols: list[str] | None = None) -> DataFrame:
+    """NEAREST as-of: for each left row, the right row minimizing the
+    absolute time distance in EITHER direction — the missing member of
+    the backward/forward/tolerance family (the "closest sensor reading"
+    lookup; pandas merge_asof(direction='nearest')).
+
+    Tie rules, total and documented: equal distance on opposite sides →
+    the BACKWARD row wins (≤ beats ≥, matching the family's backward
+    default); equal times within the backward side → largest
+    ``tiebreak``; within the forward side → smallest (each direction's
+    native rule).
+
+    Plan: the asof_join union, ONE shuffle on the key, then TWO carry
+    windows over the SAME partitioning (ascending scan for the backward
+    winner, descending for the forward winner — Catalyst reuses the
+    exchange, paying only the second sort), and a per-row pick by
+    distance. No candidate multiplication, no second shuffle. Hot keys:
+    apply the same pre-split rationale as asof_join(split_hot_keys=N)
+    upstream if a key outgrows one task's sort.
+    """
+    right_cols = right_cols or [c for c in right.columns
+                                if c not in left.columns]
+    lt, rt = dict(left.dtypes)[left_time], dict(right.dtypes)[right_time]
+    common = lt if lt == rt else (
+        "timestamp" if {lt, rt} & {"date", "timestamp", "timestamp_ntz"}
+        else "double")
+    side_r = (right.filter(F.col(right_on).isNotNull()
+                           & F.col(right_time).isNotNull())
+              .select(F.col(right_on).alias("__k__"),
+                      F.col(right_time).cast(common).alias("__t__"),
+                      F.lit(0).alias("__side__"),
+                      F.col(tiebreak).alias("__tb__"),
+                      F.struct(F.col(right_time).cast(common).alias("__rt__"),
+                               *[F.col(c) for c in right_cols])
+                      .alias("__payload__")))
+    side_l = left.select(F.col(left_on).alias("__k__"),
+                         F.col(left_time).cast(common).alias("__t__"),
+                         F.lit(1).alias("__side__"),
+                         *left.columns)
+    unioned = side_r.unionByName(side_l, allowMissingColumns=True)
+    frame = (Window.partitionBy("__k__")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wb = frame.orderBy(F.col("__t__").asc(), F.col("__side__").asc(),
+                       F.col("__tb__").asc())
+    wf = frame.orderBy(F.col("__t__").desc(), F.col("__side__").asc(),
+                       F.col("__tb__").desc())
+    carried = (unioned
+               .withColumn("__bwd__",
+                           F.last("__payload__", ignorenulls=True).over(wb))
+               .withColumn("__fwd__",
+                           F.last("__payload__", ignorenulls=True).over(wf))
+               .filter(F.col("__side__") == 1))
+    bd = (F.col("__t__").cast("double")
+          - F.col("__bwd__.__rt__").cast("double"))
+    fd = (F.col("__fwd__.__rt__").cast("double")
+          - F.col("__t__").cast("double"))
+    use_b = F.col("__bwd__").isNotNull() \
+        & (F.col("__fwd__").isNull() | (bd <= fd))
+    chosen = F.when(use_b, F.col("__bwd__")).otherwise(F.col("__fwd__"))
+    out = carried.withColumn("__chosen__", chosen)
+    return out.select(
+        *left.columns,
+        *[F.col(f"__chosen__.{c}").alias(c) for c in right_cols],
+    )
+
+
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           l_start: str, l_end: str,
                           r_start: str, r_end: str,

@@ -374,3 +374,47 @@ def corpus_dedup_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", F.col("n").alias("grp_docs"), "cum_docs",
                     (F.col("cum_docs").cast("double")
                      / F.col("n_docs").cast("double")).alias("cum_share")))
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH cand AS (
+      SELECT e.event_id, o.o_orderkey,
+             abs(epoch(e.ts) - epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+               AS d,
+             (CAST(o.o_orderdate AS TIMESTAMP) <= e.ts) AS is_b
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    ), r AS (
+      SELECT event_id, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+               ORDER BY d ASC, is_b DESC,
+                        CASE WHEN is_b THEN -o_orderkey
+                             ELSE o_orderkey END ASC) AS rn
+      FROM cand
+    )
+    SELECT e.event_id, x.o_orderkey AS nearest_order
+    FROM events e
+    LEFT JOIN (SELECT event_id, o_orderkey FROM r WHERE rn = 1) x
+      USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: the order closest in time to each event, in either
+    direction (operators/joins.asof_join_nearest) — completes the
+    backward/forward/tolerance as-of family. Ties: equidistant opposite
+    sides → backward; equal-time within a side → that direction's
+    native tiebreak. The oracle ranks ALL candidates by absolute
+    distance with the same total order; the Spark plan never builds
+    that candidate set — one shuffle, two carry windows over the same
+    exchange."""
+    from ..operators import joins as J
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+    out = J.asof_join_nearest(
+        e, o, left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        tiebreak="o_orderkey", right_cols=["o_orderkey"])
+    return out.select("event_id", F.col("o_orderkey").alias("nearest_order"))

@@ -286,3 +286,42 @@ def test_asof_hotkey_split_equivalence(spark):
                           right_cols=["payload"], split_hot_keys=8, **kwargs)
         key = lambda rows: sorted((r["k"], r["t"], r["payload"]) for r in rows)
         assert key(split.collect()) == key(plain.collect()), kwargs
+
+
+def test_asof_nearest_edges(spark):
+    """Nearest as-of tie rules: equidistant opposite sides -> backward;
+    equal-time dups within a side -> that side's native tiebreak; NULL
+    key/time never match; LEFT semantics."""
+    from activedata_etl_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 10, "equi"),      # right at 8 and 12: equidistant -> backward (8)
+         (1, 3, "fwd_only"),   # nearest is 5... wait both sides exist
+         (2, 7, "tie_dup"),    # two right rows AT t=7 -> backward, max rid
+         (2, 100, "far_b"),    # only backward side candidates
+         (3, 1, "fwd"),        # right only at t=4 (forward)
+         (None, 9, "nullk"), (4, None, "nullt")],
+        "k int, t int, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 21, "b8"), (1, 12, 22, "f12"),
+         (1, 5, 23, "b5"),
+         (2, 7, 24, "t7a"), (2, 7, 25, "t7b"),
+         (3, 4, 26, "f4"),
+         (None, 1, 27, "nullk"), (9, 1, 28, "nok")],
+        "k int, t int, rid int, val string",
+    )
+    out = asof_join_nearest(left, right, "k", "k", "t", "t",
+                            tiebreak="rid", right_cols=["rid", "val"])
+    got = {r.lbl: (r.rid, r.val) for r in out.collect()}
+    assert got == {
+        "equi": (21, "b8"),     # |10-8| == |12-10| -> backward wins
+        "fwd_only": (23, "b5"), # nearest overall is t=5 (forward side of t=3)
+        "tie_dup": (25, "t7b"), # exact-time dup -> backward side, max rid
+        "far_b": (25, "t7b"),   # only backward candidates: latest<=100 is the
+                                # t=7 pair -> backward tie rule, max rid
+        "fwd": (26, "f4"),
+        "nullk": (None, None),
+        "nullt": (None, None),
+    }
+    assert out.count() == 7

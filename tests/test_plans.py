@@ -375,3 +375,14 @@ def test_dedup_pareto_heap_then_tiny_window(spark, sf_dir):
     never the group universe."""
     plan = _plan(spark, sf_dir, "corpus_dedup_pareto")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_nearest_single_shuffle_two_windows(spark, sf_dir):
+    """Nearest as-of must reuse ONE key exchange for both carry windows
+    (ascending + descending scans) — no candidate join, no second
+    shuffle."""
+    plan = _plan(spark, sf_dir, "join_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert plan.count("Window") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
