@@ -318,3 +318,55 @@ def _winnowing_pairs(spark, df, spec) -> DataFrame:
         min_shared=int(spec.get("min_shared", 2)),
         max_df=spec.get("max_df", 50),
     )
+
+
+@_op("asof")
+def _asof(spark, df, spec) -> DataFrame:
+    """As-of join as a jx from clause: left = ``table``, right =
+    ``right`` (BOTH resolve through the normal from-resolution, so
+    either side can be a view, a deep path, or a nested query dict).
+    ``direction``: backward (default) | forward | nearest; backward/
+    forward accept ``tolerance_s`` and ``split_hot_keys``; nearest is
+    the closest-either-way variant (operators/joins.asof_join_nearest).
+    Output: left columns + ``right_cols`` (default: right-only cols)."""
+    from ..operators import joins as J
+    from .query import _from
+
+    for req in ("right", "left_on", "right_on",
+                "left_time", "right_time", "tiebreak"):
+        if req not in spec:
+            raise ValueError(f"asof needs {req!r} (from.{req})")
+    right = _from(spark, spec["right"])
+    kw = dict(left_on=str(spec["left_on"]), right_on=str(spec["right_on"]),
+              left_time=str(spec["left_time"]),
+              right_time=str(spec["right_time"]),
+              tiebreak=str(spec["tiebreak"]),
+              right_cols=spec.get("right_cols"))
+    direction = str(spec.get("direction", "backward"))
+    if direction == "nearest":
+        if "tolerance_s" in spec or "split_hot_keys" in spec:
+            raise ValueError(
+                "asof direction 'nearest' takes no tolerance_s/"
+                "split_hot_keys")
+        return J.asof_join_nearest(df, right, **kw)
+    tol = spec.get("tolerance_s")
+    return J.asof_join(df, right, **kw,
+                       tolerance_s=float(tol) if tol is not None else None,
+                       direction=direction,
+                       split_hot_keys=spec.get("split_hot_keys"))
+
+
+@_op("top_component")
+def _top_component(spark, df, spec) -> DataFrame:
+    """Dominant principal direction by deterministic power iteration
+    (ext/similarity.top_component), emitted long-form (pos, v, lam) so
+    jx clauses compose on rows."""
+    from pyspark.sql import functions as F
+
+    from ..ext.similarity import top_component
+
+    comp = top_component(df, spec.get("id", "vec_id"),
+                         spec.get("vector", "embedding"),
+                         n_iter=int(spec.get("n_iter", 3)))
+    return (comp.select(F.posexplode("vt").alias("pos", "v"), "lam")
+            .withColumn("pos", F.col("pos").cast("long")))

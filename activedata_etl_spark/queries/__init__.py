@@ -98,7 +98,7 @@ _FRONT = [
     # vanilla session after the swap.
     "sim_top_component", "sim_silhouette", "sim_dim_truncation_audit",
     "etl_file_compaction_plan", "text_dup_ngram_report",
-    "corpus_dedup_pareto", "join_asof_nearest",
+    "corpus_dedup_pareto", "join_asof_nearest", "jx_asof_nearest",
     "graph_hits_bipartite", "text_quality_quantile_norm",
     "text_bm25_and_phrase", "corpus_release_signature",
     "sample_split_dedup_safe", "sample_split_balance_audit",
@@ -119,7 +119,7 @@ _FRONT = [
     "agg_cms_heavy_hitters", "jx_near_dup_pairs", "jx_ann_topk",
     "jx_quality_gate",
     # jx tail (the VERDICT r4 named priority)
-    "jx_deep_query", "jx_select_nested_output", "jx_window_ntile_first_last",
+    "jx_deep_query", "jx_select_nested_output",
     "jx_edges_set_dense",
     "jx_edges_expression", "jx_agg_percentile_union",
     # expression/edge-domain tail

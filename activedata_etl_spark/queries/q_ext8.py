@@ -418,3 +418,33 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts", right_time="o_orderdate",
         tiebreak="o_orderkey", right_cols=["o_orderkey"])
     return out.select("event_id", F.col("o_orderkey").alias("nearest_order"))
+
+
+from .registry import ORACLES as _REG  # noqa: E402
+
+
+@query("jx_asof_nearest", oracle=_REG["join_asof_nearest"])
+def jx_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nearest as-of join as a jx query dict — the reference's
+    "JSON query in, result out" contract now covers the as-of family
+    (its TUID latest-annotation lookup was exactly this op's backward
+    form). Same oracle as join_asof_nearest: front-end routing must be
+    result-invisible; the select clause maps the joined columns."""
+    from ..io import register_views
+    from ..plans import query as JXQ
+
+    register_views(spark, sf_dir)
+    return JXQ.run(spark, {
+        "from": {"op": "asof",
+                 "table": {"from": "events",
+                           "select": ["event_id", "user_id", "ts"]},
+                 "right": {"from": "orders",
+                           "select": ["o_custkey", "o_orderkey",
+                                      "o_orderdate"]},
+                 "left_on": "user_id", "right_on": "o_custkey",
+                 "left_time": "ts", "right_time": "o_orderdate",
+                 "tiebreak": "o_orderkey", "right_cols": ["o_orderkey"],
+                 "direction": "nearest"},
+        "select": ["event_id",
+                   {"name": "nearest_order", "value": "o_orderkey"}],
+    })

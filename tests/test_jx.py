@@ -445,3 +445,65 @@ def test_window_and_cube_over_extension_op(spark, sf_dir):
         "select": [{"name": "n", "aggregate": "count"}],
         "format": "cube"})
     assert sum(cube["data"]["n"]) >= 1
+
+
+def test_asof_and_top_component_ops_front_end_equals_direct(spark, sf_dir):
+    """asof (backward + tolerance + nearest) and top_component routed
+    through the jx from clause equal the direct Python-API calls; the
+    nearest direction rejects tolerance/split params."""
+    import pytest
+
+    from activedata_etl_spark.ext.similarity import top_component
+    from activedata_etl_spark.io import load_table, register_views
+    from activedata_etl_spark.operators import joins as J
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = {"op": "asof",
+            "table": {"from": "events",
+                      "select": ["event_id", "user_id", "ts"]},
+            "right": {"from": "orders",
+                      "select": ["o_custkey", "o_orderkey", "o_orderdate"]},
+            "left_on": "user_id", "right_on": "o_custkey",
+            "left_time": "ts", "right_time": "o_orderdate",
+            "tiebreak": "o_orderkey", "right_cols": ["o_orderkey"]}
+    kw = dict(left_on="user_id", right_on="o_custkey", left_time="ts",
+              right_time="o_orderdate", tiebreak="o_orderkey",
+              right_cols=["o_orderkey"])
+
+    got = run(spark, {"from": dict(base)})
+    want = J.asof_join(e, o, **kw)
+    assert rows(got) == rows(want)
+
+    got = run(spark, {"from": dict(base, direction="forward",
+                                   tolerance_s=86400 * 30)})
+    want = J.asof_join(e, o, **kw, direction="forward",
+                       tolerance_s=86400 * 30)
+    assert rows(got) == rows(want)
+
+    got = run(spark, {"from": dict(base, direction="nearest")})
+    want = J.asof_join_nearest(e, o, **kw)
+    assert rows(got) == rows(want)
+
+    with pytest.raises(ValueError, match="nearest"):
+        run(spark, {"from": dict(base, direction="nearest",
+                                 tolerance_s=60)})
+    with pytest.raises(ValueError, match="right_on"):
+        run(spark, {"from": {k: v for k, v in base.items()
+                             if k != "right_on"}})
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = run(spark, {"from": {"op": "top_component", "table": "embeddings",
+                               "n_iter": 2}})
+    comp = top_component(emb, "vec_id", "embedding", n_iter=2)
+    from pyspark.sql import functions as F
+    want = (comp.select(F.posexplode("vt").alias("pos", "v"), "lam")
+            .withColumn("pos", F.col("pos").cast("long")))
+    assert rows(got) == rows(want)
