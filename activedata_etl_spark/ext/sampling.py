@@ -227,3 +227,53 @@ def temperature_mixture(df: DataFrame, source_col: str, id_col: str,
             .select(source_col, "n_units", "w", "target_units", "keep_rate",
                     F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
                     F.coalesce("kept_units", F.lit(0)).cast("bigint").alias("kept_units")))
+
+
+def kcenter_coreset(df: DataFrame, id_col: str, vec_col: str,
+                    k: int) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the farthest-
+    point diversity sampler of modern data-pruning pipelines): start
+    from the lowest-id vector, then repeatedly add the point FARTHEST
+    (max over points of min cosine distance to the selected set) —
+    the classic 2-approximation to the k-center cover, and the
+    'maximally diverse subset' a curation pass keeps when shrinking a
+    region of embedding space.
+
+    Determinism: distances are 1 − cosine over the proven sequential
+    folds; min over the selected set and the global argmax are pure
+    order-free picks (no accumulation), ties broken by lowest id; the
+    seed is the lowest id. Bit-reproducible on any partitioning.
+
+    Plan: the selection is inherently sequential in k — each round is
+    ONE corpus scan (selected centers broadcast, k×dim doubles) closing
+    in a top-1 heap (TakeOrdered), with the single winner row collected
+    to the driver (the scheduler-boundary pattern of prune_files: rows
+    crossing the boundary are O(k), never data). Total cost: k scans.
+
+    Returns (rank bigint, <id_col>, min_dist double) in selection order;
+    the seed's min_dist is NULL (no prior centers).
+    """
+    from .similarity import cosine, _dvec
+
+    v = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("__v__"))
+    first = v.orderBy(id_col).limit(1).select(id_col, "__v__").first()
+    picked = [(1, first[0], None, first[1])]  # (rank, id, mind, vec)
+    spark = df.sparkSession
+    for rank in range(2, k + 1):
+        sel_ids = [p[1] for p in picked]
+        centers = spark.createDataFrame(
+            [(p[3],) for p in picked], f"__c__: array<double>")
+        cand = (v.filter(~F.col(id_col).isin(sel_ids))
+                .crossJoin(F.broadcast(centers))
+                .withColumn("__d__",
+                            F.lit(1.0) - cosine(F.col("__v__"),
+                                                F.col("__c__")))
+                .groupBy(id_col, "__v__")
+                .agg(F.min("__d__").alias("__mind__")))
+        win = (cand.orderBy(F.col("__mind__").desc(), F.col(id_col).asc())
+               .limit(1).select(id_col, "__mind__", "__v__").first())
+        picked.append((rank, win[0], win[1], win[2]))
+    out = spark.createDataFrame(
+        [(r, i, m) for r, i, m, _ in picked],
+        f"rank bigint, {id_col} bigint, min_dist double")
+    return out

@@ -99,6 +99,7 @@ _FRONT = [
     "sim_top_component", "sim_silhouette", "sim_dim_truncation_audit",
     "etl_file_compaction_plan", "text_dup_ngram_report",
     "corpus_dedup_pareto", "join_asof_nearest", "jx_asof_nearest",
+    "sample_kcenter_coreset",
     "graph_hits_bipartite", "text_quality_quantile_norm",
     "text_bm25_and_phrase", "corpus_release_signature",
     "sample_split_dedup_safe", "sample_split_balance_audit",
@@ -129,7 +130,7 @@ _FRONT = [
     "nested_leaves",
     # the round's riskiest mid-session operators: the ExactSubstr pair
     # and the integrated release manifest
-    "dedup_exact_substrings", "dedup_exact_substr_removal",
+    "dedup_exact_substrings",
     "corpus_release_manifest",
     # sketch tail — bloom probe (probe fix this round)
     "agg_bloom_probe",

@@ -448,3 +448,49 @@ def jx_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select": ["event_id",
                    {"name": "nearest_order", "value": "o_orderkey"}],
     })
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """CTE-unrolled greedy k-center mirroring sampling.kcenter_coreset:
+    lowest-id seed, per-round min-distance-to-selected, farthest-point
+    argmax with lowest-id tie-break."""
+    cos = _sql_cos
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)",
+        "sel1 AS (SELECT vec_id, vv FROM v ORDER BY vec_id LIMIT 1)",
+        "p1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, "
+        "CAST(NULL AS DOUBLE) AS min_dist FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(f"""cand{i} AS (
+          SELECT v.vec_id, v.vv,
+                 MIN(1.0 - {cos('v.vv', 'c.vv')}) AS mind
+          FROM v CROSS JOIN sel{i - 1} c
+          WHERE v.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+          GROUP BY v.vec_id, v.vv)""")
+        ctes.append(f"""w{i} AS (
+          SELECT vec_id, vv, mind FROM cand{i}
+          ORDER BY mind DESC, vec_id ASC LIMIT 1)""")
+        ctes.append(f"""sel{i} AS (
+          SELECT vec_id, vv FROM sel{i - 1}
+          UNION ALL SELECT vec_id, vv FROM w{i})""")
+        ctes.append(f"p{i} AS (SELECT CAST({i} AS BIGINT) AS rank, vec_id, "
+                    f"mind AS min_dist FROM w{i})")
+    union = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + f"\n{union}"
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point diversity selection,
+    ext/sampling.kcenter_coreset): the 6 maximally-spread embedding
+    vectors in selection order with each pick's covering distance —
+    the diversity-preserving data-pruning primitive (keep the coreset,
+    drop the redundant bulk; min_dist's decay curve says when adding
+    centers stops buying coverage). The oracle unrolls every greedy
+    round; each rank and distance is bit-checked."""
+    from ..ext.sampling import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "vec_id", "embedding", k=6)

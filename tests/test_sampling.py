@@ -83,3 +83,22 @@ def test_global_shuffle_permutation(spark, sf_dir):
              .select("shard", "pos", "doc_id").collect())
     assert {(r.shard, r.pos, r.doc_id) for r in rows3} != \
            {(r.shard, r.pos, r.doc_id) for r in rows}
+
+
+def test_kcenter_coreset_invariants(spark, sf_dir):
+    """Greedy k-center: distinct centers, seed first, and the covering
+    distance (each pick's max-min distance) is monotone non-increasing
+    — the Gonzalez greedy guarantee."""
+    from activedata_etl_spark.ext.sampling import kcenter_coreset
+    from activedata_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kcenter_coreset(emb, "vec_id", "embedding", k=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 5
+    assert ids[0] == emb.agg({"vec_id": "min"}).first()[0]
+    dists = [r["min_dist"] for r in out]
+    assert dists[0] is None
+    assert all(d is not None and d >= 0 for d in dists[1:])
+    assert all(a >= b for a, b in zip(dists[1:], dists[2:]))
