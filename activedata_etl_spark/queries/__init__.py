@@ -99,7 +99,7 @@ _FRONT = [
     "sim_top_component", "sim_silhouette", "sim_dim_truncation_audit",
     "etl_file_compaction_plan", "text_dup_ngram_report",
     "corpus_dedup_pareto", "join_asof_nearest", "jx_asof_nearest",
-    "sample_kcenter_coreset",
+    "sample_kcenter_coreset", "etl_layout_overlap_report",
     "graph_hits_bipartite", "text_quality_quantile_norm",
     "text_bm25_and_phrase", "corpus_release_signature",
     "sample_split_dedup_safe", "sample_split_balance_audit",
@@ -125,7 +125,6 @@ _FRONT = [
     "jx_edges_expression", "jx_agg_percentile_union",
     # expression/edge-domain tail
     "expr_split_get_tuple",
-    "edges_set_allow_nulls",
     # nested ops
     "nested_leaves",
     # the round's riskiest mid-session operators: the ExactSubstr pair

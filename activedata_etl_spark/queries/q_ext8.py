@@ -494,3 +494,80 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_coreset(emb, "vec_id", "embedding", k=6)
+
+
+def _overlap_report_sql(shard_expr: str, label: str) -> str:
+    """One layout leg of the overlap report: files = ``shard_expr``
+    shards of lineitem with min/max l_orderkey stats, then the
+    overlap-pair count and floor-quantized mean span fraction."""
+    return f"""(
+    WITH f AS (
+      SELECT CAST({shard_expr} AS VARCHAR) AS file,
+             CAST(MIN(l_orderkey) AS BIGINT) AS lo,
+             CAST(MAX(l_orderkey) AS BIGINT) AS hi
+      FROM lineitem GROUP BY 1
+    ), g AS (
+      SELECT CAST(MIN(lo) AS BIGINT) AS glo, CAST(MAX(hi) AS BIGINT) AS ghi,
+             CAST(COUNT(*) AS BIGINT) AS nf
+      FROM f
+    ), ov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+      FROM f a JOIN f b
+        ON a.file < b.file AND a.lo <= b.hi AND b.lo <= a.hi
+    ), sp AS (
+      SELECT CAST(SUM(CAST(floor(CAST(f.hi - f.lo AS DOUBLE)
+                                 / CAST(g.ghi - g.glo AS DOUBLE) * 1e9)
+                           AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1e9) AS avg_span_frac
+      FROM f CROSS JOIN g
+    )
+    SELECT '{label}' AS layout, g.nf AS n_files, ov.n_overlap_pairs,
+           sp.avg_span_frac
+    FROM g, ov, sp)"""
+
+
+@query(
+    "etl_layout_overlap_report",
+    oracle=(_overlap_report_sql("l_orderkey % 16", "hash")
+            + "\nUNION ALL\n"
+            + _overlap_report_sql(
+                "least(15, l_orderkey // ((SELECT MAX(l_orderkey) "
+                "FROM lineitem) // 16 + 1))", "range")),
+)
+def etl_layout_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality diagnostic (sources/layout.overlap_report, the
+    'time to re-cluster?' metric that pairs with compact_layout): for a
+    HASH-sharded layout vs a RANGE-sharded layout of the same table,
+    the count of file pairs whose stat ranges intersect (every such
+    pair is a file a point query may redundantly open — n·(n−1)/2 for
+    hash, 0 for clean ranges) and the floor-quantized mean per-file
+    span fraction (scan amplification of a range predicate). The same
+    helper runs on real write_manifest tables; here the two layouts
+    are stated relationally so the oracle can rebuild them.
+
+    Scale: everything is manifest-row arithmetic; the pair join is
+    O(F²) over file counts — scheduler-side scale."""
+    from ..sources.layout import overlap_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_orderkey").alias("__mx__"))
+
+    def manifest(shard_col, lbl):
+        return (li.groupBy(shard_col.cast("string").alias("file"))
+                .agg(F.min("l_orderkey").cast("bigint")
+                     .alias("min_l_orderkey"),
+                     F.max("l_orderkey").cast("bigint")
+                     .alias("max_l_orderkey")))
+
+    hashm = manifest(F.col("l_orderkey") % 16, "hash")
+    rangem = (li.crossJoin(F.broadcast(mx))
+              .groupBy(F.least(
+                  F.lit(15),
+                  F.expr("l_orderkey DIV (__mx__ DIV 16 + 1)"))
+                  .cast("string").alias("file"))
+              .agg(F.min("l_orderkey").cast("bigint")
+                   .alias("min_l_orderkey"),
+                   F.max("l_orderkey").cast("bigint")
+                   .alias("max_l_orderkey")))
+    return (overlap_report(hashm, "l_orderkey", "hash")
+            .unionByName(overlap_report(rangem, "l_orderkey", "range")))

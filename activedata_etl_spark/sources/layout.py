@@ -262,3 +262,49 @@ def compact_layout(spark, path: str, stat_cols: list[str],
     shutil.rmtree(old)
     write_manifest(spark, path, stat_cols)
     return len(groups)
+
+
+def overlap_report(manifest: DataFrame, col: str,
+                   label: str = "layout") -> DataFrame:
+    """Clustering-quality report for one stat column of a manifest —
+    the 'is it time to re-cluster?' diagnostic that pairs with
+    :func:`compact_layout`. Emits one row: file count, the number of
+    file PAIRS whose [min,max] ranges intersect (0 for a perfectly
+    range-partitioned layout, n·(n−1)/2 for a hash layout — every
+    overlapping pair is a file a point query may redundantly open),
+    and the mean per-file span as a fraction of the global span
+    (scan amplification of a range predicate).
+
+    Scale: all arithmetic is over manifest rows (file-count sized); the
+    pair join is O(F²) on that table — the scheduler-side scale this
+    module works at, never data.
+    """
+    lo, hi = f"min_{col}", f"max_{col}"
+    g = manifest.crossJoin(
+        F.broadcast(manifest.agg(F.min(lo).alias("__glo__"),
+                                 F.max(hi).alias("__ghi__"),
+                                 F.count(F.lit(1)).alias("__nf__"))))
+    spans = g.select(
+        "__nf__",
+        ((F.col(hi) - F.col(lo)).cast("double")
+         / (F.col("__ghi__") - F.col("__glo__")).cast("double"))
+        .alias("__frac__"))
+    a = manifest.select(F.col("file").alias("__fa__"),
+                        F.col(lo).alias("__la__"), F.col(hi).alias("__ha__"))
+    b = manifest.select(F.col("file").alias("__fb__"),
+                        F.col(lo).alias("__lb__"), F.col(hi).alias("__hb__"))
+    pairs = (a.crossJoin(b)
+             .filter((F.col("__fa__") < F.col("__fb__"))
+                     & (F.col("__la__") <= F.col("__hb__"))
+                     & (F.col("__lb__") <= F.col("__ha__")))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs")))
+    stats = (spans.groupBy("__nf__")
+             .agg((F.sum(F.floor(F.col("__frac__") * F.lit(1e9))
+                         .cast("bigint")).cast("double")
+                   / (F.count(F.lit(1)) * F.lit(1e9)))
+                  .alias("avg_span_frac"))
+             .select(F.col("__nf__").cast("bigint").alias("n_files"),
+                     "avg_span_frac"))
+    return (stats.crossJoin(F.broadcast(pairs))
+            .select(F.lit(label).alias("layout"), "n_files",
+                    "n_overlap_pairs", "avg_span_frac"))

@@ -448,3 +448,29 @@ def test_compact_layout_executes_plan(spark, sf_dir, tmp_path):
     want = sorted(r["o_orderkey"] for r in
                   o.filter(F.col("o_custkey").between(0, 10)).collect())
     assert got == want
+
+
+def test_overlap_report_detects_clustering(spark, sf_dir, tmp_path):
+    """overlap_report on REAL manifests must separate a hash-distributed
+    layout (near-total pairwise overlap, wide spans) from a
+    range-clustered one (adjacent-boundary overlap at most, narrow
+    spans)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p_hash = str(tmp_path / "hash")
+    p_rng = str(tmp_path / "rng")
+    o.repartition(8, "o_orderkey").write.parquet(p_hash)
+    o.repartitionByRange(8, "o_custkey").write.parquet(p_rng)
+
+    rh = L.overlap_report(L.build_manifest(spark, p_hash, ["o_custkey"]),
+                          "o_custkey", "hash").first()
+    rr = L.overlap_report(L.build_manifest(spark, p_rng, ["o_custkey"]),
+                          "o_custkey", "range").first()
+    assert rh["n_files"] == 8
+    assert rh["n_overlap_pairs"] == 8 * 7 // 2      # hash: all pairs
+    assert rr["n_overlap_pairs"] <= rr["n_files"] - 1  # range: boundaries
+    assert rr["avg_span_frac"] < rh["avg_span_frac"] / 2
