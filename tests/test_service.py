@@ -542,3 +542,34 @@ def test_concurrent_queries_thread_safety(endpoint):
     with cf.ThreadPoolExecutor(max_workers=8) as ex:
         names = list(ex.map(one, list(range(20)) * 2))
     assert len(names) == 40 and len(set(names)) == 20
+
+
+def test_extension_op_over_http(endpoint):
+    """The jx extension ops (incl. the two-table asof) are reachable
+    through POST /query — the full JSON contract covers the operator
+    surface end-to-end, not just the Python API."""
+    out = _post(endpoint + "/query", {
+        "from": {"op": "asof",
+                 "table": {"from": "events",
+                           "select": ["event_id", "user_id", "ts"]},
+                 "right": {"from": "orders",
+                           "select": ["o_custkey", "o_orderkey",
+                                      "o_orderdate"]},
+                 "left_on": "user_id", "right_on": "o_custkey",
+                 "left_time": "ts", "right_time": "o_orderdate",
+                 "tiebreak": "o_orderkey", "right_cols": ["o_orderkey"],
+                 "direction": "nearest"},
+        "select": ["event_id",
+                   {"name": "nearest_order", "value": "o_orderkey"}],
+        "sort": "event_id", "limit": 5, "format": "table"})
+    tbl = out["data"]
+    assert tbl["header"] == ["event_id", "nearest_order"]
+    assert len(tbl["data"]) == 5
+    assert all(row[1] is not None for row in tbl["data"])
+
+    out = _post(endpoint + "/query", {
+        "from": {"op": "top_component", "table": "embeddings"},
+        "sort": "pos", "limit": 3, "format": "list"})
+    rows = out["data"]
+    assert [r["pos"] for r in rows] == [0, 1, 2]
+    assert all(isinstance(r["lam"], float) and r["lam"] > 0 for r in rows)
