@@ -317,3 +317,73 @@ def ahash_pairs(df: DataFrame, id_col: str, text_col: str,
               ))).alias("p"))
               .select("p.id_a", "p.id_b", F.lit(0).cast("bigint").alias("hamming")))
     return cross.unionByName(within)
+
+
+def build_ahash_index(df: DataFrame, id_col: str, text_col: str,
+                      path: str) -> None:
+    """Persist the aHash band table — the perceptual-dedup index
+    (the image twin of dedup_index's MinHash signatures): 4 BIGINT
+    bands per id, ~40 bytes/row, scan-local to compute. Overwrite =
+    full (re)build; append_ahash_index is the nightly path."""
+    ahash_bands(df, id_col, text_col).write.mode("overwrite").parquet(path)
+
+
+def append_ahash_index(df_new: DataFrame, id_col: str, text_col: str,
+                       path: str) -> None:
+    """Incremental ingest: hash the NEW payloads only and append.
+    aHash is a pure function of the payload, so replaying a batch
+    appends byte-identical rows — readers dropDuplicates on id, making
+    the index idempotent under at-least-once delivery (the standing
+    index convention)."""
+    ahash_bands(df_new, id_col, text_col).write.mode("append").parquet(path)
+
+
+def read_ahash_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).dropDuplicates(["id"])
+
+
+def ahash_pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
+                              spark, path: str,
+                              max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-dup pairs between a NEW batch and the indexed
+    corpus (plus within-batch pairs) — the nightly image-dedup query.
+    Only the delta's payloads are hashed; the corpus side is the stored
+    band table. Same match contract as ahash_pairs (≥1 shared 16-bit
+    band AND hamming ≤ ``max_hamming``; same pigeonhole recall trade),
+    pair order normalized, so the output equals a full-corpus run
+    restricted to delta-touching pairs (asserted in tests).
+
+    Plan: 4 band equi-joins' worth of candidates (delta side exploded
+    vs delta ∪ stored), one DISTINCT over the candidate pair ids —
+    delta-bounded, the simplification the small-batch regime affords
+    vs ahash_pairs' first-shared-band one-pass form — then the hamming
+    guard on scalar band columns joined back (whole-stage codegen)."""
+    delta = ahash_bands(df_new, id_col, text_col)
+    allb = delta.unionByName(read_ahash_index(spark, path)) \
+        .dropDuplicates(["id"])
+    names = [f"band{b}" for b in range(AHASH_BANDS)]
+
+    def banded(t):
+        return t.select("id", F.posexplode(F.array(*names))
+                        .alias("bidx", "bval"))
+
+    cands = (banded(delta).alias("d")
+             .join(banded(allb).alias("c"),
+                   (F.col("d.bidx") == F.col("c.bidx"))
+                   & (F.col("d.bval") == F.col("c.bval"))
+                   & (F.col("d.id") != F.col("c.id")))
+             .select(F.least("d.id", "c.id").alias("id_a"),
+                     F.greatest("d.id", "c.id").alias("id_b"))
+             .distinct())
+    a = allb.select(F.col("id").alias("id_a"),
+                    *[F.col(n).alias(f"a{i}") for i, n in enumerate(names)])
+    b = allb.select(F.col("id").alias("id_b"),
+                    *[F.col(n).alias(f"b{i}") for i, n in enumerate(names)])
+    j = cands.join(a, "id_a").join(b, "id_b")
+    hamming = None
+    for i in range(AHASH_BANDS):
+        t = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        hamming = t if hamming is None else hamming + t
+    return (j.withColumn("hamming", hamming.cast("bigint"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

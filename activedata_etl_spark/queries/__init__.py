@@ -100,6 +100,7 @@ _FRONT = [
     "etl_file_compaction_plan", "text_dup_ngram_report",
     "corpus_dedup_pareto", "join_asof_nearest", "jx_asof_nearest",
     "sample_kcenter_coreset", "etl_layout_overlap_report",
+    "multimodal_ahash_index_pairs",
     "graph_hits_bipartite", "text_quality_quantile_norm",
     "text_bm25_and_phrase", "corpus_release_signature",
     "sample_split_dedup_safe", "sample_split_balance_audit",
@@ -121,8 +122,7 @@ _FRONT = [
     "jx_quality_gate",
     # jx tail (the VERDICT r4 named priority)
     "jx_deep_query", "jx_select_nested_output",
-    "jx_edges_set_dense",
-    "jx_edges_expression", "jx_agg_percentile_union",
+    "jx_edges_set_dense", "jx_agg_percentile_union",
     # expression/edge-domain tail
     "expr_split_get_tuple",
     # nested ops

@@ -571,3 +571,43 @@ def etl_layout_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("max_l_orderkey")))
     return (overlap_report(hashm, "l_orderkey", "hash")
             .unionByName(overlap_report(rangem, "l_orderkey", "range")))
+
+
+def _ahash_index_oracle(max_hamming: int = 6) -> str:
+    """The ahash-pairs oracle restricted to DELTA-touching pairs (delta
+    = doc_id % 10 >= 7): exactly what pairs_against_index must emit
+    when the historical 70% is served from the stored band table."""
+    from .q_ext7 import _ahash_oracle
+
+    base = _ahash_oracle(max_hamming).rstrip()
+    return (f"SELECT * FROM (\n{base}\n) "
+            "WHERE id_a % 10 >= 7 OR id_b % 10 >= 7")
+
+
+@query("multimodal_ahash_index_pairs", oracle=_ahash_index_oracle())
+def multimodal_ahash_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly IMAGE-dedup shape: perceptual near-dup pairs between
+    a delta batch (docs with id % 10 >= 7) and the PERSISTED aHash band
+    index of the historical 70% (built once + one incremental append —
+    both index paths exercised), only the delta's payloads hashed
+    (ext/multimodal.ahash_pairs_against_index). The oracle rebuilds the
+    whole perceptual pipeline relationally and restricts to
+    delta-touching pairs — a green check proves index-served results
+    equal the full recompute."""
+    import os
+    import tempfile
+
+    from ..ext import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    hist1 = d.filter(F.col("doc_id") % 10 < 5)
+    hist2 = d.filter((F.col("doc_id") % 10 >= 5) & (F.col("doc_id") % 10 < 7))
+    delta = d.filter(F.col("doc_id") % 10 >= 7)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ahash_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(path):
+        MM.build_ahash_index(hist1, "doc_id", "text", path)
+        MM.append_ahash_index(hist2, "doc_id", "text", path)
+    return MM.ahash_pairs_against_index(delta, "doc_id", "text",
+                                        spark, path, max_hamming=6)

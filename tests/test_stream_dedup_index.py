@@ -49,3 +49,33 @@ def test_stream_appends_build_equivalent_index(spark, sf_dir, tmp_path):
     assert pairs(idx) == pairs(full)
     assert DI.read_signatures(spark, idx).count() == \
         DI.read_signatures(spark, full).count()
+
+
+def test_ahash_index_replay_idempotent_and_matches_full(spark, sf_dir, tmp_path):
+    """The perceptual-hash index follows the standing index contract:
+    (a) pairs_against_index(delta) equals the full ahash_pairs run
+    restricted to delta-touching pairs; (b) replaying an append changes
+    nothing (at-least-once safety via dropDuplicates-on-read)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import multimodal as MM
+    from activedata_etl_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 10 < 7)
+    delta = d.filter(F.col("doc_id") % 10 >= 7)
+    path = str(tmp_path / "ahash_idx")
+    MM.build_ahash_index(hist, "doc_id", "text", path)
+
+    got = sorted(map(tuple, MM.ahash_pairs_against_index(
+        delta, "doc_id", "text", spark, path).collect()))
+    full = MM.ahash_pairs(d, "doc_id", "text", max_hamming=6)
+    want = sorted(map(tuple, full.filter(
+        (F.col("id_a") % 10 >= 7) | (F.col("id_b") % 10 >= 7)).collect()))
+    assert got == want and len(got) > 0
+
+    # replay: appending the SAME historical batch twice is a no-op
+    MM.append_ahash_index(hist, "doc_id", "text", path)
+    again = sorted(map(tuple, MM.ahash_pairs_against_index(
+        delta, "doc_id", "text", spark, path).collect()))
+    assert again == got
