@@ -79,3 +79,38 @@ def test_ahash_index_replay_idempotent_and_matches_full(spark, sf_dir, tmp_path)
     again = sorted(map(tuple, MM.ahash_pairs_against_index(
         delta, "doc_id", "text", spark, path).collect()))
     assert again == got
+
+
+def test_stream_maintained_ahash_index(spark, sf_dir, tmp_path):
+    """Streaming maintenance of the aHash index: file-queue micro-batches
+    append bands via foreachBatch; after two arrival sweeps the index
+    serves the same delta pairs as a from-scratch build."""
+    from activedata_etl_spark.ext import multimodal as MM
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    hist = docs.filter(F.col("doc_id") % 10 < 7)
+    delta = docs.filter(F.col("doc_id") % 10 >= 7)
+
+    inbox = str(tmp_path / "inbox")
+    hist.filter(F.col("doc_id") % 2 == 0).write.parquet(inbox)
+    idx = str(tmp_path / "ahash_idx")
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        MM.append_ahash_index(batch_df, "doc_id", "text", idx)
+
+    q = ST.run_foreach_batch(ST.file_stream(spark, inbox, docs.schema),
+                             ingest, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    hist.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(inbox)
+    q2 = ST.run_foreach_batch(ST.file_stream(spark, inbox, docs.schema),
+                              ingest, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    MM.build_ahash_index(hist, "doc_id", "text", full)
+    pairs = lambda p: sorted(map(tuple, MM.ahash_pairs_against_index(  # noqa: E731
+        delta, "doc_id", "text", spark, p).collect()))
+    assert pairs(idx) == pairs(full) != []
