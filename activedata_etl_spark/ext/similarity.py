@@ -644,6 +644,13 @@ def top_component(df: DataFrame, id_col: str, vec_col: str,
     """
     v = df.select(F.col(id_col).alias("__id__"),
                   _dvec(F.col(vec_col)).alias("__v__"))
+    return _power_direction(v, n_iter)
+
+
+def _power_direction(v: DataFrame, n_iter: int) -> DataFrame:
+    """Power-iteration core over a (__id__, __v__) frame — shared by
+    top_component and the deflated spectral profile; see top_component
+    for the determinism contract."""
     seed = (v.orderBy("__id__").limit(1)
             .withColumn("__n__", norm(F.col("__v__")))
             .select(F.transform("__v__",
@@ -667,3 +674,42 @@ def top_component(df: DataFrame, id_col: str, vec_col: str,
                                   lambda x: x / F.col("__n__")).alias("vt"),
                       F.col("__n__").alias("lam")))
     return vt
+
+
+def spectral_profile(df: DataFrame, id_col: str, vec_col: str,
+                     n_components: int = 2, n_iter: int = 3) -> DataFrame:
+    """Leading eigenvalues of the uncentered second moment by DEFLATED
+    power iteration — the spectral-concentration diagnostic (λ2/λ1 near
+    1 = an isotropic-ish top subspace; λ2/λ1 near 0 = rank-1 collapse;
+    complements top_component, which emits the direction itself).
+
+    Deflation is scan-local exact arithmetic: after extracting v, each
+    row becomes x − (x·v)·v (a sequential-fold dot, then one multiply
+    and one subtract per element — no accumulation), and the next
+    component runs on the deflated corpus. Component directions are
+    broadcast (dim-sized); vectors never shuffle.
+
+    Returns (comp bigint [1-based], lam double, lam_ratio double =
+    lam/lam_1)."""
+    v = df.select(F.col(id_col).alias("__id__"),
+                  _dvec(F.col(vec_col)).alias("__v__"))
+    comps = []
+    for c in range(n_components):
+        vt = _power_direction(v, n_iter)
+        comps.append(vt.select(F.lit(c + 1).cast("bigint").alias("comp"),
+                               F.col("lam")))
+        if c + 1 < n_components:
+            v = (v.crossJoin(F.broadcast(vt.select("vt")))
+                 .withColumn("__dp__", dot(F.col("__v__"), F.col("vt")))
+                 .select("__id__",
+                         F.zip_with(
+                             "__v__", "vt",
+                             lambda x, w: x - F.col("__dp__") * w)
+                         .alias("__v__")))
+    out = comps[0]
+    for c in comps[1:]:
+        out = out.unionByName(c)
+    first = comps[0].select(F.col("lam").alias("__l1__"))
+    return (out.crossJoin(F.broadcast(first))
+            .select("comp", "lam",
+                    (F.col("lam") / F.col("__l1__")).alias("lam_ratio")))

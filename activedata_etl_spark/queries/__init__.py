@@ -100,7 +100,7 @@ _FRONT = [
     "etl_file_compaction_plan", "text_dup_ngram_report",
     "corpus_dedup_pareto", "join_asof_nearest", "jx_asof_nearest",
     "sample_kcenter_coreset", "etl_layout_overlap_report",
-    "multimodal_ahash_index_pairs",
+    "multimodal_ahash_index_pairs", "sim_spectral_profile",
     "graph_hits_bipartite", "text_quality_quantile_norm",
     "text_bm25_and_phrase", "corpus_release_signature",
     "sample_split_dedup_safe", "sample_split_balance_audit",
@@ -121,7 +121,7 @@ _FRONT = [
     "agg_cms_heavy_hitters", "jx_near_dup_pairs", "jx_ann_topk",
     "jx_quality_gate",
     # jx tail (the VERDICT r4 named priority)
-    "jx_deep_query", "jx_select_nested_output",
+    "jx_deep_query",
     "jx_edges_set_dense", "jx_agg_percentile_union",
     # expression/edge-domain tail
     "expr_split_get_tuple",

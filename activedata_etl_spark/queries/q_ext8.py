@@ -611,3 +611,69 @@ def multimodal_ahash_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.append_ahash_index(hist2, "doc_id", "text", path)
     return MM.ahash_pairs_against_index(delta, "doc_id", "text",
                                         spark, path, max_hamming=6)
+
+
+def _power_ctes(src: str, sfx: str, n_iter: int = 3) -> tuple[list, str]:
+    """Parameterized power-iteration CTE chain over source CTE ``src``
+    (vec_id, vv) with name suffix ``sfx`` — the _top_component_oracle
+    chain, reusable for the deflated spectral profile."""
+    dot = _sql_dot
+    ctes = [
+        f"seed{sfx} AS (SELECT vv FROM {src} ORDER BY vec_id LIMIT 1)",
+        f"n0{sfx} AS (SELECT vv, sqrt({dot('vv', 'vv')}) AS nrm "
+        f"FROM seed{sfx})",
+        f"vt0{sfx} AS (SELECT list_transform(vv, x -> x / nrm) AS vt "
+        f"FROM n0{sfx})",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""d{i}{sfx} AS (
+          SELECT a.vec_id, a.vv, {dot('a.vv', 't.vt')} AS dp
+          FROM {src} a CROSS JOIN vt{i - 1}{sfx} t)""")
+        ctes.append(f"""w{i}{sfx} AS (
+          SELECT pos,
+                 CAST(SUM(CAST(floor(x * dp * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS w
+          FROM (SELECT dp, unnest(vv) AS x,
+                       generate_subscripts(vv, 1) AS pos FROM d{i}{sfx})
+          GROUP BY pos)""")
+        ctes.append(f"wa{i}{sfx} AS (SELECT list(w ORDER BY pos) AS wv "
+                    f"FROM w{i}{sfx})")
+        ctes.append(f"nn{i}{sfx} AS (SELECT wv, sqrt({dot('wv', 'wv')}) "
+                    f"AS nrm FROM wa{i}{sfx})")
+        ctes.append(f"vt{i}{sfx} AS (SELECT list_transform(wv, "
+                    f"x -> x / nrm) AS vt, nrm AS lam FROM nn{i}{sfx})")
+    return ctes, f"vt{n_iter}{sfx}"
+
+
+def _spectral_oracle(n_iter: int = 3) -> str:
+    ctes = ["v AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)"]
+    c1, fin1 = _power_ctes("v", "a", n_iter)
+    ctes += c1
+    ctes.append(f"""v2 AS (
+      SELECT vec_id,
+             list_transform(list_zip(vv, vt), p -> p[1] - dp * p[2]) AS vv
+      FROM (SELECT x.vec_id, x.vv, t.vt, {_sql_dot('x.vv', 't.vt')} AS dp
+            FROM v x CROSS JOIN {fin1} t))""")
+    c2, fin2 = _power_ctes("v2", "b", n_iter)
+    ctes += c2
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT comp, lam, lam / (SELECT lam FROM {fin1}) AS lam_ratio
+    FROM (SELECT CAST(1 AS BIGINT) AS comp, lam FROM {fin1}
+          UNION ALL SELECT CAST(2 AS BIGINT) AS comp, lam FROM {fin2})""")
+
+
+@query("sim_spectral_profile", oracle=_spectral_oracle())
+def sim_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 eigenvalues of the embedding second moment by DEFLATED
+    power iteration (ext/similarity.spectral_profile): λ2/λ1 is the
+    spectral-concentration read on representation collapse (near 0 =
+    rank-1 degeneration — retrain/renormalize; near 1 = healthy top
+    subspace). Deflation x − (x·v)v is scan-local exact arithmetic;
+    both chains and the deflation are CTE-unrolled in the oracle and
+    every eigenvalue is bit-checked."""
+    from ..ext.similarity import spectral_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return spectral_profile(emb, "vec_id", "embedding",
+                            n_components=2, n_iter=3)
