@@ -101,6 +101,7 @@ _FRONT = [
     "corpus_dedup_pareto", "join_asof_nearest", "jx_asof_nearest",
     "sample_kcenter_coreset", "etl_layout_overlap_report",
     "multimodal_ahash_index_pairs", "sim_spectral_profile",
+    "dedup_family_agreement",
     "graph_hits_bipartite", "text_quality_quantile_norm",
     "text_bm25_and_phrase", "corpus_release_signature",
     "sample_split_dedup_safe", "sample_split_balance_audit",

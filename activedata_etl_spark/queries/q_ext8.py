@@ -677,3 +677,70 @@ def sim_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return spectral_profile(emb, "vec_id", "embedding",
                             n_components=2, n_iter=3)
+
+
+@query(
+    "dedup_family_agreement",
+    oracle=None,  # set right below — needs the two registered fragments
+)
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-family calibration audit: the agreement matrix between
+    the MinHash/Jaccard pipeline (set similarity, threshold 0.2) and the
+    banded SimHash pipeline (weighted-token hamming <= 12) over the SAME
+    corpus — n_both / each-only counts plus the pair-level agreement
+    Jaccard. This is the report that tunes which family (and which
+    thresholds) a dedup deployment should trust: SimHash's wider net vs
+    MinHash's exact set semantics. One full-outer join of two verified
+    pair sets (both id-normalized), integer counts, one exact integer
+    division."""
+    from ..ext import dedup as DD
+    from ..ext import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    mh = (DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+          .select("id_a", "id_b", F.lit(1).alias("__mh__")))
+    sig = DD.simhash64_md5(d, "doc_id", TX.tokens("text"))
+    sh = (DD.simhash_band_pairs(sig, "doc_id", max_hamming=12)
+          .select("id_a", "id_b", F.lit(1).alias("__sh__")))
+    j = mh.join(sh, ["id_a", "id_b"], "full_outer")
+    both = F.when(F.col("__mh__").isNotNull()
+                  & F.col("__sh__").isNotNull(), 1).otherwise(0)
+    mo = F.when(F.col("__mh__").isNotNull()
+                & F.col("__sh__").isNull(), 1).otherwise(0)
+    so = F.when(F.col("__mh__").isNull()
+                & F.col("__sh__").isNotNull(), 1).otherwise(0)
+    return j.agg(
+        F.sum(F.when(F.col("__mh__").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_minhash"),
+        F.sum(F.when(F.col("__sh__").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_simhash"),
+        F.sum(both).cast("bigint").alias("n_both"),
+        F.sum(mo).cast("bigint").alias("n_minhash_only"),
+        F.sum(so).cast("bigint").alias("n_simhash_only"),
+        (F.sum(both).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("agreement_jaccard"))
+
+
+from .registry import ORACLES as _ORC  # noqa: E402
+
+_ORC["dedup_family_agreement"] = f"""
+    WITH mh AS (SELECT id_a, id_b FROM ({_ORC['dedup_lsh_jaccard_pairs']})),
+    sh AS (SELECT id_a, id_b FROM ({_ORC['dedup_simhash_pairs']})),
+    j AS (
+      SELECT mh.id_a IS NOT NULL AS in_mh, sh.id_a IS NOT NULL AS in_sh
+      FROM mh FULL OUTER JOIN sh
+        ON mh.id_a = sh.id_a AND mh.id_b = sh.id_b
+    )
+    SELECT
+      CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+      CAST(SUM(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+      CAST(SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_both,
+      CAST(SUM(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_minhash_only,
+      CAST(SUM(CASE WHEN NOT in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_simhash_only,
+      CAST(SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS agreement_jaccard
+    FROM j
+"""
