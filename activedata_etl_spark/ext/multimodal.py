@@ -334,7 +334,10 @@ def append_ahash_index(df_new: DataFrame, id_col: str, text_col: str,
     aHash is a pure function of the payload, so replaying a batch
     appends byte-identical rows — readers dropDuplicates on id, making
     the index idempotent under at-least-once delivery (the standing
-    index convention)."""
+    index convention). Ids must be immutable content ids (same id ⇒
+    same payload, like every index in this family): re-ingesting a
+    CHANGED payload under an old id makes the duplicate-drop pick
+    arbitrary — delete + re-add under a new id instead."""
     ahash_bands(df_new, id_col, text_col).write.mode("append").parquet(path)
 
 

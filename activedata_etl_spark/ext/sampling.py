@@ -272,6 +272,8 @@ def kcenter_coreset(df: DataFrame, id_col: str, vec_col: str,
                 .agg(F.min("__d__").alias("__mind__")))
         win = (cand.orderBy(F.col("__mind__").desc(), F.col(id_col).asc())
                .limit(1).select(id_col, "__mind__", "__v__").first())
+        if win is None:  # k exceeds the corpus: return what exists
+            break
         picked.append((rank, win[0], win[1], win[2]))
     out = spark.createDataFrame(
         [(r, i, m) for r, i, m, _ in picked],

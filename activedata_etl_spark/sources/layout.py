@@ -286,8 +286,12 @@ def overlap_report(manifest: DataFrame, col: str,
                                  F.count(F.lit(1)).alias("__nf__"))))
     spans = g.select(
         "__nf__",
-        ((F.col(hi) - F.col(lo)).cast("double")
-         / (F.col("__ghi__") - F.col("__glo__")).cast("double"))
+        # degenerate single-point domain (ghi == glo): every file's span
+        # is 0 of 0 — report 0, not NaN
+        F.when(F.col("__ghi__") > F.col("__glo__"),
+               (F.col(hi) - F.col(lo)).cast("double")
+               / (F.col("__ghi__") - F.col("__glo__")).cast("double"))
+        .otherwise(F.lit(0.0))
         .alias("__frac__"))
     a = manifest.select(F.col("file").alias("__fa__"),
                         F.col(lo).alias("__la__"), F.col(hi).alias("__ha__"))

@@ -474,3 +474,16 @@ def test_overlap_report_detects_clustering(spark, sf_dir, tmp_path):
     assert rh["n_overlap_pairs"] == 8 * 7 // 2      # hash: all pairs
     assert rr["n_overlap_pairs"] <= rr["n_files"] - 1  # range: boundaries
     assert rr["avg_span_frac"] < rh["avg_span_frac"] / 2
+
+
+def test_overlap_report_degenerate_single_point_domain(spark):
+    """A manifest whose global [min,max] collapses to one point must
+    report span fraction 0, not NaN."""
+    from activedata_etl_spark.sources.layout import overlap_report
+
+    man = spark.createDataFrame(
+        [("f1", 5, 5), ("f2", 5, 5)],
+        "file string, min_k long, max_k long")
+    r = overlap_report(man, "k").first()
+    assert r["avg_span_frac"] == 0.0
+    assert r["n_overlap_pairs"] == 1

@@ -102,3 +102,15 @@ def test_kcenter_coreset_invariants(spark, sf_dir):
     assert dists[0] is None
     assert all(d is not None and d >= 0 for d in dists[1:])
     assert all(a >= b for a, b in zip(dists[1:], dists[2:]))
+
+
+def test_kcenter_k_exceeds_corpus(spark):
+    """k larger than the corpus returns every point once, no crash."""
+    from activedata_etl_spark.ext.sampling import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = kcenter_coreset(df, "vec_id", "embedding", k=10).collect()
+    assert len(out) == 3
+    assert sorted(r["vec_id"] for r in out) == [1, 2, 3]
