@@ -249,14 +249,28 @@ def compact_layout(spark, path: str, stat_cols: list[str],
 
     staging = path.rstrip("/") + ".compacting"
     shutil.rmtree(staging, ignore_errors=True)
+    import os
+    os.makedirs(staging, exist_ok=True)
     for grp in sorted(groups):
-        (spark.read.parquet(*sorted(groups[grp]))
+        files = sorted(groups[grp])
+        if len(files) == 1:
+            # already-compact group (one file crossed the target, or the
+            # lone tail file): byte-copy instead of a decode/re-encode
+            # round trip — at 100 TB most groups in a steady-state table
+            # are already compact and rewriting them is pure waste
+            from urllib.parse import urlparse
+            src = files[0]
+            if src.startswith("file:"):  # input_file_name() emits URIs
+                src = urlparse(src).path
+            shutil.copy2(src, os.path.join(
+                staging, os.path.basename(src)))
+            continue
+        (spark.read.parquet(*files)
          .coalesce(1)
          .write.mode("append").parquet(staging))
 
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
-    import os
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

@@ -487,3 +487,29 @@ def test_overlap_report_degenerate_single_point_domain(spark):
     r = overlap_report(man, "k").first()
     assert r["avg_span_frac"] == 0.0
     assert r["n_overlap_pairs"] == 1
+
+
+def test_compact_layout_byte_copies_singleton_groups(spark, sf_dir, tmp_path):
+    """Already-compact groups (one file) must be byte-copied, not
+    re-encoded: with a target below every file's size each group is a
+    singleton, so compaction preserves every file byte-for-byte."""
+    import hashlib
+    import os
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.sources import layout as L
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = str(tmp_path / "t")
+    o.repartition(6, "o_orderkey").write.parquet(path)
+
+    def digests(p):
+        return sorted(
+            hashlib.md5(open(os.path.join(p, f), "rb").read()).hexdigest()
+            for f in os.listdir(p) if f.endswith(".parquet"))
+
+    before = digests(path)
+    n_groups = L.compact_layout(spark, path, ["o_custkey"], target=1)
+    assert n_groups == 6
+    assert digests(path) == before           # byte-identical files
+    assert spark.read.parquet(path).count() == o.count()
