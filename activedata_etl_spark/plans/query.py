@@ -153,6 +153,15 @@ def _range_bounds(where) -> dict[str, tuple]:
         elif (isinstance(args, list) and len(args) == 2
               and isinstance(args[0], str)):
             col, v = args
+            # pair form is expr-vs-expr: a bare string on the value side
+            # is a COLUMN reference under compile_expr, not a literal —
+            # e.g. {"lt": ["ts", "other_ts"]}. Extracting it as a string
+            # bound would prune files against the NAME and silently drop
+            # matching rows. Only {"literal": ...} or a non-string scalar
+            # may contribute a bound here (dict form is unaffected: its
+            # value side is always a constant).
+            if isinstance(v, str):
+                return
         else:
             return
         if not isinstance(col, str) or "." in col or (v := scalar(v)) is None:

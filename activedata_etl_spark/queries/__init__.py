@@ -37,6 +37,54 @@ from .registry import ORACLES, QUERIES
 # remainder keeps registration order. Every entry is oracle-paired and
 # locally parity-checked either way.
 _FRONT = [
+    # r6 rotation (VERDICT r5 #1, round 3 of 3): the union of the five
+    # driver prefixes covers 208 of the 300 registered queries; the judge
+    # independently verified the remaining 92 green at sf0.01 in r5, but
+    # driver CORRECTNESS is the hard signal. This prefix is ALL
+    # first-time driver evidence: any queries NEW in r6 lead (new code
+    # carries the most risk), then 50 of the 92, prioritized per the
+    # verdict — the jx tail, the expr/window/setops/join builtin tails,
+    # the events_* analytics family, etl_scd2_lookup,
+    # sim_dimension_profile, corpus_quality_report, the sketch tail, and
+    # the late-r5 entries with the newest code paths (winnowing index,
+    # delta pairs, CDC chunks, BM25-from-index, priority sampling). The
+    # ~42 that remain (low-risk compositions of driver-checked machinery:
+    # text kits, dedup post-processing, sample wrappers) go in the r7
+    # prefix, after which every registered query has driver history and
+    # the class retires. Everything rotated out was driver-green in
+    # r1-r5 and stays covered by the full local sweep.
+    # --- r6 prefix ---
+    # jx tail
+    "jx_edges_range_histogram", "jx_edges_duration_histogram",
+    "jx_select_nested_output", "jx_nested_having", "jx_edges_expression",
+    "jx_window_ntile_first_last", "jx_select_default",
+    # expr / window / setops / sort / join builtin tails
+    "expr_number_to_string", "window_range_trailing_7d",
+    "window_sliding_frame", "window_whole_partition",
+    "window_ntile_percent", "window_first_last_value",
+    "setop_union_all", "setop_intersect", "setop_except",
+    "setop_array_values", "sort_paging", "join_full_outer",
+    "join_cross_small", "edges_set_allow_nulls", "edges_predicate_parts",
+    # events analytics family + SCD2 lookup
+    "events_linear_trend", "events_transition_matrix",
+    "events_seasonal_deviation", "events_user_sequences",
+    "events_next_event_examples", "events_hourly_seasonal_baseline",
+    "events_freshness_lag", "etl_scd2_lookup",
+    # named priorities
+    "sim_dimension_profile", "corpus_quality_report",
+    # sketch / agg tail
+    "agg_cms_registers", "agg_cms_estimate", "agg_histogram_2d",
+    "agg_hll_set_cardinality", "agg_hll_windowed_ndv", "agg_bloom_words",
+    "agg_percentile_approx_audit", "agg_argmax_join_back",
+    # late-r5 newest code paths
+    "dedup_index_delta_pairs", "dedup_cdc_chunks",
+    "dedup_exact_substr_removal", "dedup_winnowing_index_pairs",
+    "corpus_source_containment", "etl_skew_audit",
+    "sample_priority_weighted", "text_bm25_from_index",
+    "text_hybrid_rrf_topk", "sim_knn_components",
+]
+
+_FRONT_R5 = [
     # r5 rotation (VERDICT r4 #2): after r1-r4, 72 registered queries had
     # never sat in a driver-checked prefix (all independently sweep-green
     # at sf0.01, incl. the judge's own 72-query sweep in r4). This prefix

@@ -409,6 +409,54 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ann_multiprobe_bulk",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(list_slice(embedding, 1, 8),
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    ), q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+             WHERE vec_id % 5 = 0),
+    probes AS (
+      SELECT q_id, q_vec,
+             array_to_string(list_transform(range(1, 9),
+               j -> CASE
+                 WHEN j = k THEN (CASE WHEN q_vec[j] >= 0 THEN '0' ELSE '1' END)
+                 ELSE          (CASE WHEN q_vec[j] >= 0 THEN '1' ELSE '0' END)
+               END), '') AS bucket
+      FROM q, UNNEST(range(0, 9)) AS u(k)
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id,
+        list_sum(list_transform(list_zip(p.q_vec, c.embedding),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(list_zip(p.q_vec, p.q_vec),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))))) AS cos
+      FROM probes p JOIN b c USING (bucket) WHERE p.q_id <> c.vec_id
+    )
+    SELECT q_id, vec_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def sim_ann_multiprobe_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_multiprobe at BULK probe load (every 5th vector is a query
+    — 20x the query rows) so the measured region is dominated by the
+    bucketed equi-join, not session fixed overhead. VERDICT r5 #7: the
+    40ms original made the bench 2x gate meaningless for the ANN family
+    (one GC pause > the query); this is the benchmarked form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return SIM.ann_multiprobe_topk(q, emb, "q_id", "q_vec",
+                                   "vec_id", "embedding", k=3)
+
+
+@query(
     "sim_norms_by_label",
     oracle="""
     SELECT label,

@@ -54,9 +54,15 @@ def _sql_gate(spark, sql: str) -> list[dict]:
     ``reflect()``/``java_method()`` or read arbitrary local files via
     ``parquet.`/path``` relations. So instead:
 
-    - the plan must NOT be a Catalyst ``Command`` (checked with
-      ``Class.isInstance`` against the trait, not name matching — every
-      DDL/DML/utility statement extends it, pure queries never do);
+    - the statement must parse under the parser's QUERY-ONLY grammar
+      rule (``parseQuery``, not ``parsePlan``) — a grammar-level
+      allowlist: DDL/DML/utility statements AND ``EXECUTE IMMEDIATE``
+      (which parses to ``UnresolvedExecuteImmediate``, NOT a ``Command``,
+      and would otherwise smuggle arbitrary inner statements past a
+      Command-only check) are all syntax errors under the query rule;
+    - defensively, the parsed tree must still contain no Catalyst
+      ``Command`` node (checked with ``Class.isInstance`` against the
+      trait, not name matching);
     - every relation, walked recursively through children, CTE bodies
       and subquery expressions, must be a single-part name that is a
       registered view or a CTE defined by the statement itself (kills
@@ -77,8 +83,10 @@ def _sql_gate(spark, sql: str) -> list[dict]:
         "org.apache.spark.sql.catalyst.expressions.SubqueryExpression")
 
     try:
+        # parseQuery = the ANTLR `query` rule only. EXECUTE IMMEDIATE,
+        # SET, and every DDL/DML form fail HERE, before any class check.
         plan = (spark._jsparkSession.sessionState().sqlParser()
-                .parsePlan(sql))
+                .parseQuery(sql))
     except Exception as e:
         return [{"path": "sql", "reason": f"parse error: {e}"}]
     if c_command.isInstance(plan):
@@ -319,12 +327,22 @@ def make_handler(spark):
             driver streams one record batch at a time from the spill into
             the IPC stream. A client can therefore pull a result far
             larger than driver memory straight into pandas/polars/duckdb.
-            Unbounded like ``format=stream``; no row cap applies."""
+            Unbounded like ``format=stream``; no row cap applies.
+
+            ORDER: a query with a ``sort`` clause streams in that order.
+            Spark's global sort range-partitions, so partition index =
+            global order, and the writer names part files by partition
+            index — relaying files in sorted NAME order with a strictly
+            sequential per-file reader (``ParquetFile.iter_batches``, one
+            batch resident at a time) therefore preserves the global
+            sort. A multi-threaded dataset scanner would not."""
+            import glob as _glob
+            import os
             import shutil
             import tempfile
 
             import pyarrow as pa
-            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq
 
             from .plans.query import run as run_plan
 
@@ -335,7 +353,10 @@ def make_handler(spark):
                 # Distributed write: the only driver-side state below is
                 # one record batch in flight.
                 df.write.mode("overwrite").parquet(spill)
-                dataset = pads.dataset(spill, format="parquet")
+                files = sorted(
+                    _glob.glob(os.path.join(spill, "*.parquet")))
+                schema = (pq.ParquetFile(files[0]).schema_arrow if files
+                          else df.limit(0).toArrow().schema)
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  "application/vnd.apache.arrow.stream")
@@ -373,10 +394,10 @@ def make_handler(spark):
                 # sees a truncated stream, and drop the connection (same
                 # contract as _stream_rows).
                 try:
-                    with pa.ipc.new_stream(_ChunkSink(),
-                                           dataset.schema) as w:
-                        for batch in dataset.to_batches():
-                            w.write_batch(batch)
+                    with pa.ipc.new_stream(_ChunkSink(), schema) as w:
+                        for f in files:
+                            for batch in pq.ParquetFile(f).iter_batches():
+                                w.write_batch(batch)
                     self.wfile.write(b"0\r\n\r\n")
                 except Exception:
                     self.close_connection = True
@@ -462,8 +483,17 @@ def attach_indexes(spark, indexes: dict[str, str]) -> list[str]:
             sub = os.path.join(path, d)
             if is_parquet_dir(sub):
                 # batch-keyed shards ('batch=0') carry '=' — sanitize to
-                # a legal view identifier (bm25 postings, CMS shards)
+                # a legal view identifier (bm25 postings, CMS shards).
+                # Sanitization can COLLIDE ('batch=0' and 'batch_0' both
+                # map to '<name>_batch_0'); createOrReplaceTempView would
+                # silently keep only the last shard, dropping data from
+                # the queryable set — refuse instead.
                 view = f"{name}_{re.sub(r'[^0-9A-Za-z_]', '_', d)}"
+                if view in mine:
+                    raise ValueError(
+                        f"index {name!r}: shard dir {d!r} sanitizes to "
+                        f"view {view!r} which is already taken by another "
+                        "shard of this index — rename the shard dirs")
                 spark.read.parquet(sub).createOrReplaceTempView(view)
                 mine.append(view)
         if not mine:

