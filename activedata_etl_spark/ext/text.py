@@ -618,7 +618,8 @@ def append_bm25_index(df, id_col: str, text_col: str,
 
 
 def bm25_query_index(spark, path: str, terms: list[str], k: int = 15,
-                     k1_x10: int = 12, b_x100: int = 75):
+                     k1_x10: int = 12, b_x100: int = 75,
+                     batch: int | None = None):
     """BM25 top-k served from the PERSISTED postings index — the
     retrieval path a service hits, with corpus stats derived
     merge-on-read so appended batches are searchable immediately.
@@ -629,18 +630,29 @@ def bm25_query_index(spark, path: str, terms: list[str], k: int = 15,
     postings scan (only the query's terms are read — at 100 TB, store
     the postings bucketed/sorted by term and this becomes an index
     seek); df and the (N, total) pair are two tiny aggregates of the
-    dl facts, broadcast back."""
+    dl facts, broadcast back.
+
+    ``batch`` restricts the SCORED documents to one batch directory —
+    the nightly-ingest delta query ("which of today's docs rank for
+    this standing query") — while every corpus statistic (df, N, total
+    tokens) still derives from ALL batches merged on read, so a delta
+    doc is scored exactly as a from-scratch full-corpus run would score
+    it. Plan effect: partition pruning makes the scored scan
+    |delta|-sized; the stats aggregates stay corpus-wide but are
+    posting-facts-sized, not text-sized."""
     A = 100 * (k1_x10 + 10)
     B1 = k1_x10 * (100 - b_x100)
     B2 = k1_x10 * b_x100
-    post = spark.read.option("basePath", path).parquet(path) \
-        .select("id", "term", "tf", "dl")
+    cols = ["id", "term", "tf", "dl"] + ([] if batch is None else ["batch"])
+    post = spark.read.option("basePath", path).parquet(path).select(*cols)
     docs = post.groupBy("id").agg(F.first("dl").alias("dl"))
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n__"),
                  F.sum("dl").cast("bigint").alias("__total__"))
     tf = post.filter(F.col("term").isin(terms))
     dfreq = (tf.groupBy("term")
              .agg(F.count(F.lit(1)).cast("bigint").alias("__df__")))
+    if batch is not None:  # AFTER dfreq: document frequency stays global
+        tf = tf.filter(F.col("batch") == batch).drop("batch")
     num = (F.lit(A) * F.col("tf")
            * (2 * F.col("__n__") - 2 * F.col("__df__") + 1)).cast("bigint")
     den_inner = (1000 * F.col("tf") * F.col("__total__")

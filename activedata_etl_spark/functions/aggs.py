@@ -100,6 +100,13 @@ def histogram_percentiles(df: DataFrame, keys: list[str], col: str,
     return h.groupBy(*keys).agg(*aggs)
 
 
+# pruned_percentiles collects one scalar row PER GROUP at plan-build to
+# verify its rank brackets; above this many groups it falls back to
+# sorted_percentiles (per-group sort — the correct strategy for many
+# small groups) so the driver never materializes an unbounded row set.
+MAX_PRUNED_GROUPS = 10_000
+
+
 def pruned_percentiles(df: DataFrame, keys: list[str], col: str,
                        ps: dict[str, float], delta: float = 0.005,
                        accuracy: int = 10000) -> DataFrame:
@@ -169,7 +176,16 @@ def pruned_percentiles(df: DataFrame, keys: list[str], col: str,
         aggs2.append(F.max(hi).alias(f"__hi_{a}"))
     counts = gb(j).agg(*aggs2)
 
-    crows = counts.collect()  # tiny: one row of scalars per group
+    # Driver materialization is bounded BY CONTRACT, not convention: this
+    # is the giant-group/global path (few groups by design), but nothing
+    # upstream stops a caller passing a high-cardinality key — cap the
+    # collect at MAX_GROUPS rows (limit pushes into the aggregation, so
+    # an over-cap key never ships more than MAX_GROUPS+1 rows to the
+    # driver) and route the many-small-groups shape to the per-group
+    # sort path, which is the right plan for it anyway.
+    crows = counts.limit(MAX_PRUNED_GROUPS + 1).collect()
+    if len(crows) > MAX_PRUNED_GROUPS:
+        return sorted_percentiles(df, keys, col, ps)
     for r in crows:
         for a, p in ps.items():
             t = (r["__n__"] - 1) * p

@@ -22,6 +22,7 @@ Catalyst does this at the logical-plan level for free (SURVEY.md §4.1).
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import Column, functions as F
@@ -29,6 +30,26 @@ from pyspark.sql import Column, functions as F
 from ..functions import jx
 
 _L = "literal"
+
+_UNESC_DOT = re.compile(r"(?<!\\)\.")  # a dot NOT preceded by a backslash
+
+
+def split_path(name: str) -> list[str]:
+    r"""Split a jx dot-path honoring mo_dots escapes: ``a.b`` is two
+    steps, ``a\.b`` is ONE name containing a literal dot (SURVEY §1.1).
+    Each returned segment is unescaped."""
+    return [p.replace("\\.", ".") for p in _UNESC_DOT.split(name)]
+
+
+def variable(name: str) -> Column:
+    r"""Resolve a jx variable (dot-path) to a Column. Segments carrying a
+    literal dot (written ``a\.b``) resolve via backticks, so a column
+    NAMED ``a.b`` and a struct traversal ``a.b`` are distinct — the
+    mo_dots distinction Spark expresses with quoting."""
+    if "\\." not in name:
+        return F.col(name)
+    return F.col(".".join(f"`{p}`" if "." in p else p
+                          for p in split_path(name)))
 
 
 def compile_expr(e: Any) -> Column:
@@ -38,7 +59,7 @@ def compile_expr(e: Any) -> Column:
     if e is None:
         return F.lit(None)
     if isinstance(e, str):
-        return F.lit(None) if e == "null" else F.col(e)
+        return F.lit(None) if e == "null" else variable(e)
     if isinstance(e, dict):
         if _L in e and len(e) == 1:
             return F.lit(e[_L])

@@ -24,7 +24,7 @@ from ..functions import aggs as A
 from ..functions.exact import davg, dsum
 from ..operators import domains as D
 from ..operators import windows as W
-from .expressions import compile_expr
+from .expressions import compile_expr, variable
 
 _AGG_NAMES = {
     "count", "sum", "add", "min", "minimum", "max", "maximum", "avg",
@@ -266,11 +266,23 @@ def _nest_named(df: DataFrame, selects: list[dict]) -> list[Column]:
     return leaf_cols + _nest_from_pairs(flat)
 
 
+def _partition_path(name: str) -> tuple[str, str, str]:
+    r"""``name.partition(".")`` honoring mo_dots escapes: the head is
+    unescaped (``a\.b.c`` → head ``a.b``, rest ``c``); the rest keeps its
+    escapes for the recursive call."""
+    from .expressions import _UNESC_DOT
+
+    m = _UNESC_DOT.search(name)
+    if not m:
+        return name.replace("\\.", "."), "", ""
+    return name[:m.start()].replace("\\.", "."), ".", name[m.end():]
+
+
 def _nest_from_pairs(pairs: list[tuple[str, Column]]) -> list[Column]:
     grouped: dict[str, list[tuple[str, Column]] | Column] = {}
     order: list[str] = []
     for name, col in pairs:
-        head, dot, rest = name.partition(".")
+        head, dot, rest = _partition_path(name)
         if head not in grouped:
             order.append(head)
             grouped[head] = [] if dot else col
@@ -288,7 +300,7 @@ def _nest_from_pairs(pairs: list[tuple[str, Column]]) -> list[Column]:
 
 def _sort_col(s) -> Column:
     if isinstance(s, str):
-        return F.col(s).asc_nulls_first()  # jx: missing sorts first
+        return variable(s).asc_nulls_first()  # jx: missing sorts first
     c = compile_expr(s["value"])
     return c.desc_nulls_last() if s.get("sort", 1) == -1 else c.asc_nulls_first()
 

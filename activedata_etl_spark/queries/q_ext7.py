@@ -409,6 +409,40 @@ def text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bm25_delta_topk",
+    oracle="WITH " + _bm25_ctes() + """
+    SELECT doc_id, bm25 FROM bm WHERE doc_id % 2 = 1
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+)
+def text_bm25_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELTA-RESTRICTED index query for the BM25 family (VERDICT r5
+    #8, the dedup_index_delta_pairs shape): corpus index = batch 0 (even
+    doc ids), nightly delta = batch 1 (odd ids); score ONLY the delta
+    docs against corpus-wide merged-on-read statistics. The oracle is
+    the full-corpus BM25 SQL restricted to delta ids — green means an
+    appended batch is immediately searchable AND its docs score
+    byte-identically to a from-scratch rebuild (df/N/total merge
+    exactly). Plan: partition pruning bounds the scored scan to
+    |delta|; at 100 TB the nightly cost is O(|delta| + postings stats),
+    never a corpus re-tokenize."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bm25_delta_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(os.path.join(path, "batch=1")):
+        TX.append_bm25_index(d.filter(F.pmod("doc_id", F.lit(2)) == 0),
+                             "doc_id", "text", path, 0)
+        TX.append_bm25_index(d.filter(F.pmod("doc_id", F.lit(2)) == 1),
+                             "doc_id", "text", path, 1)
+    return TX.bm25_query_index(spark, path, list(_BM25_TERMS), k=15,
+                               batch=1)
+
+
+@query(
     "text_rerank_stub_topk",
     oracle="WITH " + _bm25_ctes() + """,
     cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)

@@ -508,3 +508,33 @@ def jx_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
              "range": {"min": -4, "max": 0}},
         ],
     })
+
+
+@query(
+    "jx_escaped_dot_name",
+    oracle="""
+    SELECT n_nationkey, n_name AS name, n_regionkey AS "dotted.out"
+    FROM nation WHERE n_name >= 'NATION_2'
+    """,
+)
+def jx_escaped_dot_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""mo_dots escaped-dot semantics (SURVEY §1.1; VERDICT r5 #5):
+    ``a\.b`` names ONE column containing a literal dot, while ``a.b`` is
+    a two-hop struct path. Spark expresses the distinction with backtick
+    quoting — plans/expressions.variable resolves the escape on the
+    INPUT side (where / select value / sort), and the OUTPUT side
+    (_partition_path) keeps an escaped select name as one flat column
+    named ``dotted.out`` instead of nesting a struct."""
+    register_views(spark, sf_dir)
+    from ..io import load_table
+
+    load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_name", "n.name").createOrReplaceTempView("nation_dotted")
+    return JX.run(spark, {
+        "from": "nation_dotted",
+        "where": {"gte": ["n\\.name", {"literal": "NATION_2"}]},
+        "select": ["n_nationkey",
+                   {"name": "name", "value": "n\\.name"},
+                   {"name": "dotted\\.out", "value": "n_regionkey"}],
+        "sort": [{"value": "n\\.name", "sort": -1}],
+    })

@@ -25,6 +25,9 @@ def views(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     N.nest(li, ["l_orderkey"], ["l_linenumber", "l_quantity"],
            order_by="l_linenumber").createOrReplaceTempView("orders_nested")
+    # a view with a LITERAL dot in a column name (mo_dots a\.b cases)
+    load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_name", "n.name").createOrReplaceTempView("nation_dotted")
 
 
 @pytest.mark.parametrize("case", _CORPUS, ids=[c["name"] for c in _CORPUS])

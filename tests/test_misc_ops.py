@@ -116,6 +116,39 @@ def test_pruned_percentiles_fallback_is_exact(spark, sf_dir):
     assert a.collect()[0]["med"] == b.collect()[0]["med"]
 
 
+def test_pruned_percentiles_group_cap_routes_to_sort(spark, sf_dir,
+                                                     monkeypatch):
+    """VERDICT r5 #4: the per-group bracket-verification collect is the
+    engine's last driver materialization bounded only by convention — a
+    high-cardinality key must route AWAY from it (to the per-group sort
+    strategy) by contract, and still be exact."""
+    from activedata_etl_spark.functions import aggs as A
+    from activedata_etl_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = {"med": 0.5}
+    taken = {}
+    real = A.sorted_percentiles
+
+    def spy(*a, **k):
+        taken["fallback"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(A, "sorted_percentiles", spy)
+    monkeypatch.setattr(A, "MAX_PRUNED_GROUPS", 3)  # l_suppkey ≫ 3 groups
+    a = A.pruned_percentiles(li, ["l_suppkey"], "l_quantity", ps)
+    assert taken.get("fallback"), "high-cardinality key must not collect"
+    b = real(li, ["l_suppkey"], "l_quantity", ps)
+    ra = {r["l_suppkey"]: r["med"] for r in a.collect()}
+    rb = {r["l_suppkey"]: r["med"] for r in b.collect()}
+    assert ra == rb
+    # under the cap, the pruned path still runs (no spurious fallback)
+    taken.clear()
+    monkeypatch.setattr(A, "MAX_PRUNED_GROUPS", 10_000)
+    A.pruned_percentiles(li, ["l_returnflag"], "l_quantity", ps)
+    assert "fallback" not in taken
+
+
 def test_leaf_paths_depth3():
     from pyspark.sql import types as T
     from activedata_etl_spark.operators.nested import leaf_paths
