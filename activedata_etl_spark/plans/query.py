@@ -40,6 +40,13 @@ def run_formatted(spark: SparkSession, q: dict[str, Any]):
     from . import format as FMT
 
     df = run(spark, q)
+    if df.isStreaming:
+        # a readStream-backed view: drain everything currently available
+        # (AvailableNow), then present — the service's continuous-query
+        # role with batch-equivalent answers (streaming/stream.py)
+        from ..streaming.stream import drain_available_now
+
+        df = drain_available_now(df)
     fmt = q.get("format", "list")
     if fmt == "list":
         return FMT.to_list(df)
@@ -99,6 +106,14 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
                         produced.add(s["value"])
             df = df.select(*_nest_named(df, selects),
                            *[F.col(n) for n in wnames if n not in produced])
+    if df.isStreaming and ({"sort", "skip", "limit"} & q.keys()):
+        # Structured Streaming rejects sort/limit outside complete-mode
+        # aggregation — drain the stream (AvailableNow) first, then
+        # order/page the batch result. This is what lets the service's
+        # default row cap apply to a streaming view like any other.
+        from ..streaming.stream import drain_available_now
+
+        df = drain_available_now(df)
     if "sort" in q:
         df = df.orderBy(*[_sort_col(s) for s in _listify(q["sort"])])
     if "skip" in q:

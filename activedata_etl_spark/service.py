@@ -144,6 +144,20 @@ def _sql_gate(spark, sql: str) -> list[dict]:
     return problems
 
 
+
+def _materialize_stream(df):
+    """A POST /query may name a view backed by a readStream source (the
+    continuous-query role): the jx planner emits a STREAMING DataFrame
+    without knowing it. Drain it over everything currently available
+    (AvailableNow) so every response format serves the same answer a
+    batch view over the same files would give."""
+    if df.isStreaming:
+        from .streaming.stream import drain_available_now
+
+        return drain_available_now(df)
+    return df
+
+
 def make_handler(spark):
     from .plans.query import run_formatted
 
@@ -299,8 +313,9 @@ def make_handler(spark):
 
             from .plans.query import run as run_plan
 
-            df = run_plan(spark, {k: v for k, v in q.items()
-                                  if k != "format"})
+            df = _materialize_stream(
+                run_plan(spark, {k: v for k, v in q.items()
+                                 if k != "format"}))
             table = df.toArrow()  # Arrow-native collect, no Row objects
             sink = pa.BufferOutputStream()
             with pa.ipc.new_stream(sink, table.schema) as w:
@@ -346,8 +361,9 @@ def make_handler(spark):
 
             from .plans.query import run as run_plan
 
-            df = run_plan(spark, {k: v for k, v in q.items()
-                                  if k != "format"})
+            df = _materialize_stream(
+                run_plan(spark, {k: v for k, v in q.items()
+                                 if k != "format"}))
             spill = tempfile.mkdtemp(prefix="ad_arrow_stream_")
             try:
                 # Distributed write: the only driver-side state below is
@@ -416,8 +432,9 @@ def make_handler(spark):
             soon as the first partition lands."""
             from .plans.query import run as run_plan
 
-            df = run_plan(spark, {k: v for k, v in q.items()
-                                  if k != "format"})
+            df = _materialize_stream(
+                run_plan(spark, {k: v for k, v in q.items()
+                                 if k != "format"}))
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.send_header("Transfer-Encoding", "chunked")

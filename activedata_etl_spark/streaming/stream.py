@@ -31,6 +31,65 @@ def file_stream(spark: SparkSession, path: str, schema: StructType,
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
+def drain_available_now(df: DataFrame, timeout_sec: int = 300) -> DataFrame:
+    """Run a STREAMING DataFrame to completion over everything currently
+    available (``Trigger.AvailableNow`` — process all pending input,
+    then stop) and return the final result as a BATCH DataFrame.
+
+    This is what lets the jx service answer a POST /query whose ``from``
+    view is a readStream source: the planner never learns it planned a
+    stream (unified DataFrame surface), and the service drains the
+    stream at request time with the same semantics a batch view would
+    give over the same files.
+
+    Two sinks, picked by what the plan supports:
+
+    - aggregating plans run ``complete`` mode into a memory sink — the
+      result is aggregate-sized (driver-safe by the same argument as the
+      list/table formats);
+    - non-aggregating plans reject ``complete``, so they append to a
+      DISTRIBUTED parquet spill and the result reads back lazily —
+      row-count-unbounded extracts stay off the driver, matching the
+      batch ``format=stream`` contract.
+    """
+    import tempfile as _tf
+    import uuid
+
+    spark = df.sparkSession
+    tag = uuid.uuid4().hex[:12]
+    name = f"jx_drain_{tag}"
+    try:
+        # .start() analyzes the plan: a non-aggregating stream rejects
+        # complete mode HERE (before any execution) — only that failure
+        # routes to the append path; runtime errors after a successful
+        # start propagate to the caller like any query error
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .option("checkpointLocation",
+                     _tf.mkdtemp(prefix="ad_drain_ckpt_"))
+             .start())
+    except Exception:
+        spill = _tf.mkdtemp(prefix="ad_drain_out_")
+        q = (df.writeStream.format("parquet")
+             .option("path", spill)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .option("checkpointLocation",
+                     _tf.mkdtemp(prefix="ad_drain_ckpt2_"))
+             .start())
+        q.awaitTermination(timeout_sec)
+        try:
+            return spark.read.schema(df.schema).parquet(spill)
+        except Exception:
+            return spark.createDataFrame([], df.schema)  # zero-file spill
+    q.awaitTermination(timeout_sec)
+    rows = spark.table(name).collect()
+    out = spark.createDataFrame(rows, df.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def run_incremental(source: DataFrame,
                     transform: Callable[[DataFrame], DataFrame],
                     dest_path: str, checkpoint: str,

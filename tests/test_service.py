@@ -5,6 +5,7 @@ import threading
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from activedata_etl_spark.service import serve
 
@@ -685,3 +686,58 @@ def test_cube_two_edge_allow_nulls_with_row_cap(endpoint):
     assert 0 < len(filled) <= 4
     dims = [len(e["domain"]["partitions"]) for e in cube["edges"]]
     assert dims[0] * dims[1] <= 9 and len(cube["data"]["n"]) == dims[0]
+
+
+def test_streaming_view_through_service(spark, sf_dir, tmp_path):
+    """VERDICT r5 #9 (stretch): a readStream-backed view is queryable
+    through POST /query with AvailableNow semantics — the service drains
+    everything currently available and answers exactly what a batch view
+    over the same files would, for BOTH an aggregating query (memory
+    sink, complete mode) and a raw projection with the default row cap
+    (parquet spill, append mode — where Spark rejects limit, so the
+    drain must happen before the cap applies)."""
+    import os
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.streaming import stream as ST
+
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", "user_id", "event_type"))
+    inbox = str(tmp_path / "inbox")
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(inbox)
+    events.filter(F.col("event_id") % 2 == 1) \
+        .write.mode("append").parquet(inbox)
+    ST.file_stream(spark, inbox, events.schema) \
+        .createOrReplaceTempView("events_stream_svc")
+    server = serve(spark, sf_dir, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        agg_q = {"from": "events_stream_svc",
+                 "groupby": "event_type",
+                 "select": [{"name": "n", "aggregate": "count"},
+                            {"name": "maxu", "value": "user_id",
+                             "aggregate": "max"}]}
+        got = {(r["event_type"], r["n"], r["maxu"])
+               for r in _post(url + "/query", agg_q)["data"]}
+        want = {(r["event_type"], r["n"], r["maxu"])
+                for r in events.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.max("user_id").alias("maxu")).collect()}
+        assert got == want and len(want) > 0
+
+        # raw projection: append-shaped stream + default row cap
+        out = _post(url + "/query", {
+            "from": "events_stream_svc",
+            "select": ["event_id", "user_id"],
+            "sort": "event_id"})
+        rows = out["data"]
+        n_total = events.count()
+        assert len(rows) == min(n_total, 10_000)
+        assert [r["event_id"] for r in rows[:5]] == \
+            sorted(r["event_id"] for r in rows)[:5]
+        assert out["meta"].get("row_cap") == 10_000
+    finally:
+        server.shutdown()
+        spark.catalog.dropTempView("events_stream_svc")
