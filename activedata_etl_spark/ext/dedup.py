@@ -776,6 +776,43 @@ def append_chunk_index(df: DataFrame, id_col: str, text_col: str,
      .write.mode("append").parquet(path))
 
 
+def chunk_delta_stats(delta: DataFrame, id_col: str, text_col: str,
+                      spark, path: str, chunk: int = 10,
+                      min_docs: int = 2) -> DataFrame:
+    """The NIGHTLY-INGEST form of :func:`chunk_dedup_stats`: per-DELTA-doc
+    boilerplate stats against corpus ∪ delta, with the corpus side served
+    from the persisted chunk index (:func:`append_chunk_index`) — only
+    the delta batch is ever tokenized. Same output schema as
+    chunk_dedup_stats, restricted to delta docs; a green oracle against
+    the full-corpus SQL restricted to delta ids proves index-served ≡
+    from-scratch.
+
+    Plan: the index side is semi-joined on the DELTA's hash set before
+    the dup-count aggregation, so the shuffled row count is (delta
+    hashes × their corpus occurrences), not index-sized — with the index
+    stored bucketed/sorted by ``h`` this is an index seek; either way
+    nightly cost is O(|delta| + matching postings), never a corpus
+    re-tokenize."""
+    dch = chunk_table(delta, id_col, text_col, chunk)
+    idx = spark.read.parquet(path).select("h", "doc")
+    delta_hashes = dch.select("h").distinct()
+    union = (idx.join(delta_hashes, "h", "left_semi")
+             .unionByName(dch.select("h", F.col(id_col).alias("doc"))))
+    dup = (union.groupBy("h")
+           .agg(F.countDistinct("doc").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("h", F.lit(True).alias("is_dup")))
+    return (
+        dch.join(dup, "h", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint")
+              .alias("n_dup_chunks"),
+             F.sum(F.when(F.col("is_dup").isNull(), F.col("n_tok"))
+                   .otherwise(0)).cast("bigint").alias("kept_tokens"))
+    )
+
+
 def duplicated_chunks_from_index(spark, path: str,
                                  min_docs: int = 2) -> DataFrame:
     """Merge-on-read of the chunk index: hashes occurring in ≥ min_docs
