@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     q_nested,
     q_sampling,
     q_setops_sort,
+    q_sketches,
     q_tpch,
     q_tpch2,
     q_windows,

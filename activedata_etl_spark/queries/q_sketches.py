@@ -1,0 +1,329 @@
+"""Round-6 queries: the bottom-k (KMV) signature family — the third
+portable sketch next to the HLL registers and CMS counters
+(functions/bottomk.py): one md5-derived k-row signature per group serves
+as a mergeable uniform sample, a distinct-count estimator, and a
+pairwise-Jaccard estimator, all bit-reproducible by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import bottomk as BK
+from ..io import load_table
+from .registry import query
+
+#: signature CTE over the distinct (event_type, user_id) sets — the
+#: shared substrate; rank over md5(user_id) per event type.
+_SIG_CTE = """d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ), s AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h,
+             user_id AS key,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY md5(CAST(user_id AS VARCHAR))) AS INT) AS rank
+      FROM d
+    )"""
+
+
+@query(
+    "agg_bottomk_signature",
+    oracle=f"""
+    WITH {_SIG_CTE}
+    SELECT event_type, h, key, rank FROM s WHERE rank <= 8
+    """,
+)
+def agg_bottomk_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature table itself: the 8 hash-smallest distinct users
+    per event type, every row value-checked — this is the persistable
+    sketch state (like agg_hll_registers / agg_cms_registers for their
+    families), doubling as a deterministic uniform sample of each
+    group's key set."""
+    e = load_table(spark, sf_dir, "events")
+    return BK.bottomk_signature(e, ["event_type"], "user_id", k=8)
+
+
+@query(
+    "agg_bottomk_ndv",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    sig AS (SELECT * FROM s WHERE rank <= 64),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sig,
+             MAX(CASE WHEN rank = 64 THEN
+               CAST(('0x' || substring(h, 1, 8)) AS BIGINT) END) AS h_k
+      FROM sig GROUP BY 1
+    ), est AS (
+      SELECT event_type, n_sig,
+             CASE WHEN h_k IS NULL THEN CAST(n_sig AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END
+               AS est_ndv
+      FROM g
+    ), exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_ndv
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type, e.n_sig, e.est_ndv, x.exact_ndv,
+           abs(e.est_ndv - x.exact_ndv) / x.exact_ndv < 0.5 AS within_tol
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def agg_bottomk_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimate per event type (k=64) with the exact
+    count and a tolerance flag in the same row — the sketch-audit
+    pattern (agg_hll_estimate's sibling). Unsaturated groups are exact
+    by construction; saturated groups are one integer-derived double
+    division, identical in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    sig = BK.bottomk_signature(e, ["event_type"], "user_id", k=64)
+    est = BK.bottomk_ndv(sig, ["event_type"], k=64)
+    exact = (e.where(F.col("user_id").isNotNull())
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("exact_ndv")))
+    return (est.join(exact, "event_type")
+            .withColumn("within_tol",
+                        F.abs(F.col("est_ndv") - F.col("exact_ndv"))
+                        / F.col("exact_ndv") < 0.5))
+
+
+@query(
+    "sim_bottomk_jaccard",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    sig AS (SELECT event_type AS g, h FROM s WHERE rank <= 16),
+    gs AS (SELECT DISTINCT g FROM sig),
+    pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+    u AS (
+      SELECT p.ga, p.gb, s.h,
+             MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sig s ON s.g = p.ga OR s.g = p.gb
+      GROUP BY 1, 2, 3
+    ), t AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rank
+      FROM u
+    )
+    SELECT ga AS event_type, gb AS event_type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS j_est
+    FROM t WHERE rank <= 16 GROUP BY 1, 2
+    """,
+)
+def sim_bottomk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard between event types' user sets estimated from
+    their 16-row signatures ALONE — the source-similarity matrix that
+    costs k·sources² signature rows instead of a corpus scan (the
+    one-signature-per-set form of MinHash resemblance). Every
+    intermediate (union sample, shared count) is integer and
+    value-checked; the estimate is one division of integer-derived
+    doubles."""
+    e = load_table(spark, sf_dir, "events")
+    sig = BK.bottomk_signature(e, ["event_type"], "user_id", k=16)
+    return BK.bottomk_jaccard(sig, "event_type", k=16)
+
+
+# ---- log-histogram quantile registers (functions/qhist.py) ----
+
+#: register CTE: octave bucket of n_chars per lang (bucket 0 = v<=0).
+_QH_CTE = """qr AS (
+      SELECT lang,
+             CAST(CASE WHEN n_chars <= 0 THEN 0
+                       ELSE length(bin(CAST(n_chars AS BIGINT))) END
+                  AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "agg_qhist_registers",
+    oracle=f"WITH {_QH_CTE}\n    SELECT * FROM qr",
+)
+def agg_qhist_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-register table itself (the fourth portable sketch
+    family): octave buckets of document length per language, ≤64 rows
+    per group no matter the corpus size, SUM-mergeable across shards.
+    Every count is value-checked against the oracle's independent
+    reconstruction."""
+    from ..functions import qhist as QH
+
+    d = load_table(spark, sf_dir, "documents")
+    return QH.qhist_registers(d, ["lang"], "n_chars")
+
+
+@query(
+    "agg_qhist_quantile_audit",
+    oracle=f"""
+    WITH {_QH_CTE},
+    cum AS (
+      -- NB: identifiers are case-insensitive in both engines — a column
+      -- named "N" here would collide with the register count "n" (it
+      -- DID: MAX(N) silently aggregated the per-bucket counts) — so the
+      -- partition total is "tot"
+      SELECT lang, bucket, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+             SUM(n) OVER (PARTITION BY lang) AS tot
+      FROM qr
+    ), b AS (
+      SELECT lang, CAST(MAX(tot) AS BIGINT) AS n_rows,
+             CAST(MIN(CASE WHEN cum >= (tot * 1 + 1) // 2 THEN bucket END)
+                  AS INT) AS p50_bucket,
+             CAST(MIN(CASE WHEN cum >= (tot * 19 + 19) // 20 THEN bucket END)
+                  AS INT) AS p95_bucket
+      FROM cum GROUP BY lang
+    ), ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS tot
+      FROM documents
+    ), ex AS (
+      SELECT lang,
+             CAST(MAX(CASE WHEN rn = (tot * 1 + 1) // 2 THEN n_chars END)
+                  AS BIGINT) AS exact_p50,
+             CAST(MAX(CASE WHEN rn = (tot * 19 + 19) // 20 THEN n_chars END)
+                  AS BIGINT) AS exact_p95
+      FROM ranked GROUP BY lang
+    )
+    SELECT b.lang, b.n_rows, b.p50_bucket,
+           CAST(CASE WHEN b.p50_bucket <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << (b.p50_bucket - 1)) END
+                AS BIGINT) AS p50_lo,
+           CAST(CASE WHEN b.p50_bucket <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << b.p50_bucket) - 1 END
+                AS BIGINT) AS p50_hi,
+           b.p95_bucket,
+           CAST(CASE WHEN b.p95_bucket <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << (b.p95_bucket - 1)) END
+                AS BIGINT) AS p95_lo,
+           CAST(CASE WHEN b.p95_bucket <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << b.p95_bucket) - 1 END
+                AS BIGINT) AS p95_hi,
+           ex.exact_p50, ex.exact_p95,
+           (CAST(CASE WHEN b.p50_bucket <= 0 THEN 0
+                      ELSE (CAST(1 AS BIGINT) << (b.p50_bucket - 1)) END
+                 AS BIGINT) <= ex.exact_p50
+            AND ex.exact_p50 <= CAST(CASE WHEN b.p50_bucket <= 0 THEN 0
+                      ELSE (CAST(1 AS BIGINT) << b.p50_bucket) - 1 END
+                 AS BIGINT)) AS p50_in_bounds,
+           (CAST(CASE WHEN b.p95_bucket <= 0 THEN 0
+                      ELSE (CAST(1 AS BIGINT) << (b.p95_bucket - 1)) END
+                 AS BIGINT) <= ex.exact_p95
+            AND ex.exact_p95 <= CAST(CASE WHEN b.p95_bucket <= 0 THEN 0
+                      ELSE (CAST(1 AS BIGINT) << b.p95_bucket) - 1 END
+                 AS BIGINT)) AS p95_in_bounds
+    FROM b JOIN ex USING (lang)
+    """,
+)
+def agg_qhist_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 BOUNDS per language answered from the PERSISTED quantile
+    index (two batch-keyed shards, SUM-merged on read), audited in-query
+    against the exact rank-ceil(p·N) order statistic: the envelope
+    theorem says the exact value lies in [2^(b−1), 2^b), and both flags
+    are value-checked per row. At 100 TB the bounds come from ≤64
+    register rows per group; the exact order statistic here is the
+    AUDIT (oracle-side discipline), not the serving path."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..functions import qhist as QH
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_qhist_{os.path.basename(sf_dir.rstrip('/'))}")
+    for b in (0, 1):
+        QH.append_qhist_index(
+            d.filter(F.pmod("doc_id", F.lit(2)) == b),
+            ["lang"], "n_chars", path, batch_id=b)
+    regs = QH.read_qhist_index(spark, path, ["lang"])
+    bounds = QH.qhist_quantile_bounds(
+        regs, ["lang"], {"p50": (1, 2), "p95": (19, 20)})
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    ranked = (d.select("lang", "n_chars")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("N", F.count(F.lit(1))
+                          .over(Window.partitionBy("lang"))))
+    ex = (ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == F.expr("CAST((N * 1 + 1) DIV 2 AS BIGINT)"),
+                     F.col("n_chars"))).cast("bigint").alias("exact_p50"),
+        F.max(F.when(F.col("rn") == F.expr("CAST((N * 19 + 19) DIV 20 AS BIGINT)"),
+                     F.col("n_chars"))).cast("bigint").alias("exact_p95")))
+    return (bounds.join(ex, "lang")
+            .withColumn("p50_in_bounds",
+                        (F.col("p50_lo") <= F.col("exact_p50"))
+                        & (F.col("exact_p50") <= F.col("p50_hi")))
+            .withColumn("p95_in_bounds",
+                        (F.col("p95_lo") <= F.col("exact_p95"))
+                        & (F.col("exact_p95") <= F.col("p95_hi"))))
+
+
+@query(
+    "agg_qhist_delta_tv",
+    oracle="""
+    WITH qa AS (
+      SELECT lang,
+             CAST(CASE WHEN n_chars <= 0 THEN 0
+                       ELSE length(bin(CAST(n_chars AS BIGINT))) END
+                  AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ), qb AS (
+      SELECT lang,
+             CAST(CASE WHEN n_chars <= 0 THEN 0
+                       ELSE length(bin(CAST(n_chars AS BIGINT))) END
+                  AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ), j AS (
+      SELECT COALESCE(qa.lang, qb.lang) AS lang,
+             COALESCE(qa.bucket, qb.bucket) AS bucket,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM qa FULL JOIN qb ON qa.lang = qb.lang AND qa.bucket = qb.bucket
+    ), t AS (
+      SELECT lang, SUM(ca) AS na, SUM(cb) AS nb,
+             SUM(abs(ca * (SELECT SUM(cb) FROM j j2 WHERE j2.lang = j.lang)
+                     - cb * (SELECT SUM(ca) FROM j j3 WHERE j3.lang = j.lang)))
+               AS num
+      FROM j GROUP BY lang
+    )
+    SELECT lang, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           CAST(num AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)
+                                  * CAST(nb AS DOUBLE)) AS tv
+    FROM t
+    """,
+)
+def agg_qhist_delta_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor from the quantile index alone: TV
+    distance between the batch-0 and batch-1 length distributions per
+    language, computed entirely from the two register SHARDS
+    (partition-pruned reads — the corpus is never rescanned). The
+    nightly question this answers: did tonight's batch shift the length
+    distribution of any language? Exact integer numerator, one final
+    division (the text_term_drift_tv pattern for numeric columns)."""
+    import os
+    import tempfile
+
+    from ..functions import qhist as QH
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_qhist_{os.path.basename(sf_dir.rstrip('/'))}")
+    for b in (0, 1):
+        QH.append_qhist_index(
+            d.filter(F.pmod("doc_id", F.lit(2)) == b),
+            ["lang"], "n_chars", path, batch_id=b)
+    base = spark.read.option("basePath", path)
+    ra = base.parquet(os.path.join(path, "batch=0")) \
+        .select("lang", "bucket", "n")
+    rb = base.parquet(os.path.join(path, "batch=1")) \
+        .select("lang", "bucket", "n")
+    return QH.qhist_tv_distance(ra, rb, ["lang"])
