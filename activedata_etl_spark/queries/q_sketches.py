@@ -327,3 +327,70 @@ def agg_qhist_delta_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = base.parquet(os.path.join(path, "batch=1")) \
         .select("lang", "bucket", "n")
     return QH.qhist_tv_distance(ra, rb, ["lang"])
+
+
+# ---- multimodal: scene-cut segmentation over frame energy ----
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, k AS frame_idx,
+             substring(text, k * 16 + 1, 16) AS fr
+      FROM documents, LATERAL (
+        SELECT unnest(range(0, least(8,
+          greatest(1, CAST(ceil(length(text) / 16.0) AS BIGINT))))) AS k)
+    ), fe AS (
+      SELECT doc_id AS id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(COALESCE(list_sum(list_transform(
+               string_split_regex(fr, ''), ch -> ascii(ch))), 0) AS BIGINT)
+               AS energy
+      FROM frames
+    ), d AS (
+      SELECT id, frame_idx, energy,
+             abs(energy - LAG(energy) OVER
+               (PARTITION BY id ORDER BY frame_idx)) AS jump
+      FROM fe
+    ), cuts AS (
+      SELECT id, frame_idx, energy,
+             COALESCE(jump, 0) AS jump,
+             (jump IS NOT NULL AND jump > 64) AS is_cut
+      FROM d
+    )
+    SELECT id, frame_idx, energy, CAST(jump AS BIGINT) AS jump, is_cut,
+           CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER
+             (PARTITION BY id ORDER BY frame_idx) AS INT) AS scene_id
+    FROM cuts
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut segmentation — the video-pipeline primitive built ON
+    TOP of the real multimodal plumbing: frames come out of the
+    Arrow-batched 1:N mapInPandas codec boundary
+    (ext/multimodal.frame_energy, codec stubbed to byte arithmetic),
+    then cut detection is pure JVM window work (lag, threshold, running
+    cut count → scene ids). A frame whose energy jumps by > 64 from its
+    predecessor opens a new scene. At 100 TB the Python stage touches
+    each payload once; segmentation never leaves whole-stage codegen,
+    and state per key is one lag row. Exact integers throughout."""
+    from pyspark.sql import Window
+
+    from ..ext import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    fe = MM.frame_energy(MM.pack(d, "doc_id", "text", "audio/fake"),
+                         frame_bytes=16, max_frames=8) \
+        .select("id", "frame_idx", "energy")
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    jump = F.abs(F.col("energy") - F.lag("energy").over(w))
+    cuts = (fe.withColumn("__j__", jump)
+            .withColumn("is_cut",
+                        F.col("__j__").isNotNull() & (F.col("__j__") > 64))
+            .withColumn("jump", F.coalesce("__j__", F.lit(0))
+                        .cast("bigint")).drop("__j__"))
+    return cuts.select(
+        "id", "frame_idx", "energy", "jump", "is_cut",
+        F.sum(F.col("is_cut").cast("int")).over(
+            Window.partitionBy("id").orderBy("frame_idx")
+            .rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int").alias("scene_id"))
