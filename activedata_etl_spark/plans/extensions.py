@@ -370,3 +370,38 @@ def _top_component(spark, df, spec) -> DataFrame:
                          n_iter=int(spec.get("n_iter", 3)))
     return (comp.select(F.posexplode("vt").alias("pos", "v"), "lam")
             .withColumn("pos", F.col("pos").cast("long")))
+
+
+@_op("bottomk_jaccard")
+def _bottomk_jaccard(spark, df, spec) -> DataFrame:
+    """Pairwise Jaccard between every two groups' key sets, estimated
+    from their bottom-k signatures alone (functions/bottomk.py) —
+    k·groups² signature rows, never a data rescan. Output:
+    (<group>, <group>_b, n_union_sample, n_shared, j_est)."""
+    from ..functions import bottomk as BK
+
+    group = spec.get("group")
+    value = spec.get("value")
+    if not group or not value:
+        raise ValueError("bottomk_jaccard needs 'group' and 'value'")
+    k = int(spec.get("k", 16))
+    sig = BK.bottomk_signature(df, [group], value, k=k)
+    return BK.bottomk_jaccard(sig, group, k=k)
+
+
+@_op("quantile_bounds")
+def _quantile_bounds(spark, df, spec) -> DataFrame:
+    """Per-group quantile BOUNDS from log-histogram registers
+    (functions/qhist.py): ``ps`` maps name → [numerator, denominator]
+    rationals, e.g. {"p50": [1, 2], "p95": [19, 20]}. Output columns:
+    (<group>..., n_rows, <name>_bucket, <name>_lo, <name>_hi)."""
+    from ..functions import qhist as QH
+
+    group = spec.get("group")
+    value = spec.get("value")
+    if not group or not value:
+        raise ValueError("quantile_bounds needs 'group' and 'value'")
+    ps_in = spec.get("ps", {"p50": [1, 2]})
+    ps = {str(name): (int(nd[0]), int(nd[1])) for name, nd in ps_in.items()}
+    regs = QH.qhist_registers(df, [group], value)
+    return QH.qhist_quantile_bounds(regs, [group], ps)

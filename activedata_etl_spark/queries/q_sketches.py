@@ -394,3 +394,65 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("id").orderBy("frame_idx")
             .rowsBetween(Window.unboundedPreceding, 0))
         .cast("int").alias("scene_id"))
+
+
+# ---- jx front-end reach into the new sketch ops ----
+
+from ..plans import query as JXP  # noqa: E402
+from .registry import ORACLES as _REG  # noqa: E402
+
+
+def _run_jx(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return JXP.run(spark, q)
+
+
+@query("jx_bottomk_jaccard", oracle=_REG["sim_bottomk_jaccard"])
+def jx_bottomk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom-k Jaccard matrix through the jx JSON front-end —
+    same oracle as the direct path (routing must be result-invisible),
+    composing with a normal where clause downstream of the op."""
+    return _run_jx(spark, sf_dir, {
+        "from": {"op": "bottomk_jaccard", "table": "events",
+                 "group": "event_type", "value": "user_id", "k": 16},
+    })
+
+
+@query(
+    "jx_quantile_bounds",
+    oracle=f"""
+    WITH {_QH_CTE},
+    cum AS (
+      SELECT lang, bucket, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+             SUM(n) OVER (PARTITION BY lang) AS tot
+      FROM qr
+    ), b AS (
+      SELECT lang, CAST(MAX(tot) AS BIGINT) AS n_rows,
+             CAST(MIN(CASE WHEN cum >= (tot * 1 + 1) // 2 THEN bucket END)
+                  AS INT) AS p50_bucket
+      FROM cum GROUP BY lang
+    )
+    SELECT lang, n_rows, p50_bucket,
+           CAST(CASE WHEN p50_bucket <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << (p50_bucket - 1)) END
+                AS BIGINT) AS p50_lo,
+           CAST(CASE WHEN p50_bucket <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << p50_bucket) - 1 END
+                AS BIGINT) AS p50_hi
+    FROM b
+    WHERE n_rows >= 70
+    """,
+)
+def jx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bounds through the jx front-end, with a post-op where
+    clause (n_rows >= 70, which really filters at sf0.01) proving the op output composes with the
+    normal clause pipeline."""
+    return _run_jx(spark, sf_dir, {
+        "from": {"op": "quantile_bounds", "table": "documents",
+                 "group": "lang", "value": "n_chars",
+                 "ps": {"p50": [1, 2]}},
+        "where": {"gte": ["n_rows", 70]},
+    })

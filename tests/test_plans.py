@@ -386,3 +386,50 @@ def test_asof_nearest_single_shuffle_two_windows(spark, sf_dir):
     assert plan.count("Window") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_delta_queries_partition_prune_batch_dirs(spark, sf_dir):
+    """The delta-restricted index queries must read ONLY the delta's
+    batch directory on their scored path — PartitionFilters on `batch`
+    reach the register/postings scan, so the nightly cost is
+    delta-shard-sized, never index-sized."""
+    plan = _plan(spark, sf_dir, "text_bm25_delta_topk")
+    # one scan carries the batch predicate (the scored tf leg)
+    assert "PartitionFilters" in plan and "batch" in plan
+    assert "(batch" in plan.split("PartitionFilters", 1)[1][:200] \
+        or "batch =" in plan or "batch#" in plan
+    plan = _plan(spark, sf_dir, "agg_cms_delta_heavy_hitters")
+    # the register read names only the batch=1 directory: a one-shard
+    # scan (path-pruned before planning, stronger than a runtime filter)
+    assert "batch=1" in plan
+
+
+def test_bottomk_global_takes_ordered(spark, sf_dir):
+    """The GLOBAL bottom-k signature must lower to
+    TakeOrderedAndProject (per-partition heaps), never a
+    single-partition sort of the distinct-key universe."""
+    from activedata_etl_spark.functions import bottomk as BK
+    from activedata_etl_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    plan = BK.bottomk_signature(e, [], "user_id", k=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_qhist_registers_partial_aggregate(spark, sf_dir):
+    """Register construction must partial-aggregate map-side (≤64
+    bucket rows per group per partition cross the shuffle, not data
+    rows): two HashAggregates around one Exchange, no window, no sort
+    of the data."""
+    plan = _plan(spark, sf_dir, "agg_qhist_registers")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan and "Sort" not in plan.split("ReadSchema")[0]
+
+
+def test_chunk_delta_semijoin_before_dupcount(spark, sf_dir):
+    """chunk_delta_stats must semi-join the corpus index on the DELTA's
+    hash set before the dup-count aggregation — the aggregated row set
+    is (delta hashes × their occurrences), not index-sized."""
+    plan = _plan(spark, sf_dir, "dedup_chunk_delta_stats")
+    assert "LeftSemi" in plan
