@@ -55,17 +55,29 @@ _FRONT = [
     # the class retires. Everything rotated out was driver-green in
     # r1-r5 and stays covered by the full local sweep.
     # --- r6 prefix ---
+    # The 15 queries NEW in round 6 lead (new code carries the most
+    # risk, the standing policy): the two new sketch families (bottom-k
+    # signatures, log-histogram quantile registers: direct + index +
+    # delta + jx routes), the delta-restricted queries completing that
+    # class across every index family (BM25/chunk/HLL/CMS), the
+    # escaped-dot path query, the bulk ANN bench form, and scene cuts.
+    "agg_bottomk_signature", "agg_bottomk_ndv", "sim_bottomk_jaccard",
+    "agg_qhist_registers", "agg_qhist_quantile_audit",
+    "agg_qhist_delta_tv", "jx_bottomk_jaccard", "jx_quantile_bounds",
+    "text_bm25_delta_topk", "dedup_chunk_delta_stats",
+    "agg_hll_delta_ndv", "agg_cms_delta_heavy_hitters",
+    "jx_escaped_dot_name", "sim_ann_multiprobe_bulk",
+    "multimodal_scene_cuts",
+    # then 35 of the 92 never-driver-checked (priorities per VERDICT r5
+    # #1); the 15 builtin wrappers originally slotted here
+    # (expr_number_to_string, window_* frames, setop_*, sort_paging,
+    # join_full_outer/cross, edges_set_allow_nulls/predicate_parts) are
+    # deferred with the rest of the backlog — their machinery is the
+    # most driver-exercised in the registry via many green relatives.
     # jx tail
     "jx_edges_range_histogram", "jx_edges_duration_histogram",
     "jx_select_nested_output", "jx_nested_having", "jx_edges_expression",
     "jx_window_ntile_first_last", "jx_select_default",
-    # expr / window / setops / sort / join builtin tails
-    "expr_number_to_string", "window_range_trailing_7d",
-    "window_sliding_frame", "window_whole_partition",
-    "window_ntile_percent", "window_first_last_value",
-    "setop_union_all", "setop_intersect", "setop_except",
-    "setop_array_values", "sort_paging", "join_full_outer",
-    "join_cross_small", "edges_set_allow_nulls", "edges_predicate_parts",
     # events analytics family + SCD2 lookup
     "events_linear_trend", "events_transition_matrix",
     "events_seasonal_deviation", "events_user_sequences",
