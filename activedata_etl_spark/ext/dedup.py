@@ -970,3 +970,115 @@ def winnowing_delta_pairs(spark, path: str, delta: DataFrame,
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.5,
+                        shingle_n: int | None = 3) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    Set elements are word ``shingle_n``-grams (raw tokens when
+    ``shingle_n=None``); every pair with Jaccard >= threshold is
+    returned, no probabilistic recall loss. The deterministic complement to MinHash-LSH
+    (:func:`lsh_candidate_pairs`): LSH trades recall for a fixed number
+    of hash buckets; prefix filtering keeps recall = 1.0 and instead
+    bounds candidate generation by token rarity.
+
+    Stages (all declarative, Catalyst-planned):
+    1. (id, tok) distinct rows + per-doc set size n.
+    2. Global token order = (document frequency ASC, token ASC) — the
+       canonical rarest-first order, broadcast-free: df is computed by
+       one partial-aggregatable groupBy and joined back on tok.
+    3. Per-doc position by that order (row_number over the doc); keep
+       the PREFIX: pos <= n - ceil(t*n) + 1. Lemma (PPJoin): if
+       J(a,b) >= t, the globally-smallest token of the intersection sits
+       inside BOTH prefixes — |a∩b| >= ceil(t*|a|) tokens cannot all fit
+       in a's suffix of ceil(t*|a|)-1 slots — so a prefix-to-prefix
+       equi-join on tok loses nothing.
+    4. Candidates: self-join of prefix rows on tok with id_a < id_b and
+       the length filter ceil(t*n_a) <= n_b <= floor(n_a/t) (a valid
+       pair's sizes are within a factor t of each other).
+    5. Verify exact Jaccard in LONG form via the shared
+       :func:`jaccard_pairs_counts` substrate (no token arrays in
+       flight).
+
+    100 TB shape: the only fan-out join is on PREFIX tokens, which are by
+    construction each doc's globally RAREST tokens — a token of df D
+    contributes at most D prefix rows, and common tokens (the skew risk)
+    are pushed to suffix positions where they never join. No bucket cap
+    is needed for correctness (unlike LSH's max_bucket_size) because the
+    order itself is the skew bound; the df table is one extra
+    partial-agg pass over (id, tok), reused for the ordering join.
+    """
+    cand, tok, _ = prefix_candidates(df, id_col, text_col, threshold,
+                                     shingle_n)
+    return jaccard_pairs_counts(cand, tok, "__id__", threshold=float(threshold))
+
+
+def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5,
+                      shingle_n: int | None = 3):
+    """The blocking stage of :func:`prefix_filter_pairs`, exposed for the
+    blocking audit: returns ``(cand, tok, pref)`` — candidate id pairs,
+    the distinct (id, element) rows, and the prefix rows with their
+    element document frequency (``__df__``, whose max is the worst-case
+    join bucket — the inspectable skew bound)."""
+    t = float(threshold)
+    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
+             else F.array_distinct(tokens(text_col)))
+    # tok has FOUR consumers (df table, sizes, position window, verify) —
+    # persist or the scan+explode recomputes per consumer (the same fix
+    # as the LSH shingle table). No distinct(): the element arrays are
+    # array_distinct'ed per doc, so (id, element) rows are unique by
+    # construction — a dedup shuffle here would be pure waste. The
+    # repartition spreads the explode across cores at cache-fill time
+    # (the source is a handful of parquet files). At cluster scale,
+    # materialize to parquet instead of executor memory.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = (df.repartition(par, F.col(id_col))
+           .select(F.col(id_col).alias("__id__"),
+                   F.explode(elems).alias("__s__"))
+           .persist())
+    sizes = tok.groupBy("__id__").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tok.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
+    pref = (tok.join(dfreq, "__s__")
+            .withColumn("__pos__", F.row_number().over(
+                Window.partitionBy("__id__")
+                .orderBy(F.col("__df__").asc(), F.col("__s__").asc())))
+            .join(sizes, "__id__")
+            # candidate-stage ceils get a one-sided 1e-9 relaxation: an FP
+            # wobble in n*t may only LENGTHEN the prefix / LOOSEN the size
+            # band (extra candidates, killed by exact verify), never drop
+            # a qualifying pair
+            .filter(F.col("__pos__")
+                    <= F.col("n") - F.ceil(F.col("n") * F.lit(t) - 1e-9) + 1)
+            .select("__id__", "__s__", "n", "__pos__", "__df__")
+            # both sides of the candidate self-join read pref; without a
+            # persist the df-join + window re-run per side
+            .persist())
+    a = pref.select(F.col("__id__").alias("id_a"), F.col("n").alias("n_a"),
+                    F.col("__pos__").alias("__pa__"), "__s__")
+    b = pref.select(F.col("__id__").alias("id_b"), F.col("n").alias("n_b"),
+                    F.col("__pos__").alias("__pb__"), "__s__")
+    # PPJoin positional filter: J >= t requires overlap o >=
+    # ceil(t/(1+t)·(n_a+n_b)); a shared element at positions (pa, pb)
+    # bounds o <= min(n_a-pa, n_b-pb) + 1 BECAUSE the global order sorts
+    # both element lists identically, so every other shared element sits
+    # strictly after it on both sides. For a qualifying pair the
+    # globally-smallest shared element satisfies the bound (and is in
+    # both prefixes), so keeping pairs with ANY passing row is exact.
+    # This is what makes boilerplate corpora tractable: template
+    # shingles are high-df, sort LATE in the prefix, and fail the
+    # remaining-overlap bound — measured 310k -> ~1k candidates on the
+    # sf0.1 documents table (256 true pairs) with verify cost to match.
+    o_req = F.ceil((F.col("n_a") + F.col("n_b"))
+                   * F.lit(t / (1.0 + t)) - 1e-9)
+    cand = (a.join(b, "__s__")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(t) - 1e-9))
+                    & (F.col("n_b") * F.lit(t) - 1e-9 <= F.col("n_a"))
+                    & (F.least(F.col("n_a") - F.col("__pa__"),
+                               F.col("n_b") - F.col("__pb__")) + 1 >= o_req))
+            .select("id_a", "id_b")
+            .distinct())
+    return cand, tok, pref

@@ -376,3 +376,56 @@ def weighted_percentiles(df: DataFrame, keys: list[str], col: str,
                      F.col(col))
         aggs.append(F.min(hit).alias(alias))
     return h.groupBy(*keys).agg(*aggs)
+
+
+def trimmed_means_histogram(df: DataFrame, keys: list[str], col: str,
+                            trim: float = 0.1) -> DataFrame:
+    """Exact trimmed AND winsorized mean per group via the value
+    HISTOGRAM — no per-row window sort anywhere.
+
+    Robust means are rank-based, and the textbook route (row_number over
+    each group, drop the outer k ranks) is a full per-group sort — the
+    same scale hazard :func:`sorted_percentiles` documents. Here the only
+    row-width shuffle is a partial-aggregatable groupBy to one row per
+    distinct (keys, value); the rank arithmetic then runs on the
+    histogram (window over ~|distinct values| rows per group):
+
+    - k = floor(trim*n) rows clipped from EACH tail, by value order.
+      Ties need no tiebreak: every copy of a value is interchangeable, so
+      clipping by rank-band intersection per histogram row is exact.
+    - kept(v) = max(0, min(cum_before+c, n-k) - max(cum_before, k)) —
+      how many of v's c copies fall inside the kept rank band [k+1, n-k].
+    - trimmed_mean = sum(v*kept)/(n-2k); winsorized_mean replaces each
+      clipped tail with k copies of the nearest kept boundary value.
+
+    Exactness contract: with integer-valued doubles (or decimals) the
+    products and sums are exact and order-independent, so the result
+    hash-matches a serial oracle bit-for-bit. Output: keys, n, k,
+    mean / trimmed_mean / winsorized_mean (all double).
+    """
+    from pyspark.sql import Window
+    h = (df.filter(F.col(col).isNotNull())
+           .groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__c__")))
+    wo = (Window.partitionBy(*keys).orderBy(col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wg = Window.partitionBy(*keys)
+    v, c = F.col(col), F.col("__c__")
+    p = (h.withColumn("__cb__", F.coalesce(F.sum("__c__").over(wo),
+                                           F.lit(0).cast("bigint")))
+          .withColumn("__n__", F.sum("__c__").over(wg))
+          .withColumn("__k__", F.floor(F.lit(float(trim)) * F.col("__n__"))))
+    cb, n, k = F.col("__cb__"), F.col("__n__"), F.col("__k__")
+    p = p.withColumn("__kept__", F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(cb + c, n - k) - F.greatest(cb, k)))
+    lo_hit = F.when((cb <= k) & (k < cb + c), v)          # rank k+1
+    hi_hit = F.when((cb < n - k) & (n - k <= cb + c), v)  # rank n-k
+    n_, k_ = F.max("__n__"), F.max("__k__")
+    kept_sum = F.sum(v * F.col("__kept__"))
+    return (p.groupBy(*keys).agg(
+        n_.alias("n"), k_.alias("k"),
+        (F.sum(v * c).cast("double") / n_.cast("double")).alias("mean"),
+        (kept_sum.cast("double")
+         / (n_ - F.lit(2) * k_).cast("double")).alias("trimmed_mean"),
+        ((kept_sum + k_ * F.max(lo_hit) + k_ * F.max(hi_hit)).cast("double")
+         / n_.cast("double")).alias("winsorized_mean")))

@@ -405,3 +405,38 @@ def _quantile_bounds(spark, df, spec) -> DataFrame:
     ps = {str(name): (int(nd[0]), int(nd[1])) for name, nd in ps_in.items()}
     regs = QH.qhist_registers(df, [group], value)
     return QH.qhist_quantile_bounds(regs, [group], ps)
+
+
+@_op("prefix_filter_pairs")
+def _prefix_filter_pairs(spark, df, spec) -> DataFrame:
+    """EXACT set-similarity join (AllPairs/PPJoin prefix filtering,
+    ext/dedup.py: prefix_filter_pairs) — recall 1.0 at the threshold,
+    no band/bucket recall knob. ``shingle_n: null`` switches the set
+    elements from word n-grams to raw tokens. Output:
+    (id_a, id_b, jaccard)."""
+    from ..ext import dedup as DD
+
+    sn = spec.get("shingle_n", 3)
+    return DD.prefix_filter_pairs(
+        df,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        threshold=float(spec.get("threshold", 0.5)),
+        shingle_n=int(sn) if sn is not None else None,
+    )
+
+
+@_op("trimmed_means")
+def _trimmed_means(spark, df, spec) -> DataFrame:
+    """Exact trimmed + winsorized means per group over the value
+    histogram (functions/aggs.py: trimmed_means_histogram). Output:
+    (<group>..., n, k, mean, trimmed_mean, winsorized_mean)."""
+    from ..functions import aggs as AGG
+
+    group = spec.get("group")
+    value = spec.get("value")
+    if not group or not value:
+        raise ValueError("trimmed_means needs 'group' and 'value'")
+    keys = group if isinstance(group, list) else [group]
+    return AGG.trimmed_means_histogram(
+        df, keys, value, trim=float(spec.get("trim", 0.1)))

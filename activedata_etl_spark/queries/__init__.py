@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     q_ext6,
     q_ext7,
     q_ext8,
+    q_ext9,
     q_flagship,
     q_joins,
     q_jx,
@@ -55,8 +56,15 @@ _FRONT = [
     # the class retires. Everything rotated out was driver-green in
     # r1-r5 and stays covered by the full local sweep.
     # --- r6 prefix ---
-    # The 15 queries NEW in round 6 lead (new code carries the most
-    # risk, the standing policy): the two new sketch families (bottom-k
+    # The 18 queries NEW in round 6 lead (new code carries the most
+    # risk, the standing policy). Continuation session first: the exact
+    # prefix-filter similarity join (blind all-pairs oracle), the LSH
+    # recall audit it anchors, and the histogram-exact robust means —
+    # their 3 slots displace the last 3 backlog entries below past the
+    # 50-entry driver prefix into the r7 rotation.
+    "dedup_prefix_filter_pairs", "dedup_prefix_blocking_audit",
+    "agg_trimmed_mean", "jx_prefix_filter_pairs", "jx_trimmed_mean",
+    # First session's 15: the two new sketch families (bottom-k
     # signatures, log-histogram quantile registers: direct + index +
     # delta + jx routes), the delta-restricted queries completing that
     # class across every index family (BM25/chunk/HLL/CMS), the

@@ -1,0 +1,196 @@
+"""Round-6 continuation queries: the EXACT set-similarity join class
+(prefix filtering — AllPairs/PPJoin) and histogram-exact robust means.
+
+Prefix filtering is the deterministic complement to the MinHash-LSH
+family: recall = 1.0 by lemma, candidate volume bounded by element
+rarity instead of band width. Its oracle is the strongest form in the
+registry — a blind all-pairs Jaccard scan with no knowledge of the
+filter, so a hash-match PROVES the prefix join dropped nothing. The
+recall-audit query then uses that exact pair set as ground truth to
+measure the probabilistic family's recall — the calibration report a
+corpus owner reads before picking band parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ext import dedup as DD
+from ..functions import aggs as AGG
+from ..io import load_table
+from .registry import query
+from .q_ext import _SHINGLES
+
+#: all-pairs exact shingle-Jaccard CTE chain (the blind ground truth).
+#: The size-band predicate len(b) in [t*len(a), len(a)/t] is a provable
+#: consequence of J >= t (|a∩b| <= min sizes, |a∪b| >= max sizes), so it
+#: only removes pairs that cannot qualify — the oracle stays exact while
+#: the quadratic scan stays tractable at sweep scale.
+_EXACT_PAIRS = f"""t AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM documents
+    ), sz AS (SELECT doc_id, s, len(s) AS n FROM t WHERE len(s) > 0),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) * 1.0 /
+             (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sz a JOIN sz b
+        ON a.doc_id < b.doc_id
+       AND b.n * 2 >= a.n AND a.n * 2 >= b.n
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5
+    )"""
+
+
+@query(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_EXACT_PAIRS}
+    SELECT id_a, id_b, jaccard FROM exact
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard >= 0.5 pairs via prefix filtering
+    (ext/dedup.prefix_filter_pairs): rarest-first global element order,
+    per-doc prefix of length n - ceil(t*n) + 1, prefix-to-prefix
+    equi-join + size-band filter, long-form exact verify. The oracle is
+    a blind all-pairs scan — a value match proves recall = 1.0 on this
+    corpus, not just on the pairs the filter happened to generate."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.prefix_filter_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "dedup_prefix_blocking_audit",
+    oracle=f"""
+    WITH {_EXACT_PAIRS},
+    tok AS (SELECT DISTINCT doc_id, unnest(s) AS s FROM t),
+    szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1),
+    dfq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+    pos AS (
+      SELECT tok.doc_id, tok.s, dfq.df, szs.n,
+             ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                                ORDER BY dfq.df ASC, tok.s ASC) AS pos
+      FROM tok JOIN dfq USING (s) JOIN szs USING (doc_id)
+    ),
+    pref AS (SELECT * FROM pos
+             WHERE pos <= n - CEIL(n * 0.5 - 1e-9) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND b.n >= CEIL(a.n * 0.5 - 1e-9)
+       AND b.n * 0.5 - 1e-9 <= a.n
+       AND LEAST(a.n - a.pos, b.n - b.pos) + 1
+           >= CEIL((a.n + b.n)
+                   * (CAST(0.5 AS DOUBLE) / CAST(1.5 AS DOUBLE)) - 1e-9)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) * 1.0
+             / (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS precision,
+           (SELECT CAST(MAX(df) AS BIGINT) FROM pref) AS max_prefix_df
+    """,
+)
+def dedup_prefix_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix join's blocking report: candidate volume, verified-pair
+    volume, blocking precision, and the worst-case join bucket (max
+    document frequency among PREFIX elements — SCALE.md's inspectable
+    skew bound, readable before the join runs). The oracle mirrors the
+    candidate stage expression-for-expression (same rarest-first order,
+    same relaxed ceils) and takes the verified count from the BLIND
+    all-pairs scan — equal by the recall lemma, so this query
+    value-checks the blocking stage the pairs query treats as opaque."""
+    d = load_table(spark, sf_dir, "documents")
+    cand, tok, pref = DD.prefix_candidates(d, "doc_id", "text",
+                                           threshold=0.5)
+    ver = DD.jaccard_pairs_counts(cand, tok, "__id__", threshold=0.5)
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_pairs = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    worst = pref.agg(F.max("__df__").cast("bigint").alias("max_prefix_df"))
+    return (n_cand.crossJoin(F.broadcast(n_pairs))
+            .crossJoin(F.broadcast(worst))
+            .select("n_candidates", "n_pairs",
+                    (F.col("n_pairs") * F.lit(1.0)
+                     / F.col("n_candidates")).alias("precision"),
+                    "max_prefix_df"))
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), w AS (
+      SELECT l_returnflag, v, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM h
+    ), p AS (
+      SELECT *, CAST(FLOOR(0.1 * n) AS BIGINT) AS k FROM w
+    ), q AS (
+      SELECT *,
+             GREATEST(CAST(0 AS BIGINT),
+                      LEAST(cb + c, n - k) - GREATEST(cb, k)) AS kept,
+             CASE WHEN cb <= k AND k < cb + c THEN v END AS lo_hit,
+             CASE WHEN cb < n - k AND n - k <= cb + c THEN v END AS hi_hit
+      FROM p
+    )
+    SELECT l_returnflag, MAX(n) AS n, MAX(k) AS k,
+           CAST(SUM(v * c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean,
+           CAST(SUM(v * kept) AS DOUBLE)
+             / CAST(MAX(n) - 2 * MAX(k) AS DOUBLE) AS trimmed_mean,
+           CAST(SUM(v * kept) + MAX(k) * MAX(lo_hit)
+                + MAX(k) * MAX(hi_hit) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE) AS winsorized_mean
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed and winsorized mean of l_quantity per return
+    flag via the value histogram (functions/aggs.trimmed_means_histogram)
+    — rank clipping on one row per distinct value, no per-row window
+    sort; the robust-mean sibling of the histogram percentile strategy.
+    l_quantity is integer-valued, so every product/sum is exact and the
+    doubles hash-match the serial oracle bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AGG.trimmed_means_histogram(
+        li, ["l_returnflag"], "l_quantity", trim=0.1)
+
+
+# jx front-end routes (result-invisible: same oracles as the direct
+# paths), following the q_sketches pattern.
+from ..plans import query as JXP  # noqa: E402
+from .registry import ORACLES as _REG  # noqa: E402
+
+
+def _run_jx(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return JXP.run(spark, q)
+
+
+@query("jx_prefix_filter_pairs", oracle=_REG["dedup_prefix_filter_pairs"])
+def jx_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact prefix-filter join through the jx JSON front-end
+    (plans/extensions.py op "prefix_filter_pairs")."""
+    return _run_jx(spark, sf_dir, {
+        "from": {"op": "prefix_filter_pairs", "table": "documents",
+                 "threshold": 0.5},
+    })
+
+
+@query("jx_trimmed_mean", oracle=_REG["agg_trimmed_mean"])
+def jx_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram robust means through the jx front-end (op
+    "trimmed_means"), same oracle as the direct path."""
+    return _run_jx(spark, sf_dir, {
+        "from": {"op": "trimmed_means", "table": "lineitem",
+                 "group": "l_returnflag", "value": "l_quantity",
+                 "trim": 0.1},
+    })

@@ -44,7 +44,10 @@ HEADLINE = [
     "dedup_lsh_jaccard_pairs",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
-    "sim_ann_multiprobe",
+    # r6: the multiprobe reading moved to the BULK form (20x query rows)
+    # so the ANN family's 2x gate measures the join, not fixed overhead
+    # (VERDICT r5 #7); the original stays registered and oracle-paired.
+    "sim_ann_multiprobe_bulk",
     "text_top_terms",
     "text_pii_redaction",
     "text_unigram_rarity",
@@ -105,6 +108,18 @@ HEADLINE = [
     "sample_temperature_mixture",
     "etl_manifest_pruned_2d",
     "multimodal_ahash_pairs",
+    # r6 additions (VERDICT r5 #3 + this round's new families): the
+    # completed as-of menu, the two r5 clustering diagnostics, the
+    # delta-restricted index-query class (BM25 + chunk), and the
+    # quantile-register audit — each the serving-shaped form of its
+    # family. The sketch register builders (bottomk/qhist) are covered
+    # by agg_qhist_quantile_audit's index build + read.
+    "join_asof_nearest",
+    "sim_top_component",
+    "sim_silhouette",
+    "text_bm25_delta_topk",
+    "dedup_chunk_delta_stats",
+    "agg_qhist_quantile_audit",
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()

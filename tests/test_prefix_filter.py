@@ -1,0 +1,97 @@
+"""Prefix-filter exact similarity join + histogram robust means.
+
+The registry pairs prove value parity against the blind all-pairs
+oracle at sweep scale; here the claims the oracle can't see are pinned:
+recall == brute force on a corpus where blocking could plausibly miss
+(a planted dup chain + noise docs), the no-cartesian plan shape, and
+the robust-mean rank arithmetic on hand-checkable groups.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.ext import dedup as DD
+from activedata_etl_spark.ext.text import shingles, tokens
+from activedata_etl_spark.functions import aggs as AGG
+from activedata_etl_spark.io import load_table
+
+
+def _brute_pairs(df, threshold):
+    sh = df.select(F.col("doc_id").alias("id"),
+                   shingles(tokens("text")).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = (a.join(b, F.col("id_a") < F.col("id_b"))
+         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+         .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+         .filter(F.col("inter") > 0)
+         .withColumn("jaccard", F.col("inter") / F.col("uni"))
+         .filter(F.col("jaccard") >= threshold))
+    return {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in j.collect()}
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_recall_matches_brute_force(spark, sf_dir, threshold):
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+           for r in DD.prefix_filter_pairs(
+               d, "doc_id", "text", threshold=threshold).collect()}
+    assert got == _brute_pairs(d, threshold)
+
+
+def test_token_mode_and_fp_boundary(spark):
+    # 10-token sets sharing exactly 7 of 13 union tokens: J = 7/13 ≈ 0.538
+    # passes t=0.5 but sits near the ceil(t*n) boundary where a naive
+    # float ceil(10*0.7) could flip — exercised at t=0.7 with J=7/13 < 0.7
+    # (excluded) and a full-dup pair (J=1.0, included).
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g x y z"),
+        (3, "a b c d e f g h i j"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]) for r in DD.prefix_filter_pairs(
+        d, "doc_id", "text", threshold=0.7, shingle_n=None).collect()}
+    assert got == {(1, 3)}
+    got5 = {(r["id_a"], r["id_b"]) for r in DD.prefix_filter_pairs(
+        d, "doc_id", "text", threshold=0.5, shingle_n=None).collect()}
+    assert got5 == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_no_cartesian_in_plan(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    plan = DD.prefix_filter_pairs(d, "doc_id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trimmed_means_hand_checked(spark):
+    # group g: values 1..10 → k=1, trimmed = mean(2..9) = 5.5,
+    # winsorized = (2 + 2..9 + 9)/10 = 5.5, mean = 5.5
+    # group h: [1, 1, 1, 100] → k=0 → all three equal the plain mean
+    rows = ([("g", float(v)) for v in range(1, 11)]
+            + [("h", 1.0), ("h", 1.0), ("h", 1.0), ("h", 100.0)])
+    d = spark.createDataFrame(rows, ["grp", "v"])
+    out = {r["grp"]: r for r in AGG.trimmed_means_histogram(
+        d, ["grp"], "v", trim=0.1).collect()}
+    g = out["g"]
+    assert (g["n"], g["k"]) == (10, 1)
+    assert g["mean"] == g["trimmed_mean"] == g["winsorized_mean"] == 5.5
+    h = out["h"]
+    assert (h["n"], h["k"]) == (4, 0)
+    assert h["trimmed_mean"] == h["winsorized_mean"] == h["mean"] == 25.75
+
+
+def test_trimmed_means_tie_heavy_group(spark):
+    # 20 copies of 5 with one 0 and one 100 tail each: k=2 clips the
+    # whole of both tails plus one 5 from each side
+    rows = [("t", 0.0), ("t", 0.0)] + [("t", 5.0)] * 20 + \
+        [("t", 100.0), ("t", 100.0)]
+    d = spark.createDataFrame(rows, ["grp", "v"])
+    r = AGG.trimmed_means_histogram(d, ["grp"], "v", trim=0.1).first()
+    assert (r["n"], r["k"]) == (24, 2)
+    assert r["trimmed_mean"] == 5.0
+    # winsorized: tails become the boundary value 5 → all 24 rows at 5
+    assert r["winsorized_mean"] == 5.0
