@@ -118,6 +118,67 @@ def dedup_prefix_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_scurve_report",
+    oracle=f"""
+    WITH {_EXACT_PAIRS},
+    sh2 AS (SELECT doc_id, s AS sh FROM t),
+    ex2 AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+    sig AS (SELECT doc_id,
+        {", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(16))}
+      FROM ex2 GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b.band_idx, b.band_sig FROM sig,
+        LATERAL (SELECT * FROM (VALUES
+          (0, md5(h0  || '|' || h1  || '|' || h2  || '|' || h3)),
+          (1, md5(h4  || '|' || h5  || '|' || h6  || '|' || h7)),
+          (2, md5(h8  || '|' || h9  || '|' || h10 || '|' || h11)),
+          (3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15))
+        ) v(band_idx, band_sig)) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), curve AS (
+      SELECT e.id_a, e.id_b, e.jaccard,
+             1 - ((1 - (e.jaccard * e.jaccard) * (e.jaccard * e.jaccard))
+                  * (1 - (e.jaccard * e.jaccard) * (e.jaccard * e.jaccard)))
+               * ((1 - (e.jaccard * e.jaccard) * (e.jaccard * e.jaccard))
+                  * (1 - (e.jaccard * e.jaccard) * (e.jaccard * e.jaccard)))
+               AS p_collide,
+             c.id_a IS NOT NULL AS hit
+      FROM exact e LEFT JOIN cand c
+        ON e.id_a = c.id_a AND e.id_b = c.id_b
+    )
+    SELECT id_a, id_b, jaccard, p_collide, hit FROM curve
+    """,
+)
+def dedup_lsh_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s-curve calibration report for the banded MinHash config:
+    every TRUE pair (exact prefix-filter ground truth, recall 1.0) with
+    its theoretical collision probability under the registered
+    16-hash/4-band layout — p = 1-(1-s^r)^b with r=b=4 — and whether the
+    LSH candidate stage actually produced it. This is the table a corpus
+    owner reads to pick band parameters: theory and measurement in the
+    same row, per pair. p is computed by REPEATED MULTIPLICATION
+    (s2=s*s, s4=s2*s2, q=1-s4, p=1-(q*q)*(q*q)) — plain IEEE ops that
+    both engines execute identically, unlike pow() whose libm vs JVM
+    results can differ by 1 ulp; no sums anywhere, so every value is
+    per-row exact."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = DD.prefix_filter_pairs(d, "doc_id", "text", threshold=0.5)
+    cand = DD.lsh_candidate_pairs(d, "doc_id", "text")
+    j = F.col("jaccard")
+    s4 = (j * j) * (j * j)
+    q = F.lit(1) - s4
+    p = F.lit(1) - (q * q) * (q * q)
+    return (exact.join(cand.withColumn("__hit__", F.lit(1)),
+                       ["id_a", "id_b"], "left")
+            .select("id_a", "id_b", "jaccard", p.alias("p_collide"),
+                    F.col("__hit__").isNotNull().alias("hit")))
+
+
+@query(
     "agg_trimmed_mean",
     oracle="""
     WITH h AS (

@@ -741,3 +741,28 @@ def test_streaming_view_through_service(spark, sf_dir, tmp_path):
     finally:
         server.shutdown()
         spark.catalog.dropTempView("events_stream_svc")
+
+
+def test_prefix_filter_and_trimmed_means_through_service(endpoint):
+    """The round-6 ops compose with the normal clause pipeline over
+    HTTP: the exact prefix-filter join with a post-op where + sort +
+    limit, and the histogram robust means with a projection."""
+    out = _post(endpoint + "/query", {
+        "from": {"op": "prefix_filter_pairs", "table": "documents",
+                 "threshold": 0.5},
+        "where": {"gte": {"jaccard": 0.9}},
+        "sort": "id_a", "limit": 5, "format": "table"})
+    tbl = out["data"]
+    assert tbl["header"] == ["id_a", "id_b", "jaccard"]
+    assert all(row[2] >= 0.9 for row in tbl["data"])
+
+    out = _post(endpoint + "/query", {
+        "from": {"op": "trimmed_means", "table": "lineitem",
+                 "group": "l_returnflag", "value": "l_quantity",
+                 "trim": 0.1},
+        "select": ["l_returnflag", "trimmed_mean", "winsorized_mean"],
+        "sort": "l_returnflag", "format": "list"})
+    rows = out["data"]
+    assert len(rows) == 3
+    assert all(0 < r["trimmed_mean"] <= 50 for r in rows)
+    assert all(0 < r["winsorized_mean"] <= 50 for r in rows)
