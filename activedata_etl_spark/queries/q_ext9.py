@@ -21,24 +21,31 @@ from ..io import load_table
 from .registry import query
 from .q_ext import _SHINGLES
 
-#: all-pairs exact shingle-Jaccard CTE chain (the blind ground truth).
-#: The size-band predicate len(b) in [t*len(a), len(a)/t] is a provable
-#: consequence of J >= t (|a∩b| <= min sizes, |a∪b| >= max sizes), so it
-#: only removes pairs that cannot qualify — the oracle stays exact while
-#: the quadratic scan stays tractable at sweep scale.
+#: EXHAUSTIVE exact shingle-Jaccard CTE chain (the blind ground truth):
+#: intersection counts via the inverted (doc, shingle) self-join — any
+#: pair with J > 0 shares a shingle, so grouping the join by pair loses
+#: nothing, and the counts equal len(list_intersect) on distinct sets.
+#: Still blind to the prefix filter (no rarest-first order, no prefix,
+#: no positional bound anywhere); 25x faster than the quadratic
+#: list_intersect scan at sf0.1 (20s vs 490s, same 256 pairs), which
+#: keeps deep sweeps affordable.
 _EXACT_PAIRS = f"""t AS (
       SELECT doc_id, {_SHINGLES} AS s
       FROM documents
-    ), sz AS (SELECT doc_id, s, len(s) AS n FROM t WHERE len(s) > 0),
-    exact AS (
+    ), sz AS (SELECT doc_id, len(s) AS n FROM t WHERE len(s) > 0),
+    ex0 AS (SELECT doc_id, unnest(s) AS s FROM t),
+    inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s)) * 1.0 /
-             (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
-      FROM sz a JOIN sz b
-        ON a.doc_id < b.doc_id
-       AND b.n * 2 >= a.n AND a.n * 2 >= b.n
-      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-            (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM ex0 a JOIN ex0 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
     )"""
 
 
