@@ -429,3 +429,50 @@ def trimmed_means_histogram(df: DataFrame, keys: list[str], col: str,
          / (n_ - F.lit(2) * k_).cast("double")).alias("trimmed_mean"),
         ((kept_sum + k_ * F.max(lo_hit) + k_ * F.max(hi_hit)).cast("double")
          / n_.cast("double")).alias("winsorized_mean")))
+
+
+def spearman_corr(df: DataFrame, keys: list[str], x: str, y: str,
+                  out: str = "spearman") -> DataFrame:
+    """Exact Spearman rank correlation per group, tie-corrected, with
+    every order-dependent quantity kept INTEGER.
+
+    Ranks use the standard tie convention (average rank), carried as
+    2·avgrank = 2·RANK() + tie_count − 1 — an integer, so the five
+    moment sums (Σr, Σr², Σrₓr_y per axis pair) are exact integer
+    aggregations immune to partition order; the doubling cancels in the
+    Pearson-of-ranks formula. The close (n·Σxy − ΣxΣy over the √ of the
+    variance product) runs in IEEE doubles from those exact integers —
+    multiply/subtract/√/divide are single correctly-rounded ops, so the
+    result is bit-identical across engines and layouts (√ is IEEE-exact,
+    unlike pow()).
+
+    Sums fit BIGINT while n ≤ ~1.3e6 per group (Σ(2n)²·n ≤ 4n³ <
+    2⁶³); for larger groups route the products through decimal(38,0)
+    like functions/exact.dsum_sq. Both rank windows are per-group sorts
+    — the same scale posture as sorted_percentiles (fine for many
+    bounded groups; range-partition for one giant group).
+    """
+    from pyspark.sql import Window
+    d = (df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+           .select(*keys, x, y))
+    def r2(col: str) -> Column:
+        rw = Window.partitionBy(*keys).orderBy(col)
+        cw = Window.partitionBy(*keys, col)
+        return (F.lit(2) * F.rank().over(rw)
+                + F.count(F.lit(1)).over(cw) - F.lit(1)).cast("bigint")
+    d = d.withColumn("__rx__", r2(x)).withColumn("__ry__", r2(y))
+    rx, ry = F.col("__rx__"), F.col("__ry__")
+    s = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rx).cast("bigint").alias("sx"),
+        F.sum(ry).cast("bigint").alias("sy"),
+        F.sum(rx * rx).cast("bigint").alias("sxx"),
+        F.sum(ry * ry).cast("bigint").alias("syy"),
+        F.sum(rx * ry).cast("bigint").alias("sxy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = ((nd * sxy - sx * sy)
+           / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)))
+    return s.select(*keys, "n", rho.alias(out))

@@ -60,7 +60,8 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard >= 0.5 pairs via prefix filtering
     (ext/dedup.prefix_filter_pairs): rarest-first global element order,
     per-doc prefix of length n - ceil(t*n) + 1, prefix-to-prefix
-    equi-join + size-band filter, long-form exact verify. The oracle is
+    equi-join + size-band + PPJoin positional filter, long-form exact
+    verify. The oracle is
     a blind all-pairs scan — a value match proves recall = 1.0 on this
     corpus, not just on the pairs the filter happened to generate."""
     d = load_table(spark, sf_dir, "documents")
@@ -262,3 +263,50 @@ def jx_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "group": "l_returnflag", "value": "l_quantity",
                  "trim": 0.1},
     })
+
+
+@query(
+    "agg_spearman_corr",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), r AS (
+      SELECT g,
+             2 * RANK() OVER (PARTITION BY g ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY g, x) - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY g ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY g, y) - 1 AS ry
+      FROM d
+    ), s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx,
+             CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy
+      FROM r GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS spearman
+    FROM s ORDER BY 1
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation of quantity vs extended
+    price per return flag (functions/aggs.spearman_corr) — the robust
+    monotonic-association sibling of agg_corr_covar's Pearson. Ranks are
+    carried as the INTEGER 2·avgrank (2·RANK() + ties − 1), the moment
+    sums stay integer-exact under any partition order, and the close is
+    fixed-order IEEE double math with a correctly-rounded sqrt — so the
+    doubles hash-match the serial oracle bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AGG.spearman_corr(li, ["l_returnflag"],
+                             "l_quantity", "l_extendedprice")

