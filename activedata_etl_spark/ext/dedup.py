@@ -1082,3 +1082,69 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b")
             .distinct())
     return cand, tok, pref
+
+
+def prefix_filter_join(left: DataFrame, right: DataFrame, id_col: str,
+                       text_col: str, threshold: float = 0.5,
+                       shingle_n: int | None = 3) -> DataFrame:
+    """EXACT cross-table set-similarity join (the R×S form of
+    :func:`prefix_filter_pairs`) — the decontamination shape: every
+    (left, right) pair with Jaccard >= threshold, recall 1.0 by the same
+    prefix lemma. This is the join a release gate runs between an eval
+    shard and the training corpus when "probably caught by LSH" is not
+    an acceptable answer for leakage.
+
+    The global rarest-first element order is computed over the UNION of
+    both tables (the lemma only needs ONE shared total order); each side
+    keeps its own prefix, and candidates come from the L-prefix ⋈
+    R-prefix equi-join with the symmetric size band and the PPJoin
+    positional bound. Ids are assumed globally unique across the two
+    inputs (the split-of-one-table and eval-vs-corpus uses satisfy this
+    by construction); a doc present VERBATIM on both sides surfaces as a
+    J=1.0 pair — which for decontamination is the answer, not an
+    artifact. Output: (left_id, right_id, jaccard).
+    """
+    t = float(threshold)
+    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
+             else F.array_distinct(tokens(text_col)))
+    par = left.sparkSession.sparkContext.defaultParallelism
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (df.repartition(par, F.col(id_col))
+                .select(F.col(id_col).alias("__id__"),
+                        F.explode(elems).alias("__s__"),
+                        F.lit(tag).alias("__t__")))
+
+    tok = side(left, "L").unionByName(side(right, "R")).persist()
+    sizes = tok.groupBy("__id__", "__t__").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tok.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
+    pref = (tok.join(dfreq, "__s__")
+            .withColumn("__pos__", F.row_number().over(
+                Window.partitionBy("__id__")
+                .orderBy(F.col("__df__").asc(), F.col("__s__").asc())))
+            .join(sizes, ["__id__", "__t__"])
+            .filter(F.col("__pos__")
+                    <= F.col("n") - F.ceil(F.col("n") * F.lit(t) - 1e-9) + 1)
+            .select("__id__", "__t__", "__s__", "n", "__pos__")
+            .persist())
+    a = (pref.filter(F.col("__t__") == "L")
+         .select(F.col("__id__").alias("left_id"), F.col("n").alias("n_a"),
+                 F.col("__pos__").alias("__pa__"), "__s__"))
+    b = (pref.filter(F.col("__t__") == "R")
+         .select(F.col("__id__").alias("right_id"), F.col("n").alias("n_b"),
+                 F.col("__pos__").alias("__pb__"), "__s__"))
+    o_req = F.ceil((F.col("n_a") + F.col("n_b"))
+                   * F.lit(t / (1.0 + t)) - 1e-9)
+    cand = (a.join(b, "__s__")
+            .filter((F.col("n_b") >= F.col("n_a") * F.lit(t) - 1e-9)
+                    & (F.col("n_a") >= F.col("n_b") * F.lit(t) - 1e-9)
+                    & (F.least(F.col("n_a") - F.col("__pa__"),
+                               F.col("n_b") - F.col("__pb__")) + 1 >= o_req))
+            .select("left_id", "right_id")
+            .distinct())
+    ver = jaccard_pairs_counts(
+        cand.withColumnRenamed("left_id", "id_a")
+            .withColumnRenamed("right_id", "id_b"),
+        tok.select("__id__", "__s__"), "__id__", threshold=t)
+    return ver.select(F.col("id_a").alias("left_id"),
+                      F.col("id_b").alias("right_id"), "jaccard")

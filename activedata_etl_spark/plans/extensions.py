@@ -440,3 +440,26 @@ def _trimmed_means(spark, df, spec) -> DataFrame:
     keys = group if isinstance(group, list) else [group]
     return AGG.trimmed_means_histogram(
         df, keys, value, trim=float(spec.get("trim", 0.1)))
+
+
+@_op("prefix_filter_join")
+def _prefix_filter_join(spark, df, spec) -> DataFrame:
+    """Cross-table EXACT set-similarity join (the decontamination
+    shape, ext/dedup.py: prefix_filter_join): left = ``table``, right =
+    ``right`` (both resolve through the normal from-resolution). Ids
+    must be globally unique across the two inputs. Output:
+    (left_id, right_id, jaccard)."""
+    from ..ext import dedup as DD
+    from .query import _from
+
+    if "right" not in spec:
+        raise ValueError("prefix_filter_join needs a 'right' table")
+    right = _from(spark, spec["right"])
+    sn = spec.get("shingle_n", 3)
+    return DD.prefix_filter_join(
+        df, right,
+        id_col=spec.get("id", "doc_id"),
+        text_col=spec.get("text", "text"),
+        threshold=float(spec.get("threshold", 0.5)),
+        shingle_n=int(sn) if sn is not None else None,
+    )

@@ -310,3 +310,45 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return AGG.spearman_corr(li, ["l_returnflag"],
                              "l_quantity", "l_extendedprice")
+
+
+@query(
+    "decon_prefix_filter_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SHINGLES} AS s FROM documents
+    ), sz AS (SELECT doc_id, source, len(s) AS n FROM t WHERE len(s) > 0),
+    ex0 AS (SELECT doc_id, unnest(s) AS s FROM t),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS i
+      FROM ex0 a JOIN ex0 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CASE WHEN sa.source IN ('src0', 'src1') THEN ia ELSE ib END
+               AS left_id,
+             CASE WHEN sa.source IN ('src0', 'src1') THEN ib ELSE ia END
+               AS right_id,
+             i * 1.0 / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = ia
+      JOIN sz sb ON sb.doc_id = ib
+      WHERE (sa.source IN ('src0', 'src1'))
+            <> (sb.source IN ('src0', 'src1'))
+        AND i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    )
+    SELECT left_id, right_id, jaccard FROM pairs
+    """,
+)
+def decon_prefix_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with PROVABLE recall: the cross-table exact
+    prefix-filter join (ext/dedup.prefix_filter_join) between an eval
+    shard (sources src0/src1) and the rest of the corpus — every leaked
+    near-duplicate at shingle-Jaccard >= 0.5, no probabilistic miss. The
+    oracle is a blind exhaustive cross-pair scan over the inverted
+    index, orientation-normalized so (eval, train) ids land in the same
+    columns regardless of id order."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin("src0", "src1")
+    return DD.prefix_filter_join(d.filter(is_eval), d.filter(~is_eval),
+                                 "doc_id", "text", threshold=0.5)

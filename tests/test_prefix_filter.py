@@ -127,3 +127,34 @@ def test_spearman_ties_match_scipy_convention(spark):
     rho = (n * sxy - sx * sy) / math.sqrt(
         (n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(r["spearman"] - rho) < 1e-12
+
+
+def test_cross_table_join_matches_brute_force(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(150)
+    left = d.filter(F.col("doc_id") % 3 == 0)
+    right = d.filter(F.col("doc_id") % 3 != 0)
+    got = {(r["left_id"], r["right_id"], round(r["jaccard"], 9))
+           for r in DD.prefix_filter_join(
+               left, right, "doc_id", "text", threshold=0.4).collect()}
+    # brute force over the cross pairs, reoriented to (left, right)
+    brute = _brute_pairs(d, 0.4)
+    want = set()
+    for ia, ib, j in brute:
+        a_left, b_left = ia % 3 == 0, ib % 3 == 0
+        if a_left and not b_left:
+            want.add((ia, ib, j))
+        elif b_left and not a_left:
+            want.add((ib, ia, j))
+    assert got == want
+
+
+def test_cross_table_verbatim_leak_is_reported(spark):
+    rows_l = [(1, "the quick brown fox jumps over the lazy dog today")]
+    rows_r = [(2, "the quick brown fox jumps over the lazy dog today"),
+              (3, "completely different words appear in this other document")]
+    left = spark.createDataFrame(rows_l, ["doc_id", "text"])
+    right = spark.createDataFrame(rows_r, ["doc_id", "text"])
+    got = {(r["left_id"], r["right_id"], r["jaccard"])
+           for r in DD.prefix_filter_join(
+               left, right, "doc_id", "text", threshold=0.9).collect()}
+    assert got == {(1, 2, 1.0)}
