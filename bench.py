@@ -120,6 +120,14 @@ HEADLINE = [
     "text_bm25_delta_topk",
     "dedup_chunk_delta_stats",
     "agg_qhist_quantile_audit",
+    # The r6-continuation prefix-filter family (dedup_prefix_filter_pairs
+    # / decon_prefix_filter_overlap) is deliberately NOT headline, same
+    # rationale as sim_knn_graph: it's a BATCH release-gate operator
+    # (~2.6s steady-state at sf0.1 — real verification work over 125k
+    # exact candidates), not a serving-shaped fast path; its scaling
+    # story is the SCALE.md rig. agg_trimmed_mean / agg_spearman_corr
+    # ride the agg family already measured via agg_median_percentile's
+    # histogram/window machinery.
 ]
 
 WIDE_THRESHOLD = 5000  # rows; above this, time count() not collect()
