@@ -1039,23 +1039,7 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
            .select(F.col(id_col).alias("__id__"),
                    F.explode(elems).alias("__s__"))
            .persist())
-    sizes = tok.groupBy("__id__").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = tok.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
-    pref = (tok.join(dfreq, "__s__")
-            .withColumn("__pos__", F.row_number().over(
-                Window.partitionBy("__id__")
-                .orderBy(F.col("__df__").asc(), F.col("__s__").asc())))
-            .join(sizes, "__id__")
-            # candidate-stage ceils get a one-sided 1e-9 relaxation: an FP
-            # wobble in n*t may only LENGTHEN the prefix / LOOSEN the size
-            # band (extra candidates, killed by exact verify), never drop
-            # a qualifying pair
-            .filter(F.col("__pos__")
-                    <= F.col("n") - F.ceil(F.col("n") * F.lit(t) - 1e-9) + 1)
-            .select("__id__", "__s__", "n", "__pos__", "__df__")
-            # both sides of the candidate self-join read pref; without a
-            # persist the df-join + window re-run per side
-            .persist())
+    pref = _prefix_rows(tok, t)
     a = pref.select(F.col("__id__").alias("id_a"), F.col("n").alias("n_a"),
                     F.col("__pos__").alias("__pa__"), "__s__")
     b = pref.select(F.col("__id__").alias("id_b"), F.col("n").alias("n_b"),
@@ -1069,8 +1053,8 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
     # both prefixes), so keeping pairs with ANY passing row is exact.
     # This is what makes boilerplate corpora tractable: template
     # shingles are high-df, sort LATE in the prefix, and fail the
-    # remaining-overlap bound — measured 310k -> ~1k candidates on the
-    # sf0.1 documents table (256 true pairs) with verify cost to match.
+    # remaining-overlap bound — measured 310k -> 125k candidates on the
+    # sf0.1 documents table (256 true pairs), verify 4.5s -> 2.0s.
     o_req = F.ceil((F.col("n_a") + F.col("n_b"))
                    * F.lit(t / (1.0 + t)) - 1e-9)
     cand = (a.join(b, "__s__")
@@ -1116,17 +1100,7 @@ def prefix_filter_join(left: DataFrame, right: DataFrame, id_col: str,
                         F.lit(tag).alias("__t__")))
 
     tok = side(left, "L").unionByName(side(right, "R")).persist()
-    sizes = tok.groupBy("__id__", "__t__").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = tok.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
-    pref = (tok.join(dfreq, "__s__")
-            .withColumn("__pos__", F.row_number().over(
-                Window.partitionBy("__id__")
-                .orderBy(F.col("__df__").asc(), F.col("__s__").asc())))
-            .join(sizes, ["__id__", "__t__"])
-            .filter(F.col("__pos__")
-                    <= F.col("n") - F.ceil(F.col("n") * F.lit(t) - 1e-9) + 1)
-            .select("__id__", "__t__", "__s__", "n", "__pos__")
-            .persist())
+    pref = _prefix_rows(tok, t, tags=("__t__",))
     a = (pref.filter(F.col("__t__") == "L")
          .select(F.col("__id__").alias("left_id"), F.col("n").alias("n_a"),
                  F.col("__pos__").alias("__pa__"), "__s__"))
@@ -1148,3 +1122,109 @@ def prefix_filter_join(left: DataFrame, right: DataFrame, id_col: str,
         tok.select("__id__", "__s__"), "__id__", threshold=t)
     return ver.select(F.col("id_a").alias("left_id"),
                       F.col("id_b").alias("right_id"), "jaccard")
+
+
+def _prefix_rows(tok: DataFrame, t: float,
+                 tags: tuple[str, ...] = ()) -> DataFrame:
+    """Prefix rows from a unique (``__id__``, ``__s__``[, tags]) element
+    table: global rarest-first order (df asc, element asc), per-doc
+    position, prefix filter pos <= n - ceil(t*n) + 1 with the one-sided
+    1e-9 relaxation (FP wobble may only LENGTHEN the prefix — extra
+    candidates, killed by exact verify — never drop a qualifying pair).
+    Persisted: both sides of every candidate self-join read it."""
+    sizes = tok.groupBy("__id__", *tags).agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tok.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
+    return (tok.join(dfreq, "__s__")
+            .withColumn("__pos__", F.row_number().over(
+                Window.partitionBy("__id__")
+                .orderBy(F.col("__df__").asc(), F.col("__s__").asc())))
+            .join(sizes, ["__id__", *tags])
+            .filter(F.col("__pos__")
+                    <= F.col("n") - F.ceil(F.col("n") * F.lit(t) - 1e-9) + 1)
+            .select("__id__", *tags, "__s__", "n", "__pos__", "__df__")
+            .persist())
+
+
+def append_element_index(df: DataFrame, id_col: str, text_col: str,
+                         path: str, batch: int,
+                         shingle_n: int | None = 3) -> None:
+    """Append this batch's (id, element) rows to the APPEND-ONLY element
+    index — the tokenize-once store for the prefix-filter family.
+    Partitioned by batch for pruning; dropDuplicates at read absorbs
+    at-least-once replay (rows are deterministic per doc), the same
+    contract as the chunk/BM25/winnowing indexes."""
+    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
+             else F.array_distinct(tokens(text_col)))
+    (df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"),
+               F.lit(int(batch)).alias("batch"))
+     .write.partitionBy("batch").mode("append").parquet(path))
+
+
+def prefix_join_index_delta(spark, path: str, delta: DataFrame,
+                            id_col: str, text_col: str,
+                            threshold: float = 0.5,
+                            shingle_n: int | None = 3) -> DataFrame:
+    """Nightly-ingest form of the EXACT prefix-filter join: pairs
+    between a NEW batch and the stored corpus (plus within-batch pairs)
+    at Jaccard >= threshold with recall 1.0, the corpus side served
+    from :func:`append_element_index` — only the delta is ever
+    tokenized/shingled.
+
+    Honest scale note (the family-specific caveat): the global
+    rarest-first ORDER shifts when the delta changes document
+    frequencies, so prefixes are recomputed each run — a df groupBy +
+    per-doc position window over the stored ELEMENT ROWS. That pass is
+    corpus-linear, but over cheap hash-width columns (no text, no
+    shingling — the expensive stage at 100 TB), and the df table is
+    SUM-mergeable if maintained as running counts. Candidate and verify
+    volume stay delta-bounded: every candidate needs a delta-side
+    prefix row. Delta ids are assumed disjoint from stored ids (the
+    ingest contract, as in winnowing_delta_pairs). Output
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    t = float(threshold)
+    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
+             else F.array_distinct(tokens(text_col)))
+    par = delta.sparkSession.sparkContext.defaultParallelism
+    new_tok = (delta.repartition(par, F.col(id_col))
+               .select(F.col(id_col).alias("__id__"),
+                       F.explode(elems).alias("__s__"),
+                       F.lit("D").alias("__t__")))
+    old_tok = (spark.read.option("basePath", path).parquet(path)
+               .select(F.col("id").alias("__id__"),
+                       F.col("s").alias("__s__"))
+               .dropDuplicates()
+               .withColumn("__t__", F.lit("S")))
+    tok = new_tok.unionByName(old_tok).persist()
+    pref = _prefix_rows(tok, t, tags=("__t__",))
+    d = pref.filter(F.col("__t__") == "D").select(
+        F.col("__id__").alias("id_d"), F.col("n").alias("n_d"),
+        F.col("__pos__").alias("__pd__"), "__s__")
+    s = pref.filter(F.col("__t__") == "S").select(
+        F.col("__id__").alias("id_s"), F.col("n").alias("n_s"),
+        F.col("__pos__").alias("__ps__"), "__s__")
+    o_req_ds = F.ceil((F.col("n_d") + F.col("n_s"))
+                      * F.lit(t / (1.0 + t)) - 1e-9)
+    cross = (d.join(s, "__s__")
+             .filter((F.col("n_s") >= F.col("n_d") * F.lit(t) - 1e-9)
+                     & (F.col("n_d") >= F.col("n_s") * F.lit(t) - 1e-9)
+                     & (F.least(F.col("n_d") - F.col("__pd__"),
+                                F.col("n_s") - F.col("__ps__")) + 1
+                        >= o_req_ds))
+             .select(F.least("id_d", "id_s").alias("id_a"),
+                     F.greatest("id_d", "id_s").alias("id_b")))
+    d2 = d.select(F.col("id_d").alias("id_b"), F.col("n_d").alias("n_b"),
+                  F.col("__pd__").alias("__pb__"), "__s__")
+    o_req_dd = F.ceil((F.col("n_d") + F.col("n_b"))
+                      * F.lit(t / (1.0 + t)) - 1e-9)
+    within = (d.join(d2, "__s__")
+              .filter((F.col("id_d") < F.col("id_b"))
+                      & (F.col("n_b") >= F.col("n_d") * F.lit(t) - 1e-9)
+                      & (F.col("n_d") >= F.col("n_b") * F.lit(t) - 1e-9)
+                      & (F.least(F.col("n_d") - F.col("__pd__"),
+                                 F.col("n_b") - F.col("__pb__")) + 1
+                         >= o_req_dd))
+              .select(F.col("id_d").alias("id_a"), "id_b"))
+    cand = cross.unionByName(within).distinct()
+    return jaccard_pairs_counts(cand, tok.select("__id__", "__s__"),
+                                "__id__", threshold=t)

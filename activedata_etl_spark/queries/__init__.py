@@ -64,7 +64,7 @@ _FRONT = [
     # 50-entry driver prefix into the r7 rotation.
     "dedup_prefix_filter_pairs", "dedup_prefix_blocking_audit",
     "dedup_lsh_scurve_report", "agg_spearman_corr",
-    "decon_prefix_filter_overlap",
+    "decon_prefix_filter_overlap", "dedup_prefix_index_delta_pairs",
     "agg_trimmed_mean", "jx_prefix_filter_pairs", "jx_trimmed_mean",
     # First session's 15: the two new sketch families (bottom-k
     # signatures, log-histogram quantile registers: direct + index +

@@ -352,3 +352,37 @@ def decon_prefix_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("source").isin("src0", "src1")
     return DD.prefix_filter_join(d.filter(is_eval), d.filter(~is_eval),
                                  "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "dedup_prefix_index_delta_pairs",
+    oracle=f"""
+    WITH {_EXACT_PAIRS}
+    SELECT id_a, id_b, jaccard FROM exact
+    WHERE (id_a % 2 = 1) OR (id_b % 2 = 1)
+    """,
+)
+def dedup_prefix_index_delta_pairs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The DELTA-RESTRICTED form of the exact prefix-filter join
+    (ext/dedup.prefix_join_index_delta): stored corpus = even doc ids
+    served from the persisted ELEMENT index (tokenize-once), nightly
+    delta = odd ids, tokenized live. The oracle is the blind exhaustive
+    pair scan restricted to pairs touching a delta id — green proves the
+    index-served delta path returns exactly the from-scratch answer
+    (recall 1.0 survives the split: the shared global order is
+    recomputed over stored-elements ∪ delta-elements each run)."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_elemidx_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(os.path.join(path, "batch=0")):
+        DD.append_element_index(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text",
+            path, 0)
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    return DD.prefix_join_index_delta(spark, path, delta,
+                                      "doc_id", "text", threshold=0.5)
