@@ -476,3 +476,36 @@ def spearman_corr(df: DataFrame, keys: list[str], x: str, y: str,
     rho = ((nd * sxy - sx * sy)
            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)))
     return s.select(*keys, "n", rho.alias(out))
+
+
+def equidepth_bins(df: DataFrame, keys: list[str], col: str,
+                   k: int = 8) -> DataFrame:
+    """Exact equi-depth bin edges per group — the feature-bucketing
+    primitive (k-quantile cut points as ORDER STATISTICS, no
+    interpolation): edge b (1..k-1) is the value at integer rank
+    ceil(b·n/k), selected from the value histogram by cumulative count —
+    the same scale posture as weighted_percentiles (one partial-agg
+    shuffle to a row per distinct value, a window over the histogram,
+    no per-row sort). Rank targets are computed as floor((b·n+k−1)/k)
+    in integer-exact double arithmetic (b·n « 2⁵³), so both engines
+    pick identical edges. Output: (keys..., bin, edge)."""
+    from pyspark.sql import Window
+    h = (df.filter(F.col(col).isNotNull())
+           .groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__c__")))
+    w = Window.partitionBy(*keys).orderBy(col)
+    cw = Window.partitionBy(*keys)
+    h = (h.withColumn("__cum__", F.sum("__c__").over(w))
+          .withColumn("__n__", F.sum("__c__").over(cw)))
+    edges = []
+    for b in range(1, int(k)):
+        tgt = F.floor((F.lit(b) * F.col("__n__") + F.lit(int(k) - 1))
+                      / F.lit(int(k)))
+        edges.append(F.min(F.when(F.col("__cum__") >= tgt, F.col(col)))
+                     .alias(f"__e{b}__"))
+    wide = h.groupBy(*keys).agg(*edges)
+    pairs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("bin"),
+                 F.col(f"__e{b}__").alias("edge"))
+        for b in range(1, int(k))])
+    return (wide.select(*keys, F.explode(pairs).alias("__p__"))
+            .select(*keys, "__p__.bin", "__p__.edge"))

@@ -57,14 +57,18 @@ _FRONT = [
     # r1-r5 and stays covered by the full local sweep.
     # --- r6 prefix ---
     # The 18 queries NEW in round 6 lead (new code carries the most
-    # risk, the standing policy). Continuation session first: the exact
-    # prefix-filter similarity join (blind all-pairs oracle), the LSH
-    # recall audit it anchors, and the histogram-exact robust means —
-    # their 3 slots displace the last 3 backlog entries below past the
-    # 50-entry driver prefix into the r7 rotation.
+    # risk, the standing policy). Continuation session first — the
+    # exact prefix-filter class (self-join with blind all-pairs oracle,
+    # blocking audit, s-curve calibration, cross-table decontamination
+    # join, element-index delta form), the histogram robust means +
+    # equi-depth bins, Spearman rank correlation, and the two jx
+    # routes. Their 10 slots displace the last 10 backlog entries below
+    # past the 50-entry driver prefix into the r7 rotation (backlog
+    # r7 total: 42 + 10 = 52, still one rotation).
     "dedup_prefix_filter_pairs", "dedup_prefix_blocking_audit",
     "dedup_lsh_scurve_report", "agg_spearman_corr",
     "decon_prefix_filter_overlap", "dedup_prefix_index_delta_pairs",
+    "agg_equidepth_bins",
     "agg_trimmed_mean", "jx_prefix_filter_pairs", "jx_trimmed_mean",
     # First session's 15: the two new sketch families (bottom-k
     # signatures, log-histogram quantile registers: direct + index +

@@ -386,3 +386,37 @@ def dedup_prefix_index_delta_pairs(spark: SparkSession,
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
     return DD.prefix_join_index_delta(spark, path, delta,
                                       "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "agg_equidepth_bins",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+    ), w AS (
+      SELECT l_returnflag, v, c,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM h
+    ), b AS (SELECT UNNEST(range(1, 8)) AS bin), e AS (
+      SELECT l_returnflag, CAST(b.bin AS INT) AS bin,
+             MIN(CASE WHEN cum >= FLOOR((b.bin * n + 7) / 8.0)
+                      THEN v END) AS edge
+      FROM w CROSS JOIN b
+      GROUP BY 1, 2
+    )
+    SELECT l_returnflag, bin, edge FROM e ORDER BY 1, 2
+    """,
+)
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-bin equi-depth cut points of l_extendedprice per return
+    flag (functions/aggs.equidepth_bins): order-statistic edges at
+    integer ranks ceil(b*n/8), selected from the value histogram — no
+    interpolation, no per-row sort, identical values in both engines
+    because edges are actual data values picked by integer-exact rank
+    arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AGG.equidepth_bins(li, ["l_returnflag"], "l_extendedprice", k=8)

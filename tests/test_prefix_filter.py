@@ -158,3 +158,22 @@ def test_cross_table_verbatim_leak_is_reported(spark):
            for r in DD.prefix_filter_join(
                left, right, "doc_id", "text", threshold=0.9).collect()}
     assert got == {(1, 2, 1.0)}
+
+
+def test_equidepth_bins_hand_checked(spark):
+    # 16 distinct values 1..16 in one group, k=4: edges at ranks
+    # ceil(4/4·b) = 4, 8, 12 → values 4.0, 8.0, 12.0
+    rows = [("g", float(v)) for v in range(1, 17)]
+    d = spark.createDataFrame(rows, ["grp", "v"])
+    out = sorted((r["bin"], r["edge"]) for r in AGG.equidepth_bins(
+        d, ["grp"], "v", k=4).collect())
+    assert out == [(1, 4.0), (2, 8.0), (3, 12.0)]
+
+
+def test_equidepth_bins_tie_heavy(spark):
+    # all mass on one value: every edge collapses to it
+    rows = [("t", 7.0)] * 9
+    d = spark.createDataFrame(rows, ["grp", "v"])
+    out = {(r["bin"], r["edge"]) for r in AGG.equidepth_bins(
+        d, ["grp"], "v", k=3).collect()}
+    assert out == {(1, 7.0), (2, 7.0)}
