@@ -62,13 +62,13 @@ _FRONT = [
     # blocking audit, s-curve calibration, cross-table decontamination
     # join, element-index delta form), the histogram robust means +
     # equi-depth bins, Spearman rank correlation, and the two jx
-    # routes. Their 10 slots displace the last 10 backlog entries below
-    # past the 50-entry driver prefix into the r7 rotation (backlog
-    # r7 total: 42 + 10 = 52, still one rotation).
+    # routes + the Kendall tau histogram. Their 11 slots displace the
+    # last 11 backlog entries below past the 50-entry driver prefix into
+    # the r7 rotation (backlog r7 total: 42 + 11 = 53, one rotation).
     "dedup_prefix_filter_pairs", "dedup_prefix_blocking_audit",
     "dedup_lsh_scurve_report", "agg_spearman_corr",
     "decon_prefix_filter_overlap", "dedup_prefix_index_delta_pairs",
-    "agg_equidepth_bins",
+    "agg_equidepth_bins", "agg_kendall_tau",
     "agg_trimmed_mean", "jx_prefix_filter_pairs", "jx_trimmed_mean",
     # First session's 15: the two new sketch families (bottom-k
     # signatures, log-histogram quantile registers: direct + index +

@@ -420,3 +420,50 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     return AGG.equidepth_bins(li, ["l_returnflag"], "l_extendedprice", k=8)
+
+
+@query(
+    "agg_kendall_tau",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ), h AS (
+      SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT a.g,
+             CAST(SUM(a.c * b.c
+                      * CAST(SIGN(b.x - a.x) AS BIGINT)
+                      * CAST(SIGN(b.y - a.y) AS BIGINT)) AS BIGINT) AS s2
+      FROM h a JOIN h b ON a.g = b.g GROUP BY 1
+    ), nn AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1
+    ), t1 AS (
+      SELECT g, CAST(SUM(m * (m - 1)) / 2 AS BIGINT) AS n1 FROM (
+        SELECT g, x, SUM(c) AS m FROM h GROUP BY 1, 2) GROUP BY 1
+    ), t2 AS (
+      SELECT g, CAST(SUM(m * (m - 1)) / 2 AS BIGINT) AS n2 FROM (
+        SELECT g, y, SUM(c) AS m FROM h GROUP BY 1, 2) GROUP BY 1
+    )
+    SELECT s.g AS l_returnflag, nn.n,
+           (CAST(s.s2 AS DOUBLE) / 2.0)
+           / SQRT((CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0) / 2.0
+                     - CAST(t1.n1 AS DOUBLE))
+                  * (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0) / 2.0
+                     - CAST(t2.n2 AS DOUBLE))) AS kendall_tau
+    FROM s JOIN nn ON nn.g = s.g
+    JOIN t1 ON t1.g = s.g JOIN t2 ON t2.g = s.g
+    ORDER BY 1
+    """,
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kendall tau-b of quantity vs discount per return
+    flag (functions/aggs.kendall_tau_histogram): 2(C−D) as an INTEGER
+    sum over 2-D histogram cell pairs (O(cells²) ≈ 550² per group, not
+    O(rows²)), tie terms from the marginal histograms, IEEE close with
+    correctly-rounded sqrt — bit-exact vs the serial oracle. Completes
+    the rank-association kit next to Spearman and Pearson."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AGG.kendall_tau_histogram(li, ["l_returnflag"],
+                                     "l_quantity", "l_discount")

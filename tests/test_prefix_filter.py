@@ -177,3 +177,18 @@ def test_equidepth_bins_tie_heavy(spark):
     out = {(r["bin"], r["edge"]) for r in AGG.equidepth_bins(
         d, ["grp"], "v", k=3).collect()}
     assert out == {(1, 7.0), (2, 7.0)}
+
+
+def test_kendall_tau_hand_checked(spark):
+    import math
+    # no ties: x=[1,2,3,4], y=[1,3,2,4] -> C=5, D=1, tau = 4/6
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0),
+            ("g", 4.0, 4.0)]
+    # with ties: x=[1,1,2], y=[1,2,3] -> C=2, D=0, n1=1, n2=0,
+    # tau_b = 2/sqrt(3*2... ) = 2/sqrt((3-1)*(3-0))
+    rows += [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)]
+    d = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = {r["grp"]: r for r in AGG.kendall_tau_histogram(
+        d, ["grp"], "x", "y").collect()}
+    assert abs(out["g"]["kendall_tau"] - 4.0 / 6.0) < 1e-15
+    assert abs(out["t"]["kendall_tau"] - 2.0 / math.sqrt(6.0)) < 1e-15
