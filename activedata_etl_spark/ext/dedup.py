@@ -972,6 +972,25 @@ def winnowing_delta_pairs(spark, path: str, delta: DataFrame,
             .filter(F.col("shared") >= min_shared))
 
 
+def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize a pair-table-sized result onto executor block
+    storage (localCheckpoint — distributed, NOT a driver collect), then
+    unpersist the cached intermediates. The prefix-filter ops are
+    reachable per-request through the jx service (prefix_filter_pairs /
+    prefix_filter_join), so leaving their element/prefix caches pinned
+    would accumulate CacheManager entries across HTTP requests in a
+    long-lived service; releasing here keeps each request's storage
+    footprint request-scoped while downstream clauses still compose
+    against the checkpointed result."""
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.5,
                         shingle_n: int | None = 3) -> DataFrame:
@@ -1010,9 +1029,11 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     order itself is the skew bound; the df table is one extra
     partial-agg pass over (id, tok), reused for the ordering join.
     """
-    cand, tok, _ = prefix_candidates(df, id_col, text_col, threshold,
-                                     shingle_n)
-    return jaccard_pairs_counts(cand, tok, "__id__", threshold=float(threshold))
+    cand, tok, pref = prefix_candidates(df, id_col, text_col, threshold,
+                                        shingle_n)
+    return _materialize_release(
+        jaccard_pairs_counts(cand, tok, "__id__", threshold=float(threshold)),
+        tok, pref)
 
 
 def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -1120,8 +1141,10 @@ def prefix_filter_join(left: DataFrame, right: DataFrame, id_col: str,
         cand.withColumnRenamed("left_id", "id_a")
             .withColumnRenamed("right_id", "id_b"),
         tok.select("__id__", "__s__"), "__id__", threshold=t)
-    return ver.select(F.col("id_a").alias("left_id"),
-                      F.col("id_b").alias("right_id"), "jaccard")
+    return _materialize_release(
+        ver.select(F.col("id_a").alias("left_id"),
+                   F.col("id_b").alias("right_id"), "jaccard"),
+        tok, pref)
 
 
 def _prefix_rows(tok: DataFrame, t: float,
@@ -1226,5 +1249,7 @@ def prefix_join_index_delta(spark, path: str, delta: DataFrame,
                          >= o_req_dd))
               .select(F.col("id_d").alias("id_a"), "id_b"))
     cand = cross.unionByName(within).distinct()
-    return jaccard_pairs_counts(cand, tok.select("__id__", "__s__"),
-                                "__id__", threshold=t)
+    return _materialize_release(
+        jaccard_pairs_counts(cand, tok.select("__id__", "__s__"),
+                             "__id__", threshold=t),
+        tok, pref)

@@ -6,7 +6,13 @@ DuckDB oracle.
 
 State: (group, bucket, n) counts where bucket b holds values in
 [2^(b-1), 2^b) (bucket 0 holds v ≤ 0) — ~64 rows per group regardless
-of data size. Merge = SUM, so shards/days combine without rescanning;
+of data size. DOMAIN CONTRACT: values are bucketed after a BIGINT cast
+(truncation toward zero), so the envelope guarantees below are stated
+for the truncated integer value; fractional inputs in (0, 1) truncate
+to 0 and land in bucket 0, whose lower bound is reported as NULL
+(unbounded below) precisely so the [lo, hi] claim stays true for
+negative data too. Merge = SUM, so shards/days combine without
+rescanning;
 counts are additive, so the persisted index uses batch-keyed OVERWRITE
 directories (the CMS idempotence pattern, functions/cms.py), not blind
 append.
@@ -62,10 +68,12 @@ def qhist_quantile_bounds(registers: DataFrame, group_cols: list[str],
     ``ps`` maps output prefix → (numerator, denominator), e.g.
     {"p50": (1, 2), "p95": (19, 20)}; the target rank is
     ceil(p·N) = (N·num + den − 1) DIV den, all BIGINT. For each p the
-    output carries ``<name>_bucket``, ``<name>_lo`` (2^(b−1), 0 for the
-    zero bucket) and ``<name>_hi`` (2^b − 1, the largest value the
-    bucket admits) — the exact order statistic provably lies in
-    [lo, hi], the factor-2 envelope.
+    output carries ``<name>_bucket``, ``<name>_lo`` (2^(b−1); NULL —
+    unbounded below — for the zero bucket, which admits every v ≤ 0)
+    and ``<name>_hi`` (2^b − 1, the largest value the bucket admits) —
+    the exact (BIGINT-truncated, see module contract) order statistic
+    provably lies in [lo, hi] (lo NULL ⇒ no lower bound), the factor-2
+    envelope.
 
     Plan: one running-sum window per group over ≤64 register rows, then
     a min-aggregate per target — register-table-sized throughout."""
@@ -89,7 +97,9 @@ def qhist_quantile_bounds(registers: DataFrame, group_cols: list[str],
         b = F.col(f"{name}_bucket")
         out = (out.withColumn(
             f"{name}_lo",
-            F.when(b <= 0, F.lit(0)).otherwise(
+            # bucket 0 admits every v <= 0: lower bound is NULL
+            # (unbounded below), never a false "0"
+            F.when(b <= 0, F.lit(None)).otherwise(
                 F.expr(f"shiftleft(1L, {name}_bucket - 1)"))
             .cast("bigint"))
             .withColumn(

@@ -117,12 +117,14 @@ def dedup_prefix_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     n_pairs = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     worst = pref.agg(F.max("__df__").cast("bigint").alias("max_prefix_df"))
-    return (n_cand.crossJoin(F.broadcast(n_pairs))
-            .crossJoin(F.broadcast(worst))
-            .select("n_candidates", "n_pairs",
-                    (F.col("n_pairs") * F.lit(1.0)
-                     / F.col("n_candidates")).alias("precision"),
-                    "max_prefix_df"))
+    return DD._materialize_release(
+        n_cand.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(worst))
+        .select("n_candidates", "n_pairs",
+                (F.col("n_pairs") * F.lit(1.0)
+                 / F.col("n_candidates")).alias("precision"),
+                "max_prefix_df"),
+        tok, pref)
 
 
 @query(

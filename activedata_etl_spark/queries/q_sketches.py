@@ -190,30 +190,33 @@ def agg_qhist_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS exact_p95
       FROM ranked GROUP BY lang
     )
+    -- bucket 0 admits every v <= 0: its lower bound is NULL (unbounded
+    -- below) so the [lo, hi] envelope claim stays TRUE for negative
+    -- data; the in_bounds flags treat NULL lo as "no lower bound"
     SELECT b.lang, b.n_rows, b.p50_bucket,
-           CAST(CASE WHEN b.p50_bucket <= 0 THEN 0
+           CAST(CASE WHEN b.p50_bucket <= 0 THEN NULL
                      ELSE (CAST(1 AS BIGINT) << (b.p50_bucket - 1)) END
                 AS BIGINT) AS p50_lo,
            CAST(CASE WHEN b.p50_bucket <= 0 THEN 0
                      ELSE (CAST(1 AS BIGINT) << b.p50_bucket) - 1 END
                 AS BIGINT) AS p50_hi,
            b.p95_bucket,
-           CAST(CASE WHEN b.p95_bucket <= 0 THEN 0
+           CAST(CASE WHEN b.p95_bucket <= 0 THEN NULL
                      ELSE (CAST(1 AS BIGINT) << (b.p95_bucket - 1)) END
                 AS BIGINT) AS p95_lo,
            CAST(CASE WHEN b.p95_bucket <= 0 THEN 0
                      ELSE (CAST(1 AS BIGINT) << b.p95_bucket) - 1 END
                 AS BIGINT) AS p95_hi,
            ex.exact_p50, ex.exact_p95,
-           (CAST(CASE WHEN b.p50_bucket <= 0 THEN 0
-                      ELSE (CAST(1 AS BIGINT) << (b.p50_bucket - 1)) END
-                 AS BIGINT) <= ex.exact_p50
+           ((b.p50_bucket <= 0
+             OR CAST((CAST(1 AS BIGINT) << (b.p50_bucket - 1))
+                 AS BIGINT) <= ex.exact_p50)
             AND ex.exact_p50 <= CAST(CASE WHEN b.p50_bucket <= 0 THEN 0
                       ELSE (CAST(1 AS BIGINT) << b.p50_bucket) - 1 END
                  AS BIGINT)) AS p50_in_bounds,
-           (CAST(CASE WHEN b.p95_bucket <= 0 THEN 0
-                      ELSE (CAST(1 AS BIGINT) << (b.p95_bucket - 1)) END
-                 AS BIGINT) <= ex.exact_p95
+           ((b.p95_bucket <= 0
+             OR CAST((CAST(1 AS BIGINT) << (b.p95_bucket - 1))
+                 AS BIGINT) <= ex.exact_p95)
             AND ex.exact_p95 <= CAST(CASE WHEN b.p95_bucket <= 0 THEN 0
                       ELSE (CAST(1 AS BIGINT) << b.p95_bucket) - 1 END
                  AS BIGINT)) AS p95_in_bounds
@@ -257,11 +260,14 @@ def agg_qhist_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.expr("CAST((N * 19 + 19) DIV 20 AS BIGINT)"),
                      F.col("n_chars"))).cast("bigint").alias("exact_p95")))
     return (bounds.join(ex, "lang")
+            # NULL lo = unbounded below (bucket 0): no lower-bound check
             .withColumn("p50_in_bounds",
-                        (F.col("p50_lo") <= F.col("exact_p50"))
+                        (F.col("p50_lo").isNull()
+                         | (F.col("p50_lo") <= F.col("exact_p50")))
                         & (F.col("exact_p50") <= F.col("p50_hi")))
             .withColumn("p95_in_bounds",
-                        (F.col("p95_lo") <= F.col("exact_p95"))
+                        (F.col("p95_lo").isNull()
+                         | (F.col("p95_lo") <= F.col("exact_p95")))
                         & (F.col("exact_p95") <= F.col("p95_hi"))))
 
 
@@ -436,7 +442,7 @@ def jx_bottomk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY lang
     )
     SELECT lang, n_rows, p50_bucket,
-           CAST(CASE WHEN p50_bucket <= 0 THEN 0
+           CAST(CASE WHEN p50_bucket <= 0 THEN NULL
                      ELSE (CAST(1 AS BIGINT) << (p50_bucket - 1)) END
                 AS BIGINT) AS p50_lo,
            CAST(CASE WHEN p50_bucket <= 0 THEN 0

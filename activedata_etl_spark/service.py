@@ -369,8 +369,19 @@ def make_handler(spark):
                 # Distributed write: the only driver-side state below is
                 # one record batch in flight.
                 df.write.mode("overwrite").parquet(spill)
+                # sort by the PARSED integer partition index, not the
+                # raw name: lexicographic order breaks at >= 100000
+                # partitions ('part-100000' < 'part-99999')
+                import re as _re
+
+                def _part_idx(p: str):
+                    m = _re.match(r"part-(\d+)", os.path.basename(p))
+                    return (int(m.group(1)) if m else -1,
+                            os.path.basename(p))
+
                 files = sorted(
-                    _glob.glob(os.path.join(spill, "*.parquet")))
+                    _glob.glob(os.path.join(spill, "*.parquet")),
+                    key=_part_idx)
                 schema = (pq.ParquetFile(files[0]).schema_arrow if files
                           else df.limit(0).toArrow().schema)
                 self.send_response(200)

@@ -31,7 +31,7 @@ def file_stream(spark: SparkSession, path: str, schema: StructType,
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
-def drain_available_now(df: DataFrame, timeout_sec: int = 300) -> DataFrame:
+def drain_available_now(df: DataFrame, timeout_sec: float = 300) -> DataFrame:
     """Run a STREAMING DataFrame to completion over everything currently
     available (``Trigger.AvailableNow`` — process all pending input,
     then stop) and return the final result as a BATCH DataFrame.
@@ -48,16 +48,32 @@ def drain_available_now(df: DataFrame, timeout_sec: int = 300) -> DataFrame:
       result is aggregate-sized (driver-safe by the same argument as the
       list/table formats);
     - non-aggregating plans reject ``complete``, so they append to a
-      DISTRIBUTED parquet spill and the result reads back lazily —
-      row-count-unbounded extracts stay off the driver, matching the
-      batch ``format=stream`` contract.
+      DISTRIBUTED parquet spill; the result is localCheckpoint-ed onto
+      executor block storage (still off the driver — row-count-unbounded
+      extracts never collect) so the request-scoped spill directory can
+      be deleted before returning instead of leaking per request.
+
+    The drain is bounded: if ``awaitTermination(timeout_sec)`` times out
+    the query is stopped and ``TimeoutError`` raised — a partial memory
+    table / spill is NEVER served as if it were the complete
+    batch-equivalent answer. Checkpoint and spill temp dirs are removed
+    in ``finally`` once the result is materialized.
     """
+    import shutil
     import tempfile as _tf
     import uuid
+
+    def _await(q) -> None:
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain did not complete within {timeout_sec}s; "
+                "partial results are not served")
 
     spark = df.sparkSession
     tag = uuid.uuid4().hex[:12]
     name = f"jx_drain_{tag}"
+    ckpt = _tf.mkdtemp(prefix="ad_drain_ckpt_")
     try:
         # .start() analyzes the plan: a non-aggregating stream rejects
         # complete mode HERE (before any execution) — only that failure
@@ -66,28 +82,40 @@ def drain_available_now(df: DataFrame, timeout_sec: int = 300) -> DataFrame:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode("complete")
              .trigger(availableNow=True)
-             .option("checkpointLocation",
-                     _tf.mkdtemp(prefix="ad_drain_ckpt_"))
+             .option("checkpointLocation", ckpt)
              .start())
     except Exception:
         spill = _tf.mkdtemp(prefix="ad_drain_out_")
-        q = (df.writeStream.format("parquet")
-             .option("path", spill)
-             .outputMode("append")
-             .trigger(availableNow=True)
-             .option("checkpointLocation",
-                     _tf.mkdtemp(prefix="ad_drain_ckpt2_"))
-             .start())
-        q.awaitTermination(timeout_sec)
+        ckpt2 = _tf.mkdtemp(prefix="ad_drain_ckpt2_")
         try:
-            return spark.read.schema(df.schema).parquet(spill)
-        except Exception:
-            return spark.createDataFrame([], df.schema)  # zero-file spill
-    q.awaitTermination(timeout_sec)
-    rows = spark.table(name).collect()
-    out = spark.createDataFrame(rows, df.schema)
-    spark.catalog.dropTempView(name)
-    return out
+            q = (df.writeStream.format("parquet")
+                 .option("path", spill)
+                 .outputMode("append")
+                 .trigger(availableNow=True)
+                 .option("checkpointLocation", ckpt2)
+                 .start())
+            _await(q)
+            try:
+                # eager localCheckpoint: partitions move to executor
+                # block storage (distributed, NOT a driver collect) and
+                # the lineage to the spill files is cut — the temp dir
+                # is then removable in the finally below
+                return (spark.read.schema(df.schema).parquet(spill)
+                        .localCheckpoint(eager=True))
+            except Exception:
+                return spark.createDataFrame([], df.schema)  # zero-file spill
+        finally:
+            shutil.rmtree(spill, ignore_errors=True)
+            shutil.rmtree(ckpt2, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        _await(q)
+        rows = spark.table(name).collect()
+        out = spark.createDataFrame(rows, df.schema)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def run_incremental(source: DataFrame,
