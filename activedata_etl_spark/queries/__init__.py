@@ -55,8 +55,9 @@ _FRONT = [
     # retires into the freshness policy encoded in
     # backlog.rotation_order(): new queries first, back-filled with the
     # least-recently-driver-checked.
-    # --- queries NEW in r7 lead (uncommented as they land; each one
+    # --- queries NEW in r7 lead (added as they land; each one
     # displaces the current tail entry to the r8 backlog) ---
+    "dedup_embedding_cosine_bulk",
     # --- the 11 entries the r6 prefix displaced past position 50 ---
     "dedup_index_delta_pairs", "dedup_cdc_chunks",
     "dedup_exact_substr_removal", "dedup_winnowing_index_pairs",
@@ -81,7 +82,6 @@ _FRONT = [
     "text_budget_truncate", "text_vocab_coverage_curve",
     "text_term_burstiness", "dedup_review_sample", "pack_split_bins",
     "text_langid_confusion", "etl_join_size_estimate", "join_full_outer",
-    "expr_number_to_string",
 ]
 
 _FRONT_R6 = [

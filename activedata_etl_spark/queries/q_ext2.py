@@ -69,6 +69,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine_bulk",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id + (i - 1) * 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * i)
+               AS embedding
+      FROM embeddings, UNNEST(range(1, 11)) AS u(i)
+    ), bands AS (
+      SELECT vec_id, embedding, b.band_idx, b.band_sig FROM corpus,
+        LATERAL (SELECT * FROM (VALUES
+          (0, {_band_sig_sql(0)}),
+          (1, {_band_sig_sql(1)}),
+          (2, {_band_sig_sql(2)}),
+          (3, {_band_sig_sql(3)})
+        ) v(band_idx, band_sig)) b
+    )
+    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_cos_sql('a.embedding', 'c.embedding')} AS cos
+    FROM bands a JOIN bands c
+      ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig
+     AND a.vec_id < c.vec_id
+    WHERE {_cos_sql('a.embedding', 'c.embedding')} >= 0.95
+    """,
+)
+def dedup_embedding_cosine_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_cosine at BULK pairwise load — the benchmarked
+    form (VERDICT r6 #3: the 0.12s original printed phantom >1.5x
+    readings from ambient noise two rounds straight; the
+    sim_ann_multiprobe_bulk pattern fixes the class). The corpus is TEN
+    positively-scaled copies of each vector (factor i = 1..10): scaling
+    preserves every sign bit (same band signatures) and cosine exactly 1
+    per base, but the copies are NOT bit-identical, so they pass the
+    exact-vector prepass and drive the full banded sign-LSH pairwise
+    path — 45 verified pairs per base vector, 10x the corpus rows, the
+    join dominating fixed overhead. Both engines build the scaled
+    vectors with the same op order (float→double cast, then one double
+    multiply), so every cosine is bit-identical to the oracle's."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def scaled(i: int):
+        # one-arg lambda: F.transform must NOT pass the element index
+        return F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(float(i)))
+
+    copies = [
+        emb.select(
+            (F.col("vec_id") + (i - 1) * 1000000).alias("vec_id"),
+            scaled(i).alias("embedding"))
+        for i in range(1, 11)
+    ]
+    corpus = copies[0]
+    for c in copies[1:]:
+        corpus = corpus.unionByName(c)
+    return SIM.cosine_dedup_pairs(corpus, "vec_id", "embedding",
+                                  threshold=0.95)
+
+
+@query(
     "text_bpe_token_counts",
     oracle=r"""
     SELECT doc_id,

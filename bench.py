@@ -1,8 +1,16 @@
 """Benchmark harness — driver contract.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints the summary JSON line FIRST and
+ALONE — {"metric": ..., "value": <total sec>, "unit": "sec", "sf": ...,
+"queries": {...}, "queries_min": {...}} — then the per-query dicts
+repeated on their own lines. Rationale (VERDICT r6 "What's wrong" #2):
+the r6 artifact captured only the TAIL of one long line and recorded
+parsed: null, losing the medians; the summary-first layout keeps the
+machine-readable totals inside any truncation window, the separate
+per-query lines carry the detail, and the full JSON is ALSO written to
+BENCH_LOCAL.json so future rounds can diff programmatically even if
+stdout capture clips.
 
 Protocol (BASELINE.md): 1 discarded warm-up, then median of 5 timed runs
 ($SPARK_GRAFT_BENCH_RUNS overrides); queries whose FIRST timed run lands
@@ -42,7 +50,12 @@ HEADLINE = [
     "window_running_sum",
     "events_sessionize_30m",
     "dedup_lsh_jaccard_pairs",
-    "dedup_embedding_cosine",
+    # r7: the cosine near-dup reading moved to the BULK form (10 scaled
+    # copies per vector, 45 verified pairs per base) — the 0.12s
+    # original printed phantom >1.5x readings from ambient noise two
+    # rounds straight (VERDICT r6 #3); the original stays registered
+    # and oracle-paired.
+    "dedup_embedding_cosine_bulk",
     "sim_cosine_topk",
     # r6: the multiprobe reading moved to the BULK form (20x query rows)
     # so the ANN family's 2x gate measures the join, not fixed overhead
@@ -163,19 +176,27 @@ def main() -> None:
         # warm-up) — discard and re-time it
         runs = [one_run() if first < 0.15 else first]
         runs += [one_run() for _ in range(n_runs - 1)]
-        times[name] = round(sorted(runs)[len(runs) // 2], 4)
-        mins[name] = round(min(runs), 4)
+        times[name] = round(sorted(runs)[len(runs) // 2], 3)
+        mins[name] = round(min(runs), 3)
         print(f"  {name}: {times[name]}s (min {mins[name]}s)",
               file=sys.stderr)
 
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total_wall_sec",
-        "value": round(sum(times.values()), 4),
+        "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "sf": sf,
         "queries": times,
         "queries_min": mins,
-        "sf": sf,
-    }))
+    }
+    # one line, summary keys leading so a tail-truncated capture still
+    # loses detail before it loses the totals; then the per-query dicts
+    # on their own shorter lines; then the whole thing on disk
+    print(json.dumps(full))
+    print(json.dumps({"queries": times}))
+    print(json.dumps({"queries_min": mins}))
+    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
 
 
 if __name__ == "__main__":
