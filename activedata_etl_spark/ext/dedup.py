@@ -1253,3 +1253,190 @@ def prefix_join_index_delta(spark, path: str, delta: DataFrame,
         jaccard_pairs_counts(cand, tok.select("__id__", "__s__"),
                              "__id__", threshold=t),
         tok, pref)
+
+
+# --- stable-order prefix-filter index (r7) -------------------------------
+#
+# The prefix lemma (prefix_filter_pairs step 3) holds for ANY consistent
+# total order over elements — if J(a,b) >= t, the order-smallest shared
+# element sits in both prefixes regardless of how the order was chosen.
+# Rarest-first is purely a PERFORMANCE choice (it minimizes candidate
+# volume); it is NOT needed for recall. That observation removes the
+# per-run corpus-wide window from prefix_join_index_delta: FREEZE the
+# order once (a (element, df) snapshot), store each doc's positions under
+# the frozen order AT INGEST, and every later delta query joins
+# positioned prefix rows straight off parquet — no df recompute, no
+# corpus-wide row_number. Recall stays exactly 1.0 by the lemma; what
+# drifts as true dfs move away from the snapshot is candidate VOLUME
+# (now-common elements linger in old prefixes), which
+# prefix_order_staleness makes inspectable so the owner can schedule an
+# order refresh when drift exceeds a threshold.
+
+
+def freeze_prefix_order(df: DataFrame, id_col: str, text_col: str,
+                        order_path: str,
+                        shingle_n: int | None = 3) -> None:
+    """Snapshot the element order basis: (s, df) rows written once.
+    Unseen-at-freeze elements rank as df=0 (rarest) at position time,
+    ties broken by element value — deterministic on every side."""
+    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
+             else F.array_distinct(tokens(text_col)))
+    (df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"))
+     .groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+     .write.mode("overwrite").parquet(order_path))
+
+
+def _positioned_rows(tok: DataFrame, order: DataFrame) -> DataFrame:
+    """(id, s) rows + frozen (s, df) order → (id, s, n, pos) with pos
+    assigned by (frozen df asc, s asc). The window is per-doc over the
+    rows being positioned (one batch / one delta), NEVER the corpus."""
+    w = Window.partitionBy("id")
+    return (tok.join(order, "s", "left")
+            .fillna(0, ["df"])
+            .withColumn("n", F.count(F.lit(1)).over(w))
+            .withColumn("pos", F.row_number().over(
+                w.orderBy(F.col("df").asc(), F.col("s").asc())))
+            .select("id", "s", "n", "pos"))
+
+
+def append_positioned_index(df: DataFrame, id_col: str, text_col: str,
+                            path: str, batch: int, spark,
+                            order_path: str,
+                            shingle_n: int | None = 3) -> None:
+    """Ingest one batch into the stable-order index: positioned element
+    rows (id, s, n, pos) under the FROZEN order in a batch-keyed
+    OVERWRITE directory — positioned rows are deterministic per doc
+    given the frozen order, so an at-least-once replay of batch k
+    rewrites identical bytes (the CMS idempotence pattern); read time
+    therefore needs NO dropDuplicates shuffle, the single biggest
+    per-query cost the append+dedup layout would re-pay on every delta
+    query. This batch's own (s, df) shard lands under ``<path>/df`` the
+    same way so the CURRENT df is one SUM away for the staleness audit
+    — the stored corpus is never re-tokenized for either purpose."""
+    import os
+
+    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
+             else F.array_distinct(tokens(text_col)))
+    tok = df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"))
+    order = spark.read.parquet(order_path)
+    (_positioned_rows(tok, order)
+     .write.mode("overwrite")
+     .parquet(os.path.join(path, "rows", f"batch={int(batch)}")))
+    (tok.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(path, "df", f"batch={int(batch)}")))
+
+
+def prefix_join_stable_delta(spark, path: str, order_path: str,
+                             delta: DataFrame, id_col: str, text_col: str,
+                             threshold: float = 0.5,
+                             shingle_n: int | None = 3) -> DataFrame:
+    """The stable-order form of :func:`prefix_join_index_delta`: pairs
+    between a NEW batch and the stored corpus (plus within-batch pairs)
+    at Jaccard >= threshold, recall 1.0, with the stored side's prefix
+    rows read STRAIGHT from the positioned index — no df recompute, no
+    corpus-wide window, no re-tokenize. The only corpus-scale work left
+    in the delta path is a parquet scan of positioned rows with the
+    prefix predicate pushed to the scan, plus the candidate-bounded
+    verify joins.
+
+    Exactness argument: both sides assign positions under the SAME
+    frozen order (stored rows at ingest, delta rows here), so the
+    prefix lemma and the PPJoin positional bound hold verbatim — the
+    order being stale w.r.t. current dfs costs candidate volume only,
+    never a pair. Delta ids are assumed disjoint from stored ids (the
+    ingest contract shared by every delta form). Output
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    import os
+
+    t = float(threshold)
+    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
+             else F.array_distinct(tokens(text_col)))
+    par = delta.sparkSession.sparkContext.defaultParallelism
+    new_tok = (delta.repartition(par, F.col(id_col))
+               .select(F.col(id_col).alias("id"), F.explode(elems).alias("s")))
+    order = spark.read.parquet(order_path)
+    new_pos = _positioned_rows(new_tok, order).persist()
+    # no read-time dedup: batch-keyed OVERWRITE makes replay idempotent
+    stored = (spark.read.option("basePath", os.path.join(path, "rows"))
+              .parquet(os.path.join(path, "rows"))
+              .select("id", "s", "n", "pos"))
+
+    def prefix(rows: DataFrame) -> DataFrame:
+        # one-sided 1e-9 relaxation: FP wobble may only LENGTHEN the
+        # prefix (extra candidates, killed by exact verify)
+        return rows.filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(t) - 1e-9) + 1)
+
+    d = prefix(new_pos).select(F.col("id").alias("id_d"),
+                               F.col("n").alias("n_d"),
+                               F.col("pos").alias("__pd__"), "s")
+    s = prefix(stored).select(F.col("id").alias("id_s"),
+                              F.col("n").alias("n_s"),
+                              F.col("pos").alias("__ps__"), "s")
+    o_req_ds = F.ceil((F.col("n_d") + F.col("n_s"))
+                      * F.lit(t / (1.0 + t)) - 1e-9)
+    cross = (d.join(s, "s")
+             .filter((F.col("n_s") >= F.col("n_d") * F.lit(t) - 1e-9)
+                     & (F.col("n_d") >= F.col("n_s") * F.lit(t) - 1e-9)
+                     & (F.least(F.col("n_d") - F.col("__pd__"),
+                                F.col("n_s") - F.col("__ps__")) + 1
+                        >= o_req_ds))
+             .select(F.least("id_d", "id_s").alias("id_a"),
+                     F.greatest("id_d", "id_s").alias("id_b")))
+    d2 = d.select(F.col("id_d").alias("id_b"), F.col("n_d").alias("n_b"),
+                  F.col("__pd__").alias("__pb__"), "s")
+    o_req_dd = F.ceil((F.col("n_d") + F.col("n_b"))
+                      * F.lit(t / (1.0 + t)) - 1e-9)
+    within = (d.join(d2, "s")
+              .filter((F.col("id_d") < F.col("id_b"))
+                      & (F.col("n_b") >= F.col("n_d") * F.lit(t) - 1e-9)
+                      & (F.col("n_d") >= F.col("n_b") * F.lit(t) - 1e-9)
+                      & (F.least(F.col("n_d") - F.col("__pd__"),
+                                 F.col("n_b") - F.col("__pb__")) + 1
+                         >= o_req_dd))
+              .select(F.col("id_d").alias("id_a"), "id_b"))
+    cand = cross.unionByName(within).distinct()
+    # verify over (id, s) rows from BOTH sides — the positioned index
+    # doubles as the element store, so nothing is re-tokenized
+    tok_all = (new_tok.unionByName(stored.select("id", "s"))
+               .select(F.col("id").alias("__id__"), F.col("s").alias("__s__")))
+    return _materialize_release(
+        jaccard_pairs_counts(cand, tok_all, "__id__", threshold=t),
+        new_pos)
+
+
+def prefix_order_staleness(spark, path: str, order_path: str) -> DataFrame:
+    """One-row drift report between the FROZEN order basis and the
+    CURRENT dfs (frozen corpus + every ingested batch, SUM-merged from
+    the per-batch shards — no re-tokenize): element counts on each side,
+    new/vanished elements, total |Δdf|, max |Δdf|, and the drift ratio
+    Σ|Δdf| / Σ current df. This is the number an owner thresholds to
+    schedule an order refresh (refreshing is a correctness no-op; it
+    only re-tightens candidate volume)."""
+    import os
+
+    frozen = spark.read.parquet(order_path) \
+        .select("s", F.col("df").alias("df_frozen"))
+    current = (spark.read.option("basePath", os.path.join(path, "df"))
+               .parquet(os.path.join(path, "df"))
+               .groupBy("s").agg(F.sum("df").cast("bigint").alias("df_now")))
+    j = (frozen.join(current, "s", "full")
+         .select(
+             F.col("s"),
+             F.coalesce("df_frozen", F.lit(0)).alias("f"),
+             F.coalesce("df_now", F.lit(0)).alias("c")))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_elements"),
+        F.sum(F.when(F.col("f") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_vanished"),
+        F.sum(F.abs(F.col("c") - F.col("f"))).cast("bigint")
+        .alias("total_abs_drift"),
+        F.max(F.abs(F.col("c") - F.col("f"))).cast("bigint")
+        .alias("max_abs_drift"),
+        (F.sum(F.abs(F.col("c") - F.col("f"))).cast("double")
+         / F.sum("c").cast("double")).alias("drift_ratio"))

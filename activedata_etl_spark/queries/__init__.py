@@ -58,6 +58,7 @@ _FRONT = [
     # --- queries NEW in r7 lead (added as they land; each one
     # displaces the current tail entry to the r8 backlog) ---
     "dedup_embedding_cosine_bulk",
+    "dedup_prefix_stable_order_delta", "dedup_prefix_order_staleness",
     # --- the 11 entries the r6 prefix displaced past position 50 ---
     "dedup_index_delta_pairs", "dedup_cdc_chunks",
     "dedup_exact_substr_removal", "dedup_winnowing_index_pairs",
@@ -81,7 +82,7 @@ _FRONT = [
     "corpus_multi_eval_overlap", "sample_dedup_aware",
     "text_budget_truncate", "text_vocab_coverage_curve",
     "text_term_burstiness", "dedup_review_sample", "pack_split_bins",
-    "text_langid_confusion", "etl_join_size_estimate", "join_full_outer",
+    "text_langid_confusion",
 ]
 
 _FRONT_R6 = [

@@ -391,6 +391,104 @@ def dedup_prefix_index_delta_pairs(spark: SparkSession,
 
 
 @query(
+    "dedup_prefix_stable_order_delta",
+    oracle=f"""
+    WITH {_EXACT_PAIRS}
+    SELECT id_a, id_b, jaccard FROM exact
+    WHERE (id_a % 2 = 1) OR (id_b % 2 = 1)
+    """,
+)
+def dedup_prefix_stable_order_delta(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The STABLE-ORDER delta form of the exact prefix-filter join
+    (ext/dedup.prefix_join_stable_delta, VERDICT r6 #5): the element
+    order is FROZEN from the first stored batch only (doc_id%4==0), the
+    second stored batch (doc_id%4==2) and the nightly delta (odd ids)
+    are positioned under that stale order at ingest/query time, and the
+    delta query reads positioned prefix rows straight off parquet — no
+    df recompute, no corpus-wide window, no re-tokenize. The oracle is
+    the same blind exhaustive pair scan as dedup_prefix_index_delta_pairs
+    (pairs touching a delta id at J >= 0.5): a hash-match PROVES the
+    prefix lemma's order-independence claim — recall 1.0 under a
+    genuinely stale order, where staleness costs candidate volume only."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_prefstable_{os.path.basename(sf_dir.rstrip('/'))}")
+    path, order_path = os.path.join(base, "idx"), os.path.join(base, "order")
+    if not os.path.isdir(os.path.join(path, "rows", "batch=0")):
+        b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+        DD.freeze_prefix_order(b0, "doc_id", "text", order_path)
+        DD.append_positioned_index(b0, "doc_id", "text", path, 0, spark,
+                                   order_path)
+        DD.append_positioned_index(
+            d.filter(F.pmod("doc_id", F.lit(4)) == 2), "doc_id", "text",
+            path, 1, spark, order_path)
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    return DD.prefix_join_stable_delta(spark, path, order_path, delta,
+                                       "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "dedup_prefix_order_staleness",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM documents
+    ), ex0 AS (SELECT doc_id, unnest(s) AS s FROM t),
+    fr AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS f
+           FROM ex0 WHERE doc_id % 4 = 0 GROUP BY 1),
+    cur AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ex0 WHERE doc_id % 2 = 0 GROUP BY 1),
+    j AS (
+      SELECT COALESCE(fr.f, 0) AS f, COALESCE(cur.c, 0) AS c
+      FROM fr FULL JOIN cur ON fr.s = cur.s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_elements,
+           CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vanished,
+           CAST(SUM(ABS(c - f)) AS BIGINT) AS total_abs_drift,
+           CAST(MAX(ABS(c - f)) AS BIGINT) AS max_abs_drift,
+           CAST(SUM(ABS(c - f)) AS BIGINT) * 1.0
+             / CAST(SUM(c) AS BIGINT) AS drift_ratio
+    FROM j
+    """,
+)
+def dedup_prefix_order_staleness(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The drift report that schedules an order refresh for the
+    stable-order prefix index (ext/dedup.prefix_order_staleness):
+    frozen-order dfs vs current dfs, both served from the index's own
+    SUM-mergeable (s, df) shards — the stored corpus is never
+    re-tokenized. Refreshing the order is a correctness NO-OP (the
+    prefix lemma holds for any consistent order); this row tells the
+    owner when staleness starts costing candidate volume. The oracle
+    reconstructs both df sides from the raw documents table."""
+    import os
+    import tempfile
+
+    # shares the index dedup_prefix_stable_order_delta builds (same
+    # existence guard, either query may run first)
+    d = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_prefstable_{os.path.basename(sf_dir.rstrip('/'))}")
+    path, order_path = os.path.join(base, "idx"), os.path.join(base, "order")
+    if not os.path.isdir(os.path.join(path, "rows", "batch=0")):
+        b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+        DD.freeze_prefix_order(b0, "doc_id", "text", order_path)
+        DD.append_positioned_index(b0, "doc_id", "text", path, 0, spark,
+                                   order_path)
+        DD.append_positioned_index(
+            d.filter(F.pmod("doc_id", F.lit(4)) == 2), "doc_id", "text",
+            path, 1, spark, order_path)
+    return DD.prefix_order_staleness(spark, path, order_path)
+
+
+@query(
     "agg_equidepth_bins",
     oracle="""
     WITH h AS (

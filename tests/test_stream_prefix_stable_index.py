@@ -1,0 +1,76 @@
+"""Streaming maintenance of the STABLE-ORDER prefix index: the element
+order is frozen from the FIRST batch, later batches are positioned
+under that stale order at ingest, and the delta join over the streamed
+index equals the from-scratch answer (the prefix lemma holds for ANY
+consistent order — staleness costs candidate volume, never a pair).
+At-least-once replay changes nothing: positioned rows are deterministic
+per doc given the frozen order, and each batch OVERWRITES its own
+batch-keyed directory, so a replay rewrites identical bytes (the CMS
+idempotence pattern) — no read-time dedup shuffle."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.ext import dedup as DD
+from activedata_etl_spark.streaming import stream as ST
+
+
+def test_stream_stable_index_delta_equals_scratch(spark, sf_dir, tmp_path):
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    inbox = str(tmp_path / "inbox")
+    idx = str(tmp_path / "idx")
+    order = str(tmp_path / "order")
+    stored.filter(F.col("doc_id") % 2 == 0).write.parquet(inbox)
+
+    seen = []
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if not seen:
+            # order frozen from the FIRST batch only — every later
+            # batch makes it staler
+            DD.freeze_prefix_order(batch_df, "doc_id", "text", order)
+        DD.append_positioned_index(batch_df, "doc_id", "text", idx,
+                                   len(seen), spark, order)
+        seen.append(batch_id)
+
+    q = ST.run_foreach_batch(ST.file_stream(spark, inbox, docs.schema),
+                             ingest, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    stored.filter(F.col("doc_id") % 2 == 1).write.mode("append") \
+        .parquet(inbox)
+    q2 = ST.run_foreach_batch(ST.file_stream(spark, inbox, docs.schema),
+                              ingest, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert len(seen) >= 2  # the order really is stale for batch >= 1
+
+    def pairs():
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+            DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                        "doc_id", "text",
+                                        threshold=0.5).collect())
+
+    full = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+    scratch = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in full.collect()
+        if r["id_a"] % 3 == 0 or r["id_b"] % 3 == 0)
+    assert pairs() == scratch and len(scratch) > 0
+
+    # at-least-once replay: re-ingesting a batch overwrites its own
+    # batch-keyed directory with identical bytes — a no-op
+    DD.append_positioned_index(stored.filter(F.col("doc_id") % 2 == 0),
+                               "doc_id", "text", idx, 0, spark, order)
+    assert pairs() == scratch
+
+    # staleness report: batches 1+ contribute df the frozen order never
+    # saw, so drift is non-zero and new elements exist
+    st = DD.prefix_order_staleness(spark, idx, order).collect()[0]
+    assert st["total_abs_drift"] > 0 and st["n_new"] >= 0
+    assert 0.0 < st["drift_ratio"] < 1.0
