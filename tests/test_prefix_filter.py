@@ -192,3 +192,27 @@ def test_kendall_tau_hand_checked(spark):
         d, ["grp"], "x", "y").collect()}
     assert abs(out["g"]["kendall_tau"] - 4.0 / 6.0) < 1e-15
     assert abs(out["t"]["kendall_tau"] - 2.0 / math.sqrt(6.0)) < 1e-15
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_aggregate_pair_bound_is_exact(spark, sf_dir, threshold):
+    """The PPJoin+-flavored aggregate bound (o <= c + min(n_a - pa_max,
+    n_b - pb_max) over ALL shared prefix rows) must keep every true
+    pair — verifying its candidates reproduces the brute-force answer —
+    and must never be looser than needed: its candidate set is a subset
+    of the per-row positional filter's."""
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    cand_pos, tok, pref = DD.prefix_candidates(
+        d, "doc_id", "text", threshold=threshold)
+    cand_agg, tok2, pref2 = DD.prefix_candidates(
+        d, "doc_id", "text", threshold=threshold, pair_bound="aggregate")
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+           for r in DD.jaccard_pairs_counts(
+               cand_agg, tok2, "__id__",
+               threshold=float(threshold)).collect()}
+    assert got == _brute_pairs(d, threshold)
+    pos = {(r["id_a"], r["id_b"]) for r in cand_pos.collect()}
+    agg = {(r["id_a"], r["id_b"]) for r in cand_agg.collect()}
+    assert agg <= pos  # strictly tighter-or-equal blocking
+    for t in (tok, pref, tok2, pref2):
+        t.unpersist()
