@@ -70,6 +70,17 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
     groupby = [_normalize_edge(g) for g in _listify(q.get("groupby"))]
 
     if edges or groupby:
+        if df.isStreaming and edges:
+            # dense edge completion is a multi-stage plan (axis
+            # completion + join-back) that Structured Streaming cannot
+            # run as one complete-mode aggregation — drain the stream
+            # (AvailableNow, parquet spill) FIRST and aggregate the
+            # batch result: same batch-equivalent answer the service
+            # contract promises for every format. Plain groupby stays
+            # streaming (single aggregation, memory sink handles it).
+            from ..streaming.stream import drain_available_now
+
+            df = drain_available_now(df)
         df = _aggregate(spark, df, selects, edges or groupby, dense=bool(edges))
         for wspec in _listify(q.get("window")):
             df = _window(df, wspec)

@@ -766,3 +766,73 @@ def test_prefix_filter_and_trimmed_means_through_service(endpoint):
     assert len(rows) == 3
     assert all(0 < r["trimmed_mean"] <= 50 for r in rows)
     assert all(0 < r["winsorized_mean"] <= 50 for r in rows)
+
+
+def test_streaming_view_cube_with_row_cap(spark, sf_dir, tmp_path):
+    """VERDICT r6 #7: the r6 features compose — a readStream-backed view
+    drained at request time (AvailableNow), presented as format=cube
+    with a 2-edge dense domain, with the default row cap applying to
+    CELLS-AS-ROWS. The uncapped cube must equal the same cube over a
+    batch view of the same files; the capped call must answer (not
+    error), report the cap, and bound the filled cells."""
+    import activedata_etl_spark.service as S
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.streaming import stream as ST
+
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", "user_id", "event_type"))
+    inbox = str(tmp_path / "inbox")
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(inbox)
+    events.filter(F.col("event_id") % 2 == 1) \
+        .write.mode("append").parquet(inbox)
+    ST.file_stream(spark, inbox, events.schema) \
+        .createOrReplaceTempView("events_stream_cube")
+    server = serve(spark, sf_dir, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    q = {"from": "events_stream_cube",
+         "edges": [
+             {"name": "et", "value": "event_type", "allowNulls": True,
+              "domain": {"type": "set",
+                         "partitions": ["click", "view"]}},
+             {"name": "uid", "value": "user_id", "allowNulls": True,
+              "domain": {"type": "range", "min": 0, "max": 1000,
+                         "interval": 500}},
+         ],
+         "select": [{"name": "n", "aggregate": "count"}],
+         "format": "cube"}
+    try:
+        # uncapped: the streamed cube equals the batch cube cell-for-cell
+        out = _post(url + "/query", {**q, "limit": 100})
+        cube = out["data"]
+        assert cube["edges"][0]["domain"]["partitions"] == \
+            ["click", "view", None]
+        assert cube["edges"][1]["domain"]["partitions"] == \
+            [0.0, 500.0, None]
+        events.createOrReplaceTempView("events_batch_cube")
+        batch = _post(url + "/query",
+                      {**q, "from": "events_batch_cube", "limit": 100})
+        assert cube == batch["data"]
+        assert sum(map(sum, cube["data"]["n"])) == events.count()
+        assert "row_cap" not in out["meta"]
+
+        # capped at 4: 9 cells > cap — drain happens BEFORE the cap, the
+        # cap applies to cells-as-rows, axes shrink to surviving cells
+        old = S.DEFAULT_ROW_CAP
+        S.DEFAULT_ROW_CAP = 4
+        try:
+            out = _post(url + "/query", q)
+        finally:
+            S.DEFAULT_ROW_CAP = old
+        assert out["meta"]["row_cap"] == 4
+        cube = out["data"]
+        filled = [v for row in cube["data"]["n"]
+                  for v in row if v is not None]
+        assert 0 < len(filled) <= 4
+        dims = [len(e["domain"]["partitions"]) for e in cube["edges"]]
+        assert dims[0] * dims[1] <= 9 and len(cube["data"]["n"]) == dims[0]
+    finally:
+        server.shutdown()
+        spark.catalog.dropTempView("events_stream_cube")
+        spark.catalog.dropTempView("events_batch_cube")
