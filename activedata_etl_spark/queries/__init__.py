@@ -59,6 +59,7 @@ _FRONT = [
     # displaces the current tail entry to the r8 backlog) ---
     "dedup_embedding_cosine_bulk",
     "dedup_prefix_stable_order_delta", "dedup_prefix_order_staleness",
+    "agg_kendall_tau_sampled",
     # --- the 11 entries the r6 prefix displaced past position 50 ---
     "dedup_index_delta_pairs", "dedup_cdc_chunks",
     "dedup_exact_substr_removal", "dedup_winnowing_index_pairs",
@@ -82,7 +83,6 @@ _FRONT = [
     "corpus_multi_eval_overlap", "sample_dedup_aware",
     "text_budget_truncate", "text_vocab_coverage_curve",
     "text_term_burstiness", "dedup_review_sample", "pack_split_bins",
-    "text_langid_confusion",
 ]
 
 _FRONT_R6 = [

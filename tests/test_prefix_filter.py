@@ -216,3 +216,22 @@ def test_aggregate_pair_bound_is_exact(spark, sf_dir, threshold):
     assert agg <= pos  # strictly tighter-or-equal blocking
     for t in (tok, pref, tok2, pref2):
         t.unpersist()
+
+
+def test_kendall_sampled_estimates_monotone_association(spark):
+    """Estimator sanity: on a perfectly monotone continuous relation
+    the sampled tau is exactly 1 (every sampled pair concordant); on a
+    perfectly anti-monotone one it's exactly -1; and the counts always
+    satisfy C + D + T = M."""
+    rows = [("g", float(i), i * 2.5 + 1.0, i) for i in range(400)]
+    df = spark.createDataFrame(rows, ["g", "x", "y", "k"])
+    up = AGG.kendall_tau_sampled(df, ["g"], "x", "y",
+                                 pair_keys=["k"]).collect()[0]
+    assert up["tau_sampled"] == 1.0
+    assert up["concordant"] == up["n_pairs"] and up["ties"] == 0
+    down = AGG.kendall_tau_sampled(
+        df.withColumn("y", -df.y), ["g"], "x", "y",
+        pair_keys=["k"]).collect()[0]
+    assert down["tau_sampled"] == -1.0
+    assert (down["concordant"] + down["discordant"] + down["ties"]
+            == down["n_pairs"])
