@@ -200,6 +200,35 @@ def make_handler(spark):
                              "query_endpoint": "POST /query",
                              "columns_endpoint": "GET /columns/<table>"})
 
+        @staticmethod
+        def _persistent_ids() -> set:
+            """Ids of currently-cached RDDs (persist / localCheckpoint
+            both register here)."""
+            try:
+                m = spark.sparkContext._jsc.getPersistentRDDs()
+                return {int(k) for k in m.keySet().toArray()}
+            except Exception:
+                return set()
+
+        @staticmethod
+        def _release_new_caches(before: set) -> None:
+            """Unpersist every cache created since ``before`` — the
+            request-scoped hygiene that keeps a long-lived service from
+            accumulating CacheManager entries across /query requests
+            (operators like the LSH/prefix/cosine dedup families persist
+            intermediates per call). Runs AFTER the response is fully
+            written, so nothing the client sees is recomputed. Under
+            concurrent requests a sibling's live cache may be released
+            early — Spark recomputes it (a perf hiccup, never a wrong
+            answer)."""
+            try:
+                m = spark.sparkContext._jsc.getPersistentRDDs()
+                for k in m.keySet().toArray():
+                    if int(k) not in before:
+                        m.get(k).unpersist(False)
+            except Exception:
+                pass
+
         def do_POST(self):  # noqa: N802
             if self.path.rstrip("/") == "/sql":
                 self._handle_sql()
@@ -207,6 +236,7 @@ def make_handler(spark):
             if self.path.rstrip("/") not in ("", "/query".rstrip("/"), "/query"):
                 self._send(404, {"error": f"no such endpoint: {self.path}"})
                 return
+            caches_before = self._persistent_ids()
             try:
                 import time
 
@@ -260,6 +290,8 @@ def make_handler(spark):
                 self._send(200, {"data": data, "meta": meta})
             except Exception as e:  # jx errors → 400, like the reference
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                self._release_new_caches(caches_before)
 
         def _handle_sql(self) -> None:
             """``POST /sql`` ``{"sql": "...", "limit"?: n}`` — the

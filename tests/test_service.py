@@ -836,3 +836,32 @@ def test_streaming_view_cube_with_row_cap(spark, sf_dir, tmp_path):
         server.shutdown()
         spark.catalog.dropTempView("events_stream_cube")
         spark.catalog.dropTempView("events_batch_cube")
+
+
+def test_request_scoped_caches_released(endpoint, spark):
+    """Operators that persist intermediates (LSH, prefix-filter, cosine
+    dedup) are reachable per-request over HTTP; the service must
+    release every cache a request created once the response is written,
+    or a long-lived service accumulates CacheManager entries forever."""
+    def n_cached():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return len({int(k) for k in m.keySet().toArray()})
+
+    before = n_cached()
+    out = _post(endpoint + "/query", {
+        "from": {"op": "near_dup_pairs", "table": "documents",
+                 "threshold": 0.5},
+        "limit": 5, "format": "table"})
+    assert "data" in out
+    out = _post(endpoint + "/query", {
+        "from": {"op": "prefix_filter_pairs", "table": "documents",
+                 "threshold": 0.5},
+        "limit": 5, "format": "table"})
+    assert "data" in out
+    # the client sees the body before the server's finally runs — poll
+    import time
+    for _ in range(50):
+        if n_cached() <= before:
+            break
+        time.sleep(0.1)
+    assert n_cached() <= before
