@@ -1475,3 +1475,53 @@ def prefix_order_staleness(spark, path: str, order_path: str) -> DataFrame:
         .alias("max_abs_drift"),
         (F.sum(F.abs(F.col("c") - F.col("f"))).cast("double")
          / F.sum("c").cast("double")).alias("drift_ratio"))
+
+
+def refresh_prefix_order(spark, path: str, order_path: str) -> None:
+    """Re-freeze the element order from the index's CURRENT df shards
+    and reposition every stored batch under it — the amortized answer
+    to order staleness (:func:`prefix_order_staleness` tells you when).
+
+    Cost model: the new order is one SUM over the per-batch (s, df)
+    shards (element-level, no text); repositioning is one per-doc
+    window over the stored (id, s) rows — hash-width columns, NO
+    re-tokenize (the expensive stage at 100 TB is shingling, and it
+    never reruns). This is exactly the pass the order-recompute delta
+    form paid on EVERY query, now paid once per refresh and amortized
+    across all queries until drift crosses the owner's threshold again.
+    Correctness is unaffected either way (any consistent order is
+    exact); a refresh only re-tightens candidate volume.
+
+    Batch layout is preserved (each batch directory rewritten with the
+    same deterministic-given-order rows), so at-least-once replay
+    semantics and the df shards stay valid unchanged."""
+    import os
+    import shutil
+
+    rows_root = os.path.join(path, "rows")
+    current = (spark.read.option("basePath", os.path.join(path, "df"))
+               .parquet(os.path.join(path, "df"))
+               .groupBy("s").agg(F.sum("df").cast("bigint").alias("df")))
+    # stage the new order, then swap dirs last: a reader mid-refresh
+    # sees either order consistently — both are exact
+    tmp_order = order_path + ".next"
+    current.write.mode("overwrite").parquet(tmp_order)
+    order = spark.read.parquet(tmp_order)
+    # a doc lives entirely in ONE ingest batch, so each batch directory
+    # repositions independently (n and pos depend only on the doc's own
+    # rows + the shared order); the loop is over ingest batches, not
+    # data — driver-side by construction and ingest-count-bounded
+    batches = sorted(d for d in os.listdir(rows_root)
+                     if d.startswith("batch="))
+    staged = []
+    for b in batches:
+        rows_b = spark.read.parquet(os.path.join(rows_root, b)) \
+            .select("id", "s")
+        out = os.path.join(path, f"rows.next.{b}")
+        _positioned_rows(rows_b, order).write.mode("overwrite").parquet(out)
+        staged.append((out, os.path.join(rows_root, b)))
+    for out, dst in staged:
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(out, dst)
+    shutil.rmtree(order_path, ignore_errors=True)
+    os.replace(tmp_order, order_path)

@@ -74,3 +74,39 @@ def test_stream_stable_index_delta_equals_scratch(spark, sf_dir, tmp_path):
     st = DD.prefix_order_staleness(spark, idx, order).collect()[0]
     assert st["total_abs_drift"] > 0 and st["n_new"] >= 0
     assert 0.0 < st["drift_ratio"] < 1.0
+
+
+def test_order_refresh_amortized(spark, sf_dir, tmp_path):
+    """refresh_prefix_order re-freezes the order from the index's own
+    df shards and repositions stored rows WITHOUT re-tokenizing; the
+    delta join answer is unchanged (any consistent order is exact) and
+    the staleness report drops to zero drift afterwards."""
+    import os
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx, order = str(tmp_path / "idx"), str(tmp_path / "order")
+    half = stored.filter(F.col("doc_id") % 2 == 0)
+    DD.freeze_prefix_order(half, "doc_id", "text", order)
+    DD.append_positioned_index(half, "doc_id", "text", idx, 0, spark, order)
+    DD.append_positioned_index(stored.filter(F.col("doc_id") % 2 == 1),
+                               "doc_id", "text", idx, 1, spark, order)
+
+    def pairs():
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+            DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                        "doc_id", "text",
+                                        threshold=0.5).collect())
+
+    before_pairs = pairs()
+    assert DD.prefix_order_staleness(
+        spark, idx, order).collect()[0]["total_abs_drift"] > 0
+
+    DD.refresh_prefix_order(spark, idx, order)
+
+    st = DD.prefix_order_staleness(spark, idx, order).collect()[0]
+    assert st["total_abs_drift"] == 0 and st["drift_ratio"] == 0.0
+    assert pairs() == before_pairs and len(before_pairs) > 0
