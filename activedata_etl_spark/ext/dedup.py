@@ -993,7 +993,8 @@ def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
 def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.5,
-                        shingle_n: int | None = 3) -> DataFrame:
+                        shingle_n: int | None = 3,
+                        pair_bound: str = "positional") -> DataFrame:
     """EXACT set-similarity join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08).
     Set elements are word ``shingle_n``-grams (raw tokens when
@@ -1030,7 +1031,7 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     partial-agg pass over (id, tok), reused for the ordering join.
     """
     cand, tok, pref = prefix_candidates(df, id_col, text_col, threshold,
-                                        shingle_n)
+                                        shingle_n, pair_bound=pair_bound)
     return _materialize_release(
         jaccard_pairs_counts(cand, tok, "__id__", threshold=float(threshold)),
         tok, pref)

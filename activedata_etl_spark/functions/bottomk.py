@@ -162,3 +162,62 @@ def read_signature(spark, path: str, group_cols: list[str],
     """Merge-on-read of an append-only signature index."""
     return bottomk_merge(spark.read.parquet(path),
                          group_cols=group_cols, k=k)
+
+
+def bottomk_setops(signature: DataFrame, group_col: str,
+                   k: int = 64) -> DataFrame:
+    """Set-OPERATION cardinalities for every unordered group pair, from
+    their signatures alone — the KMV family's answer to "how many
+    distinct keys do these two sources share / cover together" without
+    rescanning either (the question Theta sketches sell; bottom-k
+    answers it with the same union-sample argument).
+
+    Per pair (A, B): the k hash-smallest of sig(A) ∪ sig(B) is a
+    bottom-k signature OF A ∪ B (closure), so
+    - ``union_est``: the KMV estimator on that merged sample — exact
+      (= sample size) when the union is unsaturated (< k distinct);
+    - ``j_est``: shared fraction of the union sample (the MinHash
+      argument);
+    - ``intersect_est``: j_est · union_est (|A∩B| = J·|A∪B|), exact in
+      the unsaturated case for the same reason.
+
+    All inputs are deterministic md5-derived integers; the three
+    outputs are fixed-order double arithmetic over them, so any engine
+    reproduces the estimates bit-for-bit. Plan: signature-sized joins
+    only — k·groups² rows ceiling, no data scan."""
+    a = signature.select(F.col(group_col).alias("ga"), "h")
+    b = signature.select(F.col(group_col).alias("gb"), "h")
+    groups = F.broadcast(signature.select(
+        F.col(group_col).alias("__g__")).distinct())
+    pairs = (a.crossJoin(groups.select(F.col("__g__").alias("gb")))
+             .filter(F.col("ga") < F.col("gb"))
+             .select("ga", "gb", "h", F.lit(1).alias("in_a"),
+                     F.lit(0).alias("in_b"))
+             .unionByName(
+                 b.crossJoin(groups.select(F.col("__g__").alias("ga")))
+                 .filter(F.col("ga") < F.col("gb"))
+                 .select("ga", "gb", "h", F.lit(0).alias("in_a"),
+                         F.lit(1).alias("in_b"))))
+    merged = (pairs.groupBy("ga", "gb", "h")
+              .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = (merged.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+    g = (topk.groupBy("ga", "gb")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_union_sample"),
+              F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1))
+                    .cast("int")).cast("bigint").alias("n_shared"),
+              F.max(F.when(F.col("rank") == k,
+                           F.conv(F.substring("h", 1, 8), 16, 10)
+                           .cast("bigint"))).alias("h_k")))
+    union_est = F.when(
+        F.col("h_k").isNull(), F.col("n_union_sample").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))
+                   / F.col("h_k").cast("double"))
+    j_est = (F.col("n_shared").cast("double")
+             / F.col("n_union_sample").cast("double"))
+    return g.select(
+        F.col("ga").alias(group_col), F.col("gb").alias(f"{group_col}_b"),
+        "n_union_sample", "n_shared",
+        union_est.alias("union_est"), j_est.alias("j_est"),
+        (j_est * union_est).alias("intersect_est"))

@@ -389,6 +389,24 @@ def _bottomk_jaccard(spark, df, spec) -> DataFrame:
     return BK.bottomk_jaccard(sig, group, k=k)
 
 
+@_op("bottomk_setops")
+def _bottomk_setops(spark, df, spec) -> DataFrame:
+    """Union / intersection cardinalities for every two groups' key
+    sets, estimated from their bottom-k signatures alone
+    (functions/bottomk.bottomk_setops) — the Theta-sketch question at
+    KMV cost. Output: (<group>, <group>_b, n_union_sample, n_shared,
+    union_est, j_est, intersect_est)."""
+    from ..functions import bottomk as BK
+
+    group = spec.get("group")
+    value = spec.get("value")
+    if not group or not value:
+        raise ValueError("bottomk_setops needs 'group' and 'value'")
+    k = int(spec.get("k", 64))
+    sig = BK.bottomk_signature(df, [group], value, k=k)
+    return BK.bottomk_setops(sig, group, k=k)
+
+
 @_op("quantile_bounds")
 def _quantile_bounds(spark, df, spec) -> DataFrame:
     """Per-group quantile BOUNDS from log-histogram registers
@@ -412,7 +430,10 @@ def _prefix_filter_pairs(spark, df, spec) -> DataFrame:
     """EXACT set-similarity join (AllPairs/PPJoin prefix filtering,
     ext/dedup.py: prefix_filter_pairs) — recall 1.0 at the threshold,
     no band/bucket recall knob. ``shingle_n: null`` switches the set
-    elements from word n-grams to raw tokens. Output:
+    elements from word n-grams to raw tokens; ``pair_bound:
+    "aggregate"`` swaps the per-row positional filter for the
+    PPJoin+-flavored aggregate bound (both exact — the blocking audit
+    measures which prunes more on a given corpus). Output:
     (id_a, id_b, jaccard)."""
     from ..ext import dedup as DD
 
@@ -423,6 +444,7 @@ def _prefix_filter_pairs(spark, df, spec) -> DataFrame:
         text_col=spec.get("text", "text"),
         threshold=float(spec.get("threshold", 0.5)),
         shingle_n=int(sn) if sn is not None else None,
+        pair_bound=str(spec.get("pair_bound", "positional")),
     )
 
 

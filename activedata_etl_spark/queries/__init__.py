@@ -59,7 +59,7 @@ _FRONT = [
     # displaces the current tail entry to the r8 backlog) ---
     "dedup_embedding_cosine_bulk",
     "dedup_prefix_stable_order_delta", "dedup_prefix_order_staleness",
-    "agg_kendall_tau_sampled",
+    "agg_kendall_tau_sampled", "sim_bottomk_setops", "jx_bottomk_setops",
     # --- the 11 entries the r6 prefix displaced past position 50 ---
     "dedup_index_delta_pairs", "dedup_cdc_chunks",
     "dedup_exact_substr_removal", "dedup_winnowing_index_pairs",
@@ -82,7 +82,7 @@ _FRONT = [
     "text_term_drift_tv", "text_tokenizer_fertility",
     "corpus_multi_eval_overlap", "sample_dedup_aware",
     "text_budget_truncate", "text_vocab_coverage_curve",
-    "text_term_burstiness", "dedup_review_sample", "pack_split_bins",
+    "text_term_burstiness",
 ]
 
 _FRONT_R6 = [

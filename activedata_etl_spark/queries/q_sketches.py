@@ -128,6 +128,112 @@ def sim_bottomk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BK.bottomk_jaccard(sig, "event_type", k=16)
 
 
+@query(
+    "sim_bottomk_setops",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    sig AS (SELECT event_type AS g, h FROM s WHERE rank <= 64),
+    gs AS (SELECT DISTINCT g FROM sig),
+    pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+    u AS (
+      SELECT p.ga, p.gb, s.h,
+             MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sig s ON s.g = p.ga OR s.g = p.gb
+      GROUP BY 1, 2, 3
+    ), t AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rank
+      FROM u
+    ), agg AS (
+      SELECT ga, gb,
+             CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared,
+             MAX(CASE WHEN rank = 64 THEN
+               CAST(('0x' || substring(h, 1, 8)) AS BIGINT) END) AS h_k
+      FROM t WHERE rank <= 64 GROUP BY 1, 2
+    ), est AS (
+      SELECT ga, gb, n_union_sample, n_shared,
+             CASE WHEN h_k IS NULL THEN CAST(n_union_sample AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END
+               AS union_est,
+             CAST(n_shared AS DOUBLE) / CAST(n_union_sample AS DOUBLE)
+               AS j_est
+      FROM agg
+    ), dd AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ), sz AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM dd GROUP BY 1
+    ), inter AS (
+      SELECT a.event_type AS ga, b.event_type AS gb,
+             CAST(COUNT(*) AS BIGINT) AS exact_intersect
+      FROM dd a JOIN dd b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), ex AS (
+      SELECT i.ga, i.gb, i.exact_intersect,
+             CAST(sa.n + sb.n - i.exact_intersect AS BIGINT) AS exact_union
+      FROM inter i JOIN sz sa ON sa.event_type = i.ga
+                   JOIN sz sb ON sb.event_type = i.gb
+    )
+    SELECT est.ga AS event_type, est.gb AS event_type_b,
+           est.n_union_sample, est.n_shared,
+           est.union_est, est.j_est,
+           est.j_est * est.union_est AS intersect_est,
+           ex.exact_union, ex.exact_intersect,
+           abs(est.union_est - ex.exact_union)
+             / ex.exact_union < 0.5 AS union_within_tol,
+           abs(est.j_est * est.union_est - ex.exact_intersect)
+             / (ex.exact_intersect + 1) < 0.5 AS intersect_within_tol
+    FROM est JOIN ex ON ex.ga = est.ga AND ex.gb = est.gb
+    """,
+)
+def sim_bottomk_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-OPERATION cardinalities for every event-type pair from their
+    64-row signatures alone (functions/bottomk.bottomk_setops): union
+    NDV by the KMV estimator on the merged sample (exact when
+    unsaturated — closure makes the merge a signature of the union),
+    intersection NDV = J-estimate x union estimate. The audit columns
+    carry the EXACT union/intersection (oracle-side discipline, a data
+    scan the serving path never pays) and deterministic tolerance
+    flags. This is the "how many distinct users do these two sources
+    share" question answered at signature cost — k x sources^2 rows,
+    no rescan."""
+    e = load_table(spark, sf_dir, "events")
+    sig = BK.bottomk_signature(e, ["event_type"], "user_id", k=64)
+    est = BK.bottomk_setops(sig, "event_type", k=64)
+    d = (e.filter(F.col("user_id").isNotNull())
+         .select("event_type", "user_id").distinct())
+    a = d.select(F.col("event_type").alias("ga"),
+                 F.col("user_id").alias("u"))
+    b = d.select(F.col("event_type").alias("gb"),
+                 F.col("user_id").alias("u"))
+    ex = (a.join(b, "u").filter(F.col("ga") < F.col("gb"))
+          .groupBy("ga", "gb")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect")))
+    szs = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    na = szs.select(F.col("event_type").alias("ga"), F.col("n").alias("na"))
+    nb = szs.select(F.col("event_type").alias("gb"), F.col("n").alias("nb"))
+    ex = (ex.join(na, "ga").join(nb, "gb")
+          .select("ga", "gb", "exact_intersect",
+                  (F.col("na") + F.col("nb") - F.col("exact_intersect"))
+                  .cast("bigint").alias("exact_union")))
+    return (est.join(ex, (est["event_type"] == ex["ga"])
+                     & (est["event_type_b"] == ex["gb"]))
+            .select("event_type", "event_type_b", "n_union_sample",
+                    "n_shared", "union_est", "j_est", "intersect_est",
+                    "exact_union", "exact_intersect",
+                    (F.abs(F.col("union_est") - F.col("exact_union"))
+                     / F.col("exact_union") < 0.5)
+                    .alias("union_within_tol"),
+                    (F.abs(F.col("intersect_est")
+                           - F.col("exact_intersect"))
+                     / (F.col("exact_intersect") + 1) < 0.5)
+                    .alias("intersect_within_tol")))
+
+
 # ---- log-histogram quantile registers (functions/qhist.py) ----
 
 #: register CTE: octave bucket of n_chars per lang (bucket 0 = v<=0).
@@ -413,6 +519,55 @@ def _run_jx(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
 
     register_views(spark, sf_dir)
     return JXP.run(spark, q)
+
+
+@query(
+    "jx_bottomk_setops",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    sig AS (SELECT event_type AS g, h FROM s WHERE rank <= 64),
+    gs AS (SELECT DISTINCT g FROM sig),
+    pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+    u AS (
+      SELECT p.ga, p.gb, s.h,
+             MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sig s ON s.g = p.ga OR s.g = p.gb
+      GROUP BY 1, 2, 3
+    ), t AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rank
+      FROM u
+    ), agg AS (
+      SELECT ga, gb,
+             CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared,
+             MAX(CASE WHEN rank = 64 THEN
+               CAST(('0x' || substring(h, 1, 8)) AS BIGINT) END) AS h_k
+      FROM t WHERE rank <= 64 GROUP BY 1, 2
+    )
+    SELECT ga AS event_type, gb AS event_type_b, n_union_sample, n_shared,
+           CASE WHEN h_k IS NULL THEN CAST(n_union_sample AS DOUBLE)
+                ELSE 63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END
+             AS union_est,
+           CAST(n_shared AS DOUBLE) / CAST(n_union_sample AS DOUBLE)
+             AS j_est,
+           (CAST(n_shared AS DOUBLE) / CAST(n_union_sample AS DOUBLE))
+             * (CASE WHEN h_k IS NULL THEN CAST(n_union_sample AS DOUBLE)
+                     ELSE 63.0 * 4294967296.0 / CAST(h_k AS DOUBLE) END)
+             AS intersect_est
+    FROM agg
+    """,
+)
+def jx_bottomk_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature set-operation estimates through the jx front-end
+    (op "bottomk_setops") — routing must be result-invisible; the
+    serving-path output carries the estimators only (the exact-audit
+    columns are the direct query's oracle-side discipline)."""
+    return _run_jx(spark, sf_dir, {
+        "from": {"op": "bottomk_setops", "table": "events",
+                 "group": "event_type", "value": "user_id", "k": 64},
+    })
 
 
 @query("jx_bottomk_jaccard", oracle=_REG["sim_bottomk_jaccard"])

@@ -235,3 +235,23 @@ def test_kendall_sampled_estimates_monotone_association(spark):
     assert down["tau_sampled"] == -1.0
     assert (down["concordant"] + down["discordant"] + down["ties"]
             == down["n_pairs"])
+
+
+def test_jx_pair_bound_knob_result_invariant(spark, sf_dir):
+    """The jx op accepts pair_bound and the answer is bound-invariant
+    (both filters are exact — only candidate volume differs)."""
+    from activedata_etl_spark.io import register_views
+    from activedata_etl_spark.plans import query as JXP
+
+    register_views(spark, sf_dir)
+
+    def run(bound):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in JXP.run(spark, {
+                "from": {"op": "prefix_filter_pairs",
+                         "table": "documents", "threshold": 0.5,
+                         "pair_bound": bound}}).collect())
+
+    pos, agg = run("positional"), run("aggregate")
+    assert pos == agg and len(pos) > 0

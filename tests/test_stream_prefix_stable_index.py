@@ -110,3 +110,33 @@ def test_order_refresh_amortized(spark, sf_dir, tmp_path):
     st = DD.prefix_order_staleness(spark, idx, order).collect()[0]
     assert st["total_abs_drift"] == 0 and st["drift_ratio"] == 0.0
     assert pairs() == before_pairs and len(before_pairs) > 0
+
+
+def test_positioned_index_serves_any_threshold(spark, sf_dir, tmp_path):
+    """The positioned index stores EVERY element row with its (n, pos);
+    the prefix cut pos <= n - ceil(t*n) + 1 is applied at QUERY time, so
+    one ingest serves any threshold — pinned here at a tighter and a
+    looser t than anything the ingest knew about."""
+    import os
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx, order = str(tmp_path / "idx"), str(tmp_path / "order")
+    DD.freeze_prefix_order(stored, "doc_id", "text", order)
+    DD.append_positioned_index(stored, "doc_id", "text", idx, 0, spark,
+                               order)
+    for t in (0.3, 0.8):
+        got = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+            DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                        "doc_id", "text",
+                                        threshold=t).collect())
+        full = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=t)
+        want = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in full.collect()
+            if r["id_a"] % 3 == 0 or r["id_b"] % 3 == 0)
+        assert got == want, t
+        assert len(want) > 0
