@@ -1098,31 +1098,63 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
     # shingles are high-df, sort LATE in the prefix, and fail the
     # remaining-overlap bound — measured 310k -> 125k candidates on the
     # sf0.1 documents table (256 true pairs), verify 4.5s -> 2.0s.
-    o_req = F.ceil((F.col("n_a") + F.col("n_b"))
-                   * F.lit(t / (1.0 + t)) - 1e-9)
     joined = (a.join(b, "__s__")
               .filter((F.col("id_a") < F.col("id_b"))
                       & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(t) - 1e-9))
                       & (F.col("n_b") * F.lit(t) - 1e-9 <= F.col("n_a"))))
-    if pair_bound == "aggregate":
-        cand = (joined.groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("__c__"),
-                     F.max("__pa__").alias("__pa_max__"),
-                     F.max("__pb__").alias("__pb_max__"),
-                     F.max("n_a").alias("n_a"),
-                     F.max("n_b").alias("n_b"))
-                .filter(F.col("__c__")
-                        + F.least(F.col("n_a") - F.col("__pa_max__"),
-                                  F.col("n_b") - F.col("__pb_max__"))
-                        >= o_req)
-                .select("id_a", "id_b"))
-    else:
-        cand = (joined
-                .filter(F.least(F.col("n_a") - F.col("__pa__"),
-                                F.col("n_b") - F.col("__pb__")) + 1 >= o_req)
-                .select("id_a", "id_b")
-                .distinct())
+    cand = (_cand_aggregate(joined, t) if pair_bound == "aggregate"
+            else _cand_positional(joined, t))
     return cand, tok, pref
+
+
+def _o_req(t: float) -> Column:
+    return F.ceil((F.col("n_a") + F.col("n_b"))
+                  * F.lit(t / (1.0 + t)) - 1e-9)
+
+
+def _cand_positional(joined: DataFrame, t: float) -> DataFrame:
+    return (joined
+            .filter(F.least(F.col("n_a") - F.col("__pa__"),
+                            F.col("n_b") - F.col("__pb__")) + 1 >= _o_req(t))
+            .select("id_a", "id_b")
+            .distinct())
+
+
+def _cand_aggregate(joined: DataFrame, t: float) -> DataFrame:
+    return (joined.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__c__"),
+                 F.max("__pa__").alias("__pa_max__"),
+                 F.max("__pb__").alias("__pb_max__"),
+                 F.max("n_a").alias("n_a"),
+                 F.max("n_b").alias("n_b"))
+            .filter(F.col("__c__")
+                    + F.least(F.col("n_a") - F.col("__pa_max__"),
+                              F.col("n_b") - F.col("__pb_max__"))
+                    >= _o_req(t))
+            .select("id_a", "id_b"))
+
+
+def prefix_candidate_bounds(df: DataFrame, id_col: str, text_col: str,
+                            threshold: float = 0.5,
+                            shingle_n: int | None = 3):
+    """Both candidate filters over ONE shared joined-prefix table —
+    the blocking audit's builder (computing them via two
+    :func:`prefix_candidates` calls would tokenize, window, and persist
+    the element/prefix tables twice). Returns
+    ``(cand_positional, cand_aggregate, tok, pref)``; caller releases
+    ``tok``/``pref``."""
+    t = float(threshold)
+    cand_pos, tok, pref = prefix_candidates(df, id_col, text_col,
+                                            threshold, shingle_n)
+    a = pref.select(F.col("__id__").alias("id_a"), F.col("n").alias("n_a"),
+                    F.col("__pos__").alias("__pa__"), "__s__")
+    b = pref.select(F.col("__id__").alias("id_b"), F.col("n").alias("n_b"),
+                    F.col("__pos__").alias("__pb__"), "__s__")
+    joined = (a.join(b, "__s__")
+              .filter((F.col("id_a") < F.col("id_b"))
+                      & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(t) - 1e-9))
+                      & (F.col("n_b") * F.lit(t) - 1e-9 <= F.col("n_a"))))
+    return cand_pos, _cand_aggregate(joined, t), tok, pref
 
 
 def prefix_filter_join(left: DataFrame, right: DataFrame, id_col: str,
@@ -1311,15 +1343,27 @@ def prefix_join_index_delta(spark, path: str, delta: DataFrame,
 
 def freeze_prefix_order(df: DataFrame, id_col: str, text_col: str,
                         order_path: str,
-                        shingle_n: int | None = 3) -> None:
-    """Snapshot the element order basis: (s, df) rows written once.
-    Unseen-at-freeze elements rank as df=0 (rarest) at position time,
-    ties broken by element value — deterministic on every side."""
+                        shingle_n: int | None = 3,
+                        epoch: int = 0) -> None:
+    """Snapshot the element order basis: (s, df, epoch) rows written
+    once. Unseen-at-freeze elements rank as df=0 (rarest) at position
+    time, ties broken by element value — deterministic on every side.
+    ``epoch`` versions the order: every positioned row carries the
+    epoch it was positioned under, and the delta join REFUSES to run
+    when rows and order disagree (a crash or concurrent refresh can
+    leave them mixed — the prefix lemma needs ONE shared order, so a
+    mix must be an explicit error, never a silent recall loss)."""
     elems = (shingles(tokens(text_col), shingle_n) if shingle_n
              else F.array_distinct(tokens(text_col)))
     (df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"))
      .groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+     .withColumn("epoch", F.lit(int(epoch)))
      .write.mode("overwrite").parquet(order_path))
+
+
+def _order_epoch(order: DataFrame) -> int:
+    v = order.agg(F.max("epoch")).collect()[0][0]
+    return int(v) if v is not None else 0
 
 
 def _positioned_rows(tok: DataFrame, order: DataFrame) -> DataFrame:
@@ -1355,7 +1399,8 @@ def append_positioned_index(df: DataFrame, id_col: str, text_col: str,
              else F.array_distinct(tokens(text_col)))
     tok = df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"))
     order = spark.read.parquet(order_path)
-    (_positioned_rows(tok, order)
+    (_positioned_rows(tok, order.select("s", "df"))
+     .withColumn("epoch", F.lit(_order_epoch(order)))
      .write.mode("overwrite")
      .parquet(os.path.join(path, "rows", f"batch={int(batch)}")))
     (tok.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
@@ -1393,11 +1438,25 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     new_tok = (delta.repartition(par, F.col(id_col))
                .select(F.col(id_col).alias("id"), F.explode(elems).alias("s")))
     order = spark.read.parquet(order_path)
-    new_pos = _positioned_rows(new_tok, order).persist()
+    epoch = _order_epoch(order)
+    new_pos = _positioned_rows(new_tok, order.select("s", "df")).persist()
     # no read-time dedup: batch-keyed OVERWRITE makes replay idempotent
-    stored = (spark.read.option("basePath", os.path.join(path, "rows"))
-              .parquet(os.path.join(path, "rows"))
-              .select("id", "s", "n", "pos"))
+    stored_raw = (spark.read.option("basePath", os.path.join(path, "rows"))
+                  .parquet(os.path.join(path, "rows")))
+    # epoch guard: positions are only meaningful under the ONE order
+    # they were computed from — a crashed or concurrent refresh can
+    # leave rows and order on different epochs, and a silent mix would
+    # lose recall; refuse instead (re-running refresh_prefix_order
+    # heals the index)
+    eps = stored_raw.agg(F.min("epoch").alias("lo"),
+                         F.max("epoch").alias("hi")).collect()[0]
+    if eps["lo"] != epoch or eps["hi"] != epoch:
+        raise ValueError(
+            f"stable-order index epoch mismatch: order is epoch {epoch} "
+            f"but stored rows span epochs [{eps['lo']}, {eps['hi']}] — "
+            "an order refresh crashed mid-swap or is running; re-run "
+            "refresh_prefix_order to reposition every batch")
+    stored = stored_raw.select("id", "s", "n", "pos")
 
     def prefix(rows: DataFrame) -> DataFrame:
         # one-sided 1e-9 relaxation: FP wobble may only LENGTHEN the
@@ -1436,8 +1495,11 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
               .select(F.col("id_d").alias("id_a"), "id_b"))
     cand = cross.unionByName(within).distinct()
     # verify over (id, s) rows from BOTH sides — the positioned index
-    # doubles as the element store, so nothing is re-tokenized
-    tok_all = (new_tok.unionByName(stored.select("id", "s"))
+    # doubles as the element store, and the delta side reads the
+    # PERSISTED new_pos rows (new_tok's lineage would re-run the
+    # shingle/explode scan a second time), so nothing is re-tokenized
+    tok_all = (new_pos.select("id", "s")
+               .unionByName(stored.select("id", "s"))
                .select(F.col("id").alias("__id__"), F.col("s").alias("__s__")))
     return _materialize_release(
         jaccard_pairs_counts(cand, tok_all, "__id__", threshold=t),
@@ -1495,19 +1557,32 @@ def refresh_prefix_order(spark, path: str, order_path: str) -> None:
 
     Batch layout is preserved (each batch directory rewritten with the
     same deterministic-given-order rows), so at-least-once replay
-    semantics and the df shards stay valid unchanged."""
+    semantics and the df shards stay valid unchanged.
+
+    Crash safety: the refresh is NOT atomic (it swaps one batch
+    directory at a time, order last), but every row carries the epoch
+    it was positioned under and the new epoch is derived from the ROWS
+    (max stored epoch + 1), so any interrupted state — some batches
+    repositioned, order not yet swapped, or vice versa — is DETECTED by
+    the delta join's epoch guard and raises instead of silently mixing
+    orders; re-running this function repositions everything again and
+    heals the index. Do not run a refresh concurrently with delta
+    queries: they may fail-fast on the guard mid-swap and succeed on
+    retry."""
     import os
     import shutil
 
     rows_root = os.path.join(path, "rows")
+    stored = (spark.read.option("basePath", rows_root).parquet(rows_root))
+    prev = stored.agg(F.max("epoch")).collect()[0][0]
+    new_epoch = (int(prev) if prev is not None else 0) + 1
     current = (spark.read.option("basePath", os.path.join(path, "df"))
                .parquet(os.path.join(path, "df"))
-               .groupBy("s").agg(F.sum("df").cast("bigint").alias("df")))
-    # stage the new order, then swap dirs last: a reader mid-refresh
-    # sees either order consistently — both are exact
+               .groupBy("s").agg(F.sum("df").cast("bigint").alias("df"))
+               .withColumn("epoch", F.lit(new_epoch)))
     tmp_order = order_path + ".next"
     current.write.mode("overwrite").parquet(tmp_order)
-    order = spark.read.parquet(tmp_order)
+    order = spark.read.parquet(tmp_order).select("s", "df")
     # a doc lives entirely in ONE ingest batch, so each batch directory
     # repositions independently (n and pos depend only on the doc's own
     # rows + the shared order); the loop is over ingest batches, not
@@ -1519,10 +1594,17 @@ def refresh_prefix_order(spark, path: str, order_path: str) -> None:
         rows_b = spark.read.parquet(os.path.join(rows_root, b)) \
             .select("id", "s")
         out = os.path.join(path, f"rows.next.{b}")
-        _positioned_rows(rows_b, order).write.mode("overwrite").parquet(out)
+        (_positioned_rows(rows_b, order)
+         .withColumn("epoch", F.lit(new_epoch))
+         .write.mode("overwrite").parquet(out))
         staged.append((out, os.path.join(rows_root, b)))
     for out, dst in staged:
         shutil.rmtree(dst, ignore_errors=True)
         os.replace(out, dst)
     shutil.rmtree(order_path, ignore_errors=True)
     os.replace(tmp_order, order_path)
+    # the swaps happened at the filesystem level, not through a Spark
+    # write — invalidate the session's cached file listings or a later
+    # read in the SAME session resolves to the deleted pre-swap files
+    spark.catalog.refreshByPath(rows_root)
+    spark.catalog.refreshByPath(order_path)

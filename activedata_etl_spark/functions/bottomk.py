@@ -102,24 +102,18 @@ def bottomk_ndv(signature: DataFrame, group_cols: list[str],
     return g.select(*group_cols, "n_sig", est.alias("est_ndv"))
 
 
-def bottomk_jaccard(signature: DataFrame, group_col: str,
-                    k: int = 64) -> DataFrame:
-    """Pairwise Jaccard estimates between every two groups, from their
-    signatures alone (group_col, group_col_b, n_shared, j_est).
-
-    For each unordered pair: take the k hash-smallest of the union of
-    the two signatures (a uniform sample of A ∪ B), count how many of
-    those keys appear in BOTH signatures, divide by the sample size.
-    Exact when both groups are unsaturated. Plan: signatures self-join
-    on h (signature-sized, k·n_groups rows), so corpus size never
-    enters — the source-similarity matrix for hundreds of sources costs
-    k·sources² rows, not a data scan."""
+def _merged_pair_topk(signature: DataFrame, group_col: str,
+                      k: int) -> DataFrame:
+    """For every unordered group pair: the k hash-smallest of the union
+    of the two signatures, each row tagged with side membership
+    (in_a/in_b) and its rank in the merged sample — the shared builder
+    behind :func:`bottomk_jaccard` and :func:`bottomk_setops`. The
+    crossJoin is against the broadcast GROUP LIST (n_groups rows), so
+    everything stays signature-sized."""
     a = signature.select(F.col(group_col).alias("ga"), "h")
     b = signature.select(F.col(group_col).alias("gb"), "h")
     groups = F.broadcast(signature.select(
         F.col(group_col).alias("__g__")).distinct())
-    # union of the two signatures, tagged with membership on each side
-    # (crossJoin is against the broadcast GROUP LIST — n_groups rows)
     pairs = (a.crossJoin(groups.select(F.col("__g__").alias("gb")))
              .filter(F.col("ga") < F.col("gb"))
              .select("ga", "gb", "h", F.lit(1).alias("in_a"),
@@ -132,8 +126,23 @@ def bottomk_jaccard(signature: DataFrame, group_col: str,
     merged = (pairs.groupBy("ga", "gb", "h")
               .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
     w = Window.partitionBy("ga", "gb").orderBy("h")
-    topk = (merged.withColumn("rank", F.row_number().over(w))
+    return (merged.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def bottomk_jaccard(signature: DataFrame, group_col: str,
+                    k: int = 64) -> DataFrame:
+    """Pairwise Jaccard estimates between every two groups, from their
+    signatures alone (group_col, group_col_b, n_shared, j_est).
+
+    For each unordered pair: take the k hash-smallest of the union of
+    the two signatures (a uniform sample of A ∪ B), count how many of
+    those keys appear in BOTH signatures, divide by the sample size.
+    Exact when both groups are unsaturated. Plan: signatures self-join
+    on h (signature-sized, k·n_groups rows), so corpus size never
+    enters — the source-similarity matrix for hundreds of sources costs
+    k·sources² rows, not a data scan."""
+    topk = _merged_pair_topk(signature, group_col, k)
     return (topk.groupBy("ga", "gb")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_union_sample"),
                  F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1))
@@ -185,24 +194,7 @@ def bottomk_setops(signature: DataFrame, group_col: str,
     outputs are fixed-order double arithmetic over them, so any engine
     reproduces the estimates bit-for-bit. Plan: signature-sized joins
     only — k·groups² rows ceiling, no data scan."""
-    a = signature.select(F.col(group_col).alias("ga"), "h")
-    b = signature.select(F.col(group_col).alias("gb"), "h")
-    groups = F.broadcast(signature.select(
-        F.col(group_col).alias("__g__")).distinct())
-    pairs = (a.crossJoin(groups.select(F.col("__g__").alias("gb")))
-             .filter(F.col("ga") < F.col("gb"))
-             .select("ga", "gb", "h", F.lit(1).alias("in_a"),
-                     F.lit(0).alias("in_b"))
-             .unionByName(
-                 b.crossJoin(groups.select(F.col("__g__").alias("ga")))
-                 .filter(F.col("ga") < F.col("gb"))
-                 .select("ga", "gb", "h", F.lit(0).alias("in_a"),
-                         F.lit(1).alias("in_b"))))
-    merged = (pairs.groupBy("ga", "gb", "h")
-              .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
-    w = Window.partitionBy("ga", "gb").orderBy("h")
-    topk = (merged.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    topk = _merged_pair_topk(signature, group_col, k)
     g = (topk.groupBy("ga", "gb")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n_union_sample"),
               F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1))

@@ -59,8 +59,15 @@ def run_formatted(spark: SparkSession, q: dict[str, Any]):
     raise ValueError(f"unknown format: {fmt!r}")
 
 
-def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
-    """Execute a jx query dict against registered temp views."""
+def run(spark: SparkSession, q: dict[str, Any],
+        allow_stream_drain: bool = True) -> DataFrame:
+    """Execute a jx query dict against registered temp views.
+
+    ``allow_stream_drain=False`` (the service's format=explain probe)
+    suppresses the AvailableNow drains a streaming source would
+    otherwise trigger for edges/sort/limit — the explain contract is
+    "analyze + optimize, execute NOTHING", so a plan that needs a drain
+    raises at analysis instead of running an arbitrarily large drain."""
     df = _from(spark, q["from"], bounds=_range_bounds(q.get("where")))
     if "where" in q:
         df = df.filter(compile_expr(q["where"]))
@@ -70,7 +77,7 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
     groupby = [_normalize_edge(g) for g in _listify(q.get("groupby"))]
 
     if edges or groupby:
-        if df.isStreaming and edges:
+        if df.isStreaming and edges and allow_stream_drain:
             # dense edge completion is a multi-stage plan (axis
             # completion + join-back) that Structured Streaming cannot
             # run as one complete-mode aggregation — drain the stream
@@ -117,7 +124,8 @@ def run(spark: SparkSession, q: dict[str, Any]) -> DataFrame:
                         produced.add(s["value"])
             df = df.select(*_nest_named(df, selects),
                            *[F.col(n) for n in wnames if n not in produced])
-    if df.isStreaming and ({"sort", "skip", "limit"} & q.keys()):
+    if df.isStreaming and allow_stream_drain \
+            and ({"sort", "skip", "limit"} & q.keys()):
         # Structured Streaming rejects sort/limit outside complete-mode
         # aggregation — drain the stream (AvailableNow) first, then
         # order/page the batch result. This is what lets the service's

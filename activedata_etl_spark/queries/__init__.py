@@ -85,183 +85,11 @@ _FRONT = [
     "text_term_burstiness",
 ]
 
-_FRONT_R6 = [
-    # r6 rotation (VERDICT r5 #1, round 3 of 3): the union of the five
-    # driver prefixes covers 208 of the 300 registered queries; the judge
-    # independently verified the remaining 92 green at sf0.01 in r5, but
-    # driver CORRECTNESS is the hard signal. This prefix is ALL
-    # first-time driver evidence: any queries NEW in r6 lead (new code
-    # carries the most risk), then 50 of the 92, prioritized per the
-    # verdict — the jx tail, the expr/window/setops/join builtin tails,
-    # the events_* analytics family, etl_scd2_lookup,
-    # sim_dimension_profile, corpus_quality_report, the sketch tail, and
-    # the late-r5 entries with the newest code paths (winnowing index,
-    # delta pairs, CDC chunks, BM25-from-index, priority sampling). The
-    # ~42 that remain (low-risk compositions of driver-checked machinery:
-    # text kits, dedup post-processing, sample wrappers) go in the r7
-    # prefix, after which every registered query has driver history and
-    # the class retires. Everything rotated out was driver-green in
-    # r1-r5 and stays covered by the full local sweep.
-    # --- r6 prefix ---
-    # The 18 queries NEW in round 6 lead (new code carries the most
-    # risk, the standing policy). Continuation session first — the
-    # exact prefix-filter class (self-join with blind all-pairs oracle,
-    # blocking audit, s-curve calibration, cross-table decontamination
-    # join, element-index delta form), the histogram robust means +
-    # equi-depth bins, Spearman rank correlation, and the two jx
-    # routes + the Kendall tau histogram. Their 11 slots displace the
-    # last 11 backlog entries below past the 50-entry driver prefix into
-    # the r7 rotation (backlog r7 total: 42 + 11 = 53, one rotation).
-    "dedup_prefix_filter_pairs", "dedup_prefix_blocking_audit",
-    "dedup_lsh_scurve_report", "agg_spearman_corr",
-    "decon_prefix_filter_overlap", "dedup_prefix_index_delta_pairs",
-    "agg_equidepth_bins", "agg_kendall_tau",
-    "agg_trimmed_mean", "jx_prefix_filter_pairs", "jx_trimmed_mean",
-    # First session's 15: the two new sketch families (bottom-k
-    # signatures, log-histogram quantile registers: direct + index +
-    # delta + jx routes), the delta-restricted queries completing that
-    # class across every index family (BM25/chunk/HLL/CMS), the
-    # escaped-dot path query, the bulk ANN bench form, and scene cuts.
-    "agg_bottomk_signature", "agg_bottomk_ndv", "sim_bottomk_jaccard",
-    "agg_qhist_registers", "agg_qhist_quantile_audit",
-    "agg_qhist_delta_tv", "jx_bottomk_jaccard", "jx_quantile_bounds",
-    "text_bm25_delta_topk", "dedup_chunk_delta_stats",
-    "agg_hll_delta_ndv", "agg_cms_delta_heavy_hitters",
-    "jx_escaped_dot_name", "sim_ann_multiprobe_bulk",
-    "multimodal_scene_cuts",
-    # then 35 of the 92 never-driver-checked (priorities per VERDICT r5
-    # #1); the 15 builtin wrappers originally slotted here
-    # (expr_number_to_string, window_* frames, setop_*, sort_paging,
-    # join_full_outer/cross, edges_set_allow_nulls/predicate_parts) are
-    # deferred with the rest of the backlog — their machinery is the
-    # most driver-exercised in the registry via many green relatives.
-    # jx tail
-    "jx_edges_range_histogram", "jx_edges_duration_histogram",
-    "jx_select_nested_output", "jx_nested_having", "jx_edges_expression",
-    "jx_window_ntile_first_last", "jx_select_default",
-    # events analytics family + SCD2 lookup
-    "events_linear_trend", "events_transition_matrix",
-    "events_seasonal_deviation", "events_user_sequences",
-    "events_next_event_examples", "events_hourly_seasonal_baseline",
-    "events_freshness_lag", "etl_scd2_lookup",
-    # named priorities
-    "sim_dimension_profile", "corpus_quality_report",
-    # sketch / agg tail
-    "agg_cms_registers", "agg_cms_estimate", "agg_histogram_2d",
-    "agg_hll_set_cardinality", "agg_hll_windowed_ndv", "agg_bloom_words",
-    "agg_percentile_approx_audit", "agg_argmax_join_back",
-    # late-r5 newest code paths
-    "dedup_index_delta_pairs", "dedup_cdc_chunks",
-    "dedup_exact_substr_removal", "dedup_winnowing_index_pairs",
-    "corpus_source_containment", "etl_skew_audit",
-    "sample_priority_weighted", "text_bm25_from_index",
-    "text_hybrid_rrf_topk", "sim_knn_components",
-]
-
-_FRONT_R5 = [
-    # r5 rotation (VERDICT r4 #2): after r1-r4, 72 registered queries had
-    # never sat in a driver-checked prefix (all independently sweep-green
-    # at sf0.01, incl. the judge's own 72-query sweep in r4). This prefix
-    # is again ALL first-time evidence: the 6 queries NEW this round
-    # (front — new code carries the most risk), then 44 of the 72,
-    # prioritized per the verdict (jx tail, edges/setops/window tails,
-    # scd2, funnel, sim_dimension_profile, text_quality_calibrated) plus
-    # the bloom pair (probe code CHANGED this round) and
-    # embedding_centroids (the r4 tie-bug query). The 28 deferred to r6
-    # are low-risk compositions of driver-checked machinery (text/sample
-    # kits, dedup cluster post-processing); after the r6 rotation every
-    # registered query has driver history. Entries rotated out were
-    # driver-green in r1-r4 and stay covered by the full local sweep.
-    # Whole prefix parity-validated at sf0.01 from a vanilla session
-    # before commit.
-    # NEWEST (continuation session): the riskiest operators written
-    # after the first r5 rotation lead — text_rerank_stub_topk first
-    # (the registry's ONLY Python-stage oracle pair; mapInPandas under
-    # driver conditions is the riskiest surface), then the new hash
-    # family (winnowing pair + persisted-index forms), the
-    # floor-quantize-subtle anisotropy profile, the multi-eval
-    # contamination matrix, and the LSH recall audit. To hold the
-    # prefix at 50, moved to the r6 backlog: ten LOW-RISK builtin
-    # wrappers (window/setop tails, join_full_outer, sort_paging),
-    # embedding_centroids / multimodal_frame_energy / etl_scd2_lookup /
-    # events_transition_matrix / agg_histogram_2d /
-    # agg_hll_set_cardinality / agg_cms_estimate (all machinery-shared
-    # with queries that REMAIN in the prefix), plus the remaining
-    # continuation queries that are compositions of driver-checked
-    # machinery (term_drift, fertility, user_sequences, next_event,
-    # seasonal, truncate, coverage curve, burstiness, pack_split,
-    # review_sample, dedup_aware, temperature/priority jx corpus pairs
-    # are separately covered). Everything new is sweep-green at BOTH
-    # scales from vanilla sessions this session.
-    # FINAL r5 rotation: everything registered AFTER the previous rotation
-    # leads (new code carries the most risk, and driver evidence is the
-    # hard signal) — this session's three operators first, then the
-    # late-round batch (iterative HITS, the two-window quantile
-    # normalization, the AND/phrase BM25 variant, the global-MinHash
-    # release signature, the leakage-critical cluster-atomic split + its
-    # chi2 balance audit, the pairwise source TV matrix, directed
-    # winnowing containment, term Gini, embedding norm QC, and the
-    # one-row corpus release report). To hold the prefix at 50, moved to
-    # the r6 backlog 14 entries whose machinery is exercised by queries
-    # that REMAIN in the prefix or by prior driver-green relatives:
-    # text_bm25_from_index / text_hybrid_rrf_topk (bm25 legs stay via
-    # text_bm25_topk + jx_bm25_topk), sim_knn_components (CC machinery
-    # driver-green r2), sample_priority_weighted /
-    # sample_temperature_mixture (scan-local integer arithmetic,
-    # property- and plan-tested), etl_manifest_pruned_2d (pruning stays
-    # via etl_manifest_pruned_read), jx_edges_duration_histogram /
-    # jx_select_default / jx_nested_having (jx machinery heavily
-    # represented), edges_predicate_parts, nested_array_path
-    # (nested_leaves stays), agg_bloom_words (agg_bloom_probe stays and
-    # exercises registers + probe), agg_cms_registers
-    # (agg_cms_heavy_hitters stays, merge-on-read of the same registers),
-    # events_linear_trend (moment machinery driver-green r4 via
-    # agg_corr_covar). Whole prefix parity-validated at sf0.01 from a
-    # vanilla session after the swap.
-    "sim_top_component", "sim_silhouette", "sim_dim_truncation_audit",
-    "etl_file_compaction_plan", "text_dup_ngram_report",
-    "corpus_dedup_pareto", "join_asof_nearest", "jx_asof_nearest",
-    "sample_kcenter_coreset", "etl_layout_overlap_report",
-    "multimodal_ahash_index_pairs", "sim_spectral_profile",
-    "dedup_family_agreement",
-    "graph_hits_bipartite", "text_quality_quantile_norm",
-    "text_bm25_and_phrase", "corpus_release_signature",
-    "sample_split_dedup_safe", "sample_split_balance_audit",
-    "corpus_source_term_tv_matrix", "dedup_winnowing_containment",
-    "text_term_gini", "sim_norm_outliers", "dedup_corpus_summary",
-    "jx_edges_range_offset_bins",  # pins the r5 min-anchor bin fix
-    "text_rerank_stub_topk",
-    "dedup_winnowing_pairs",
-    "sim_anisotropy_profile",
-    "dedup_lsh_recall_audit",
-    "multimodal_ahash_pairs", "text_bm25_topk",
-    "sim_knn_graph",
-    "jx_bm25_topk",
-    # manifest-pruned standard read, hot-key-split as-of, CMS heavy
-    # hitters from the persisted index, and the three jx-front-end-routed
-    # extension ops
-    "etl_manifest_pruned_read", "join_asof_hotkey_split",
-    "agg_cms_heavy_hitters", "jx_near_dup_pairs", "jx_ann_topk",
-    "jx_quality_gate",
-    # jx tail (the VERDICT r4 named priority)
-    "jx_deep_query",
-    "jx_edges_set_dense", "jx_agg_percentile_union",
-    # expression/edge-domain tail
-    "expr_split_get_tuple",
-    # nested ops
-    "nested_leaves",
-    # the round's riskiest mid-session operators: the ExactSubstr pair
-    # and the integrated release manifest
-    "dedup_exact_substrings",
-    "corpus_release_manifest",
-    # sketch tail — bloom probe (probe fix this round)
-    "agg_bloom_probe",
-    # events analytics tail
-    "events_funnel_window",
-    # ETL / quality / similarity tail
-    "etl_scd2_history",
-    "text_quality_calibrated", "sim_dimension_profile",
-]
+# Prior rounds' driver prefixes (_FRONT_R5 / _FRONT_R6) were kept
+# here as history through r6; they are dead code — the driver only
+# reads the current _FRONT order — so they now live in git history
+# (commits tagged "round 5/6") and in the CORRECTNESS_r*.json
+# artifacts, which backlog.py derives evidence from.
 
 
 def _reorder() -> None:

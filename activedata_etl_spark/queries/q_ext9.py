@@ -143,10 +143,8 @@ def dedup_prefix_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the pair_bound flag; this audit keeps the decision
     data-driven as the corpus changes."""
     d = load_table(spark, sf_dir, "documents")
-    cand, tok, pref = DD.prefix_candidates(d, "doc_id", "text",
-                                           threshold=0.5)
-    cand_agg, tok2, pref2 = DD.prefix_candidates(
-        d, "doc_id", "text", threshold=0.5, pair_bound="aggregate")
+    cand, cand_agg, tok, pref = DD.prefix_candidate_bounds(
+        d, "doc_id", "text", threshold=0.5)
     ver = DD.jaccard_pairs_counts(cand, tok, "__id__", threshold=0.5)
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     n_agg = cand_agg.agg(F.count(F.lit(1)).cast("bigint")
@@ -163,7 +161,7 @@ def dedup_prefix_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(1.0) - F.col("n_candidates_aggregate") * F.lit(1.0)
                  / F.col("n_candidates")).alias("aggregate_reduction"),
                 "max_prefix_df"),
-        tok, pref, tok2, pref2)
+        tok, pref)
 
 
 @query(
@@ -450,15 +448,28 @@ def dedup_prefix_stable_order_delta(spark: SparkSession,
     (pairs touching a delta id at J >= 0.5): a hash-match PROVES the
     prefix lemma's order-independence claim — recall 1.0 under a
     genuinely stale order, where staleness costs candidate volume only."""
+    d = load_table(spark, sf_dir, "documents")
+    path, order_path = _stable_index(spark, sf_dir, d)
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    return DD.prefix_join_stable_delta(spark, path, order_path, delta,
+                                       "doc_id", "text", threshold=0.5)
+
+
+def _stable_index(spark, sf_dir: str, d: DataFrame) -> tuple[str, str]:
+    """Build (or reuse) the shared stable-order index for the two
+    stable-order queries. The existence guard is a COMPLETION MARKER
+    written only after the full build — a dir-exists check would
+    silently reuse a partially built index after a crash and drop
+    pairs; the rebuild itself is idempotent (batch-keyed overwrite)."""
     import os
     import tempfile
 
-    d = load_table(spark, sf_dir, "documents")
     base = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_prefstable_{os.path.basename(sf_dir.rstrip('/'))}")
     path, order_path = os.path.join(base, "idx"), os.path.join(base, "order")
-    if not os.path.isdir(os.path.join(path, "rows", "batch=0")):
+    marker = os.path.join(base, "_BUILD_COMPLETE")
+    if not os.path.exists(marker):
         b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
         DD.freeze_prefix_order(b0, "doc_id", "text", order_path)
         DD.append_positioned_index(b0, "doc_id", "text", path, 0, spark,
@@ -466,9 +477,9 @@ def dedup_prefix_stable_order_delta(spark: SparkSession,
         DD.append_positioned_index(
             d.filter(F.pmod("doc_id", F.lit(4)) == 2), "doc_id", "text",
             path, 1, spark, order_path)
-    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
-    return DD.prefix_join_stable_delta(spark, path, order_path, delta,
-                                       "doc_id", "text", threshold=0.5)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return path, order_path
 
 
 @query(
@@ -506,24 +517,10 @@ def dedup_prefix_order_staleness(spark: SparkSession,
     prefix lemma holds for any consistent order); this row tells the
     owner when staleness starts costing candidate volume. The oracle
     reconstructs both df sides from the raw documents table."""
-    import os
-    import tempfile
-
     # shares the index dedup_prefix_stable_order_delta builds (same
-    # existence guard, either query may run first)
+    # marker-guarded builder, either query may run first)
     d = load_table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_prefstable_{os.path.basename(sf_dir.rstrip('/'))}")
-    path, order_path = os.path.join(base, "idx"), os.path.join(base, "order")
-    if not os.path.isdir(os.path.join(path, "rows", "batch=0")):
-        b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
-        DD.freeze_prefix_order(b0, "doc_id", "text", order_path)
-        DD.append_positioned_index(b0, "doc_id", "text", path, 0, spark,
-                                   order_path)
-        DD.append_positioned_index(
-            d.filter(F.pmod("doc_id", F.lit(4)) == 2), "doc_id", "text",
-            path, 1, spark, order_path)
+    path, order_path = _stable_index(spark, sf_dir, d)
     return DD.prefix_order_staleness(spark, path, order_path)
 
 

@@ -200,6 +200,12 @@ def make_handler(spark):
                              "query_endpoint": "POST /query",
                              "columns_endpoint": "GET /columns/<table>"})
 
+        import threading as _threading
+
+        _cache_lock = _threading.Lock()
+        _inflight = 0
+        _quiescent_before: set | None = None
+
         @staticmethod
         def _persistent_ids() -> set:
             """Ids of currently-cached RDDs (persist / localCheckpoint
@@ -216,11 +222,12 @@ def make_handler(spark):
             request-scoped hygiene that keeps a long-lived service from
             accumulating CacheManager entries across /query requests
             (operators like the LSH/prefix/cosine dedup families persist
-            intermediates per call). Runs AFTER the response is fully
-            written, so nothing the client sees is recomputed. Under
-            concurrent requests a sibling's live cache may be released
-            early — Spark recomputes it (a perf hiccup, never a wrong
-            answer)."""
+            intermediates per call). Called only at QUIESCENCE (the last
+            in-flight request's finally): unpersisting a sibling's plain
+            cache would merely recompute, but a sibling's
+            locally-CHECKPOINTED result (lineage truncated) cannot be
+            recomputed — releasing it mid-flight would fail a valid
+            query, so the release waits until no request is running."""
             try:
                 m = spark.sparkContext._jsc.getPersistentRDDs()
                 for k in m.keySet().toArray():
@@ -236,7 +243,13 @@ def make_handler(spark):
             if self.path.rstrip("/") not in ("", "/query".rstrip("/"), "/query"):
                 self._send(404, {"error": f"no such endpoint: {self.path}"})
                 return
-            caches_before = self._persistent_ids()
+            # quiescence tracking: the FIRST request of a busy period
+            # snapshots the cache ids; the LAST one to finish releases
+            # everything created since (see _release_new_caches)
+            with Handler._cache_lock:
+                Handler._inflight += 1
+                if Handler._inflight == 1:
+                    Handler._quiescent_before = self._persistent_ids()
             try:
                 import time
 
@@ -256,7 +269,8 @@ def make_handler(spark):
                     from .plans.query import run as run_plan
 
                     df = run_plan(spark, {k: v for k, v in q.items()
-                                          if k != "format"})
+                                          if k != "format"},
+                                  allow_stream_drain=False)
                     plan = df._jdf.queryExecution().executedPlan().toString()
                     self._send(200, {"explain": plan})
                     return
@@ -291,7 +305,14 @@ def make_handler(spark):
             except Exception as e:  # jx errors → 400, like the reference
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
             finally:
-                self._release_new_caches(caches_before)
+                with Handler._cache_lock:
+                    Handler._inflight -= 1
+                    release = (Handler._quiescent_before
+                               if Handler._inflight == 0 else None)
+                    if release is not None:
+                        Handler._quiescent_before = None
+                if release is not None:
+                    self._release_new_caches(release)
 
         def _handle_sql(self) -> None:
             """``POST /sql`` ``{"sql": "...", "limit"?: n}`` — the

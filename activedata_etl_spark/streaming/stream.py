@@ -95,15 +95,21 @@ def drain_available_now(df: DataFrame, timeout_sec: float = 300) -> DataFrame:
                  .option("checkpointLocation", ckpt2)
                  .start())
             _await(q)
-            try:
-                # eager localCheckpoint: partitions move to executor
-                # block storage (distributed, NOT a driver collect) and
-                # the lineage to the spill files is cut — the temp dir
-                # is then removable in the finally below
-                return (spark.read.schema(df.schema).parquet(spill)
-                        .localCheckpoint(eager=True))
-            except Exception:
-                return spark.createDataFrame([], df.schema)  # zero-file spill
+            import os as _os
+
+            # empty-stream case detected STRUCTURALLY (no part files
+            # written), never by swallowing exceptions: a failure in
+            # the read/checkpoint job below must propagate, not turn
+            # into a silently-served empty result
+            if not any(f.endswith(".parquet")
+                       for f in _os.listdir(spill)):
+                return spark.createDataFrame([], df.schema)
+            # eager localCheckpoint: partitions move to executor
+            # block storage (distributed, NOT a driver collect) and
+            # the lineage to the spill files is cut — the temp dir
+            # is then removable in the finally below
+            return (spark.read.schema(df.schema).parquet(spill)
+                    .localCheckpoint(eager=True))
         finally:
             shutil.rmtree(spill, ignore_errors=True)
             shutil.rmtree(ckpt2, ignore_errors=True)
@@ -111,10 +117,15 @@ def drain_available_now(df: DataFrame, timeout_sec: float = 300) -> DataFrame:
     try:
         _await(q)
         rows = spark.table(name).collect()
-        out = spark.createDataFrame(rows, df.schema)
-        spark.catalog.dropTempView(name)
-        return out
+        return spark.createDataFrame(rows, df.schema)
     finally:
+        # drop the memory-sink view even when the drain timed out or
+        # the collect failed — it holds the (possibly partial) rows in
+        # driver memory for the session's lifetime otherwise
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
         shutil.rmtree(ckpt, ignore_errors=True)
 
 

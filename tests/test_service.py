@@ -865,3 +865,43 @@ def test_request_scoped_caches_released(endpoint, spark):
             break
         time.sleep(0.1)
     assert n_cached() <= before
+
+
+def test_explain_on_streaming_view_executes_nothing(spark, sf_dir,
+                                                    tmp_path):
+    """format=explain promises analyze-only; a streaming source whose
+    plan would need an AvailableNow drain (edges / sort) must answer
+    fast with a 400 (analysis error), not run the drain."""
+    import time
+    import urllib.error
+
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.streaming import stream as ST
+
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", "user_id", "event_type"))
+    inbox = str(tmp_path / "inbox")
+    events.write.parquet(inbox)
+    ST.file_stream(spark, inbox, events.schema) \
+        .createOrReplaceTempView("events_stream_explain")
+    server = serve(spark, sf_dir, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        t0 = time.perf_counter()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/query", {
+                "from": "events_stream_explain",
+                "edges": [{"name": "et", "value": "event_type",
+                           "domain": {"type": "set",
+                                      "partitions": ["click"]}}],
+                "select": [{"name": "n", "aggregate": "count"}],
+                "format": "explain"})
+        assert e.value.code == 400
+        # no drain ran: before this fix the drain wrote a memory table /
+        # spill of the whole inbox; an analysis failure is near-instant
+        assert time.perf_counter() - t0 < 30
+    finally:
+        server.shutdown()
+        spark.catalog.dropTempView("events_stream_explain")

@@ -140,3 +140,37 @@ def test_positioned_index_serves_any_threshold(spark, sf_dir, tmp_path):
             if r["id_a"] % 3 == 0 or r["id_b"] % 3 == 0)
         assert got == want, t
         assert len(want) > 0
+
+
+def test_epoch_mismatch_raises_not_silent(spark, sf_dir, tmp_path):
+    """A crashed / concurrent order refresh can leave rows and order on
+    different epochs; the prefix lemma needs ONE shared order, so the
+    delta join must refuse loudly (never a silent recall loss)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as FF
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text").limit(60))
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx, order = str(tmp_path / "idx"), str(tmp_path / "order")
+    DD.freeze_prefix_order(stored, "doc_id", "text", order)
+    DD.append_positioned_index(stored, "doc_id", "text", idx, 0, spark,
+                               order)
+    # simulate the crashed-mid-swap state: order advanced, rows not
+    spark.read.parquet(order).withColumn("epoch", FF.lit(7)) \
+        .write.mode("overwrite").parquet(order + ".new")
+    import shutil
+    shutil.rmtree(order)
+    os.replace(order + ".new", order)
+    spark.catalog.refreshByPath(order)  # os-level swap: drop listings
+    with pytest.raises(ValueError, match="epoch mismatch"):
+        DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                    "doc_id", "text", threshold=0.5)
+    # refresh heals: repositions every batch under the new order
+    DD.refresh_prefix_order(spark, idx, order)
+    out = DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                      "doc_id", "text", threshold=0.5)
+    out.count()  # runs clean
