@@ -21,9 +21,31 @@ estimator; strings avoid hex→int conversions that not every engine has.
 
 from __future__ import annotations
 
+import contextvars
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import fingerprint, shingles, tokens
+
+# plan-only mode (set by plans/query.run(plan_only=True) — the service's
+# format=explain probe): _materialize_release must NOT run the eager
+# localCheckpoint, or an explain on a prefix-filter op would execute the
+# entire pairwise join at DataFrame-construction time AND return an
+# opaque checkpoint-scan instead of the real plan.
+_PLAN_ONLY = contextvars.ContextVar("dedup_plan_only", default=False)
+
+
+@contextmanager
+def plan_only():
+    """Context under which dedup ops build their plans WITHOUT eager
+    materialization (explain contract: analyze + optimize, execute
+    nothing heavyweight)."""
+    token = _PLAN_ONLY.set(True)
+    try:
+        yield
+    finally:
+        _PLAN_ONLY.reset(token)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -981,8 +1003,19 @@ def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     would accumulate CacheManager entries across HTTP requests in a
     long-lived service; releasing here keeps each request's storage
     footprint request-scoped while downstream clauses still compose
-    against the checkpointed result."""
-    out = result.localCheckpoint(eager=True)
+    against the checkpointed result.
+
+    Under :func:`plan_only` (the service's format=explain probe) the
+    eager checkpoint is SKIPPED and the lazy plan returned as-is — an
+    explain must not execute the pairwise join, and the plan it reports
+    should be the real one, not a checkpoint scan. The intermediates'
+    persist marks are still released (persist() is lazy, so nothing was
+    materialized; unpersisting keeps explain probes from accumulating
+    CacheManager entries)."""
+    if _PLAN_ONLY.get():
+        out = result
+    else:
+        out = result.localCheckpoint(eager=True)
     for c in cached:
         try:
             c.unpersist()
@@ -1066,6 +1099,13 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
       The per-row filter must NOT be combined with it: dropping rows
       first would undercount c and turn the exact bound into a
       recall-losing guess."""
+    if pair_bound not in ("positional", "aggregate"):
+        # a typo ("agregate", "Aggregate") silently running the OTHER
+        # filter is harmless for results (both are exact) but corrupts
+        # blocking-audit comparisons that rely on the knob — fail loud
+        raise ValueError(
+            f"pair_bound must be 'positional' or 'aggregate', "
+            f"got {pair_bound!r}")
     t = float(threshold)
     elems = (shingles(tokens(text_col), shingle_n) if shingle_n
              else F.array_distinct(tokens(text_col)))

@@ -588,15 +588,26 @@ def kendall_tau_sampled(df: DataFrame, keys: list[str], x: str, y: str,
     """
     from pyspark.sql import Window
 
-    h = F.md5(F.concat_ws("-", *[F.col(k).cast("string")
-                                 for k in pair_keys]))
+    # the hash is salted with (x, y) so rows sharing a pair_key but
+    # differing in measures still land at independent hash positions:
+    # without the salt, duplicate-key rows sort adjacent and tiebreak by
+    # ascending x — within such pairs x1 > x2 is impossible, biasing the
+    # sample toward concordance/ties on heavily duplicated keys. With
+    # the salt, rows equal in h are equal in (x, y) too (md5 collisions
+    # aside) and therefore genuinely interchangeable. Measures render
+    # through decimal(28,6) so Spark and the oracle engine hash the same
+    # string (double→string formatting differs between engines).
+    h = F.md5(F.concat_ws(
+        "-",
+        *[F.col(k).cast("string") for k in pair_keys],
+        F.col(x).cast("decimal(28,6)").cast("string"),
+        F.col(y).cast("decimal(28,6)").cast("string")))
     r = (df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
          .select(*keys, F.col(x).alias("__x__"), F.col(y).alias("__y__"),
                  h.alias("__h__"))
          .withColumn("__b__", F.substring("__h__", 1, bucket_chars)))
-    # tiebreak by (x, y): pair_keys may not be unique, and rows equal in
-    # (h, x, y) are interchangeable — the pairing stays deterministic
-    # and engine-identical either way
+    # tiebreak by (x, y): fully identical rows are interchangeable —
+    # the pairing stays deterministic and engine-identical either way
     w = Window.partitionBy(*keys, "__b__").orderBy("__h__", "__x__", "__y__")
     p = (r.withColumn("__rn__", F.row_number().over(w))
          .withColumn("__x2__", F.lead("__x__").over(w))

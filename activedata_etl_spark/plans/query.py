@@ -60,14 +60,27 @@ def run_formatted(spark: SparkSession, q: dict[str, Any]):
 
 
 def run(spark: SparkSession, q: dict[str, Any],
-        allow_stream_drain: bool = True) -> DataFrame:
+        allow_stream_drain: bool = True,
+        plan_only: bool = False) -> DataFrame:
     """Execute a jx query dict against registered temp views.
 
     ``allow_stream_drain=False`` (the service's format=explain probe)
     suppresses the AvailableNow drains a streaming source would
     otherwise trigger for edges/sort/limit — the explain contract is
     "analyze + optimize, execute NOTHING", so a plan that needs a drain
-    raises at analysis instead of running an arbitrarily large drain."""
+    raises at analysis instead of running an arbitrarily large drain.
+
+    ``plan_only=True`` extends that contract to the extension operators
+    whose builders eagerly materialize (the prefix-filter family's
+    localCheckpoint, ext/dedup._materialize_release): under plan-only
+    the op returns its LAZY plan, so an explain on op:prefix_filter_pairs
+    reports the real join plan instead of executing it. Implies
+    ``allow_stream_drain=False``."""
+    if plan_only:
+        from ..ext.dedup import plan_only as _dedup_plan_only
+
+        with _dedup_plan_only():
+            return run(spark, q, allow_stream_drain=False, plan_only=False)
     df = _from(spark, q["from"], bounds=_range_bounds(q.get("where")))
     if "where" in q:
         df = df.filter(compile_expr(q["where"]))

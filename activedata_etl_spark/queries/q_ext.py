@@ -18,7 +18,7 @@ from ..ext import multimodal as MM
 from ..ext import similarity as SIM
 from ..ext import text as TX
 from ..io import load_table
-from .registry import query
+from .registry import query, scratch_dir
 
 # DuckDB-side shared fragments (mirror ext/text.py definitions)
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -1021,7 +1021,6 @@ def dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext import dedup_index as DI
 
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_dedup_index_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "dedup_index")
     DI.build_index(d, "doc_id", "text", path)
     return DI.near_dup_pairs_from_index(spark, path, threshold=0.2)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..ext import text as TX
 from ..io import load_table
-from .registry import query
+from .registry import query, scratch_dir
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -201,9 +201,7 @@ def sim_band_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_band_index_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "band_index")
     SIM.build_band_index(corpus, "vec_id", "embedding", path)
     return SIM.pairs_from_band_index(spark, path, threshold=0.95)
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.exact import dsum, sql_dsum
 from ..io import load_parquet, load_table
 from .q_ext5 import _CMS_CELLS
-from .registry import query
+from .registry import query, scratch_dir
 
 
 @query(
@@ -45,10 +45,8 @@ def etl_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import layout as L
 
     o = load_table(spark, sf_dir, "orders")
-    data = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_manifest_{os.path.basename(sf_dir.rstrip('/'))}",
-        "orders.parquet")
+    data = os.path.join(scratch_dir(sf_dir, "manifest"),
+                        "orders.parquet")
     if not os.path.isdir(L.manifest_path(data)):
         # dims normalized to the SAME 10-bit range (layout.py docstring
         # rule — a wide dim interleaved with a narrow one parks the
@@ -162,9 +160,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import cms
 
     e = load_table(spark, sf_dir, "events")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_cms_hh_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "cms_hh")
     # two deterministic half-corpus batches — idempotent batch-keyed
     # overwrites (replay-safe, see append_cms_index)
     for b in (0, 1):
@@ -468,9 +464,7 @@ def dedup_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_dedup_delta_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "dedup_delta")
     # shingle_sets is written last in build_index → completion marker
     if not os.path.isdir(os.path.join(path, "shingle_sets")):
         DI.build_index(corpus, "doc_id", "text", path)
@@ -500,9 +494,7 @@ def dedup_chunk_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_chunkidx_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "chunkidx")
     if not os.path.isdir(path):
         half = d.count() // 2
         DD.append_chunk_index(corpus.filter(F.col("doc_id") < half),
@@ -573,9 +565,7 @@ def agg_hll_delta_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import hll
 
     o = load_table(spark, sf_dir, "orders")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_hll_delta_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "hll_delta")
     if not os.path.isdir(os.path.join(path, "batch=1")):
         hll.append_registers(o.filter(F.pmod("o_orderkey", F.lit(2)) == 0),
                              [], "o_orderkey",
@@ -655,9 +645,7 @@ def agg_cms_delta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import cms
 
     e = load_table(spark, sf_dir, "events")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_cms_delta_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "cms_delta")
     for b in (0, 1):
         cms.append_cms_index(
             e.filter(F.pmod("event_id", F.lit(2)) == b),

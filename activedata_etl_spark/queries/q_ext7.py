@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..ext import sampling as SA, similarity as SIM, text as TX
 from ..io import load_table
 from .q_ext import _ivf_ctes, _sql_cos
-from .registry import query
+from .registry import query, scratch_dir
 
 #: Fixed BM25 query — common corpus terms with distinct document
 #: frequencies, so idf actually differentiates.
@@ -211,10 +211,8 @@ def etl_manifest_pruned_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import layout as L
 
     o = load_table(spark, sf_dir, "orders")
-    data = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_manifest2d_{os.path.basename(sf_dir.rstrip('/'))}",
-        "orders.parquet")
+    data = os.path.join(scratch_dir(sf_dir, "manifest2d"),
+                        "orders.parquet")
     if not os.path.isdir(L.manifest_path(data)):
         hi = o.agg(F.max("o_custkey").alias("ck"),
                    F.max("o_orderkey").alias("ok")).first()
@@ -396,9 +394,7 @@ def text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_bm25_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "bm25")
     if not os.path.isdir(os.path.join(path, "batch=1")):
         half = d.count() // 2
         TX.append_bm25_index(d.filter(F.col("doc_id") < half),
@@ -430,9 +426,7 @@ def text_bm25_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_bm25_delta_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "bm25_delta")
     if not os.path.isdir(os.path.join(path, "batch=1")):
         TX.append_bm25_index(d.filter(F.pmod("doc_id", F.lit(2)) == 0),
                              "doc_id", "text", path, 0)
@@ -997,9 +991,7 @@ def dedup_winnowing_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext import dedup as DD
 
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_winnow_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "winnow")
     if not os.path.isdir(os.path.join(path, "batch=1")):
         half = d.count() // 2
         DD.append_winnowing_index(d.filter(F.col("doc_id") < half),

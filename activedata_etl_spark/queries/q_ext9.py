@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..ext import dedup as DD
 from ..functions import aggs as AGG
 from ..io import load_table
-from .registry import query
+from .registry import query, scratch_dir
 from .q_ext import _SHINGLES
 
 #: EXHAUSTIVE exact shingle-Jaccard CTE chain (the blind ground truth):
@@ -415,9 +415,7 @@ def dedup_prefix_index_delta_pairs(spark: SparkSession,
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_elemidx_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "elemidx")
     if not os.path.isdir(os.path.join(path, "batch=0")):
         DD.append_element_index(
             d.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text",
@@ -464,9 +462,7 @@ def _stable_index(spark, sf_dir: str, d: DataFrame) -> tuple[str, str]:
     import os
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_prefstable_{os.path.basename(sf_dir.rstrip('/'))}")
+    base = scratch_dir(sf_dir, "prefstable")
     path, order_path = os.path.join(base, "idx"), os.path.join(base, "order")
     marker = os.path.join(base, "_BUILD_COMPLETE")
     if not os.path.exists(marker):
@@ -611,7 +607,10 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT l_returnflag AS g, l_extendedprice AS x, l_quantity AS y,
              md5(CAST(l_orderkey AS VARCHAR) || '-'
-                 || CAST(l_linenumber AS VARCHAR)) AS h
+                 || CAST(l_linenumber AS VARCHAR) || '-'
+                 || CAST(CAST(l_extendedprice AS DECIMAL(28,6)) AS VARCHAR)
+                 || '-'
+                 || CAST(CAST(l_quantity AS DECIMAL(28,6)) AS VARCHAR)) AS h
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ), w AS (

@@ -14,7 +14,7 @@ from ..functions.exact import sql_dsum
 from ..io import load_table
 from ..operators import nested as N
 from ..plans import query as JXQ
-from .registry import query
+from .registry import query, scratch_dir
 
 
 def _nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,9 +297,7 @@ def snowflake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = N.nest(li, parent_keys=["l_orderkey"],
                  item_cols=["l_linenumber", "l_quantity"],
                  order_by="l_linenumber")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_snowflake_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "snowflake")
     SN.write_snowflake(doc, path, ["l_orderkey"], "items")
     back = SN.read_snowflake(spark, path, "items")
     dec = "decimal(18,6)"

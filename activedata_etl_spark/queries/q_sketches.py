@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import bottomk as BK
 from ..io import load_table
-from .registry import query
+from .registry import query, scratch_dir
 
 #: signature CTE over the distinct (event_type, user_id) sets — the
 #: shared substrate; rank over md5(user_id) per event type.
@@ -345,9 +345,7 @@ def agg_qhist_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import qhist as QH
 
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_qhist_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "qhist")
     for b in (0, 1):
         QH.append_qhist_index(
             d.filter(F.pmod("doc_id", F.lit(2)) == b),
@@ -426,9 +424,7 @@ def agg_qhist_delta_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import qhist as QH
 
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_qhist_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = scratch_dir(sf_dir, "qhist")
     for b in (0, 1):
         QH.append_qhist_index(
             d.filter(F.pmod("doc_id", F.lit(2)) == b),

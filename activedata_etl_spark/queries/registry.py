@@ -32,3 +32,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
         return fn
 
     return deco
+
+
+def scratch_dir(sf_dir: str, kind: str) -> str:
+    """Session-spanning scratch base for the persisted-index queries,
+    keyed on a CONTENT fingerprint of the source data — the abspath plus
+    (relpath, size, mtime_ns) of every parquet file under ``sf_dir`` —
+    so a dataset regenerated with different content at the same sf-dir
+    name gets a FRESH directory instead of silently serving a stale
+    index (a basename-keyed completion marker outlives the data it
+    describes; found by the r7 advisor on q_ext9._stable_index)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    root = os.path.abspath(sf_dir.rstrip("/"))
+    h = hashlib.md5(root.encode())
+    for p in sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
+                              recursive=True)):
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, root)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{kind}_{os.path.basename(root)}_"
+        f"{h.hexdigest()[:12]}")

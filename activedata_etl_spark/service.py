@@ -223,11 +223,16 @@ def make_handler(spark):
             accumulating CacheManager entries across /query requests
             (operators like the LSH/prefix/cosine dedup families persist
             intermediates per call). Called only at QUIESCENCE (the last
-            in-flight request's finally): unpersisting a sibling's plain
-            cache would merely recompute, but a sibling's
-            locally-CHECKPOINTED result (lineage truncated) cannot be
-            recomputed — releasing it mid-flight would fail a valid
-            query, so the release waits until no request is running."""
+            in-flight request's finally) and only while HOLDING
+            ``_cache_lock``: unpersisting a sibling's plain cache would
+            merely recompute, but a sibling's locally-CHECKPOINTED
+            result (lineage truncated) cannot be recomputed — releasing
+            it mid-flight would fail a valid query. Holding the lock for
+            the enumerate+unpersist closes the arrival race too: a
+            request that starts during the release blocks in
+            ``_enter_request`` (its increment takes the same lock before
+            any cache can be created), so its new RDD ids can never be
+            swept by a stale ``before`` snapshot."""
             try:
                 m = spark.sparkContext._jsc.getPersistentRDDs()
                 for k in m.keySet().toArray():
@@ -236,20 +241,42 @@ def make_handler(spark):
             except Exception:
                 pass
 
+        @classmethod
+        def _enter_request(cls) -> None:
+            """Count EVERY cache-capable handler (/query AND /sql) in
+            the quiescence accounting — the FIRST request of a busy
+            period snapshots the cache ids."""
+            with cls._cache_lock:
+                cls._inflight += 1
+                if cls._inflight == 1:
+                    cls._quiescent_before = cls._persistent_ids()
+
+        @classmethod
+        def _exit_request(cls) -> None:
+            """The LAST request to finish releases everything created
+            since the busy period began — under the lock, so no
+            concurrent arrival can interleave (see _release_new_caches)."""
+            with cls._cache_lock:
+                cls._inflight -= 1
+                if cls._inflight == 0 and cls._quiescent_before is not None:
+                    before = cls._quiescent_before
+                    cls._quiescent_before = None
+                    cls._release_new_caches(before)
+
         def do_POST(self):  # noqa: N802
-            if self.path.rstrip("/") == "/sql":
-                self._handle_sql()
-                return
-            if self.path.rstrip("/") not in ("", "/query".rstrip("/"), "/query"):
+            if self.path.rstrip("/") not in ("", "/query", "/sql"):
                 self._send(404, {"error": f"no such endpoint: {self.path}"})
                 return
-            # quiescence tracking: the FIRST request of a busy period
-            # snapshots the cache ids; the LAST one to finish releases
-            # everything created since (see _release_new_caches)
-            with Handler._cache_lock:
-                Handler._inflight += 1
-                if Handler._inflight == 1:
-                    Handler._quiescent_before = self._persistent_ids()
+            Handler._enter_request()
+            try:
+                if self.path.rstrip("/") == "/sql":
+                    self._handle_sql()
+                    return
+                self._handle_query()
+            finally:
+                Handler._exit_request()
+
+        def _handle_query(self) -> None:
             try:
                 import time
 
@@ -270,7 +297,7 @@ def make_handler(spark):
 
                     df = run_plan(spark, {k: v for k, v in q.items()
                                           if k != "format"},
-                                  allow_stream_drain=False)
+                                  allow_stream_drain=False, plan_only=True)
                     plan = df._jdf.queryExecution().executedPlan().toString()
                     self._send(200, {"explain": plan})
                     return
@@ -304,15 +331,6 @@ def make_handler(spark):
                 self._send(200, {"data": data, "meta": meta})
             except Exception as e:  # jx errors → 400, like the reference
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
-            finally:
-                with Handler._cache_lock:
-                    Handler._inflight -= 1
-                    release = (Handler._quiescent_before
-                               if Handler._inflight == 0 else None)
-                    if release is not None:
-                        Handler._quiescent_before = None
-                if release is not None:
-                    self._release_new_caches(release)
 
         def _handle_sql(self) -> None:
             """``POST /sql`` ``{"sql": "...", "limit"?: n}`` — the

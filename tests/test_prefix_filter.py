@@ -255,3 +255,18 @@ def test_jx_pair_bound_knob_result_invariant(spark, sf_dir):
 
     pos, agg = run("positional"), run("aggregate")
     assert pos == agg and len(pos) > 0
+
+
+def test_pair_bound_typo_fails_loud(spark, sf_dir):
+    """pair_bound is validated (r7 ADVICE #4): a typo must raise, not
+    silently run the other (also-exact) filter and corrupt
+    blocking-audit comparisons."""
+    import pytest
+
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="pair_bound"):
+        DD.prefix_filter_pairs(d, "doc_id", "text", threshold=0.5,
+                               pair_bound="agregate").collect()

@@ -905,3 +905,82 @@ def test_explain_on_streaming_view_executes_nothing(spark, sf_dir,
     finally:
         server.shutdown()
         spark.catalog.dropTempView("events_stream_explain")
+
+
+def test_explain_on_prefix_op_is_plan_only(endpoint, spark):
+    """format=explain on an eagerly-materializing extension op must
+    return the REAL (lazy) plan without executing the pairwise join:
+    before the plan_only fix, _materialize_release ran the full join at
+    DataFrame-construction time and the reported plan degraded to an
+    opaque localCheckpoint scan (r7 ADVICE #2)."""
+    def n_cached():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return len({int(k) for k in m.keySet().toArray()})
+
+    before = n_cached()
+    out = _post(endpoint + "/query", {
+        "from": {"op": "prefix_filter_pairs", "table": "documents",
+                 "threshold": 0.5},
+        "format": "explain"})
+    plan = out["explain"]
+    # the checkpoint scan shows up as "Scan ExistingRDD"; the real plan
+    # shows the join/aggregate pipeline instead
+    assert "ExistingRDD" not in plan
+    assert "Join" in plan or "HashAggregate" in plan
+    # plan-only probes must not leave persist marks behind
+    import time
+    for _ in range(50):
+        if n_cached() <= before:
+            break
+        time.sleep(0.1)
+    assert n_cached() <= before
+
+
+def test_concurrent_same_cache_op_soak(endpoint, spark):
+    """Concurrency soak for the quiescent cache release (r7 ADVICE #1 +
+    VERDICT r7 #6): several requests hit the SAME cache-creating op
+    while /sql requests interleave. The release must (a) never
+    invalidate a sibling's in-flight scan — every response correct —
+    and (b) still drain all request-created caches once the burst ends.
+    /sql now participates in the in-flight accounting, so a /query
+    finishing mid-/sql cannot sweep caches the /sql created."""
+    def n_cached():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return len({int(k) for k in m.keySet().toArray()})
+
+    before = n_cached()
+    results, errors = [], []
+
+    def go_query():
+        try:
+            results.append(("q", _post(endpoint + "/query", {
+                "from": {"op": "prefix_filter_pairs", "table": "documents",
+                         "threshold": 0.5},
+                "select": [{"name": "n", "aggregate": "count"}],
+                "format": "list"})))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def go_sql():
+        try:
+            results.append(("s", _post(endpoint + "/sql", {
+                "sql": "SELECT COUNT(*) AS n FROM region"})))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = ([threading.Thread(target=go_query) for _ in range(3)]
+               + [threading.Thread(target=go_sql) for _ in range(2)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    counts = {r[1]["data"][0]["n"] for r in results if r[0] == "q"}
+    assert len(counts) == 1  # all three prefix runs agree
+    assert all(r[1]["data"][0]["n"] == 5 for r in results if r[0] == "s")
+    import time
+    for _ in range(100):
+        if n_cached() <= before:
+            break
+        time.sleep(0.1)
+    assert n_cached() <= before
