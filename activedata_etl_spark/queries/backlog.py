@@ -53,25 +53,56 @@ def driver_checked(repo_root: str = _REPO) -> set[str]:
     return set(last_checked(repo_root))
 
 
-def backlog(repo_root: str = _REPO) -> list[str]:
+def _names(names: list[str] | None) -> list[str]:
+    if names is not None:
+        return list(names)
+    from . import QUERIES
+
+    return list(QUERIES)
+
+
+def backlog(repo_root: str = _REPO,
+            names: list[str] | None = None) -> list[str]:
     """Registered queries with no driver history, in registry order."""
-    from . import QUERIES
-
     seen = driver_checked(repo_root)
-    return [n for n in QUERIES if n not in seen]
+    return [n for n in _names(names) if n not in seen]
 
 
-def rotation_order(repo_root: str = _REPO) -> list[str]:
-    """The standing-policy prefix order once every query has history:
-    never-checked first (registry order — new queries register at the
-    front via _FRONT), then ascending last-checked round (stalest
-    evidence first), ties broken by registry order."""
-    from . import QUERIES
-
+def rotation_order(repo_root: str = _REPO,
+                   names: list[str] | None = None) -> list[str]:
+    """The standing-policy prefix order: never-checked first (registry
+    order), then ascending last-checked round (stalest evidence first),
+    ties broken by registry order."""
     lc = last_checked(repo_root)
-    names = list(QUERIES)
-    pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (lc.get(n, -1), pos[n]))
+    ns = _names(names)
+    pos = {n: i for i, n in enumerate(ns)}
+    return sorted(ns, key=lambda n: (lc.get(n, -1), pos[n]))
+
+
+def prefix(new_this_round: list[str], size: int = 50,
+           repo_root: str = _REPO,
+           names: list[str] | None = None) -> list[str]:
+    """THE driver-prefix policy (VERDICT r7 #4), computed from the
+    CORRECTNESS artifacts each time the package imports — rotation can
+    no longer drift from this module:
+
+    1. queries NEW this round lead (new code carries the most risk);
+    2. then the rest of :func:`rotation_order` — never-driver-checked
+       first, back-filled with the least-recently-checked so evidence
+       stays fresh.
+
+    The result is stable-by-construction across the round boundary: the
+    moment the driver writes CORRECTNESS_r{N}.json, the next import
+    recomputes a prefix consistent with the new evidence, so the test
+    asserting ``list(QUERIES)[:50] == prefix(...)`` never goes stale
+    (the r7 board's one red was a prefix test falsified by the driver's
+    own artifact)."""
+    ns = _names(names)
+    known = set(ns)
+    new = [n for n in new_this_round if n in known]
+    seen = set(new)
+    rest = [n for n in rotation_order(repo_root, ns) if n not in seen]
+    return (new + rest)[:size]
 
 
 if __name__ == "__main__":
