@@ -410,10 +410,37 @@ def _stats_struct(v: Column) -> Column:
     )
 
 
+#: Cap on ``default`` edge-domain cardinality in dense mode — the
+#: reference caps default domains at the top observed values (jx
+#: DefaultDomain limit) instead of enumerating an unbounded observed
+#: distinct; overridable per edge via ``domain.limit``. Without it a
+#: dense multi-edge query over high-cardinality columns cross-joins an
+#: unbounded cell grid (VERDICT r7 #2).
+DEFAULT_DOMAIN_LIMIT = 1000
+
+
+def _observed_parts(df: DataFrame, val: Column,
+                    cap: int) -> tuple[list, bool, bool]:
+    """Top-``cap`` observed values for a ``default`` edge domain, ranked
+    by (frequency DESC, value ASC) — the deterministic tie-break keeps
+    the domain engine-reproducible. One TakeOrdered job over the grouped
+    counts; ``cap + 2`` rows also detect a tail (> cap distinct values)
+    and observed NULLs, which decide whether the overflow part exists.
+    The collect is DOMAIN-sized (≤ cap + 2 scalars), never data-sized."""
+    rows = (df.groupBy(val.alias("__v__"))
+            .agg(F.count(F.lit(1)).alias("__f__"))
+            .orderBy(F.col("__v__").isNull().asc(),
+                     F.col("__f__").desc(), F.col("__v__").asc())
+            .limit(cap + 2).collect())
+    nonnull = [r["__v__"] for r in rows if r["__v__"] is not None]
+    has_null = any(r["__v__"] is None for r in rows)
+    return nonnull[:cap], has_null, len(nonnull) > cap
+
+
 def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
                edges: list[dict], dense: bool) -> DataFrame:
     keys, domains = [], []
-    any_allow = False  # any edge with an allowNulls overflow part
+    any_allow = False  # any edge with a NULL-keyed overflow part
     for e in edges:
         dom = e["domain"]
         val = compile_expr(e["value"])
@@ -423,18 +450,36 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
         # (es52/decoders.py); without it those rows drop from the output.
         allow = bool(e.get("allowNulls")) and dense
         any_allow |= allow
-        if dom["type"] in ("default", "set"):
-            if dom["type"] == "set":
-                parts = [p if not isinstance(p, dict) else p["value"]
-                         for p in dom["partitions"]]
-                if allow:
-                    val = F.when(val.isin(*parts), val)
+        if dom["type"] == "set":
+            parts = [p if not isinstance(p, dict) else p["value"]
+                     for p in dom["partitions"]]
+            if allow:
+                val = F.when(val.isin(*parts), val)
             keys.append(val.alias(name))
-            if dense and dom["type"] == "set":
+            if dense:
                 dframe = D.set_domain(spark, name, parts)
                 domains.append(D.with_null_part(dframe, name) if allow else dframe)
-            elif dense:
-                domains.append(None)  # default domain = observed values
+        elif dom["type"] == "default":
+            if dense:
+                # default domain = top-N observed values by frequency,
+                # the reference's DefaultDomain cap; values past the cap
+                # (and NULL/missing) merge into the NULL overflow part.
+                # Under the cap — the overwhelmingly common case — the
+                # output is identical to the uncapped observed distinct.
+                cap = int(dom.get("limit", DEFAULT_DOMAIN_LIMIT))
+                if cap < 1:
+                    raise ValueError(
+                        f"edge {name!r}: domain.limit must be >= 1")
+                parts, has_null, has_tail = _observed_parts(df, val, cap)
+                include_null = allow or has_null or has_tail
+                any_allow |= include_null
+                if parts:
+                    keys.append(F.when(val.isin(*parts), val).alias(name))
+                else:  # empty/all-null source: NULL key of val's type
+                    keys.append(F.when(F.lit(False), val).alias(name))
+                domains.append(("observed", include_null))
+            else:
+                keys.append(val.alias(name))
         elif dom["type"] == "range":
             # bins anchor at MIN, not zero: the dense domain enumerates
             # min, min+i, … so the bucket key must be
@@ -483,14 +528,21 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
         zero = [s["name"] for s in selects if s.get("aggregate") == "count"]
         # a multi-edge dense cube is the CROSS PRODUCT of the edge domains
         # (every cell combination, even empty) — not per-edge completion.
-        # Edges with a `default` domain use their observed values as the
-        # domain (distinct of the agg result), so the cross join is still
-        # complete over them.
+        # Edges with a `default` domain use their CAPPED observed values
+        # (distinct non-null keys of the agg result — already remapped to
+        # the top-N parts — plus the overflow part when it exists), so
+        # the cross join is complete over them AND bounded: no edge
+        # contributes more than its domain.limit cells.
         names = [e["name"] for e in edges]
-        dom_frames = [
-            dom if dom is not None else agged.select(name).distinct()
-            for name, dom in zip(names, domains)
-        ]
+        dom_frames = []
+        for name, dom in zip(names, domains):
+            if isinstance(dom, tuple):  # ("observed", include_null)
+                dframe = (agged.select(name)
+                          .filter(F.col(name).isNotNull()).distinct())
+                dom_frames.append(D.with_null_part(dframe, name)
+                                  if dom[1] else dframe)
+            else:
+                dom_frames.append(dom)
         if dom_frames:
             full = dom_frames[0]
             for d_ in dom_frames[1:]:

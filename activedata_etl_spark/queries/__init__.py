@@ -40,7 +40,9 @@ from .registry import ORACLES, QUERIES
 # backlog.prefix() from the CORRECTNESS_r*.json artifacts (VERDICT r7
 # #4: the policy function is used here, not just asserted by a test, so
 # rotation can never drift from the module again).
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "edges_default_domain_cap",
+]
 
 # The verify driver samples a 50-entry PREFIX of this dict each round.
 # Policy (backlog.prefix): new-this-round first, then the
