@@ -92,6 +92,70 @@ def exact_percentile_over(col, w_frame: WindowSpec, p: float,
         lo_v * (1 - frac) + hi_v * frac)
 
 
+def qhist_bounds_over(df, value, w_frame: WindowSpec,
+                      ps: dict[str, tuple[int, int]]):
+    """Windowed quantile BOUNDS from log-histogram registers — the
+    bounded-state companion to :func:`exact_percentile_over` (VERDICT r7
+    #5). The exact form collects the frame into a per-row array: O(frame)
+    memory per row, guarded by ``max_frame_rows`` because a large frame
+    melts an executor. THIS form carries ≤64 bucket counters per row
+    regardless of frame size — 64 conditional window SUMs over the same
+    frame (one Window operator) — then selects the first bucket whose
+    cumulative count reaches rank ceil(p·N), exactly like
+    ``functions/qhist.qhist_quantile_bounds`` but per frame instead of
+    per group.
+
+    Correctness: bucketing is monotone in the BIGINT-truncated value, so
+    the register-selected bucket IS the bucket of the exact rank-th
+    order statistic — the [lo, hi] factor-2 envelope provably contains
+    it (lo NULL for bucket 0, which admits every v ≤ 0; see the qhist
+    module contract). ``ps`` maps output prefix → (num, den) rational
+    quantiles, rank arithmetic all-BIGINT like the grouped form.
+
+    Returns ``df`` with ``n_frame`` plus ``{name}_bucket/lo/hi`` per
+    entry; a frame with zero non-null values yields NULL bounds."""
+    from ..functions.qhist import _bucket
+
+    v = F.col(value) if isinstance(value, str) else value
+    b = _bucket(v)
+    counts = [F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0)))
+              .over(w_frame).cast("bigint") for i in range(64)]
+    out = (df.withColumn("__qn__", F.count(v).over(w_frame).cast("bigint"))
+           .withColumn("__qc__", F.array(*counts)))
+    zero = F.struct(F.lit(0).cast("bigint").alias("cum"),
+                    F.lit(-1).cast("int").alias("b"),
+                    F.lit(0).cast("int").alias("i"))
+    def _fold(rank):
+        # rank-selection scan over the 64 counters: first index whose
+        # cumulative count reaches the target rank (pyspark HOF lambdas
+        # must be strictly binary, hence the closure)
+        return lambda a, c: F.struct(
+            (a.cum + c).alias("cum"),
+            F.when((a.b == -1) & (a.cum + c >= rank), a.i)
+            .otherwise(a.b).alias("b"),
+            (a.i + 1).alias("i"))
+
+    for name, (num, den) in ps.items():
+        rank = F.expr(f"CAST((__qn__ * {int(num)} + {int(den) - 1}) "
+                      f"DIV {int(den)} AS BIGINT)")
+        acc = F.aggregate(F.col("__qc__"), zero, _fold(rank))
+        bucket = F.when(F.col("__qn__") > 0, acc.b).cast("int")
+        out = out.withColumn(f"{name}_bucket", bucket)
+        bc = F.col(f"{name}_bucket")
+        out = (out.withColumn(
+            f"{name}_lo",
+            F.when(bc.isNull() | (bc <= 0), F.lit(None)).otherwise(
+                F.expr(f"shiftleft(1L, {name}_bucket - 1)"))
+            .cast("bigint"))
+            .withColumn(
+            f"{name}_hi",
+            F.when(bc.isNull(), F.lit(None))
+            .when(bc <= 0, F.lit(0)).otherwise(
+                F.expr(f"shiftleft(1L, {name}_bucket) - 1L"))
+            .cast("bigint")))
+    return (out.withColumnRenamed("__qn__", "n_frame").drop("__qc__"))
+
+
 def filtered(agg_fn, value, cond: Column, w: WindowSpec) -> Column:
     """jx window ``where``: rows failing the predicate contribute nothing."""
     v = F.col(value) if isinstance(value, str) else value

@@ -42,6 +42,7 @@ from .registry import ORACLES, QUERIES
 # rotation can never drift from the module again).
 _NEW_THIS_ROUND: list[str] = [
     "edges_default_domain_cap",
+    "window_qhist_percentile_bounds",
 ]
 
 # The verify driver samples a 50-entry PREFIX of this dict each round.

@@ -214,3 +214,80 @@ def window_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w).cast("double").alias("finished_spend"),
         F.count(F.when(cond, F.lit(1))).over(w).alias("finished_n"),
     )
+
+
+_QH_LADDER = " ".join(
+    f"WHEN vt < {1 << i} THEN {i}" for i in range(1, 63))
+
+
+@query(
+    "window_qhist_percentile_bounds",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+               AS arr
+      FROM events
+    ), r AS (
+      SELECT event_id, user_id, CAST(len(arr) AS BIGINT) AS n_frame,
+             list_sort(arr)[CAST((len(arr) * 19 + 19) // 20 AS BIGINT)]
+               AS v95
+      FROM w
+    ), b AS (
+      SELECT event_id, user_id, n_frame,
+             CAST(TRUNC(v95) AS BIGINT) AS vt
+      FROM r
+    ), k AS (
+      SELECT event_id, user_id, n_frame, vt,
+             CASE WHEN vt <= 0 THEN 0 {_QH_LADDER} ELSE 63 END AS bucket
+      FROM b
+    )
+    SELECT event_id, user_id, n_frame,
+           CAST(bucket AS INT) AS p95_bucket,
+           CASE WHEN bucket <= 0 THEN NULL
+                ELSE CAST(1::BIGINT << (bucket - 1) AS BIGINT) END
+             AS p95_lo,
+           CASE WHEN bucket <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((1::BIGINT << bucket) - 1 AS BIGINT) END
+             AS p95_hi,
+           (CASE WHEN bucket <= 0 THEN TRUE
+                 ELSE vt >= (1::BIGINT << (bucket - 1)) END)
+             AND vt <= (CASE WHEN bucket <= 0 THEN 0
+                             ELSE (1::BIGINT << bucket) - 1 END)
+             AS in_bounds
+    FROM k
+    """,
+)
+def window_qhist_percentile_bounds(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Windowed p95 BOUNDS from log-histogram registers
+    (operators/windows.qhist_bounds_over, VERDICT r7 #5): the
+    bounded-state alternative to the exact collect-the-frame percentile
+    — ≤64 bucket counters per row regardless of frame size, so a
+    trailing percentile over a million-row frame carries kilobytes of
+    state instead of a million-element array per row (the exact path
+    keeps its max_frame_rows guard for exactly that reason). Trailing
+    50-event frame per user; rank arithmetic is all-BIGINT
+    (ceil(0.95·N) = (N·19 + 19) DIV 20).
+
+    The oracle is the EXACT-RANK AUDIT: DuckDB computes the true
+    rank-selected order statistic per frame (sorted frame array) and
+    buckets it — bucketing is monotone in the truncated value, so the
+    register-selected bucket must equal the exact statistic's bucket,
+    and the in_bounds flag (exact value within [lo, hi], lo NULL for
+    the ≤0 bucket) must be uniformly true. A hash match therefore
+    PROVES the envelope claim on every frame in the corpus, not just
+    on sampled rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-49, 0))
+    out = W.qhist_bounds_over(e, "value", w, {"p95": (19, 20)})
+    rank = F.expr("CAST((n_frame * 19 + 19) DIV 20 AS BIGINT)")
+    exact = F.element_at(
+        F.array_sort(F.collect_list("value").over(w)), rank.cast("int"))
+    vt = exact.cast("bigint")
+    return out.select(
+        "event_id", "user_id", "n_frame", "p95_bucket", "p95_lo", "p95_hi",
+        ((F.col("p95_lo").isNull() | (vt >= F.col("p95_lo")))
+         & (vt <= F.col("p95_hi"))).alias("in_bounds"))
