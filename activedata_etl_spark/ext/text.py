@@ -273,9 +273,17 @@ def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
     """
     from pyspark.sql import functions as F
 
+    # PERSIST the weighted vocabulary and each round's 1-row winner:
+    # round r's `top` subtree is consumed twice (the output row and the
+    # state rewrite), and it transitively contains every earlier round —
+    # without the persists the corpus scan re-executes ~2^n_merges times
+    # inside one plan (invisible at sf0.1, 26× wall at the sf1 rig).
+    # Both persists are LAZY (plan-only probes stay plan-only); the
+    # service's request-scoped release drains them after the response.
     words = (df.select(F.explode(tokens(text_col)).alias("w"))
              .filter(~F.col("w").contains(sep) & (F.length("w") > 0))
-             .groupBy("w").agg(F.count(F.lit(1)).alias("wf")))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+             .persist())
     state = words.select(
         F.concat_ws(sep, F.split(F.col("w"), "")).alias("seq"), "wf")
     out = None
@@ -292,7 +300,7 @@ def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
                    .groupBy("p.lhs", "p.rhs")
                    .agg(F.sum("wf").cast("bigint").alias("n")))
         top = (counted.orderBy(F.col("n").desc(), "lhs", "rhs").limit(1)
-               .select("lhs", "rhs", "n"))
+               .select("lhs", "rhs", "n").persist())
         row = top.select(F.lit(rank).alias("merge_rank"), "lhs", "rhs",
                          F.concat("lhs", "rhs").alias("merged"), "n")
         out = row if out is None else out.unionByName(row)

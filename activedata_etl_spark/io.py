@@ -156,6 +156,45 @@ def describe_columns(df: DataFrame) -> DataFrame:
     return stats.select(F.explode(rows).alias("c")).select("c.*")
 
 
+def describe_columns_refresh(df: DataFrame,
+                             columns: list[str] | None = None) -> DataFrame:
+    """Scheduled-maintenance companion to :func:`describe_columns`
+    (VERDICT r7 #8): per-column NDV from portable md5-HLL registers
+    (functions/hll.py) in ONE scan for ALL columns — stack the values
+    long (column, value), hash once, map-side-reduce to ≤256 register
+    rows per column — plus exact row/null counts from the same stacked
+    pass.
+
+    The exact countDistinct catalog is the small-table path; at 100 TB a
+    per-column exact pass is a full distinct shuffle per refresh, while
+    register state is tiny, mergeable across shards/days
+    (hll.append_registers / hll_merge), and auditable — tomorrow's
+    refresh scans only tomorrow's data. Values hash through CAST AS
+    STRING, engine-reproducible for integer/string columns (normalize
+    floats/timestamps explicitly before refreshing them). ``raw_est`` is
+    the raw-regime estimate; callers apply linear counting below 2.5·m
+    client-side, same contract as hll.hll_estimate (ln() stays out of
+    hashable outputs).
+
+    Output: (column, n_rows, n_nulls, exact_ndv, n_buckets, n_zero,
+    harmonic_scaled, raw_est)."""
+    from .functions import hll
+
+    cols = columns or [n for n, _ in df.dtypes]
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(F.lit(n).alias("column"),
+                 F.col(n).cast("string").alias("v"))
+        for n in cols])).alias("c")).select("c.*")
+    regs = hll.hll_registers(
+        stacked.filter(F.col("v").isNotNull()), ["column"], "v")
+    est = hll.hll_estimate(regs, ["column"])
+    counts = stacked.groupBy("column").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_nulls"),
+        F.countDistinct("v").cast("bigint").alias("exact_ndv"))
+    return counts.join(est, "column")
+
+
 # View name → where its data lives, so the jx front-end can re-resolve a
 # `from` clause through the manifest-aware load path when the query's
 # `where` carries range bounds (plans/query._from). ("table", sf_dir,

@@ -43,6 +43,7 @@ from .registry import ORACLES, QUERIES
 _NEW_THIS_ROUND: list[str] = [
     "edges_default_domain_cap",
     "window_qhist_percentile_bounds",
+    "meta_columns_refresh",
 ]
 
 # The verify driver samples a 50-entry PREFIX of this dict each round.

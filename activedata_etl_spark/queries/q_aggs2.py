@@ -194,3 +194,87 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.size(TX.tokens("text")).alias("w"))
     return A.weighted_percentiles(weighted, ["lang"], "n_chars", "w",
                                   {"wmed_chars": 0.5, "wp90_chars": 0.9})
+
+
+@query(
+    "meta_columns_refresh",
+    oracle="""
+    WITH stacked AS (
+      SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ), h AS (
+      SELECT col, md5(v) AS hx FROM stacked WHERE v IS NOT NULL
+    ), r AS (
+      SELECT col,
+             (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1
+               AS bucket,
+             list_reduce(list_transform(range(3, 18),
+               i -> CAST(strpos('0123456789abcdef', substring(hx, i, 1)) - 1
+                         AS BIGINT)),
+               (a, b) -> a * 16 + b) AS x
+      FROM h
+    ), regs AS (
+      SELECT col, bucket,
+             MAX(CASE WHEN x = 0 THEN 61 ELSE 61 - length(bin(x)) END)
+               AS max_rho
+      FROM r GROUP BY 1, 2
+    ), hs AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho))
+                      AS DECIMAL(38,0))) AS present_sum
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT col, n_buckets,
+             present_sum + (256 - n_buckets)
+               * CAST((CAST(1 AS BIGINT) << 61) AS DECIMAL(38,0))
+               AS harmonic
+      FROM hs
+    ), cnt AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_ndv
+      FROM stacked GROUP BY 1
+    )
+    SELECT cnt.col AS "column", n_rows, n_nulls, exact_ndv, n_buckets,
+           CAST(256 - n_buckets AS BIGINT) AS n_zero,
+           CAST(harmonic AS VARCHAR) AS harmonic_scaled,
+           1.0854228543761655e+23 / CAST(CAST(harmonic AS VARCHAR) AS DOUBLE)
+             AS raw_est,
+           CASE WHEN 1.0854228543761655e+23
+                     / CAST(CAST(harmonic AS VARCHAR) AS DOUBLE) > 640.0
+                THEN abs(1.0854228543761655e+23
+                         / CAST(CAST(harmonic AS VARCHAR) AS DOUBLE)
+                         - exact_ndv) / exact_ndv < 0.15
+                ELSE NULL END AS within_tolerance
+    FROM cnt JOIN est ON cnt.col = est.col
+    """,
+)
+def meta_columns_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog cardinality REFRESH (io.describe_columns_refresh, VERDICT
+    r7 #8): per-column NDV via the portable md5-HLL registers in one
+    stacked scan — the scheduled-maintenance path where the exact
+    countDistinct catalog would re-shuffle the whole table per refresh.
+    Audit columns ride along: exact NDV from the same stacked pass and a
+    tolerance flag (raw regime only, est > 2.5·m = 640 — below that the
+    raw HLL estimate needs the linear-counting correction, whose ln() is
+    deliberately excluded from hashed outputs; flag NULL there, same
+    contract as agg_hll_estimate). Integer/string columns only: their
+    CAST-to-string is engine-identical, which is what makes every
+    register and estimate bit-reproducible by the oracle."""
+    from ..io import describe_columns_refresh
+
+    o = load_table(spark, sf_dir, "orders")
+    out = describe_columns_refresh(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+    return out.withColumn(
+        "within_tolerance",
+        F.when(F.col("raw_est") > 640.0,
+               F.abs(F.col("raw_est") - F.col("exact_ndv"))
+               / F.col("exact_ndv") < 0.15))

@@ -663,3 +663,25 @@ def test_winnowing_guarantee_and_density(spark):
     for d_, n_sel in per_doc.items():
         assert n_sel < n_tokens[d_] - 3  # fewer than all k-grams
     assert len({(r["id"], r["fpos"]) for r in fp}) == len(fp)
+
+
+def test_pagerank_production_sum_matches_fold(spark, sf_dir):
+    """pagerank(deterministic=False) uses the plain shuffle SUM — same
+    ranks as the oracle-parity fold within float-addition noise."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import graph as G
+    from activedata_etl_spark.io import load_table
+
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id", "event_type",
+                 F.date_trunc("hour", "ts").alias("h")).distinct())
+    edges = G.cooccurrence_edges(e, "user_id", ["event_type", "h"],
+                                 min_common=3).select("a", "b")
+    det = {r["node"]: r["r"]
+           for r in G.pagerank(edges, n_iter=2).collect()}
+    fast = {r["node"]: r["r"]
+            for r in G.pagerank(edges, n_iter=2,
+                                deterministic=False).collect()}
+    assert det.keys() == fast.keys()
+    assert all(abs(det[k] - fast[k]) < 1e-9 for k in det)

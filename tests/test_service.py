@@ -984,3 +984,28 @@ def test_concurrent_same_cache_op_soak(endpoint, spark):
             break
         time.sleep(0.1)
     assert n_cached() <= before
+
+
+def test_cube_over_extension_op_through_service(endpoint, spark, sf_dir):
+    """format=cube composed over an extension-op `from` clause (VERDICT
+    r7 #8 composition parity): the dense-edge completion and the cube
+    formatter must work on an operator-produced frame exactly as on a
+    table — cell-for-cell equal to the batch-computed equivalent."""
+    q = {
+        "from": {"op": "prefix_filter_pairs", "table": "documents",
+                 "threshold": 0.5},
+        "edges": [{"name": "jband", "value": "jaccard",
+                   "domain": {"type": "range", "min": 0.5, "max": 1.1,
+                              "interval": 0.1}}],
+        "select": [{"name": "n", "aggregate": "count"}],
+    }
+    out = _post(endpoint + "/query", {**q, "format": "cube"})
+    cube = out["data"]
+    parts = cube["edges"][0]["domain"]["partitions"]
+    cells = dict(zip(parts, cube["data"]["n"]))
+    # batch equivalent straight through the plan layer
+    from activedata_etl_spark.plans.query import run as run_plan
+    rows = run_plan(spark, q).collect()
+    expected = {r["jband"]: r["n"] for r in rows}
+    assert cells == expected
+    assert sum(v for v in cells.values() if v) > 0  # real pairs counted
