@@ -109,10 +109,20 @@ def edges_predicate_parts(df: DataFrame, spark: SparkSession, col: str,
 
 
 def range_domain(spark: SparkSession, col: str, lo: float, hi: float, interval: float) -> DataFrame:
-    """Numeric bins [lo, hi) of width ``interval`` ({"type":"range"})."""
-    return spark.range(1).select(
-        F.explode(F.sequence(F.lit(lo), F.lit(hi - interval), F.lit(interval))).alias(col)
-    )
+    """Numeric bins [lo, hi) of width ``interval`` ({"type":"range"}).
+
+    Generated as INTEGER steps scaled by the interval — Spark's
+    ``sequence()`` is integral/temporal-only, so a fractional interval
+    (jaccard bands, score deciles) would fail analysis. The value
+    expression ``i·interval + lo`` is the same multiply-then-add shape
+    the bucket key uses (``floor((v−lo)/interval)·interval + lo``), so
+    domain values and bucket keys agree bit-for-bit in IEEE — the
+    completion join cannot miss a cell to float drift."""
+    import math
+
+    n = max(0, int(math.ceil((hi - lo) / interval - 1e-9)))
+    return spark.range(n).select(
+        (F.col("id") * F.lit(interval) + F.lit(lo)).alias(col))
 
 
 def time_domain_from_bounds(bounds: DataFrame, col: str, unit_interval: str) -> DataFrame:

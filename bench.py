@@ -133,6 +133,14 @@ HEADLINE = [
     "text_bm25_delta_topk",
     "dedup_chunk_delta_stats",
     "agg_qhist_quantile_audit",
+    # r8 additions: the capped default edge domain (adds the one-job
+    # frequency probe to the dense path — worth watching), the
+    # bounded-state windowed percentile (64 conditional sums in one
+    # Window operator — the register-vs-collect_list cost tradeoff made
+    # visible), and the stacked-scan HLL catalog refresh.
+    "edges_default_domain_cap",
+    "window_qhist_percentile_bounds",
+    "meta_columns_refresh",
     # The r6-continuation prefix-filter family (dedup_prefix_filter_pairs
     # / decon_prefix_filter_overlap) is deliberately NOT headline, same
     # rationale as sim_knn_graph: it's a BATCH release-gate operator
