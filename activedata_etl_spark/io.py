@@ -207,6 +207,23 @@ def view_source(name: str) -> tuple | None:
     return _VIEW_SOURCES.get(name)
 
 
+# Attached-index NAME → base directory, recorded by
+# service.attach_indexes (and available to library callers). Extension
+# ops that need a persisted index's FILES (the stable-order prefix
+# index reads positioned rows + the frozen order, not a single view)
+# resolve through this registry — the jx surface never accepts raw
+# filesystem paths, only names an operator explicitly attached.
+_INDEX_PATHS: dict[str, str] = {}
+
+
+def register_index_path(name: str, path: str) -> None:
+    _INDEX_PATHS[name] = path
+
+
+def index_path(name: str) -> str | None:
+    return _INDEX_PATHS.get(name)
+
+
 def scan_view(spark: SparkSession, name: str,
               bounds: dict[str, tuple] | None = None) -> DataFrame | None:
     """Re-resolve a registered view through the manifest-aware load path

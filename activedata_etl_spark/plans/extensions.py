@@ -485,3 +485,34 @@ def _prefix_filter_join(spark, df, spec) -> DataFrame:
         threshold=float(spec.get("threshold", 0.5)),
         shingle_n=int(sn) if sn is not None else None,
     )
+
+
+@_op("prefix_stable_delta")
+def _prefix_stable_delta(spark, df, spec) -> DataFrame:
+    """Nightly delta query against a persisted STABLE-ORDER prefix index
+    (ext/dedup.prefix_join_stable_delta): the element order was FROZEN
+    at index build, stored batches are positioned on parquet, and only
+    the delta (``table``) is tokenized — exact Jaccard >= threshold
+    pairs touching a delta row, recall 1.0 under a stale order by the
+    prefix lemma. ``index`` names an ATTACHED index base directory
+    (service.attach_indexes / io.register_index_path) containing the
+    ``idx`` (positioned rows) and ``order`` (frozen element order)
+    subdirectories — the jx surface resolves indexes by NAME only,
+    never raw filesystem paths. Output: (id_a, id_b, jaccard)."""
+    import os
+
+    from ..ext import dedup as DD
+    from ..io import index_path
+
+    name = spec.get("index")
+    base = index_path(name) if isinstance(name, str) else None
+    if base is None:
+        raise ValueError(
+            "prefix_stable_delta needs 'index' naming an attached "
+            "stable-order index (serve(..., indexes={name: base_dir}) "
+            "or io.register_index_path)")
+    return DD.prefix_join_stable_delta(
+        spark, os.path.join(base, "idx"), os.path.join(base, "order"),
+        df,
+        spec.get("id", "doc_id"), spec.get("text", "text"),
+        threshold=float(spec.get("threshold", 0.5)))

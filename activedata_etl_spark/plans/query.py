@@ -137,6 +137,14 @@ def run(spark: SparkSession, q: dict[str, Any],
                         produced.add(s["value"])
             df = df.select(*_nest_named(df, selects),
                            *[F.col(n) for n in wnames if n not in produced])
+    if "_cursor_where" in q:
+        # keyset-cursor predicate (service-internal, see plans/cursor.py
+        # — validate rejects it from clients as an unknown clause):
+        # applied AFTER the projection so it resolves OUTPUT sort keys
+        # (select aliases included), before sort/limit. Catalyst pushes
+        # the filter through the Project to the scan, which is the whole
+        # point of keyset paging.
+        df = df.filter(compile_expr(q["_cursor_where"]))
     if df.isStreaming and allow_stream_drain \
             and ({"sort", "skip", "limit"} & q.keys()):
         # Structured Streaming rejects sort/limit outside complete-mode

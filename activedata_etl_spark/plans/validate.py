@@ -16,7 +16,7 @@ from typing import Any
 
 _CLAUSES = {
     "from", "select", "where", "edges", "groupby", "window", "sort",
-    "limit", "skip", "format", "meta", "name",
+    "limit", "skip", "format", "meta", "name", "cursor",
 }
 _FORMATS = {"list", "table", "cube", "explain", "stream", "arrow",
             "arrow-stream"}
@@ -99,6 +99,25 @@ def validate(q: Any) -> list[dict]:
     if "limit" in q and (not isinstance(q["limit"], int) or q["limit"] < 0):
         errs.append({"path": "limit",
                      "reason": "limit must be a non-negative integer"})
+    if "cursor" in q:
+        cur = q["cursor"]
+        if not (cur is True or (isinstance(cur, dict)
+                                and isinstance(cur.get("after"), list))):
+            errs.append({"path": "cursor",
+                         "reason": "cursor must be true (first page) or "
+                                   '{"after": [...]} from meta.cursor'})
+        if "sort" not in q:
+            errs.append({"path": "cursor",
+                         "reason": "cursor paging requires an explicit sort "
+                                   "(use a totally-ordering key list)"})
+        if "skip" in q:
+            errs.append({"path": "cursor",
+                         "reason": "cursor and skip are mutually exclusive "
+                                   "paging modes"})
+        if q.get("format", "list") not in ("list", "table", "explain"):
+            errs.append({"path": "cursor",
+                         "reason": "cursor paging supports list/table "
+                                   "(and explain for plan probes)"})
 
     from .query import _AGG_NAMES
 

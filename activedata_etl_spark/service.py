@@ -290,6 +290,29 @@ def make_handler(spark):
                     self._send(400, {"error": "invalid query",
                                      "invalid": problems})
                     return
+                # keyset (cursor) deep paging: resolve the cursor to a jx
+                # predicate BEFORE format routing, so it composes with the
+                # client's own where and — because it's an ordinary
+                # predicate — reaches the parquet scan as a pushed filter
+                # (format=explain on a cursored query shows it). This is
+                # the deep-paging path: skip/limit re-sorts everything
+                # above the page; a keyset page costs the same at page
+                # 10,000 as at page 1 (plans/cursor.py).
+                cursor_sorts = None
+                if "cursor" in q:
+                    from .plans.cursor import (cursor_predicate,
+                                               normalize_sorts)
+
+                    cur = q["cursor"]
+                    cursor_sorts = normalize_sorts(q.get("sort"))
+                    q = {k: v for k, v in q.items() if k != "cursor"}
+                    if isinstance(cur, dict):
+                        # applied AFTER the projection (sort keys are
+                        # output names, possibly select aliases);
+                        # Catalyst pushes the filter through the Project
+                        # to the scan all the same
+                        pred = cursor_predicate(cursor_sorts, cur["after"])
+                        q = {**q, "_cursor_where": pred}
                 if q.get("format") == "explain":
                     # plan-only: analyze + optimize, execute nothing — the
                     # "what would this cost" probe for interactive users
@@ -328,6 +351,21 @@ def make_handler(spark):
                 }
                 if row_cap is not None:
                     meta["row_cap"] = row_cap
+                if cursor_sorts is not None:
+                    # a full page means there may be more: hand back the
+                    # boundary values; a short page is the end (no cursor)
+                    if q.get("format", "list") == "list":
+                        all_rows = data
+                        last = data[-1] if data else None
+                    else:  # table
+                        all_rows = data["data"]
+                        last = (dict(zip(data["header"], all_rows[-1]))
+                                if all_rows else None)
+                    if last is not None and len(all_rows) == q.get("limit"):
+                        from .plans.cursor import advance
+
+                        meta["cursor"] = {"after": advance(cursor_sorts,
+                                                           last)}
                 self._send(200, {"data": data, "meta": meta})
             except Exception as e:  # jx errors → 400, like the reference
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
@@ -568,8 +606,14 @@ def attach_indexes(spark, indexes: dict[str, str]) -> list[str]:
         return os.path.isdir(p) and any(
             e.endswith(".parquet") or e == "_SUCCESS" for e in os.listdir(p))
 
+    from .io import register_index_path
+
     out: list[str] = []
     for name, path in indexes.items():
+        # record the base path so file-reading extension ops (the
+        # stable-order prefix delta) can resolve the index BY NAME —
+        # the jx surface never takes raw paths
+        register_index_path(name, path)
         if is_parquet_dir(path):
             spark.read.parquet(path).createOrReplaceTempView(name)
             out.append(name)

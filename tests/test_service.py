@@ -1009,3 +1009,145 @@ def test_cube_over_extension_op_through_service(endpoint, spark, sf_dir):
     expected = {r["jband"]: r["n"] for r in rows}
     assert cells == expected
     assert sum(v for v in cells.values() if v) > 0  # real pairs counted
+
+
+def test_cursor_paging_tiles_and_terminates(endpoint):
+    """Keyset paging: pages tile the full ordering exactly like offset
+    paging, and the final (short) page carries no cursor."""
+    base = {"from": "nation",
+            "select": [{"name": "nk", "value": "n_nationkey"}],
+            "sort": "nk", "limit": 10}
+    pages, cur, n_pages = [], True, 0
+    while cur and n_pages < 10:
+        out = _post(endpoint + "/query", {**base, "cursor": cur})
+        pages.append([r["nk"] for r in out["data"]])
+        cur = out["meta"].get("cursor")
+        n_pages += 1
+    assert pages == [list(range(10)), list(range(10, 20)),
+                     list(range(20, 25))]
+    assert cur is None  # short page ended the walk
+
+
+def test_cursor_predicate_is_pushed_to_scan(endpoint):
+    """The whole point of keyset paging: the cursor becomes an ordinary
+    predicate and reaches the parquet scan — page 10,000 costs the same
+    as page 1. format=explain on a cursored query must show the pushed
+    filter."""
+    out = _post(endpoint + "/query", {
+        "from": "orders",
+        "select": [{"name": "ok", "value": "o_orderkey"}],
+        "sort": "o_orderkey", "limit": 5,
+        "cursor": {"after": [123456]},
+        "format": "explain"})
+    plan = out["explain"]
+    assert "PushedFilters" in plan and "123456" in plan
+
+
+def test_cursor_validation_errors(endpoint):
+    import urllib.error
+
+    def expect_400(q, needle):
+        req = urllib.request.Request(
+            endpoint + "/query", data=json.dumps(q).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert needle in json.dumps(body)
+
+    expect_400({"from": "nation", "cursor": True}, "requires an explicit sort")
+    expect_400({"from": "nation", "sort": "n_name", "skip": 2,
+                "cursor": True}, "mutually exclusive")
+    expect_400({"from": "nation", "sort": "n_name", "cursor": True,
+                "format": "stream"}, "cursor paging supports")
+    # computed sort key without a select alias → planner-side 400
+    expect_400({"from": "nation", "cursor": True,
+                "sort": [{"value": {"length": "n_name"}, "sort": 1}]},
+               "plain-column sort keys")
+
+
+def test_cursor_desc_with_null_boundaries(endpoint, spark):
+    """Descending keys put NULLs LAST (jx desc_nulls_last): the cursor
+    must walk across the non-null→null boundary and through null-valued
+    boundary rows without skipping or repeating."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None), (5, "c")],
+        "id bigint, v string")
+    df.createOrReplaceTempView("cursor_nulls")
+    try:
+        base = {"from": "cursor_nulls", "select": ["id", "v"],
+                "sort": [{"value": "v", "sort": -1}, "id"], "limit": 2}
+        seen, cur, n = [], True, 0
+        while cur and n < 6:
+            out = _post(endpoint + "/query", {**base, "cursor": cur})
+            seen += [r["id"] for r in out["data"]]
+            cur = out["meta"].get("cursor")
+            n += 1
+        # desc_nulls_last on v: c(5), b(3), a(1), then nulls by id: 2, 4
+        assert seen == [5, 3, 1, 2, 4]
+    finally:
+        spark.catalog.dropTempView("cursor_nulls")
+
+
+def test_stable_prefix_delta_through_service(spark, sf_dir, tmp_path):
+    """The r7 stable-order prefix index, reachable from the jx JSON
+    contract: attach the index base dir by NAME, issue
+    op:prefix_stable_delta over a delta view, and compose format=cube on
+    top — pairs cell-for-cell equal to the direct library call."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    base = tmp_path / "prefstable"
+    idx, order = str(base / "idx"), str(base / "order")
+    b0 = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    DD.freeze_prefix_order(b0, "doc_id", "text", order)
+    DD.append_positioned_index(b0, "doc_id", "text", idx, 0, spark, order)
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    delta.createOrReplaceTempView("stable_delta_docs")
+    expected = sorted(
+        (r["id_a"], r["id_b"])
+        for r in DD.prefix_join_stable_delta(
+            spark, idx, order, delta, "doc_id", "text",
+            threshold=0.5).collect())
+
+    server = serve(spark, sf_dir, port=0, indexes={"pref": str(base)})
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        out = _post(url + "/query", {
+            "from": {"op": "prefix_stable_delta",
+                     "table": "stable_delta_docs", "index": "pref",
+                     "threshold": 0.5},
+            "sort": ["id_a", "id_b"], "format": "list"})
+        got = sorted((r["id_a"], r["id_b"]) for r in out["data"])
+        assert got == expected and got  # non-empty, exact
+        # compose a dense cube on top of the op (VERDICT r7 #8)
+        cube = _post(url + "/query", {
+            "from": {"op": "prefix_stable_delta",
+                     "table": "stable_delta_docs", "index": "pref",
+                     "threshold": 0.5},
+            "edges": [{"name": "jband", "value": "jaccard",
+                       "domain": {"type": "range", "min": 0.5,
+                                  "max": 1.1, "interval": 0.1}}],
+            "select": [{"name": "n", "aggregate": "count"}],
+            "format": "cube"})["data"]
+        assert sum(v for v in cube["data"]["n"] if v) == len(expected)
+        # unattached index name → clean 400, not a path probe
+        import urllib.error
+        req = urllib.request.Request(
+            url + "/query", data=json.dumps({
+                "from": {"op": "prefix_stable_delta",
+                         "table": "stable_delta_docs",
+                         "index": "/etc"}}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        spark.catalog.dropTempView("stable_delta_docs")
