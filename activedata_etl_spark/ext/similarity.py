@@ -325,16 +325,52 @@ def probe_buckets(vec: Column, n_bits: int = 8) -> Column:
                    *[bucket_with_flip(i) for i in range(n_bits)])
 
 
+def auto_sign_bits(candidates: DataFrame, vec_col: str,
+                   target_bucket: int = 64, min_bits: int = 4) -> int:
+    """Corpus-adaptive sign-LSH width: ``ceil(log2(n / target_bucket))``
+    bits, clamped to [min_bits, vector dimension] — expected bucket
+    occupancy stays ~``target_bucket`` as the corpus grows.
+
+    This is the knob the sf1 rig showed MUST scale: at fixed bits, 10×
+    vectors mean 10× occupancy per bucket, and with a query set that
+    also grows with the corpus the candidate join volume goes ×100
+    (BASELINE.md r8-sf1 adjudication of sim_ann_multiprobe_bulk).
+    Auto-width restores ~linear candidate volume: buckets track n, the
+    per-query probe fan-out grows only as log n. Costs one count() at
+    plan-construction time (driver-scalar, the _observed_parts pattern);
+    recall at a given cosine threshold decreases slowly with width —
+    single-bit multi-probe recovers the dominant one-hyperplane misses,
+    and the recall-audit queries measure the rest per corpus."""
+    import math
+
+    n = candidates.count()
+    first = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first and first["d"] is not None else min_bits
+    bits = max(min_bits, math.ceil(math.log2(max(2.0, n / target_bucket))))
+    return min(bits, dim)
+
+
+def _resolve_bits(n_bits, candidates: DataFrame, vec_col: str) -> int:
+    if n_bits == "auto":
+        return auto_sign_bits(candidates, vec_col)
+    return int(n_bits)
+
+
 def ann_multiprobe_topk(queries: DataFrame, candidates: DataFrame,
                         q_id: str, q_vec: str, c_id: str, c_vec: str,
-                        k: int, n_bits: int = 8) -> DataFrame:
+                        k: int, n_bits: int | str = 8) -> DataFrame:
     """Sign-LSH ANN with single-bit multi-probe: each query searches its
     own bucket plus the ``n_bits`` one-flip neighbors. Probe fan-out
     multiplies only the QUERY side (n_bits+1 rows per query); the
     candidate table still shuffles once on its single bucket key, so the
     plan stays an equi-join — recall rises without touching the corpus
     side. Probe buckets are pairwise distinct and each candidate lives in
-    exactly one bucket, so no pair dedup is needed."""
+    exactly one bucket, so no pair dedup is needed.
+
+    ``n_bits="auto"`` picks the width from the candidate count
+    (:func:`auto_sign_bits`) so bucket occupancy — and with it the
+    candidate join volume — stays bounded as the corpus grows."""
+    n_bits = _resolve_bits(n_bits, candidates, c_vec)
     qb = queries.select(
         F.col(q_id), F.col(q_vec),
         F.explode(probe_buckets(F.col(q_vec), n_bits)).alias("__bucket__"))
@@ -349,9 +385,11 @@ def ann_multiprobe_topk(queries: DataFrame, candidates: DataFrame,
 
 def ann_sign_lsh_topk(queries: DataFrame, candidates: DataFrame,
                       q_id: str, q_vec: str, c_id: str, c_vec: str,
-                      k: int, n_bits: int = 8) -> DataFrame:
+                      k: int, n_bits: int | str = 8) -> DataFrame:
     """Bucketed ANN: candidates sharing the query's sign bucket, then
-    exact cosine + top-k within the bucket."""
+    exact cosine + top-k within the bucket. ``n_bits="auto"`` scales the
+    width with the corpus (:func:`auto_sign_bits`)."""
+    n_bits = _resolve_bits(n_bits, candidates, c_vec)
     qb = queries.withColumn("__bucket__", sign_bucket(F.col(q_vec), n_bits))
     cb = candidates.withColumn("__bucket__", sign_bucket(F.col(c_vec), n_bits))
     scored = (
@@ -386,7 +424,7 @@ def canonical_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
-                   nlist: int = 16, n_iter: int = 2,
+                   nlist: int | str = 16, n_iter: int = 2,
                    threshold: float = 0.995) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
     embedding space, then within each cluster drop members whose cosine
@@ -402,9 +440,18 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     Scale: reuses :func:`ivf_build` (broadcast-centroid assignment, no
     vector-table shuffle); representative selection is one max_by agg
     over cid (nlist rows out, broadcast back). At corpus scale pick
-    nlist ≈ √N (SemDeDup uses ~√N clusters) so clusters stay balanced.
+    nlist ≈ √N (SemDeDup uses ~√N clusters) so clusters stay balanced —
+    ``nlist="auto"`` does exactly that from one count() (the sf1 rig's
+    adjudication of the fixed-k forms: at 10× vectors a fixed nlist
+    means 10× cluster sizes and ×100 within-cluster pairwise work in
+    the refinement stages; √N keeps cluster size AND cluster count
+    growing as √N).
 
     Returns (id, cid, rep_id, cos_rep, keep)."""
+    if nlist == "auto":
+        import math
+
+        nlist = max(2, int(math.isqrt(df.count())))
     cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist, n_iter=n_iter)
     withc = (assign.join(F.broadcast(cent), "cid")
              .withColumn("__ccos__", cosine(F.col("__v__"), F.col("cvec"))))
