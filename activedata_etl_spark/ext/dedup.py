@@ -21,31 +21,17 @@ estimator; strings avoid hex→int conversions that not every engine has.
 
 from __future__ import annotations
 
-import contextvars
-from contextlib import contextmanager
-
 from pyspark.sql import Column, DataFrame, Window, functions as F
-
-from .text import fingerprint, shingles, tokens
 
 # plan-only mode (set by plans/query.run(plan_only=True) — the service's
 # format=explain probe): _materialize_release must NOT run the eager
 # localCheckpoint, or an explain on a prefix-filter op would execute the
 # entire pairwise join at DataFrame-construction time AND return an
-# opaque checkpoint-scan instead of the real plan.
-_PLAN_ONLY = contextvars.ContextVar("dedup_plan_only", default=False)
-
-
-@contextmanager
-def plan_only():
-    """Context under which dedup ops build their plans WITHOUT eager
-    materialization (explain contract: analyze + optimize, execute
-    nothing heavyweight)."""
-    token = _PLAN_ONLY.set(True)
-    try:
-        yield
-    finally:
-        _PLAN_ONLY.reset(token)
+# opaque checkpoint-scan instead of the real plan. The flag lives in
+# planmode (shared with the default-edge-domain frequency probe).
+from ..planmode import plan_only  # noqa: F401  (re-export, used by plans)
+from ..planmode import is_plan_only as _is_plan_only
+from .text import fingerprint, shingles, tokens
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -1012,7 +998,7 @@ def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     persist marks are still released (persist() is lazy, so nothing was
     materialized; unpersisting keeps explain probes from accumulating
     CacheManager entries)."""
-    if _PLAN_ONLY.get():
+    if _is_plan_only():
         out = result
     else:
         out = result.localCheckpoint(eager=True)

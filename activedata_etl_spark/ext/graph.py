@@ -124,8 +124,13 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
     # whole upstream edge-generation lineage (for co-occurrence graphs a
     # quadratic slot self-join) re-executes per consumer. Measured on
     # the sf1 rig's 14M-edge graph: 28.1s → ~1s for 3 iterations. Lazy
-    # persist, so plan-only probes stay plan-only; the service's
-    # request-scoped release unpersists it after the response.
+    # persist, so plan-only probes stay plan-only. RELEASE CONTRACT
+    # (same as the LSH/prefix families): the HTTP service unpersists
+    # request-created caches after each response; a long-lived LIBRARY
+    # caller issuing many pagerank calls should release between batches
+    # (spark.catalog.clearCache() or unpersist the ids from
+    # sparkContext._jsc.getPersistentRDDs()) or the edge caches
+    # accumulate for the session's lifetime.
     directed = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                 .unionAll(edges.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))

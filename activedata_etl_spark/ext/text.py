@@ -278,8 +278,12 @@ def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
     # state rewrite), and it transitively contains every earlier round —
     # without the persists the corpus scan re-executes ~2^n_merges times
     # inside one plan (invisible at sf0.1, 26× wall at the sf1 rig).
-    # Both persists are LAZY (plan-only probes stay plan-only); the
-    # service's request-scoped release drains them after the response.
+    # Both persists are LAZY (plan-only probes stay plan-only). RELEASE
+    # CONTRACT (same as the LSH/prefix families): the HTTP service
+    # unpersists request-created caches per response; long-lived library
+    # callers should release between batches (catalog.clearCache() or
+    # unpersist via getPersistentRDDs) — the caches otherwise live for
+    # the session.
     words = (df.select(F.explode(tokens(text_col)).alias("w"))
              .filter(~F.col("w").contains(sep) & (F.length("w") > 0))
              .groupBy("w").agg(F.count(F.lit(1)).alias("wf"))

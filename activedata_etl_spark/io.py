@@ -157,24 +157,30 @@ def describe_columns(df: DataFrame) -> DataFrame:
 
 
 def describe_columns_refresh(df: DataFrame,
-                             columns: list[str] | None = None) -> DataFrame:
+                             columns: list[str] | None = None,
+                             exact_audit: bool = True) -> DataFrame:
     """Scheduled-maintenance companion to :func:`describe_columns`
     (VERDICT r7 #8): per-column NDV from portable md5-HLL registers
-    (functions/hll.py) in ONE scan for ALL columns — stack the values
-    long (column, value), hash once, map-side-reduce to ≤256 register
-    rows per column — plus exact row/null counts from the same stacked
-    pass.
+    (functions/hll.py) over ONE stacked (column, value) projection —
+    values hash once, map-side-reduce to ≤256 register rows per column.
+    Two small aggregations consume the stacked projection (row/null
+    counts; registers), each fully map-side-combining — no per-column
+    jobs, and with ``exact_audit=False`` no distinct shuffle anywhere.
 
-    The exact countDistinct catalog is the small-table path; at 100 TB a
-    per-column exact pass is a full distinct shuffle per refresh, while
-    register state is tiny, mergeable across shards/days
-    (hll.append_registers / hll_merge), and auditable — tomorrow's
-    refresh scans only tomorrow's data. Values hash through CAST AS
-    STRING, engine-reproducible for integer/string columns (normalize
-    floats/timestamps explicitly before refreshing them). ``raw_est`` is
-    the raw-regime estimate; callers apply linear counting below 2.5·m
-    client-side, same contract as hll.hll_estimate (ln() stays out of
-    hashable outputs).
+    ``exact_audit=True`` (the default, meant for the gate/test scales)
+    ADDS an exact ``countDistinct`` per column — a full distinct
+    shuffle, exactly the cost the register path exists to avoid — so
+    the estimate can be audited in-row. At 100 TB pass ``False``: the
+    registers alone are the refresh (tiny, mergeable across shards/days
+    via hll.append_registers / hll_merge), and ``exact_ndv`` is NULL.
+
+    Values hash through CAST AS STRING, engine-reproducible for
+    integer/string columns (normalize floats/timestamps explicitly
+    before refreshing them). ``raw_est`` is the raw-regime estimate;
+    callers apply linear counting below 2.5·m client-side, same
+    contract as hll.hll_estimate (ln() stays out of hashable outputs).
+    An all-NULL column keeps its catalog row (counts present, register
+    fields NULL — no data, no estimate), via a LEFT join from counts.
 
     Output: (column, n_rows, n_nulls, exact_ndv, n_buckets, n_zero,
     harmonic_scaled, raw_est)."""
@@ -188,11 +194,14 @@ def describe_columns_refresh(df: DataFrame,
     regs = hll.hll_registers(
         stacked.filter(F.col("v").isNotNull()), ["column"], "v")
     est = hll.hll_estimate(regs, ["column"])
-    counts = stacked.groupBy("column").agg(
+    aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_nulls"),
-        F.countDistinct("v").cast("bigint").alias("exact_ndv"))
-    return counts.join(est, "column")
+        (F.countDistinct("v") if exact_audit else F.lit(None))
+        .cast("bigint").alias("exact_ndv"),
+    ]
+    counts = stacked.groupBy("column").agg(*aggs)
+    return counts.join(est, "column", "left")
 
 
 # View name → where its data lives, so the jx front-end can re-resolve a

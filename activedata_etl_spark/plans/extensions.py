@@ -94,8 +94,12 @@ def _ann_topk(spark, df, spec) -> DataFrame:
     if method == "brute":
         return SIM.cosine_topk(q, df, "q_id", "q_vec", id_col, vec_col, k=k)
     if method == "lsh":
+        # n_bits: "auto" scales the sign-LSH width with the corpus
+        # (similarity.auto_sign_bits — bucket occupancy stays bounded)
+        nb = spec.get("n_bits", 8)
         return SIM.ann_sign_lsh_topk(q, df, "q_id", "q_vec", id_col, vec_col,
-                                     k=k, n_bits=int(spec.get("n_bits", 8)))
+                                     k=k,
+                                     n_bits=nb if nb == "auto" else int(nb))
     raise ValueError(f"unknown ann method {method!r}: brute|lsh")
 
 

@@ -77,10 +77,21 @@ def run(spark: SparkSession, q: dict[str, Any],
     reports the real join plan instead of executing it. Implies
     ``allow_stream_drain=False``."""
     if plan_only:
-        from ..ext.dedup import plan_only as _dedup_plan_only
+        from ..planmode import plan_only as _plan_only
 
-        with _dedup_plan_only():
+        with _plan_only():
             return run(spark, q, allow_stream_drain=False, plan_only=False)
+    if "cursor" in q:
+        # cursor paging is a SERVICE feature: the service translates the
+        # cursor into _cursor_where and emits the next cursor in
+        # meta.cursor, which a DataFrame cannot carry. Silently ignoring
+        # the clause would return the first page for every request —
+        # wrong data, no error — so refuse loudly here.
+        raise ValueError(
+            "cursor paging is resolved by the HTTP service (POST /query);"
+            " the library path returns a DataFrame and cannot emit the"
+            " next cursor — build the predicate with"
+            " plans.cursor.cursor_predicate and pass it as 'where'")
     df = _from(spark, q["from"], bounds=_range_bounds(q.get("where")))
     if "where" in q:
         df = df.filter(compile_expr(q["where"]))
@@ -478,6 +489,16 @@ def _aggregate(spark: SparkSession, df: DataFrame, selects: list[dict],
                 if cap < 1:
                     raise ValueError(
                         f"edge {name!r}: domain.limit must be >= 1")
+                from ..planmode import is_plan_only
+
+                if is_plan_only():
+                    # explain contract: the frequency probe is a real
+                    # scan — under plan-only, key on the raw value and
+                    # derive the domain lazily from the agg result (the
+                    # representative, execute-nothing plan shape)
+                    keys.append(val.alias(name))
+                    domains.append(("observed", allow))
+                    continue
                 parts, has_null, has_tail = _observed_parts(df, val, cap)
                 include_null = allow or has_null or has_tail
                 any_allow |= include_null

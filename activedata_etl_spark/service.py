@@ -305,6 +305,33 @@ def make_handler(spark):
 
                     cur = q["cursor"]
                     cursor_sorts = normalize_sorts(q.get("sort"))
+                    # static pre-check where the projection is fully
+                    # enumerable: a sort key the select projects away
+                    # should fail BEFORE the query executes, not after.
+                    # Explain probes are exempt — Spark resolves missing
+                    # sort/filter refs for the PLAN; only advance() needs
+                    # the column in the output rows.
+                    sel = q.get("select")
+                    if q.get("format") != "explain" and \
+                            isinstance(sel, list) and sel and not any(
+                            s == "." or (isinstance(s, dict)
+                                         and (s.get("value") == "."
+                                              or isinstance(s.get("value"),
+                                                            dict)))
+                            for s in sel):
+                        produced = {s if isinstance(s, str) else s["name"]
+                                    for s in sel}
+                        gone = [c for c, _ in cursor_sorts
+                                if c not in produced]
+                        if gone:
+                            self._send(400, {"error": "invalid query",
+                                             "invalid": [{
+                                                 "path": "cursor",
+                                                 "reason": "cursor sort "
+                                                 "columns must be in the "
+                                                 f"output; select drops "
+                                                 f"{gone}"}]})
+                            return
                     q = {k: v for k, v in q.items() if k != "cursor"}
                     if isinstance(cur, dict):
                         # applied AFTER the projection (sort keys are
@@ -364,8 +391,16 @@ def make_handler(spark):
                     if last is not None and len(all_rows) == q.get("limit"):
                         from .plans.cursor import advance
 
-                        meta["cursor"] = {"after": advance(cursor_sorts,
-                                                           last)}
+                        try:
+                            meta["cursor"] = {"after": advance(cursor_sorts,
+                                                               last)}
+                        except ValueError as ce:
+                            # the page itself is valid, fully-computed
+                            # data — don't destroy it with a late 400;
+                            # tell the client WHY it can't page further
+                            # (non-JSON-scalar sort key, e.g. a raw
+                            # timestamp: cast it in select)
+                            meta["cursor_error"] = str(ce)
                 self._send(200, {"data": data, "meta": meta})
             except Exception as e:  # jx errors → 400, like the reference
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})

@@ -83,13 +83,21 @@ def main(k: int, src: str, dst: str) -> None:
                      .withColumn("n_chars",
                                  F.length("text").cast("bigint")))
             if t == "embeddings" and i > 0:
-                s = i % 8  # cyclic component shift
+                # cyclic shift WITHIN the vector dimension (dim=64 here,
+                # so no two replicas i<dim share a rotation — an earlier
+                # `i % 8` made replicas 8/9 exact copies of 0/1,
+                # re-creating the quadratic-duplicate pathology this rig
+                # exists to avoid); past dim, flip signs as a second
+                # orthogonal transform (norms/within-replica cosines
+                # still preserved)
                 sz = F.size("embedding")
-                r = r.withColumn(
-                    "embedding",
-                    F.concat(F.slice("embedding", F.lit(s + 1),
-                                     sz - F.lit(s)),
-                             F.slice("embedding", F.lit(1), F.lit(s))))
+                s = i % 64
+                col = F.concat(
+                    F.slice("embedding", F.lit(s + 1), sz - F.lit(s)),
+                    F.slice("embedding", F.lit(1), F.lit(s)))
+                if i >= 64:
+                    col = F.transform(col, lambda x: -x)
+                r = r.withColumn("embedding", col)
             reps.append(r)
         out = reps[0]
         for r in reps[1:]:

@@ -103,3 +103,37 @@ def test_cube_materialization_cell_guard(spark):
     # under the bound it materializes normally
     cube = to_cube(df.limit(5), ["e"], ["n"], max_cells=10)
     assert len(cube["data"]["n"]) == 5
+
+
+def test_plan_only_skips_frequency_probe(spark, letters, monkeypatch):
+    """format=explain must not execute the default-domain frequency
+    probe (review finding): under plan_only the edge keys on the raw
+    value and the domain derives lazily — _observed_parts is never
+    called."""
+    from activedata_etl_spark.plans import query as JXQ
+
+    def boom(*a, **k):
+        raise AssertionError("frequency probe executed under plan_only")
+
+    monkeypatch.setattr(JXQ, "_observed_parts", boom)
+    df = JXQ.run(spark, {
+        "from": "cap_letters",
+        "edges": [{"name": "k", "value": "k",
+                   "domain": {"type": "default", "limit": 2}}],
+        "select": [{"name": "n", "aggregate": "count"}],
+    }, plan_only=True)
+    # the plan analyzes; nothing was executed to build it
+    assert "k" in df.columns and "n" in df.columns
+
+
+def test_library_run_rejects_cursor(spark, letters):
+    """run() must refuse a cursor clause loudly (review finding): only
+    the service can emit the next cursor; silently ignoring it would
+    return the first page for every request."""
+    import pytest as _pytest
+
+    from activedata_etl_spark.plans import query as JXQ
+
+    with _pytest.raises(ValueError, match="cursor paging"):
+        JXQ.run(spark, {"from": "cap_letters", "sort": "k",
+                        "limit": 2, "cursor": {"after": ["a"]}})

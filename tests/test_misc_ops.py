@@ -358,3 +358,24 @@ def test_asof_nearest_edges(spark):
         "nullt": (None, None),
     }
     assert out.count() == 7
+
+
+def test_describe_columns_refresh_all_null_and_no_audit(spark):
+    """Catalog-refresh review findings: an all-NULL column keeps its
+    catalog row (left join; register fields NULL), and exact_audit=False
+    drops the distinct shuffle (exact_ndv NULL) — the 100 TB form."""
+    from activedata_etl_spark.io import describe_columns_refresh
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "a bigint, b string")
+    rows = {r["column"]: r for r in describe_columns_refresh(df).collect()}
+    assert set(rows) == {"a", "b"}
+    b = rows["b"]
+    assert b["n_rows"] == 3 and b["n_nulls"] == 3 and b["exact_ndv"] == 0
+    assert b["raw_est"] is None and b["n_buckets"] is None
+    a = rows["a"]
+    assert a["exact_ndv"] == 3 and a["raw_est"] is not None
+    no_audit = {r["column"]: r for r in
+                describe_columns_refresh(df, exact_audit=False).collect()}
+    assert no_audit["a"]["exact_ndv"] is None
+    assert no_audit["a"]["raw_est"] is not None

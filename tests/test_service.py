@@ -1151,3 +1151,35 @@ def test_stable_prefix_delta_through_service(spark, sf_dir, tmp_path):
     finally:
         server.shutdown()
         spark.catalog.dropTempView("stable_delta_docs")
+
+
+def test_cursor_sort_key_dropped_by_select_is_early_400(endpoint):
+    """Review finding: a sort key the select projects away must fail
+    BEFORE execution, with the offending columns named."""
+    import urllib.error
+
+    req = urllib.request.Request(
+        endpoint + "/query", data=json.dumps({
+            "from": "orders",
+            "select": [{"name": "ok", "value": "o_orderkey"}],
+            "sort": "o_orderdate", "limit": 5, "cursor": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    body = json.loads(ei.value.read())
+    assert "o_orderdate" in json.dumps(body["invalid"])
+
+
+def test_cursor_non_json_sort_key_degrades_to_cursor_error(endpoint):
+    """Review finding: a timestamp-typed sort key can't round-trip as a
+    JSON cursor — the valid, fully-computed page must still return,
+    with meta.cursor_error explaining why it can't page further."""
+    out = _post(endpoint + "/query", {
+        "from": "orders",
+        "select": ["o_orderkey", "o_orderdate"],
+        "sort": ["o_orderdate", "o_orderkey"], "limit": 5,
+        "cursor": True})
+    assert len(out["data"]) == 5
+    assert "cursor" not in out["meta"]
+    assert "JSON-native" in out["meta"]["cursor_error"]
