@@ -43,6 +43,7 @@ from .registry import ORACLES, QUERIES
 _NEW_THIS_ROUND: list[str] = [
     "edges_default_domain_cap",
     "window_qhist_percentile_bounds",
+    "window_qhist_trailing_range",
     "meta_columns_refresh",
 ]
 

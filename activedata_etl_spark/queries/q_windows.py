@@ -291,3 +291,61 @@ def window_qhist_percentile_bounds(spark: SparkSession,
         "event_id", "user_id", "n_frame", "p95_bucket", "p95_lo", "p95_hi",
         ((F.col("p95_lo").isNull() | (vt >= F.col("p95_lo")))
          & (vt <= F.col("p95_hi"))).alias("in_bounds"))
+
+
+@query(
+    "window_qhist_trailing_range",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                               RANGE BETWEEN 604800000 PRECEDING
+                                         AND CURRENT ROW) AS arr
+      FROM events
+    ), r AS (
+      SELECT event_id, user_id, CAST(len(arr) AS BIGINT) AS n_frame,
+             list_sort(arr)[CAST((len(arr) + 1) // 2 AS BIGINT)] AS v50
+      FROM w
+    ), b AS (
+      SELECT event_id, user_id, n_frame,
+             CAST(TRUNC(v50) AS BIGINT) AS vt
+      FROM r
+    ), k AS (
+      SELECT event_id, user_id, n_frame, vt,
+             CASE WHEN vt <= 0 THEN 0 {_QH_LADDER} ELSE 63 END AS bucket
+      FROM b
+    )
+    SELECT event_id, user_id, n_frame,
+           CAST(bucket AS INT) AS p50_bucket,
+           CASE WHEN bucket <= 0 THEN NULL
+                ELSE CAST(1::BIGINT << (bucket - 1) AS BIGINT) END
+             AS p50_lo,
+           CASE WHEN bucket <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((1::BIGINT << bucket) - 1 AS BIGINT) END
+             AS p50_hi
+    FROM k
+    """,
+)
+def window_qhist_trailing_range(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TIME-RANGE-frame form of the register-based windowed percentile
+    (operators/windows.qhist_bounds_over over a rangeBetween frame):
+    trailing-7-day p50 bounds of event value per user — the rolling
+    robust statistic an operational series wants, with ≤64 counters per
+    row no matter how many events the week holds (a hot user's week can
+    be millions of rows at 100 TB; the exact path would materialize
+    them per row). Rank arithmetic all-BIGINT (ceil(N/2) = (N+1) DIV 2).
+    The oracle computes the exact rank statistic per frame and buckets
+    it — equality is the monotone-truncation argument, checked on every
+    frame."""
+    e = load_table(spark, sf_dir, "events")
+    # MILLISECOND epoch on both sides: Spark's unix_timestamp truncates
+    # to seconds while DuckDB's epoch() keeps fractions — a row exactly
+    # 7d+0.4s back lands inside one engine's frame and outside the
+    # other's (caught by the sf0.1 sweep, one boundary row in 100k)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_millis("ts"))
+         .rangeBetween(-604800000, 0))
+    out = W.qhist_bounds_over(e, "value", w, {"p50": (1, 2)})
+    return out.select("event_id", "user_id", "n_frame",
+                      "p50_bucket", "p50_lo", "p50_hi")
