@@ -24,6 +24,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Edge-list caches created by pagerank(), released at the NEXT call (or
+# via release_caches()): a long-lived library caller looping pagerank
+# holds at most ONE cached edge list at a time instead of accumulating
+# a 2|E|-row cache per call for the session's lifetime (r8 advisor).
+# The previous call's ranks DataFrame stays correct after its cache is
+# dropped — Spark recomputes from lineage — so this is a perf bound,
+# not a correctness hazard, and laziness is preserved (no eager
+# checkpoint at plan-construction time).
+_EDGE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist edge-list caches from earlier :func:`pagerank` calls."""
+    while _EDGE_CACHES:
+        _EDGE_CACHES.pop().unpersist()
+
 
 def cooccurrence_edges(df: DataFrame, id_col: str, slot_cols: list[str],
                        min_common: int = 2,
@@ -124,17 +140,17 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
     # whole upstream edge-generation lineage (for co-occurrence graphs a
     # quadratic slot self-join) re-executes per consumer. Measured on
     # the sf1 rig's 14M-edge graph: 28.1s → ~1s for 3 iterations. Lazy
-    # persist, so plan-only probes stay plan-only. RELEASE CONTRACT
-    # (same as the LSH/prefix families): the HTTP service unpersists
-    # request-created caches after each response; a long-lived LIBRARY
-    # caller issuing many pagerank calls should release between batches
-    # (spark.catalog.clearCache() or unpersist the ids from
-    # sparkContext._jsc.getPersistentRDDs()) or the edge caches
-    # accumulate for the session's lifetime.
+    # persist, so plan-only probes stay plan-only. RELEASE: each call
+    # first drops the PREVIOUS call's edge cache (module tracker above),
+    # bounding a looping library caller at one live cache; the HTTP
+    # service additionally unpersists request-created caches after each
+    # response, and release_caches() is the explicit library hook.
+    release_caches()
     directed = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                 .unionAll(edges.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))
                 .persist())
+    _EDGE_CACHES.append(directed)
     nodes = directed.select(F.col("src").alias("node")).distinct()
     nn = nodes.groupBy().agg(F.count(F.lit(1)).alias("__N__"))
     outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("__d__"))

@@ -352,6 +352,15 @@ def auto_sign_bits(candidates: DataFrame, vec_col: str,
 
 def _resolve_bits(n_bits, candidates: DataFrame, vec_col: str) -> int:
     if n_bits == "auto":
+        from ..planmode import is_plan_only
+
+        if is_plan_only():
+            # explain contract: "analyze + optimize, execute NOTHING" —
+            # auto-width costs a count() + first() over the candidate
+            # table, so plan-only probes get a fixed representative
+            # width instead (same guard as _observed_parts and the
+            # prefix-filter family's checkpoint).
+            return 8
         return auto_sign_bits(candidates, vec_col)
     return int(n_bits)
 
@@ -451,7 +460,11 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     if nlist == "auto":
         import math
 
-        nlist = max(2, int(math.isqrt(df.count())))
+        from ..planmode import is_plan_only
+
+        # same explain-contract guard as _resolve_bits: the √N probe is
+        # a full count() — plan-only gets a fixed representative nlist.
+        nlist = 16 if is_plan_only() else max(2, int(math.isqrt(df.count())))
     cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist, n_iter=n_iter)
     withc = (assign.join(F.broadcast(cent), "cid")
              .withColumn("__ccos__", cosine(F.col("__v__"), F.col("cvec"))))

@@ -253,6 +253,16 @@ def length_batches(df, shard_col: str, id_col: str, n_tok_col: str,
                          - F.col("sum_tok")).cast("bigint")))
 
 
+_BPE_CACHES: list = []
+
+
+def release_bpe_caches() -> None:
+    """Unpersist vocab/winner caches from earlier :func:`bpe_merges`
+    calls (dropping them is a recompute, not a correctness hazard)."""
+    while _BPE_CACHES:
+        _BPE_CACHES.pop().unpersist()
+
+
 def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
     """Byte-pair-encoding merge induction (Sennrich et al. 2016) — learn
     the first ``n_merges`` merges from the corpus, the vocabulary-
@@ -278,16 +288,17 @@ def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
     # state rewrite), and it transitively contains every earlier round —
     # without the persists the corpus scan re-executes ~2^n_merges times
     # inside one plan (invisible at sf0.1, 26× wall at the sf1 rig).
-    # Both persists are LAZY (plan-only probes stay plan-only). RELEASE
-    # CONTRACT (same as the LSH/prefix families): the HTTP service
-    # unpersists request-created caches per response; long-lived library
-    # callers should release between batches (catalog.clearCache() or
-    # unpersist via getPersistentRDDs) — the caches otherwise live for
-    # the session.
+    # Both persists are LAZY (plan-only probes stay plan-only). RELEASE:
+    # each call first drops the previous call's caches (module tracker,
+    # same bound as ext.graph.pagerank — a looping library caller holds
+    # one call's caches, not the session's accumulation); the HTTP
+    # service additionally unpersists request caches per response.
+    release_bpe_caches()
     words = (df.select(F.explode(tokens(text_col)).alias("w"))
              .filter(~F.col("w").contains(sep) & (F.length("w") > 0))
              .groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
              .persist())
+    _BPE_CACHES.append(words)
     state = words.select(
         F.concat_ws(sep, F.split(F.col("w"), "")).alias("seq"), "wf")
     out = None
@@ -305,6 +316,7 @@ def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
                    .agg(F.sum("wf").cast("bigint").alias("n")))
         top = (counted.orderBy(F.col("n").desc(), "lhs", "rhs").limit(1)
                .select("lhs", "rhs", "n").persist())
+        _BPE_CACHES.append(top)
         row = top.select(F.lit(rank).alias("merge_rank"), "lhs", "rhs",
                          F.concat("lhs", "rhs").alias("merged"), "n")
         out = row if out is None else out.unionByName(row)

@@ -156,6 +156,78 @@ def describe_columns(df: DataFrame) -> DataFrame:
     return stats.select(F.explode(rows).alias("c")).select("c.*")
 
 
+def describe_columns_nested(df: DataFrame) -> DataFrame:
+    """Nested-path column catalog — the reference ColumnList's remaining
+    behavior (``vendor/jx_elasticsearch/meta.py``: per-index columns
+    include struct/array LEAF paths with their nested depth, so
+    ``meta.columns`` answers for ``task.artifacts.name`` the same as for
+    a top-level field). :func:`describe_columns` walks ``df.dtypes``
+    (top level only); this walks the full schema.
+
+    Per leaf dot-path: (column, dtype, nested_depth, cardinality,
+    n_nulls, n_values) where ``nested_depth`` counts the array hops on
+    the path (the reference's "nested" level), ``n_values`` counts
+    non-null leaf values at leaf multiplicity (one per array element —
+    ES nested-doc counting), ``n_nulls`` counts null leaf values among
+    EXISTING elements/rows (a missing array contributes no elements,
+    matching the reference: no nested doc, no value).
+
+    One job: every leaf projects its values as array<string> (scalar →
+    singleton, k array hops → flatten), one explode stacks (column,
+    value), one groupBy counts — no per-column jobs. The leaf LIST comes
+    from the schema (driver-side, no data probe), LEFT-joined so an
+    all-empty leaf keeps its catalog row with zero counts (same contract
+    as describe_columns_refresh's all-NULL columns). Exact countDistinct
+    = one (column, v)-keyed distinct shuffle; at 100 TB swap in the HLL
+    register path (describe_columns_refresh) for the NDV."""
+    from pyspark.sql import types as T
+
+    leaves: list[tuple] = []
+
+    def walk(dt, path, expr, depth):
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                child = f"{path}.{f.name}" if path else f.name
+                walk(f.dataType, child, expr.getField(f.name), depth)
+        elif isinstance(dt, T.ArrayType):
+            # dot-path through an array maps over elements (FlatList
+            # semantics): the expression shape is already the nested
+            # array of leaf values, only the depth count advances
+            walk(dt.elementType, path, expr, depth + 1)
+        else:
+            if depth == 0:
+                vals = F.array(expr.cast("string"))
+            else:
+                vals = expr
+                for _ in range(depth - 1):
+                    vals = F.flatten(vals)
+                vals = F.coalesce(
+                    F.transform(vals, lambda x: x.cast("string")),
+                    F.array().cast("array<string>"))
+            leaves.append((path, dt.simpleString(), depth, vals))
+
+    for f in df.schema.fields:
+        walk(f.dataType, f.name, F.col(f"`{f.name}`"), 0)
+
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(F.lit(p).alias("column"), vals.alias("vals"))
+        for p, _, _, vals in leaves])).alias("c")).select("c.*")
+    counts = (stacked.select("column", F.explode("vals").alias("v"))
+              .groupBy("column")
+              .agg(F.countDistinct("v").alias("cardinality"),
+                   (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+                   F.count("v").alias("n_values")))
+    base = df.sparkSession.createDataFrame(
+        [(p, t, d) for p, t, d, _ in leaves],
+        "column string, dtype string, nested_depth int")
+    zero = F.lit(0).cast("bigint")
+    return (base.join(counts, "column", "left")
+            .select("column", "dtype", "nested_depth",
+                    F.coalesce("cardinality", zero).alias("cardinality"),
+                    F.coalesce("n_nulls", zero).alias("n_nulls"),
+                    F.coalesce("n_values", zero).alias("n_values")))
+
+
 def describe_columns_refresh(df: DataFrame,
                              columns: list[str] | None = None,
                              exact_audit: bool = True) -> DataFrame:

@@ -41,10 +41,7 @@ from .registry import ORACLES, QUERIES
 # #4: the policy function is used here, not just asserted by a test, so
 # rotation can never drift from the module again).
 _NEW_THIS_ROUND: list[str] = [
-    "edges_default_domain_cap",
-    "window_qhist_percentile_bounds",
-    "window_qhist_trailing_range",
-    "meta_columns_refresh",
+    "meta_columns_nested",
 ]
 
 # The verify driver samples a 50-entry PREFIX of this dict each round.

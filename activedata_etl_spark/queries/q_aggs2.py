@@ -86,6 +86,64 @@ def meta_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_columns_nested",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, 0 AS nested_depth,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)    AS cardinality,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT)  AS n_nulls,
+           CAST(COUNT(o_orderkey) AS BIGINT)             AS n_values
+    FROM orders
+    UNION ALL
+    SELECT 'info.status', 'string', 0,
+           COUNT(DISTINCT o_orderstatus),
+           COUNT(*) - COUNT(o_orderstatus), COUNT(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'info.price', 'double', 0,
+           COUNT(DISTINCT o_totalprice),
+           COUNT(*) - COUNT(o_totalprice), COUNT(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'items.l_linenumber', 'int', 1,
+           COUNT(DISTINCT l_linenumber),
+           COUNT(*) - COUNT(l_linenumber), COUNT(l_linenumber)
+    FROM lineitem
+    UNION ALL
+    SELECT 'items.l_quantity', 'double', 1,
+           COUNT(DISTINCT l_quantity),
+           COUNT(*) - COUNT(l_quantity), COUNT(l_quantity)
+    FROM lineitem
+    """,
+)
+def meta_columns_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta.columns over a NESTED document (the reference ColumnList's
+    remaining behavior — jx_elasticsearch/meta.py enumerates struct and
+    nested-array leaf paths with their nested depth, r8 verdict missing
+    #2): orders carrying a struct (info.*) and a nested lineitem array
+    (items.*, built by ETL-time nest) get one catalog row PER LEAF PATH
+    with nested_depth = array hops. The oracle states each leaf's
+    cardinality/null/value counts straight from the relational base
+    tables — green proves array-leaf counting at element multiplicity
+    (items.* counts equal lineitem's, not orders'), missing-array
+    absorption (orders without items contribute no elements), and the
+    dotted-path naming."""
+    from ..io import describe_columns_nested
+    from ..operators import nested as N
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(F.col("o_orderstatus").alias("status"),
+                 F.col("o_totalprice").alias("price")).alias("info"))
+    li = load_table(spark, sf_dir, "lineitem")
+    items = N.nest(li, parent_keys=["l_orderkey"],
+                   item_cols=["l_linenumber", "l_quantity"],
+                   order_by="l_linenumber")
+    doc = (o.join(items, o.o_orderkey == items.l_orderkey, "left")
+           .drop("l_orderkey"))
+    return describe_columns_nested(doc)
+
+
+@query(
     "jx_date_literals",
     oracle="""
     SELECT o_orderkey FROM orders

@@ -54,7 +54,15 @@ def scratch_dir(sf_dir: str, kind: str) -> str:
         st = os.stat(p)
         h.update(f"{os.path.relpath(p, root)}:{st.st_size}:"
                  f"{st.st_mtime_ns}".encode())
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_{kind}_{os.path.basename(root)}_"
-        f"{h.hexdigest()[:12]}")
+    prefix = f"spark_graft_{kind}_{os.path.basename(root)}_"
+    path = os.path.join(tempfile.gettempdir(), prefix + h.hexdigest()[:12])
+    # best-effort prune: a regenerated dataset changes the fingerprint,
+    # orphaning the previous index dir — sweep stale siblings (same
+    # kind+basename, different hash) so tempdir doesn't accumulate one
+    # abandoned index per regeneration (r8 advisor).
+    import shutil
+
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        if old != path:
+            shutil.rmtree(old, ignore_errors=True)
+    return path

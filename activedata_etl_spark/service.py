@@ -319,8 +319,16 @@ def make_handler(spark):
                                               or isinstance(s.get("value"),
                                                             dict)))
                             for s in sel):
-                        produced = {s if isinstance(s, str) else s["name"]
-                                    for s in sel}
+                        # mirror _normalize_selects' defaulting: a dict
+                        # select without "name" takes its name from
+                        # "value" — {"value": "col"} produces column
+                        # "col", not a KeyError-backed opaque 400.
+                        produced = set()
+                        for s in sel:
+                            nm = s if isinstance(s, str) else \
+                                s.get("name", s.get("value"))
+                            if isinstance(nm, str):
+                                produced.add(nm)
                         gone = [c for c, _ in cursor_sorts
                                 if c not in produced]
                         if gone:

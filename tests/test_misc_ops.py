@@ -379,3 +379,41 @@ def test_describe_columns_refresh_all_null_and_no_audit(spark):
                 describe_columns_refresh(df, exact_audit=False).collect()}
     assert no_audit["a"]["exact_ndv"] is None
     assert no_audit["a"]["raw_est"] is not None
+
+
+def test_describe_columns_nested_paths(spark):
+    """Nested-path catalog (r8 verdict missing #2): struct leaves are
+    dotted paths at depth 0, array-of-struct leaves count at element
+    multiplicity with depth 1, array-in-array counts at depth 2, a
+    missing array contributes no elements, null ELEMENTS count as nulls,
+    and an everywhere-empty leaf keeps its catalog row with zero counts."""
+    from activedata_etl_spark.io import describe_columns_nested
+
+    df = spark.createDataFrame(
+        [
+            (1, ("x", 1.5), [(10, [1, 2])], []),
+            (2, ("y", None), [(None, []), (20, [2, None])], []),
+            (3, (None, 2.5), None, []),
+        ],
+        "id bigint, info struct<s:string,d:double>, "
+        "items array<struct<k:int,tags:array<bigint>>>, empty array<int>")
+    rows = {r["column"]: r for r in describe_columns_nested(df).collect()}
+    assert set(rows) == {"id", "info.s", "info.d", "items.k",
+                         "items.tags", "empty"}
+    assert (rows["id"]["nested_depth"], rows["id"]["cardinality"],
+            rows["id"]["n_nulls"], rows["id"]["n_values"]) == (0, 3, 0, 3)
+    assert (rows["info.s"]["cardinality"], rows["info.s"]["n_nulls"]) == (2, 1)
+    assert rows["info.d"]["dtype"] == "double"
+    # items.k: elements (10), (NULL, 20) -> 2 distinct, 1 null element,
+    # 2 values; row 3's missing array contributes nothing
+    k = rows["items.k"]
+    assert (k["nested_depth"], k["cardinality"], k["n_nulls"],
+            k["n_values"]) == (1, 2, 1, 2)
+    # items.tags: depth-2 leaf, elements [1,2] + [] + [2,None]
+    t = rows["items.tags"]
+    assert (t["nested_depth"], t["cardinality"], t["n_nulls"],
+            t["n_values"]) == (2, 2, 1, 3)
+    # everywhere-empty array keeps its row with zero counts
+    e = rows["empty"]
+    assert (e["nested_depth"], e["cardinality"], e["n_nulls"],
+            e["n_values"]) == (1, 0, 0, 0)
