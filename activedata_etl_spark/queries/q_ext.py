@@ -456,6 +456,24 @@ def sim_ann_multiprobe_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "vec_id", "embedding", k=3)
 
 
+@query("sim_ann_multiprobe_bulk_auto")
+def sim_ann_multiprobe_bulk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_multiprobe_bulk with the corpus-adaptive band width
+    (``n_bits="auto"`` — ~log2(n/64) bits, bucket occupancy bounded as
+    the corpus grows). Rows-only registration (VERDICT r8 #6): the width
+    depends on a corpus count, so a fixed SQL oracle can't state it —
+    the fixed-width twin carries the value oracle; THIS form exists so
+    the sf1 scale adjudication ("the knob scales in production") is
+    MEASURED on the rig rather than argued. Expected sf1/sf0.1 wall
+    ratio ≲12× where the fixed form shows ~59× (BASELINE.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return SIM.ann_multiprobe_topk(q, emb, "q_id", "q_vec",
+                                   "vec_id", "embedding", k=3,
+                                   n_bits="auto")
+
+
 @query(
     "sim_norms_by_label",
     oracle="""

@@ -134,6 +134,22 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                               nlist=16, n_iter=2, threshold=0.4)
 
 
+@query("dedup_semantic_clusters_auto")
+def dedup_semantic_clusters_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic_clusters with ``nlist="auto"`` (~√N clusters, the
+    SemDeDup contract): cluster size AND cluster count grow as √N, so
+    within-cluster pairwise work scales ~linearly instead of the fixed-k
+    ×100 blowup the sf1 rig measured. Rows-only registration (VERDICT
+    r8 #6) — nlist depends on a corpus count the SQL oracle can't
+    state; the fixed-k twin carries the value oracle, this form makes
+    the production-knob adjudication measurable on the rig."""
+    from ..ext import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, "vec_id", "embedding",
+                              nlist="auto", n_iter=2, threshold=0.4)
+
+
 @query(
     "graph_triangle_cooccurrence",
     oracle="""

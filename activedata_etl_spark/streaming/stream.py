@@ -166,6 +166,23 @@ def message_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame
     )
 
 
+def run_noop(source: DataFrame, checkpoint: str,
+             available_now: bool = True,
+             output_mode: str = "append") -> StreamingQuery:
+    """Dummy sink (the reference's tests-only swallow-output sink,
+    activedata_etl/sinks/dummy_sink.py): materialize every micro-batch
+    into Spark's built-in ``noop`` format — full execution, offsets
+    tracked in the checkpoint, nothing written. The throughput-probe /
+    smoke-test form of a sink. Unwatermarked aggregations need
+    ``output_mode="complete"``, same as any streaming sink."""
+    writer = (source.writeStream.format("noop")
+              .outputMode(output_mode)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_foreach_batch(source: DataFrame, batch_fn, checkpoint: str,
                       available_now: bool = True) -> StreamingQuery:
     """foreachBatch escape hatch: arbitrary batch logic (multi-sink writes,

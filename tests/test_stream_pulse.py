@@ -117,3 +117,23 @@ def test_pulse_raw_mode_shows_redelivery(spark, tmp_path):
     finally:
         broker.stop()
     assert sorted(got) == sorted(list(range(8)) + [5, 6, 7])
+
+
+def test_noop_sink_drains_and_checkpoints(spark, tmp_path):
+    """Dummy sink: the noop-format stream fully drains the source
+    (progress shows every input row processed) and advances the
+    checkpoint — rerunning against the same files processes nothing."""
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    src_dir = str(tmp_path / "noop_src")
+    df.write.parquet(src_dir)
+    src = S.file_stream(spark, src_dir, df.schema)
+    ckpt = str(tmp_path / "ckpt_noop")
+    q = S.run_noop(src.groupBy("k").count(), checkpoint=ckpt,
+                   output_mode="complete")
+    q.awaitTermination(60)
+    assert sum(p["numInputRows"] for p in q.recentProgress) == 100
+    q2 = S.run_noop(S.file_stream(spark, src_dir, df.schema)
+                    .groupBy("k").count(), checkpoint=ckpt,
+                    output_mode="complete")
+    q2.awaitTermination(60)
+    assert sum(p["numInputRows"] for p in q2.recentProgress) == 0
