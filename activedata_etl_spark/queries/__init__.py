@@ -42,6 +42,9 @@ from .registry import ORACLES, QUERIES
 # rotation can never drift from the module again).
 _NEW_THIS_ROUND: list[str] = [
     "meta_columns_nested",
+    "events_resample_1h_fill",
+    "sim_ann_multiprobe_bulk_auto",
+    "dedup_semantic_clusters_auto",
 ]
 
 # The verify driver samples a 50-entry PREFIX of this dict each round.

@@ -239,3 +239,64 @@ def events_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount"],
         "measure", "val",
     ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+
+
+@query(
+    "events_resample_1h_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS t,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(value) AS v
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+    ), span AS (
+      SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, g.t
+      FROM span s, UNNEST(generate_series(s.t0, s.t1, 3600)) AS g(t)
+    ), j AS (
+      SELECT g.user_id, g.t, o.v FROM grid g
+      LEFT JOIN obs o ON g.user_id = o.user_id AND g.t = o.t
+    ), f AS (
+      SELECT user_id, t, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, t, v,
+           pv AS v_locf,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END AS v_lerp
+    FROM f
+    """,
+)
+def events_resample_1h_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): per-user
+    hourly resample over each user's own observation span, empty buckets
+    filled by BOTH carry-forward (v_locf) and linear interpolation
+    (v_lerp) — the sequence-model input prep the reference's time-domain
+    edges (axis densification only) stop short of. Bucket means go
+    through the decimal-exact average and the lerp is the same IEEE
+    expression on both engines, so the oracle hash-matches the full
+    value geometry, nulls included."""
+    from ..operators import timeseries as TS
+
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id") % 10 == 0))
+    grid = TS.resample(e, "ts", "value", ["user_id"], step_sec=3600)
+    return grid.select(
+        "user_id", "t", "v",
+        TS.fill_locf(grid, ["user_id"]).alias("v_locf"),
+        TS.fill_linear(grid, ["user_id"]).alias("v_lerp"))

@@ -150,6 +150,15 @@ HEADLINE = [
     "edges_default_domain_cap",
     "window_qhist_percentile_bounds",
     "meta_columns_refresh",
+    # r9 additions: the nested-path catalog (stacked explode over every
+    # leaf + one distinct shuffle) and the hourly resample+fill (dense
+    # per-key grid, two fill directions fused into ONE Window operator).
+    # The *_auto ANN/cluster variants are deliberately NOT headline:
+    # their adaptive width is corpus-dependent by design, so run-to-run
+    # comparability belongs to their fixed-knob twins; the auto forms'
+    # scaling story is the SCALE.md sf1 table.
+    "meta_columns_nested",
+    "events_resample_1h_fill",
     # The r6-continuation prefix-filter family (dedup_prefix_filter_pairs
     # / decon_prefix_filter_overlap) is deliberately NOT headline, same
     # rationale as sim_knn_graph: it's a BATCH release-gate operator

@@ -48,14 +48,20 @@ AUTO_PAIRS = {
 
 
 def time_query(spark, fn, sf_dir: str, n_runs: int = 3):
+    """First run builds any persisted index (reported separately as the
+    one-time cost); each timed run RECONSTRUCTS the DataFrame — the
+    index-served families materialize via localCheckpoint at
+    construction, so re-counting a built frame would time cache reads,
+    not the steady-state query. A fresh construction with the index
+    already on disk IS the steady-state delta path."""
     t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    n = df.count()  # first run: index build (if cold) + warm-up
+    n = fn(spark, sf_dir).count()  # index build (if cold) + warm-up
     build = time.perf_counter() - t0
     runs = []
     for _ in range(n_runs):
+        spark.catalog.clearCache()  # a prior run's persists must not serve
         t0 = time.perf_counter()
-        df.count()
+        fn(spark, sf_dir).count()
         runs.append(time.perf_counter() - t0)
     runs.sort()
     return {"first_run": round(build, 3),

@@ -417,3 +417,38 @@ def test_describe_columns_nested_paths(spark):
     e = rows["empty"]
     assert (e["nested_depth"], e["cardinality"], e["n_nulls"],
             e["n_values"]) == (1, 0, 0, 0)
+
+
+def test_resample_gap_fill_semantics(spark):
+    """resample + fills on a hand-built series: bucket means, dense
+    per-key grid bounded by each key's own span, LOCF carry, linear
+    interpolation across a 2-bucket interior gap, and the span cap."""
+    import datetime as dt
+
+    from activedata_etl_spark.operators import timeseries as TS
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 50), 20.0),   # same bucket -> mean 15
+        ("a", dt.datetime(2024, 1, 1, 3, 0), 45.0),    # 2-bucket gap
+        ("b", dt.datetime(2024, 1, 1, 5, 0), 1.0),     # single-obs key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    grid = TS.resample(df, "ts", "value", ["k"], step_sec=3600)
+    out = grid.select(
+        "k", "t", "v",
+        TS.fill_locf(grid, ["k"]).alias("locf"),
+        TS.fill_linear(grid, ["k"]).alias("lerp")).collect()
+    byk = {}
+    for r in out:
+        byk.setdefault(r["k"], []).append(r)
+    a = sorted(byk["a"], key=lambda r: r["t"])
+    assert [r["v"] for r in a] == [15.0, None, None, 45.0]
+    assert [r["locf"] for r in a] == [15.0, 15.0, 15.0, 45.0]
+    assert [r["lerp"] for r in a] == [15.0, 25.0, 35.0, 45.0]
+    assert [ (r["v"], r["locf"], r["lerp"]) for r in byk["b"] ] == \
+        [(1.0, 1.0, 1.0)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_buckets"):
+        TS.resample(df, "ts", "value", ["k"], step_sec=1, max_buckets=100)
