@@ -279,3 +279,78 @@ def kcenter_coreset(df: DataFrame, id_col: str, vec_col: str,
         [(r, i, m) for r, i, m, _ in picked],
         f"rank bigint, {id_col} bigint, min_dist double")
     return out
+
+
+def hashed_feature_counts(df: DataFrame, id_col: str, text_col: str,
+                          n: int = 2, buckets: int = 4096) -> DataFrame:
+    """(id, b, c): per-document hashed word-n-gram feature counts —
+    DSIR's feature space (Xie et al. 2023 hash n-grams into 10k buckets;
+    fastText's classifier uses the same trick). Bucket = first 8 md5 hex
+    digits mod ``buckets``, the engine-portable hash used by every
+    sketch in functions/ — so any oracle engine lands features in the
+    SAME buckets. One explode + one map-side-combinable groupBy;
+    bodies never shuffle, only (id, bucket) pairs."""
+    from .text import ngrams, tokens
+
+    tk = tokens(text_col)
+    g = tk if n == 1 else ngrams(tk, n)
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__g__")), 1, 8), 16, 10)
+        .cast("bigint"), F.lit(buckets))
+    return (df.select(F.col(id_col), F.explode(g).alias("__g__"))
+            .select(id_col, b.alias("b"))
+            .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c")))
+
+
+def importance_scores(raw: DataFrame, target: DataFrame,
+                      id_col: str, text_col: str,
+                      n: int = 2, buckets: int = 4096) -> DataFrame:
+    """Data selection by importance toward a trusted target corpus over
+    hashed n-gram features — DSIR (Xie et al. 2023) / the GPT-3-style
+    quality-classifier filter, formulated log-free.
+
+    DSIR's canonical weight is the log-ratio sum
+    ``Σ c_b (log p_t(b) − log p_r(b))``; ln() differs between engines in
+    the last ulp (the bigram_lm_score precedent), so the score here is
+    the per-feature POSTERIOR under equal priors,
+    ``score = Σ c_b · p_t(b) / (p_t(b) + p_r(b)) / Σ c_b`` with add-one
+    smoothing — each term is P(feature came from target), the
+    binary-classifier view of the same importance evidence, monotone in
+    p_t/p_r per feature and built only from integer-operand IEEE
+    division plus a bucket-ordered fold, so it is hash-exactly
+    oracle-checkable. Scores above 0.5 mean the doc's features look more
+    target-like than raw-like on average.
+
+    Plan: the two model tables are ≤``buckets`` rows each — broadcast
+    joins onto the per-doc feature table; one groupBy(id) closes. At
+    100 TB the target slice is a sliver (DSIR's premise), the raw
+    feature table is the only big operand, and it shuffles once as
+    (id, bucket, c). Returns (id, n_feats, score)."""
+    feats = hashed_feature_counts(raw, id_col, text_col, n, buckets)
+    # model tables: corpus-wide counts per bucket (target and raw)
+    tgt = (hashed_feature_counts(
+        target.select(F.lit(0).alias("__tid__"), F.col(text_col)),
+        "__tid__", text_col, n, buckets)
+        .groupBy("b").agg(F.sum("c").alias("n_t")))
+    rawc = feats.groupBy("b").agg(F.sum("c").alias("n_r"))
+    # totals named apart from n_t/n_r: Spark resolution is
+    # case-insensitive, so N_t would collide with n_t
+    nt = tgt.groupBy().agg(F.sum("n_t").alias("__tot_t__"))
+    nr = rawc.groupBy().agg(F.sum("n_r").alias("__tot_r__"))
+    jb = (feats.join(F.broadcast(tgt), "b", "left")
+          .join(F.broadcast(rawc), "b", "left")
+          .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr)))
+    p_t = ((F.coalesce("n_t", F.lit(0)) + 1).cast("double")
+           / (F.col("__tot_t__") + buckets).cast("double"))
+    p_r = ((F.coalesce("n_r", F.lit(0)) + 1).cast("double")
+           / (F.col("__tot_r__") + buckets).cast("double"))
+    term = F.col("c").cast("double") * (p_t / (p_t + p_r))
+    per = jb.select(id_col, "b", "c", term.alias("__term__"))
+    # bucket-ordered fold: partition-order-independent double sum
+    return (per.groupBy(id_col)
+            .agg(F.sum("c").cast("bigint").alias("n_feats"),
+                 (F.aggregate(
+                     F.array_sort(F.collect_list(
+                         F.struct("b", "__term__"))),
+                     F.lit(0.0), lambda a, s: a + s["__term__"])
+                  / F.sum("c")).alias("score")))

@@ -43,6 +43,7 @@ from .registry import ORACLES, QUERIES
 _NEW_THIS_ROUND: list[str] = [
     "meta_columns_nested",
     "events_resample_1h_fill",
+    "sample_dsir_importance",
     "sim_ann_multiprobe_bulk_auto",
     "dedup_semantic_clusters_auto",
 ]

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.exact import dsum, sql_dsum
 from ..io import load_parquet, load_table
 from .q_ext5 import _CMS_CELLS
-from .registry import query, scratch_dir
+from .registry import ensure_built, query, scratch_dir
 
 
 @query(
@@ -465,9 +465,7 @@ def dedup_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
     path = scratch_dir(sf_dir, "dedup_delta")
-    # shingle_sets is written last in build_index → completion marker
-    if not os.path.isdir(os.path.join(path, "shingle_sets")):
-        DI.build_index(corpus, "doc_id", "text", path)
+    ensure_built(path, lambda: DI.build_index(corpus, "doc_id", "text", path))
     return DI.pairs_against_index(delta, "doc_id", "text", spark, path,
                                   threshold=0.2)
 
@@ -495,12 +493,15 @@ def dedup_chunk_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
     path = scratch_dir(sf_dir, "chunkidx")
-    if not os.path.isdir(path):
+
+    def _build():
         half = d.count() // 2
         DD.append_chunk_index(corpus.filter(F.col("doc_id") < half),
                               "doc_id", "text", path)
         DD.append_chunk_index(corpus.filter(F.col("doc_id") >= half),
                               "doc_id", "text", path)
+
+    ensure_built(path, _build)
     return DD.chunk_delta_stats(delta, "doc_id", "text", spark, path)
 
 
@@ -566,13 +567,13 @@ def agg_hll_delta_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     path = scratch_dir(sf_dir, "hll_delta")
-    if not os.path.isdir(os.path.join(path, "batch=1")):
+    ensure_built(path, lambda: [
         hll.append_registers(o.filter(F.pmod("o_orderkey", F.lit(2)) == 0),
                              [], "o_orderkey",
-                             os.path.join(path, "batch=0"))
+                             os.path.join(path, "batch=0")),
         hll.append_registers(o.filter(F.pmod("o_orderkey", F.lit(2)) == 1),
                              [], "o_orderkey",
-                             os.path.join(path, "batch=1"))
+                             os.path.join(path, "batch=1"))])
     corpus = hll.hll_estimate(
         hll.read_registers(spark, os.path.join(path, "batch=0"), []), [])
     merged = hll.hll_estimate(hll.read_registers(spark, path, []), [])

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..ext import sampling as SA, similarity as SIM, text as TX
 from ..io import load_table
 from .q_ext import _ivf_ctes, _sql_cos
-from .registry import query, scratch_dir
+from .registry import ensure_built, query, scratch_dir
 
 #: Fixed BM25 query — common corpus terms with distinct document
 #: frequencies, so idf actually differentiates.
@@ -395,12 +395,15 @@ def text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     path = scratch_dir(sf_dir, "bm25")
-    if not os.path.isdir(os.path.join(path, "batch=1")):
+
+    def _build():
         half = d.count() // 2
         TX.append_bm25_index(d.filter(F.col("doc_id") < half),
                              "doc_id", "text", path, 0)
         TX.append_bm25_index(d.filter(F.col("doc_id") >= half),
                              "doc_id", "text", path, 1)
+
+    ensure_built(path, _build)
     return TX.bm25_query_index(spark, path, list(_BM25_TERMS), k=15)
 
 
@@ -427,11 +430,11 @@ def text_bm25_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     path = scratch_dir(sf_dir, "bm25_delta")
-    if not os.path.isdir(os.path.join(path, "batch=1")):
+    ensure_built(path, lambda: [
         TX.append_bm25_index(d.filter(F.pmod("doc_id", F.lit(2)) == 0),
-                             "doc_id", "text", path, 0)
+                             "doc_id", "text", path, 0),
         TX.append_bm25_index(d.filter(F.pmod("doc_id", F.lit(2)) == 1),
-                             "doc_id", "text", path, 1)
+                             "doc_id", "text", path, 1)])
     return TX.bm25_query_index(spark, path, list(_BM25_TERMS), k=15,
                                batch=1)
 
@@ -992,12 +995,15 @@ def dedup_winnowing_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     path = scratch_dir(sf_dir, "winnow")
-    if not os.path.isdir(os.path.join(path, "batch=1")):
+
+    def _build():
         half = d.count() // 2
         DD.append_winnowing_index(d.filter(F.col("doc_id") < half),
                                   "doc_id", "text", path, 0)
         DD.append_winnowing_index(d.filter(F.col("doc_id") >= half),
                                   "doc_id", "text", path, 1)
+
+    ensure_built(path, _build)
     return DD.winnowing_pairs_from_index(spark, path)
 
 

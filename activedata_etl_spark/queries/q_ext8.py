@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..ext import similarity as SIM
 from ..io import load_table
 from .q_ext import _ivf_ctes, _sql_cos, _sql_dot
-from .registry import query, scratch_dir
+from .registry import ensure_built, query, scratch_dir
 
 
 @query(
@@ -604,9 +604,9 @@ def multimodal_ahash_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist2 = d.filter((F.col("doc_id") % 10 >= 5) & (F.col("doc_id") % 10 < 7))
     delta = d.filter(F.col("doc_id") % 10 >= 7)
     path = scratch_dir(sf_dir, "ahash")
-    if not os.path.isdir(path):
-        MM.build_ahash_index(hist1, "doc_id", "text", path)
-        MM.append_ahash_index(hist2, "doc_id", "text", path)
+    ensure_built(path, lambda: [
+        MM.build_ahash_index(hist1, "doc_id", "text", path),
+        MM.append_ahash_index(hist2, "doc_id", "text", path)])
     return MM.ahash_pairs_against_index(delta, "doc_id", "text",
                                         spark, path, max_hamming=6)
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..ext import dedup as DD
 from ..functions import aggs as AGG
 from ..io import load_table
-from .registry import query, scratch_dir
+from .registry import ensure_built, query, scratch_dir
 from .q_ext import _SHINGLES
 
 #: EXHAUSTIVE exact shingle-Jaccard CTE chain (the blind ground truth):
@@ -416,10 +416,9 @@ def dedup_prefix_index_delta_pairs(spark: SparkSession,
 
     d = load_table(spark, sf_dir, "documents")
     path = scratch_dir(sf_dir, "elemidx")
-    if not os.path.isdir(os.path.join(path, "batch=0")):
-        DD.append_element_index(
-            d.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text",
-            path, 0)
+    ensure_built(path, lambda: DD.append_element_index(
+        d.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text",
+        path, 0))
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
     return DD.prefix_join_index_delta(spark, path, delta,
                                       "doc_id", "text", threshold=0.5)

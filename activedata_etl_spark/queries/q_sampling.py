@@ -148,3 +148,64 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return S.global_shuffle(d, F.col("doc_id"), n_shards=8, salt="ord1") \
         .select("shard", "pos", "doc_id")
+
+
+_DSIR_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_DSIR_REF = "('src0', 'src1', 'src2')"
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DSIR_TOKS} AS t FROM documents
+    ),
+    fb AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(
+               list_extract(t, i) || ' ' || list_extract(t, i + 1)
+             ), 1, 8)) AS BIGINT) % 4096 AS b
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+    ),
+    feats AS (SELECT doc_id, b, COUNT(*) AS c FROM fb GROUP BY doc_id, b),
+    tgt AS (SELECT b, COUNT(*) AS n_t FROM fb
+            WHERE source IN {_DSIR_REF} GROUP BY b),
+    rawc AS (SELECT b, SUM(c) AS n_r FROM feats GROUP BY b),
+    nt AS (SELECT SUM(n_t) AS tot_t FROM tgt),
+    nr AS (SELECT SUM(n_r) AS tot_r FROM rawc),
+    terms AS (
+      SELECT f.doc_id, f.b, f.c,
+             CAST(f.c AS DOUBLE) * (
+               (CAST(COALESCE(t.n_t, 0) + 1 AS DOUBLE)
+                  / CAST(nt.tot_t + 4096 AS DOUBLE))
+               / ((CAST(COALESCE(t.n_t, 0) + 1 AS DOUBLE)
+                     / CAST(nt.tot_t + 4096 AS DOUBLE))
+                  + (CAST(COALESCE(r.n_r, 0) + 1 AS DOUBLE)
+                       / CAST(nr.tot_r + 4096 AS DOUBLE)))
+             ) AS term
+      FROM feats f LEFT JOIN tgt t USING (b) LEFT JOIN rawc r USING (b)
+      CROSS JOIN nt CROSS JOIN nr
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_feats,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+             (acc, v) -> acc + v) / CAST(SUM(c) AS DOUBLE) AS score
+    FROM terms GROUP BY doc_id
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023: importance resampling
+    over hashed n-gram features toward a trusted target) with the same
+    trusted slice as the CCNet LM filter (3 of 20 sources). The weight
+    is the log-free posterior form (ext/sampling.importance_scores
+    docstring) so the full score geometry hash-matches the oracle;
+    selection = any deterministic cut over (score, doc_id) downstream.
+    Plan: model tables ≤4096 rows broadcast onto the per-doc feature
+    counts, one groupBy(doc) closes — raw features are the only
+    corpus-sized shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source").isin("src0", "src1", "src2"))
+    return S.importance_scores(d, ref, "doc_id", "text",
+                               n=2, buckets=4096)

@@ -9,6 +9,7 @@ value-hashing).
 
 from __future__ import annotations
 
+import os
 import textwrap
 from collections.abc import Callable
 
@@ -32,6 +33,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
         return fn
 
     return deco
+
+
+def ensure_built(path: str, build) -> str:
+    """Existence-cached persisted-index build with a COMPLETION marker.
+
+    A bare ``isdir(path)`` check treats a KILLED build — Spark leaves
+    the directory with only ``_temporary`` — as complete, and the next
+    session serves an unreadable/empty index (found in r9 when a killed
+    measurement session poisoned the chunk index for every later run).
+    The marker is touched only after ``build()`` returns; a dir without
+    it is wiped and rebuilt. ``_SUCCESS`` can't serve: multi-append
+    builds re-write it after the FIRST append, so an interrupt between
+    appends would still read as complete."""
+    import shutil
+
+    marker = os.path.join(path, "_GRAFT_COMPLETE")
+    if os.path.isfile(marker):
+        return path
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    build()
+    os.makedirs(path, exist_ok=True)  # a build that wrote nothing still completes
+    open(marker, "a").close()
+    return path
 
 
 def scratch_dir(sf_dir: str, kind: str) -> str:

@@ -31,3 +31,28 @@ def test_fingerprint_distinguishes_paths(tmp_path):
         d.mkdir(parents=True)
         (d / "t.parquet").write_bytes(b"same")
     assert scratch_dir(str(d1), "k") != scratch_dir(str(d2), "k")
+
+
+def test_ensure_built_self_heals_killed_build(tmp_path):
+    """A dir left by a killed build (no completion marker — e.g. only
+    Spark's _temporary) must be wiped and rebuilt, not served; a
+    completed build must not rebuild."""
+    from activedata_etl_spark.queries.registry import ensure_built
+
+    path = str(tmp_path / "idx")
+    # simulate a killed Spark write: dir exists, only _temporary inside
+    (tmp_path / "idx" / "_temporary").mkdir(parents=True)
+    calls = []
+
+    def build():
+        calls.append(1)
+        (tmp_path / "idx").mkdir(exist_ok=True)
+        (tmp_path / "idx" / "part-0.parquet").write_text("data")
+
+    ensure_built(path, build)
+    assert calls == [1]
+    assert not (tmp_path / "idx" / "_temporary").exists()  # wiped
+    assert (tmp_path / "idx" / "part-0.parquet").exists()
+    assert (tmp_path / "idx" / "_GRAFT_COMPLETE").exists()
+    ensure_built(path, build)  # second call: marker present, no rebuild
+    assert calls == [1]
