@@ -1469,19 +1469,29 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     # no read-time dedup: batch-keyed OVERWRITE makes replay idempotent
     stored_raw = (spark.read.option("basePath", os.path.join(path, "rows"))
                   .parquet(os.path.join(path, "rows")))
-    # epoch guard: positions are only meaningful under the ONE order
-    # they were computed from — a crashed or concurrent refresh can
-    # leave rows and order on different epochs, and a silent mix would
-    # lose recall; refuse instead (re-running refresh_prefix_order
-    # heals the index)
-    eps = stored_raw.agg(F.min("epoch").alias("lo"),
-                         F.max("epoch").alias("hi")).collect()[0]
-    if eps["lo"] != epoch or eps["hi"] != epoch:
+    # epoch guard, PER BATCH: positions are only meaningful under the
+    # ONE order they were computed from — a crashed or concurrent
+    # refresh can leave rows and order on different epochs, and a
+    # silent mix would lose recall; refuse instead (re-running
+    # refresh_prefix_order heals the index). A batch passes either by
+    # its own row epoch or by an epoch-manifest entry proving an
+    # incremental refresh validated its rows against THIS order epoch
+    # without rewriting them (refresh_prefix_order incremental=True).
+    man = _load_epoch_manifest(path)
+    eps = (stored_raw.groupBy("batch")
+           .agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi"))
+           .collect())
+    bad = [r for r in eps
+           if not ((r["lo"] == epoch and r["hi"] == epoch)
+                   or man.get(int(r["batch"])) == epoch)]
+    if bad:
+        detail = ", ".join(
+            f"batch={r['batch']} rows=[{r['lo']},{r['hi']}] "
+            f"manifest={man.get(int(r['batch']))}" for r in bad)
         raise ValueError(
             f"stable-order index epoch mismatch: order is epoch {epoch} "
-            f"but stored rows span epochs [{eps['lo']}, {eps['hi']}] — "
-            "an order refresh crashed mid-swap or is running; re-run "
-            "refresh_prefix_order to reposition every batch")
+            f"but {detail} — an order refresh crashed mid-swap or is "
+            "running; re-run refresh_prefix_order to heal the index")
     stored = stored_raw.select("id", "s", "n", "pos")
 
     def prefix(rows: DataFrame) -> DataFrame:
@@ -1566,7 +1576,40 @@ def prefix_order_staleness(spark, path: str, order_path: str) -> DataFrame:
          / F.sum("c").cast("double")).alias("drift_ratio"))
 
 
-def refresh_prefix_order(spark, path: str, order_path: str) -> None:
+def _epoch_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "rows_epochs.json")
+
+
+def _load_epoch_manifest(path: str) -> dict[int, int]:
+    """batch id → last epoch its stored rows were VALIDATED under (an
+    incremental refresh proves a batch's rows are byte-identical under
+    the new order and records that instead of rewriting them)."""
+    import json
+    import os
+
+    p = _epoch_manifest_path(path)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
+
+
+def _row_fingerprint(rows: DataFrame):
+    """Order-independent content fingerprint of positioned rows: row
+    count + decimal sum of per-row xxhash64 over (id, s, n, pos) —
+    epoch excluded, it is bookkeeping not content. Collision odds are
+    the 64-bit birthday bound per batch; the decimal sum cannot
+    overflow."""
+    return rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("id", "s", "n", "pos")
+              .cast("decimal(38,0)")).alias("h")).collect()[0]
+
+
+def refresh_prefix_order(spark, path: str, order_path: str,
+                         incremental: bool = True) -> dict:
     """Re-freeze the element order from the index's CURRENT df shards
     and reposition every stored batch under it — the amortized answer
     to order staleness (:func:`prefix_order_staleness` tells you when).
@@ -1585,23 +1628,49 @@ def refresh_prefix_order(spark, path: str, order_path: str) -> None:
     same deterministic-given-order rows), so at-least-once replay
     semantics and the df shards stay valid unchanged.
 
+    ``incremental=True`` (NOTES r8 triage item, built r9) skips the
+    REWRITE of any batch whose repositioned rows are byte-identical to
+    what is stored — a doc's rows change only if the new order flips
+    the relative rank of two of its own elements, so after mild drift
+    most batches are unchanged. The proof is an order-independent
+    content fingerprint (count + decimal sum of row hashes) computed
+    from the repositioned frame vs the stored one; matching batches are
+    recorded in a sidecar epoch manifest (batch → validated epoch)
+    instead of being rewritten, and the delta join's guard accepts a
+    batch whose manifest entry matches the order epoch even though its
+    rows carry an older epoch number. The COMPUTE (reposition + compare
+    aggregates over hash-width columns) still runs for every batch —
+    that is what proves correctness — the saving is the write volume
+    and file churn, which is the replication-amplified cost at 100 TB.
+
     Crash safety: the refresh is NOT atomic (it swaps one batch
-    directory at a time, order last), but every row carries the epoch
-    it was positioned under and the new epoch is derived from the ROWS
-    (max stored epoch + 1), so any interrupted state — some batches
-    repositioned, order not yet swapped, or vice versa — is DETECTED by
-    the delta join's epoch guard and raises instead of silently mixing
-    orders; re-running this function repositions everything again and
-    heals the index. Do not run a refresh concurrently with delta
-    queries: they may fail-fast on the guard mid-swap and succeed on
-    retry."""
+    directory at a time, order next, manifest last), but every row
+    carries the epoch it was positioned under, the new epoch strictly
+    exceeds BOTH the max stored row epoch and the current order epoch,
+    and a manifest entry can only validate the exact order epoch it
+    recorded — so any interrupted state (some batches repositioned,
+    order not yet swapped, manifest stale, or vice versa) is DETECTED
+    by the delta join's per-batch epoch guard and raises instead of
+    silently mixing orders; re-running this function heals the index.
+    Do not run a refresh concurrently with delta queries: they may
+    fail-fast on the guard mid-swap and succeed on retry.
+
+    Returns ``{"epoch": E, "rewritten": [...], "skipped": [...]}``."""
+    import json
     import os
     import shutil
 
     rows_root = os.path.join(path, "rows")
     stored = (spark.read.option("basePath", rows_root).parquet(rows_root))
     prev = stored.agg(F.max("epoch")).collect()[0][0]
-    new_epoch = (int(prev) if prev is not None else 0) + 1
+    prev = int(prev) if prev is not None else 0
+    if os.path.isdir(order_path):
+        # an all-skipped incremental refresh advances the ORDER epoch
+        # without touching row epochs — the next epoch must clear both,
+        # or a changed order could reuse a number the manifest already
+        # validated batches against
+        prev = max(prev, _order_epoch(spark.read.parquet(order_path)))
+    new_epoch = prev + 1
     current = (spark.read.option("basePath", os.path.join(path, "df"))
                .parquet(os.path.join(path, "df"))
                .groupBy("s").agg(F.sum("df").cast("bigint").alias("df"))
@@ -1615,13 +1684,18 @@ def refresh_prefix_order(spark, path: str, order_path: str) -> None:
     # data — driver-side by construction and ingest-count-bounded
     batches = sorted(d for d in os.listdir(rows_root)
                      if d.startswith("batch="))
-    staged = []
+    staged, skipped = [], []
     for b in batches:
-        rows_b = spark.read.parquet(os.path.join(rows_root, b)) \
-            .select("id", "s")
+        stored_b = spark.read.parquet(os.path.join(rows_root, b))
+        repos = _positioned_rows(stored_b.select("id", "s"), order)
+        if incremental:
+            new_fp = _row_fingerprint(repos)
+            old_fp = _row_fingerprint(stored_b)
+            if (new_fp["n"], new_fp["h"]) == (old_fp["n"], old_fp["h"]):
+                skipped.append(b)
+                continue
         out = os.path.join(path, f"rows.next.{b}")
-        (_positioned_rows(rows_b, order)
-         .withColumn("epoch", F.lit(new_epoch))
+        (repos.withColumn("epoch", F.lit(new_epoch))
          .write.mode("overwrite").parquet(out))
         staged.append((out, os.path.join(rows_root, b)))
     for out, dst in staged:
@@ -1629,8 +1703,15 @@ def refresh_prefix_order(spark, path: str, order_path: str) -> None:
         os.replace(out, dst)
     shutil.rmtree(order_path, ignore_errors=True)
     os.replace(tmp_order, order_path)
+    manifest = {b.split("=", 1)[1]: new_epoch for b in batches}
+    tmp_man = _epoch_manifest_path(path) + ".next"
+    with open(tmp_man, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_man, _epoch_manifest_path(path))
     # the swaps happened at the filesystem level, not through a Spark
     # write — invalidate the session's cached file listings or a later
     # read in the SAME session resolves to the deleted pre-swap files
     spark.catalog.refreshByPath(rows_root)
     spark.catalog.refreshByPath(order_path)
+    return {"epoch": new_epoch,
+            "rewritten": [b for _, b in staged], "skipped": skipped}

@@ -174,3 +174,55 @@ def test_epoch_mismatch_raises_not_silent(spark, sf_dir, tmp_path):
     out = DD.prefix_join_stable_delta(spark, idx, order, delta,
                                       "doc_id", "text", threshold=0.5)
     out.count()  # runs clean
+
+
+def test_incremental_refresh_skips_unchanged_batches(spark, sf_dir, tmp_path):
+    """Incremental order refresh (r9): a batch whose repositioned rows
+    are byte-identical under the new order is NOT rewritten — it is
+    validated in the epoch manifest and the delta join accepts it at
+    the new epoch. A no-drift refresh therefore writes nothing; a
+    drifted refresh rewrites only what changed; a manifest wiped by a
+    crash is detected, and re-running the refresh heals it."""
+    import shutil
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx, order = str(tmp_path / "idx"), str(tmp_path / "order")
+    half = stored.filter(F.col("doc_id") % 2 == 0)
+    DD.freeze_prefix_order(half, "doc_id", "text", order)
+    DD.append_positioned_index(half, "doc_id", "text", idx, 0, spark, order)
+    DD.append_positioned_index(stored.filter(F.col("doc_id") % 2 == 1),
+                               "doc_id", "text", idx, 1, spark, order)
+
+    def pairs():
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+            DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                        "doc_id", "text",
+                                        threshold=0.5).collect())
+
+    before = pairs()
+
+    # drifted refresh: order re-frozen from full dfs — some batches
+    # change; whatever is skipped passes the guard via the manifest
+    rep1 = DD.refresh_prefix_order(spark, idx, order)
+    assert pairs() == before and len(before) > 0
+
+    # immediate second refresh: zero drift -> every batch byte-identical
+    # -> nothing rewritten, manifest alone carries the new epoch
+    rep2 = DD.refresh_prefix_order(spark, idx, order)
+    assert rep2["rewritten"] == [] and len(rep2["skipped"]) == 2
+    assert rep2["epoch"] == rep1["epoch"] + 1
+    assert pairs() == before  # accepted purely via manifest validation
+
+    # crash-sim: manifest lost after an all-skipped refresh -> rows
+    # carry an old epoch and nothing validates them -> loud refusal;
+    # re-running the refresh heals
+    os.remove(os.path.join(idx, "rows_epochs.json"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="epoch mismatch"):
+        pairs()
+    DD.refresh_prefix_order(spark, idx, order)
+    assert pairs() == before
