@@ -634,11 +634,38 @@ def append_bm25_index(df, id_col: str, text_col: str,
     safety: each micro-batch OVERWRITES its own batch-keyed directory
     (the idempotent etl-key pattern every index here uses) — replaying
     batch k rewrites identical posting bytes instead of duplicating
-    them."""
+    them.
+
+    Alongside the postings, a DOC-LENGTH facts shard (id, dl — one row
+    per doc) lands under ``_dl/batch=k``: the corpus stats (N, Σdl)
+    that every query needs then derive from a doc-count-sized table
+    instead of a full postings scan (the r9 sf1 measurement showed the
+    stats aggregation, not delta scoring, dominating the index-served
+    path at 10×). The underscore prefix keeps the facts dir invisible
+    to the postings read's partition discovery, same as _compact.tmp.
+    Retract a batch with :func:`retract_bm25_batch` (both shards must
+    drop together or the stats count ghost docs)."""
     import os
 
-    bm25_postings(df, id_col, text_col).write.mode("overwrite") \
+    post = bm25_postings(df, id_col, text_col)
+    post.write.mode("overwrite") \
         .parquet(os.path.join(path, f"batch={batch_id}"))
+    (post.groupBy("id").agg(F.first("dl").alias("dl"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(path, "_dl", f"batch={batch_id}")))
+
+
+def retract_bm25_batch(path: str, batch_id: int) -> None:
+    """Remove one ingest batch from the index — postings AND its
+    doc-length facts shard, so every merge-on-read statistic forgets
+    the batch's docs together (GDPR/retention lifecycle step)."""
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(path, f"batch={batch_id}"),
+                  ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_dl", f"batch={batch_id}"),
+                  ignore_errors=True)
 
 
 def bm25_query_index(spark, path: str, terms: list[str], k: int = 15,
@@ -667,9 +694,19 @@ def bm25_query_index(spark, path: str, terms: list[str], k: int = 15,
     A = 100 * (k1_x10 + 10)
     B1 = k1_x10 * (100 - b_x100)
     B2 = k1_x10 * b_x100
+    import os
+
     cols = ["id", "term", "tf", "dl"] + ([] if batch is None else ["batch"])
     post = spark.read.option("basePath", path).parquet(path).select(*cols)
-    docs = post.groupBy("id").agg(F.first("dl").alias("dl"))
+    dl_root = os.path.join(path, "_dl")
+    if os.path.isdir(dl_root):
+        # doc-length facts shard: (N, Σdl) from a doc-count-sized table
+        # — no posting-sized shuffle per query
+        docs = spark.read.option("basePath", dl_root).parquet(dl_root) \
+            .select("id", "dl")
+    else:
+        # pre-r9 index without the facts shard: derive from postings
+        docs = post.groupBy("id").agg(F.first("dl").alias("dl"))
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n__"),
                  F.sum("dl").cast("bigint").alias("__total__"))
     tf = post.filter(F.col("term").isin(terms))
@@ -761,9 +798,19 @@ def compact_bm25_index(spark, path: str) -> int:
     spark.read.option("basePath", path).parquet(path) \
         .select("id", "term", "tf", "dl") \
         .write.mode("overwrite").parquet(tmp)
+    dl_root = os.path.join(path, "_dl")
+    tmp_dl = os.path.join(dl_root, "_compact.tmp")
+    if os.path.isdir(dl_root):
+        shutil.rmtree(tmp_dl, ignore_errors=True)
+        spark.read.option("basePath", dl_root).parquet(dl_root) \
+            .select("id", "dl").write.mode("overwrite").parquet(tmp_dl)
     for d in batches:
         shutil.rmtree(os.path.join(path, d))
     os.rename(tmp, os.path.join(path, "batch=0"))
+    if os.path.isdir(dl_root):
+        for d in [x for x in os.listdir(dl_root) if x.startswith("batch=")]:
+            shutil.rmtree(os.path.join(dl_root, d))
+        os.rename(tmp_dl, os.path.join(dl_root, "batch=0"))
     return len(batches)
 
 
@@ -811,9 +858,11 @@ def purge_from_fact_index(spark, path: str, ids, id_col: str = "id") -> int:
     Only shards that actually contain a purged id are rewritten (a
     membership probe per shard — cheap column-pruned scans); each
     rewrite goes through a temp dir + rename so a crash leaves either
-    the old or the new shard, never a partial one. Returns the number
-    of shards rewritten. ``ids`` may be a list or a single-column
-    DataFrame."""
+    the old or the new shard, never a partial one. A ``_dl`` doc-facts
+    sidecar (the bm25 layout) is purged the same way — its docs feed
+    N/Σdl, so a ghost row there would keep counting a forgotten doc.
+    Returns the number of shards rewritten. ``ids`` may be a list or a
+    single-column DataFrame."""
     import os
     import shutil
 
@@ -823,6 +872,20 @@ def purge_from_fact_index(spark, path: str, ids, id_col: str = "id") -> int:
         ids_df = ids.toDF(id_col)
     else:
         ids_df = spark.createDataFrame([(i,) for i in ids], [id_col])
+    rewritten = 0
+    roots = [path] + ([os.path.join(path, "_dl")]
+                      if os.path.isdir(os.path.join(path, "_dl")) else [])
+    for root in roots:
+        rewritten += _purge_root(spark, root, ids_df, id_col)
+    return rewritten
+
+
+def _purge_root(spark, path: str, ids_df, id_col: str) -> int:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as _F
+
     rewritten = 0
     for d in sorted(os.listdir(path)):
         sub = os.path.join(path, d)

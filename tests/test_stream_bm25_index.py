@@ -46,9 +46,8 @@ def test_stream_bm25_appends_and_replay_idempotence(spark, sf_dir, tmp_path):
     assert _topk(spark, idx) == want
 
     # retracting a batch removes its docs from EVERY statistic
-    import shutil
-
-    shutil.rmtree(os.path.join(idx, "batch=1"))
+    # (postings AND the _dl facts shard drop together)
+    TX.retract_bm25_batch(idx, 1)
     want_half = [(r["doc_id"], r["bm25"]) for r in TX.bm25_topk(
         docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text",
         ["spark", "vector", "merge"], k=10).collect()]
@@ -71,7 +70,7 @@ def test_bm25_index_compaction_invisible(spark, sf_dir, tmp_path):
     before = _topk(spark, idx)
     n = TX.compact_bm25_index(spark, idx)
     assert n == 3
-    assert sorted(os.listdir(idx)) == ["batch=0"]
+    assert sorted(os.listdir(idx)) == ["_dl", "batch=0"]
     assert _topk(spark, idx) == before
     # disjoint append after compaction: index == direct corpus scoring
     TX.append_bm25_index(docs.filter(F.col("doc_id") % 4 == 3),
@@ -105,5 +104,6 @@ def test_purge_ids_removes_from_every_statistic(spark, sf_dir, tmp_path):
         remaining, "doc_id", "text", ["spark", "vector", "merge"],
         k=10).collect()]
     assert _topk(spark, idx) == want
-    # shard 1 (ids ≡ 1 mod 3) contained no purged id → untouched
-    assert n == 2
+    # shard 1 (ids ≡ 1 mod 3) contained no purged id → untouched, in
+    # both the postings root and the _dl facts sidecar (2 + 2 rewrites)
+    assert n == 4
