@@ -520,3 +520,59 @@ def _prefix_stable_delta(spark, df, spec) -> DataFrame:
         df,
         spec.get("id", "doc_id"), spec.get("text", "text"),
         threshold=float(spec.get("threshold", 0.5)))
+
+
+@_op("resample")
+def _resample(spark, df, spec) -> DataFrame:
+    """Time-series resample + gap fill as a jx from clause
+    (operators/timeseries.py): snap observations to a ``step_sec`` grid
+    per key over each key's own span, empty buckets filled per
+    ``fill``: "none" | "locf" | "linear" | "both" (default). Output:
+    keys + (t, v[, v_locf][, v_lerp]); ``max_buckets`` guards a
+    span/step blowup (plan-only probes skip the guard's job, same as
+    every construction-time probe behind format=explain)."""
+    from ..operators import timeseries as TS
+
+    for req in ("ts", "value", "keys", "step_sec"):
+        if req not in spec:
+            raise ValueError(f"resample needs {req!r} (from.{req})")
+    fill = str(spec.get("fill", "both"))
+    if fill not in ("none", "locf", "linear", "both"):
+        raise ValueError(
+            f"resample fill must be none|locf|linear|both, got {fill!r}")
+    keys = spec["keys"]
+    keys = [keys] if isinstance(keys, str) else [str(k) for k in keys]
+    grid = TS.resample(
+        df, str(spec["ts"]), str(spec["value"]), keys,
+        int(spec["step_sec"]),
+        max_buckets=int(spec.get("max_buckets", TS.MAX_BUCKETS_DEFAULT)))
+    cols = [*keys, "t", "v"]
+    out = grid
+    if fill in ("locf", "both"):
+        out = out.withColumn("v_locf", TS.fill_locf(grid, keys))
+        cols.append("v_locf")
+    if fill in ("linear", "both"):
+        out = out.withColumn("v_lerp", TS.fill_linear(grid, keys))
+        cols.append("v_lerp")
+    return out.select(*cols)
+
+
+@_op("importance_scores")
+def _importance_scores(spark, df, spec) -> DataFrame:
+    """DSIR-style data selection as a jx from clause
+    (ext/sampling.importance_scores): score every ``table`` doc's
+    hashed n-gram features toward a trusted ``target`` corpus (BOTH
+    resolve through the normal from-resolution — view, deep path, or
+    nested query dict, so the target slice can be declared inline:
+    {"from": "documents", "where": {...}}). Output: (id, n_feats,
+    score), score > 0.5 = more target-like than raw-like."""
+    from ..ext import sampling as S
+    from .query import _from
+
+    for req in ("target", "id", "text"):
+        if req not in spec:
+            raise ValueError(f"importance_scores needs {req!r} (from.{req})")
+    target = _from(spark, spec["target"])
+    return S.importance_scores(
+        df, target, str(spec["id"]), str(spec["text"]),
+        n=int(spec.get("n", 2)), buckets=int(spec.get("buckets", 4096)))

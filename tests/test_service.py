@@ -1224,3 +1224,59 @@ def test_cursor_paging_over_streaming_view(spark, sf_dir, tmp_path):
     finally:
         server.shutdown()
         spark.catalog.dropTempView("events_stream_cursor")
+
+
+def test_resample_and_importance_ops_through_service(endpoint, spark, sf_dir):
+    """The r9 operators on the jx surface: op:resample composes with
+    where/sort/limit, its answers equal the library call, fill
+    validation 400s early, and format=explain plans WITHOUT executing
+    (the max_buckets probe is behind the plan-only guard); op:
+    importance_scores takes an inline-query target slice."""
+    from activedata_etl_spark.ext import sampling as S
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.operators import timeseries as TS
+
+    e = load_table(spark, sf_dir, "events")
+    uid = e.groupBy("user_id").count().orderBy(
+        F.desc("count"), "user_id").first()["user_id"]
+    rq = {"from": {"op": "resample", "table": "events", "ts": "ts",
+                   "value": "value", "keys": "user_id",
+                   "step_sec": 86400, "fill": "both"},
+          "where": {"eq": ["user_id", int(uid)]},
+          "sort": "t"}
+    got = _post(endpoint + "/query", rq)["data"]
+    grid = TS.resample(e, "ts", "value", ["user_id"], 86400)
+    lib = (grid.select("user_id", "t", "v",
+                       TS.fill_locf(grid, ["user_id"]).alias("v_locf"),
+                       TS.fill_linear(grid, ["user_id"]).alias("v_lerp"))
+           .filter(F.col("user_id") == int(uid)).orderBy("t").collect())
+    assert [(r["t"], r["v"], r["v_locf"], r["v_lerp"]) for r in got] == \
+        [(r["t"], r["v"], r["v_locf"], r["v_lerp"]) for r in lib]
+    assert len(got) > 0
+
+    # bad fill: early 400, not a Spark error
+    bad = dict(rq, **{"from": {**rq["from"], "fill": "cubic"}})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(endpoint + "/query", bad)
+    assert ei.value.code == 400
+    assert "cubic" in ei.value.read().decode()
+
+    # explain: plan only, no execution (probe behind plan-only guard)
+    ex = _post(endpoint + "/query", {**rq, "format": "explain"})
+    assert "plan" in ex or "explain" in json.dumps(ex).lower()
+
+    # importance_scores with an inline target slice
+    iq = {"from": {"op": "importance_scores", "table": "documents",
+                   "target": {"from": "documents",
+                              "where": {"in": ["source",
+                                               ["src0", "src1", "src2"]]}},
+                   "id": "doc_id", "text": "text"},
+          "sort": [{"value": "score", "sort": -1}, "doc_id"],
+          "limit": 5}
+    top = _post(endpoint + "/query", iq)["data"]
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source").isin("src0", "src1", "src2"))
+    want = (S.importance_scores(d, ref, "doc_id", "text")
+            .orderBy(F.col("score").desc(), "doc_id").limit(5).collect())
+    assert [(r["doc_id"], r["score"]) for r in top] == \
+        [(r["doc_id"], r["score"]) for r in want]
