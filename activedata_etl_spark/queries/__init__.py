@@ -44,6 +44,7 @@ _NEW_THIS_ROUND: list[str] = [
     "meta_columns_nested",
     "events_resample_1h_fill",
     "sample_dsir_importance",
+    "dedup_prefix_stable_small_delta",
     "sim_ann_multiprobe_bulk_auto",
     "dedup_semantic_clusters_auto",
 ]

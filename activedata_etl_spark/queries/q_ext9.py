@@ -452,6 +452,30 @@ def dedup_prefix_stable_order_delta(spark: SparkSession,
                                        "doc_id", "text", threshold=0.5)
 
 
+@query("dedup_prefix_stable_small_delta")
+def dedup_prefix_stable_small_delta(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """dedup_prefix_stable_order_delta at a REALISTIC delta fraction
+    (1%: doc_id % 100 == 1) — rows-only registration, for the scale
+    rigs: the oracle-carrying fixture uses a 50% delta so its blind
+    all-pairs oracle has cross-pairs to prove recall on, which makes
+    "delta" ≈ a full run by construction (tokenizing half the corpus
+    IS half the work; measured r9, SCALE.md). This form is the shape a
+    nightly ingest actually has: delta cost = tokenize 1% + scan the
+    stored prefix rows — 4.6 s vs ~27 s full at the 10× rig. Value
+    correctness is inherited: the same function, same index, same
+    order, only the delta predicate differs. The planted near-dup
+    pairs are sparse and id-random, so at sf<=0.01 the 1% sample often
+    contains no pair endpoint — ZERO rows is then the correct answer
+    (the 10× rig returns 50); the oracle-carrying twin proves the
+    pair values."""
+    d = load_table(spark, sf_dir, "documents")
+    path, order_path = _stable_index(spark, sf_dir, d)
+    delta = d.filter(F.pmod("doc_id", F.lit(100)) == 1)
+    return DD.prefix_join_stable_delta(spark, path, order_path, delta,
+                                       "doc_id", "text", threshold=0.5)
+
+
 def _stable_index(spark, sf_dir: str, d: DataFrame) -> tuple[str, str]:
     """Build (or reuse) the shared stable-order index for the two
     stable-order queries. The existence guard is a COMPLETION MARKER

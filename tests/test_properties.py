@@ -283,3 +283,50 @@ def test_priority_sample_matches_python_reference(spark, sf_dir):
         tau = prio[k][2]
         want = [(i, w, p, max(float(w), tau)) for i, w, p in prio[:k]]
         assert sorted(got) == sorted(want), (salt, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40 * 3600), st.integers(-1000, 1000)),
+                min_size=1, max_size=25))
+def test_resample_fills_match_pure_spec(spark, obs):
+    """resample + LOCF/lerp vs a pure-Python spec on arbitrary series:
+    bucket means (integer values → the decimal mean is exact), dense
+    grid bounded by the key's own span, carry-forward, and interpolation
+    with the same IEEE expression order."""
+    import datetime as dt
+
+    from activedata_etl_spark.operators import timeseries as TS
+
+    base = int(dt.datetime(2024, 1, 6, tzinfo=dt.timezone.utc).timestamp())
+    rows = [("k", dt.datetime.fromtimestamp(base + off, dt.timezone.utc)
+             .replace(tzinfo=None), float(v)) for off, v in obs]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    grid = TS.resample(df, "ts", "value", ["k"], step_sec=3600)
+    got = {r["t"]: (r["v"], r["locf"], r["lerp"]) for r in grid.select(
+        "t", "v",
+        TS.fill_locf(grid, ["k"]).alias("locf"),
+        TS.fill_linear(grid, ["k"]).alias("lerp")).collect()}
+
+    # pure spec
+    from collections import defaultdict
+    bk = defaultdict(list)
+    for off, v in obs:
+        t = base + off
+        bk[(t // 3600) * 3600].append(v)
+    means = {t: float(sum(vs)) / len(vs) for t, vs in bk.items()}
+    ts_all = list(range(min(means), max(means) + 1, 3600))
+    assert sorted(got) == ts_all
+    prev = None
+    obs_ts = sorted(means)
+    for t in ts_all:
+        v, locf, lerp = got[t]
+        if t in means:
+            assert v == means[t] and locf == means[t] and lerp == means[t]
+            prev = t
+        else:
+            assert v is None
+            assert locf == means[prev]
+            nxt = min(x for x in obs_ts if x > t)
+            pv, nv = means[prev], means[nxt]
+            want = pv + (nv - pv) * (t - prev) / (nxt - prev)
+            assert lerp == want
