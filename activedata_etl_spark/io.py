@@ -156,7 +156,7 @@ def describe_columns(df: DataFrame) -> DataFrame:
     return stats.select(F.explode(rows).alias("c")).select("c.*")
 
 
-def describe_columns_nested(df: DataFrame) -> DataFrame:
+def describe_columns_nested(df: DataFrame, exact: bool = True) -> DataFrame:
     """Nested-path column catalog — the reference ColumnList's remaining
     behavior (``vendor/jx_elasticsearch/meta.py``: per-index columns
     include struct/array LEAF paths with their nested depth, so
@@ -178,8 +178,12 @@ def describe_columns_nested(df: DataFrame) -> DataFrame:
     from the schema (driver-side, no data probe), LEFT-joined so an
     all-empty leaf keeps its catalog row with zero counts (same contract
     as describe_columns_refresh's all-NULL columns). Exact countDistinct
-    = one (column, v)-keyed distinct shuffle; at 100 TB swap in the HLL
-    register path (describe_columns_refresh) for the NDV."""
+    = one (column, v)-keyed distinct shuffle; ``exact=False`` is the
+    100 TB form — per-leaf NDV from the portable md5-HLL registers
+    (functions/hll.py: map-side-reduced to ≤256 register rows per leaf,
+    no distinct shuffle anywhere), output column ``raw_est`` REPLACING
+    ``cardinality`` (the refresh-path contract: callers apply linear
+    counting below 2.5·m; an all-empty leaf has raw_est NULL)."""
     from pyspark.sql import types as T
 
     leaves: list[tuple] = []
@@ -212,20 +216,34 @@ def describe_columns_nested(df: DataFrame) -> DataFrame:
     stacked = df.select(F.explode(F.array(*[
         F.struct(F.lit(p).alias("column"), vals.alias("vals"))
         for p, _, _, vals in leaves])).alias("c")).select("c.*")
-    counts = (stacked.select("column", F.explode("vals").alias("v"))
-              .groupBy("column")
-              .agg(F.countDistinct("v").alias("cardinality"),
-                   (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
-                   F.count("v").alias("n_values")))
+    elems = stacked.select("column", F.explode("vals").alias("v"))
+    aggs = [(F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+            F.count("v").alias("n_values")]
+    if exact:
+        aggs.insert(0, F.countDistinct("v").alias("cardinality"))
+    counts = elems.groupBy("column").agg(*aggs)
     base = df.sparkSession.createDataFrame(
         [(p, t, d) for p, t, d, _ in leaves],
         "column string, dtype string, nested_depth int")
     zero = F.lit(0).cast("bigint")
-    return (base.join(counts, "column", "left")
-            .select("column", "dtype", "nested_depth",
-                    F.coalesce("cardinality", zero).alias("cardinality"),
-                    F.coalesce("n_nulls", zero).alias("n_nulls"),
-                    F.coalesce("n_values", zero).alias("n_values")))
+    ndv_col = [F.coalesce("cardinality", zero).alias("cardinality")]
+    out = base.join(counts, "column", "left")
+    if not exact:
+        from .functions import hll
+
+        regs = hll.hll_registers(
+            elems.filter(F.col("v").isNotNull()), ["column"], "v")
+        out = out.join(hll.hll_estimate(regs, ["column"])
+                       .select("column", "n_buckets", "n_zero", "raw_est"),
+                       "column", "left")
+        # raw_est + (n_buckets, n_zero) so callers can apply linear
+        # counting in the low-cardinality regime — the hll_estimate /
+        # describe_columns_refresh contract (ln stays out of hashable
+        # outputs)
+        ndv_col = [F.col("n_buckets"), F.col("n_zero"), F.col("raw_est")]
+    return out.select("column", "dtype", "nested_depth", *ndv_col,
+                      F.coalesce("n_nulls", zero).alias("n_nulls"),
+                      F.coalesce("n_values", zero).alias("n_values"))
 
 
 def describe_columns_refresh(df: DataFrame,

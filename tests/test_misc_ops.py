@@ -452,3 +452,36 @@ def test_resample_gap_fill_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_buckets"):
         TS.resample(df, "ts", "value", ["k"], step_sec=1, max_buckets=100)
+
+
+def test_describe_columns_nested_register_ndv(spark):
+    """exact=False: per-leaf NDV from HLL registers — no distinct
+    shuffle; raw_est replaces cardinality, within the raw-regime
+    envelope of the exact count; an all-empty leaf keeps its row with
+    raw_est NULL."""
+    from activedata_etl_spark.io import describe_columns_nested
+
+    df = spark.range(500).selectExpr(
+        "id", "struct(cast(id % 37 as string) AS s) AS info",
+        "array(struct(id % 11 AS k)) AS items",
+        "CAST(array() AS array<int>) AS empty")
+    exact = {r["column"]: r for r in describe_columns_nested(df).collect()}
+    approx = {r["column"]: r
+              for r in describe_columns_nested(df, exact=False).collect()}
+    assert set(approx) == set(exact)
+    import math
+
+    for col in ("id", "info.s", "items.k"):
+        e = exact[col]["cardinality"]
+        r = approx[col]
+        a = r["raw_est"]
+        # the hll_estimate consumer contract: linear counting in the
+        # low-cardinality regime (n_buckets = OCCUPIED buckets;
+        # m = occupied + zero)
+        m = r["n_buckets"] + r["n_zero"]
+        if a < 2.5 * m and r["n_zero"] > 0:
+            a = m * math.log(m / r["n_zero"])
+        assert abs(a - e) / e < 0.25, (col, e, a)
+        assert approx[col]["n_values"] == exact[col]["n_values"]
+    assert approx["empty"]["raw_est"] is None
+    assert approx["empty"]["n_values"] == 0

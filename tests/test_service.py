@@ -1280,3 +1280,26 @@ def test_resample_and_importance_ops_through_service(endpoint, spark, sf_dir):
             .orderBy(F.col("score").desc(), "doc_id").limit(5).collect())
     assert [(r["doc_id"], r["score"]) for r in top] == \
         [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_columns_endpoint_nested(endpoint, spark, sf_dir):
+    """GET /columns/<table>?nested=1 — the ColumnList nested behavior on
+    the service surface. The base tables are flat, so nested rows must
+    equal the flat catalog at depth 0 (same names, dtype, counts) —
+    proving the nested walker degrades exactly to describe_columns on a
+    flat schema — and the depth column is present."""
+    import urllib.request
+
+    with urllib.request.urlopen(
+            endpoint + "/columns/nation?nested=1", timeout=120) as r:
+        nested = json.loads(r.read())
+    with urllib.request.urlopen(
+            endpoint + "/columns/nation", timeout=120) as r:
+        flat = json.loads(r.read())
+    nb = {c["column"]: c for c in nested["columns"]}
+    fb = {c["column"]: c for c in flat["columns"]}
+    assert set(nb) == set(fb)
+    for name, c in nb.items():
+        assert c["nested_depth"] == 0
+        assert c["cardinality"] == fb[name]["cardinality"]
+        assert c["n_nulls"] == fb[name]["n_nulls"]
