@@ -1481,9 +1481,15 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     eps = (stored_raw.groupBy("batch")
            .agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi"))
            .collect())
+    # a manifest entry vouches a batch only for rows it could have
+    # SEEN: rows newer than the manifest mean a later refresh touched
+    # the batch and crashed before re-vouching — refuse even if the
+    # manifest epoch happens to match the order (belt to the
+    # remove-manifest-first braces in refresh_prefix_order)
     bad = [r for r in eps
            if not ((r["lo"] == epoch and r["hi"] == epoch)
-                   or man.get(int(r["batch"])) == epoch)]
+                   or (man.get(int(r["batch"])) == epoch
+                       and r["hi"] <= man.get(int(r["batch"]))))]
     if bad:
         detail = ", ".join(
             f"batch={r['batch']} rows=[{r['lo']},{r['hi']}] "
@@ -1698,6 +1704,17 @@ def refresh_prefix_order(spark, path: str, order_path: str,
         (repos.withColumn("epoch", F.lit(new_epoch))
          .write.mode("overwrite").parquet(out))
         staged.append((out, os.path.join(rows_root, b)))
+    if staged:
+        # the OLD manifest vouches batches against the OLD order epoch;
+        # once any batch is rewritten under the NEW order, a crash
+        # before the order swap would leave that manifest vouching a
+        # new-order batch against the old order — remove it BEFORE the
+        # first swap so every crash window downgrades to "nothing
+        # validates, guard raises, re-run heals" (r9 review finding #1)
+        try:
+            os.remove(_epoch_manifest_path(path))
+        except FileNotFoundError:
+            pass
     for out, dst in staged:
         shutil.rmtree(dst, ignore_errors=True)
         os.replace(out, dst)

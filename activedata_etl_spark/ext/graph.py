@@ -24,21 +24,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Edge-list caches created by pagerank(), released at the NEXT call (or
-# via release_caches()): a long-lived library caller looping pagerank
-# holds at most ONE cached edge list at a time instead of accumulating
-# a 2|E|-row cache per call for the session's lifetime (r8 advisor).
-# The previous call's ranks DataFrame stays correct after its cache is
-# dropped — Spark recomputes from lineage — so this is a perf bound,
-# not a correctness hazard, and laziness is preserved (no eager
-# checkpoint at plan-construction time).
+# Edge-list caches created by pagerank(), bounded to the most recent
+# _KEEP calls (or drained via release_caches()): a long-lived library
+# caller looping pagerank accumulates at most _KEEP cached edge lists
+# instead of one per call for the session's lifetime (r8 advisor).
+# _KEEP > 1 because the service is a ThreadingHTTPServer — releasing
+# at EVERY call would unpersist a concurrent request's edge list
+# mid-execution and re-pay the quadratic edge-generation recompute the
+# persist exists to prevent (r9 review finding #5); a dropped cache is
+# still only a recompute, never a correctness hazard, and laziness is
+# preserved (no eager checkpoint at plan-construction time).
 _EDGE_CACHES: list[DataFrame] = []
+_KEEP = 4
 
 
 def release_caches() -> None:
     """Unpersist edge-list caches from earlier :func:`pagerank` calls."""
     while _EDGE_CACHES:
         _EDGE_CACHES.pop().unpersist()
+
+
+def _trim_caches() -> None:
+    while len(_EDGE_CACHES) >= _KEEP:
+        _EDGE_CACHES.pop(0).unpersist()
 
 
 def cooccurrence_edges(df: DataFrame, id_col: str, slot_cols: list[str],
@@ -141,11 +149,11 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
     # quadratic slot self-join) re-executes per consumer. Measured on
     # the sf1 rig's 14M-edge graph: 28.1s → ~1s for 3 iterations. Lazy
     # persist, so plan-only probes stay plan-only. RELEASE: each call
-    # first drops the PREVIOUS call's edge cache (module tracker above),
-    # bounding a looping library caller at one live cache; the HTTP
-    # service additionally unpersists request-created caches after each
-    # response, and release_caches() is the explicit library hook.
-    release_caches()
+    # trims the tracker to the last _KEEP edge caches (concurrent
+    # requests keep theirs), the HTTP service additionally unpersists
+    # request-created caches after each response, and release_caches()
+    # is the explicit library hook.
+    _trim_caches()
     directed = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                 .unionAll(edges.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))

@@ -253,14 +253,26 @@ def length_batches(df, shard_col: str, id_col: str, n_tok_col: str,
                          - F.col("sum_tok")).cast("bigint")))
 
 
-_BPE_CACHES: list = []
+_BPE_CACHES: list[list] = []  # one group (vocab + winners) per call
+_BPE_KEEP = 3
 
 
 def release_bpe_caches() -> None:
     """Unpersist vocab/winner caches from earlier :func:`bpe_merges`
     calls (dropping them is a recompute, not a correctness hazard)."""
     while _BPE_CACHES:
-        _BPE_CACHES.pop().unpersist()
+        for df in _BPE_CACHES.pop():
+            df.unpersist()
+
+
+def _trim_bpe_caches() -> None:
+    # keep the last few call-groups: the service is threaded, so
+    # releasing everything at each call would unpersist a concurrent
+    # request's winner chain mid-plan and re-pay the 2^n recompute the
+    # persists exist for (r9 review finding #5)
+    while len(_BPE_CACHES) >= _BPE_KEEP:
+        for df in _BPE_CACHES.pop(0):
+            df.unpersist()
 
 
 def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
@@ -289,16 +301,19 @@ def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
     # without the persists the corpus scan re-executes ~2^n_merges times
     # inside one plan (invisible at sf0.1, 26× wall at the sf1 rig).
     # Both persists are LAZY (plan-only probes stay plan-only). RELEASE:
-    # each call first drops the previous call's caches (module tracker,
-    # same bound as ext.graph.pagerank — a looping library caller holds
-    # one call's caches, not the session's accumulation); the HTTP
-    # service additionally unpersists request caches per response.
-    release_bpe_caches()
+    # each call trims the tracker to the last _BPE_KEEP call-groups
+    # (same bound as ext.graph.pagerank — a looping library caller
+    # holds a few calls' caches, not the session's accumulation, and
+    # concurrent requests keep theirs); the HTTP service additionally
+    # unpersists request caches per response.
+    _trim_bpe_caches()
+    group = []
+    _BPE_CACHES.append(group)
     words = (df.select(F.explode(tokens(text_col)).alias("w"))
              .filter(~F.col("w").contains(sep) & (F.length("w") > 0))
              .groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
              .persist())
-    _BPE_CACHES.append(words)
+    group.append(words)
     state = words.select(
         F.concat_ws(sep, F.split(F.col("w"), "")).alias("seq"), "wf")
     out = None
@@ -316,7 +331,7 @@ def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
                    .agg(F.sum("wf").cast("bigint").alias("n")))
         top = (counted.orderBy(F.col("n").desc(), "lhs", "rhs").limit(1)
                .select("lhs", "rhs", "n").persist())
-        _BPE_CACHES.append(top)
+        group.append(top)
         row = top.select(F.lit(rank).alias("merge_rank"), "lhs", "rhs",
                          F.concat("lhs", "rhs").alias("merged"), "n")
         out = row if out is None else out.unionByName(row)
@@ -648,9 +663,15 @@ def append_bm25_index(df, id_col: str, text_col: str,
     import os
 
     post = bm25_postings(df, id_col, text_col)
-    post.write.mode("overwrite") \
-        .parquet(os.path.join(path, f"batch={batch_id}"))
-    (post.groupBy("id").agg(F.first("dl").alias("dl"))
+    shard = os.path.join(path, f"batch={batch_id}")
+    post.write.mode("overwrite").parquet(shard)
+    # derive the facts from the just-written shard (column-pruned read
+    # of two hash-width columns), NOT from `post` — two actions on the
+    # same unpersisted frame would tokenize the batch twice (r9 review
+    # finding #7)
+    spark = df.sparkSession
+    (spark.read.parquet(shard).groupBy("id")
+     .agg(F.first("dl").alias("dl"))
      .write.mode("overwrite")
      .parquet(os.path.join(path, "_dl", f"batch={batch_id}")))
 
@@ -699,13 +720,21 @@ def bm25_query_index(spark, path: str, terms: list[str], k: int = 15,
     cols = ["id", "term", "tf", "dl"] + ([] if batch is None else ["batch"])
     post = spark.read.option("basePath", path).parquet(path).select(*cols)
     dl_root = os.path.join(path, "_dl")
-    if os.path.isdir(dl_root):
+
+    def _batches(root):
+        return {d for d in os.listdir(root) if d.startswith("batch=")}
+
+    if os.path.isdir(dl_root) and _batches(dl_root) >= _batches(path):
         # doc-length facts shard: (N, Σdl) from a doc-count-sized table
-        # — no posting-sized shuffle per query
+        # — no posting-sized shuffle per query. Used only when EVERY
+        # postings batch has its facts shard: a post-r9 append onto a
+        # pre-r9 index leaves older batches without one, and stats from
+        # the partial sidecar would silently exclude their docs from
+        # N/avgdl (r9 review finding #2).
         docs = spark.read.option("basePath", dl_root).parquet(dl_root) \
             .select("id", "dl")
     else:
-        # pre-r9 index without the facts shard: derive from postings
+        # pre-r9 or partially-backfilled index: derive from postings
         docs = post.groupBy("id").agg(F.first("dl").alias("dl"))
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n__"),
                  F.sum("dl").cast("bigint").alias("__total__"))

@@ -26,7 +26,9 @@ A key whose span is huge relative to its observation count explodes the
 grid (sequence() caps at 2^31 elements and memory long before) —
 ``max_buckets`` guards it: spans wider than the cap raise rather than
 silently OOM-ing an executor, the same contract as domains.to_cube's
-cell cap.
+cell cap. The guard is IN-PLAN (assert_true over the per-key span rows,
+evaluated at execution) — a construction-time probe would re-run the
+full bucket aggregation as an extra job on every call (r9 review).
 """
 
 from __future__ import annotations
@@ -50,26 +52,23 @@ def resample(df: DataFrame, ts: str, value: str, keys: list[str],
            .agg(davg(value).alias("__v_obs__")))
     span = obs.groupBy(*keys).agg(
         F.min("t").alias("__t0__"), F.max("t").alias("__t1__"))
-    from ..planmode import is_plan_only
-
-    oversize = span.filter(
-        (F.col("__t1__") - F.col("__t0__")) / step_sec >= max_buckets)
-    # driver probe (one small agg) — skipped under the explain contract,
-    # same as _observed_parts / _resolve_bits
-    if not is_plan_only() and oversize.limit(1).count() > 0:
-        raise ValueError(
-            f"resample: a key's span exceeds max_buckets={max_buckets} "
-            f"at step={step_sec}s; widen the step or raise the cap")
+    # span-cap assert embedded in the sequence step: assert_true is
+    # NULL on success, so the step passes through; an oversize key
+    # fails the job with the message instead of OOMing an executor.
+    # In-plan means zero extra jobs at construction and plan-only
+    # explain stays execution-free for free.
+    ok = ((F.col("__t1__") - F.col("__t0__")) / step_sec) < max_buckets
+    msg = (f"resample: a key's span exceeds max_buckets={max_buckets} "
+           f"at step={step_sec}s; widen the step or raise the cap")
+    step = F.when(F.assert_true(ok, F.lit(msg)).isNull(),
+                  F.lit(step_sec).cast("bigint"))
     grid = span.select(
-        *keys,
-        F.explode(F.sequence("__t0__", "__t1__",
-                             F.lit(step_sec).cast("bigint"))).alias("t"))
+        *keys, F.explode(F.sequence("__t0__", "__t1__", step)).alias("t"))
     return (grid.join(obs, [*keys, "t"], "left")
             .withColumnRenamed("__v_obs__", "v"))
 
 
-def fill_locf(grid: DataFrame, keys: list[str], t: str = "t",
-              v: str = "v") -> Column:
+def fill_locf(keys: list[str], t: str = "t", v: str = "v") -> Column:
     """Last-observation-carried-forward over the dense grid: the most
     recent non-null value at or before each bucket (NULL before the
     first observation — which resample() never emits, since each key's
@@ -79,8 +78,7 @@ def fill_locf(grid: DataFrame, keys: list[str], t: str = "t",
     return F.last(F.col(v), ignorenulls=True).over(w)
 
 
-def fill_linear(grid: DataFrame, keys: list[str], t: str = "t",
-                v: str = "v") -> Column:
+def fill_linear(keys: list[str], t: str = "t", v: str = "v") -> Column:
     """Linear interpolation between the surrounding observations:
     ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``, exactly
     that expression in IEEE double so any oracle engine can reproduce it

@@ -549,10 +549,10 @@ def _resample(spark, df, spec) -> DataFrame:
     cols = [*keys, "t", "v"]
     out = grid
     if fill in ("locf", "both"):
-        out = out.withColumn("v_locf", TS.fill_locf(grid, keys))
+        out = out.withColumn("v_locf", TS.fill_locf(keys))
         cols.append("v_locf")
     if fill in ("linear", "both"):
-        out = out.withColumn("v_lerp", TS.fill_linear(grid, keys))
+        out = out.withColumn("v_lerp", TS.fill_linear(keys))
         cols.append("v_lerp")
     return out.select(*cols)
 

@@ -298,5 +298,5 @@ def events_resample_1h_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = TS.resample(e, "ts", "value", ["user_id"], step_sec=3600)
     return grid.select(
         "user_id", "t", "v",
-        TS.fill_locf(grid, ["user_id"]).alias("v_locf"),
-        TS.fill_linear(grid, ["user_id"]).alias("v_lerp"))
+        TS.fill_locf(["user_id"]).alias("v_locf"),
+        TS.fill_linear(["user_id"]).alias("v_lerp"))

@@ -477,18 +477,17 @@ def dedup_prefix_stable_small_delta(spark: SparkSession,
 
 
 def _stable_index(spark, sf_dir: str, d: DataFrame) -> tuple[str, str]:
-    """Build (or reuse) the shared stable-order index for the two
-    stable-order queries. The existence guard is a COMPLETION MARKER
-    written only after the full build — a dir-exists check would
-    silently reuse a partially built index after a crash and drop
-    pairs; the rebuild itself is idempotent (batch-keyed overwrite)."""
+    """Build (or reuse) the shared stable-order index for the
+    stable-order queries — through registry.ensure_built, the one
+    completion-marker implementation (a killed build's partial dirs are
+    WIPED and rebuilt, never reused; this predates ensure_built with a
+    hand-rolled marker and was migrated by the r9 review)."""
     import os
-    import tempfile
 
     base = scratch_dir(sf_dir, "prefstable")
     path, order_path = os.path.join(base, "idx"), os.path.join(base, "order")
-    marker = os.path.join(base, "_BUILD_COMPLETE")
-    if not os.path.exists(marker):
+
+    def _build():
         b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
         DD.freeze_prefix_order(b0, "doc_id", "text", order_path)
         DD.append_positioned_index(b0, "doc_id", "text", path, 0, spark,
@@ -496,8 +495,8 @@ def _stable_index(spark, sf_dir: str, d: DataFrame) -> tuple[str, str]:
         DD.append_positioned_index(
             d.filter(F.pmod("doc_id", F.lit(4)) == 2), "doc_id", "text",
             path, 1, spark, order_path)
-        with open(marker, "w") as f:
-            f.write("ok\n")
+
+    ensure_built(base, _build)
     return path, order_path
 
 

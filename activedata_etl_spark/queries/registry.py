@@ -84,10 +84,20 @@ def scratch_dir(sf_dir: str, kind: str) -> str:
     # best-effort prune: a regenerated dataset changes the fingerprint,
     # orphaning the previous index dir — sweep stale siblings (same
     # kind+basename, different hash) so tempdir doesn't accumulate one
-    # abandoned index per regeneration (r8 advisor).
+    # abandoned index per regeneration (r8 advisor). AGE-GATED to dirs
+    # untouched for a day: this is GC, not correctness, and an
+    # unconditional sweep would delete an index another live session —
+    # a different dataset root sharing the basename, or a long-lived
+    # service still on the pre-regeneration fingerprint — is actively
+    # building or about to read (r9 review finding #4).
     import shutil
+    import time
 
+    cutoff = time.time() - 24 * 3600
     for old in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
-        if old != path:
-            shutil.rmtree(old, ignore_errors=True)
+        try:
+            if old != path and os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     return path

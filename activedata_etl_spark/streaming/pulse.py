@@ -60,7 +60,18 @@ class PulseBroker:
         os.makedirs(spool_dir, exist_ok=True)
         self._spool = os.path.join(spool_dir, "spool.ndjson")
         self._lock = threading.Lock()
-        self._offsets: dict[str, int] = {}  # topic -> next offset
+        # rehydrate per-topic next-offsets from an existing spool — a
+        # restarted broker must continue the offset sequence, or it
+        # reissues duplicate offsets for DISTINCT messages and the
+        # consumer-side dedup wrongly drops them (r9 review finding #3)
+        self._offsets: dict[str, int] = {}
+        if os.path.exists(self._spool):
+            with open(self._spool) as f:
+                for ln in f:
+                    m = json.loads(ln)
+                    nxt = m["offset"] + 1
+                    if nxt > self._offsets.get(m["topic"], 0):
+                        self._offsets[m["topic"]] = nxt
         self._rate = rate_per_sec
         self._redeliver = redeliver_last
         self._stop = threading.Event()
@@ -83,15 +94,29 @@ class PulseBroker:
                 f.write(json.dumps(env) + "\n")
         return off
 
-    def _read_spool(self, topic: str, from_offset: int) -> list[str]:
+    def _read_spool_from(self, topic: str, from_offset: int,
+                         pos: int) -> tuple[list[str], int]:
+        """Matching lines APPENDED after byte position ``pos`` (and the
+        new position) — each poll reads and parses only new bytes, not
+        the whole spool (a 50 ms whole-file reread per connection is
+        O(total²) parsing under the lock; r9 review finding #8)."""
         if not os.path.exists(self._spool):
-            return []
+            return [], pos
         with self._lock:
             with open(self._spool) as f:
-                lines = f.readlines()
-        return [ln for ln in lines
-                if (m := json.loads(ln))["topic"] == topic
-                and m["offset"] >= from_offset]
+                f.seek(pos)
+                chunk = f.read()
+                new_pos = f.tell()
+        out = []
+        for ln in chunk.splitlines(keepends=True):
+            if not ln.endswith("\n"):
+                # torn tail write: re-read it next poll
+                new_pos -= len(ln.encode())
+                break
+            m = json.loads(ln)
+            if m["topic"] == topic and m["offset"] >= from_offset:
+                out.append(ln)
+        return out, new_pos
 
     # -- subscriber side -----------------------------------------------
     def listen(self, topic: str, from_offset: int = 0) -> int:
@@ -125,20 +150,18 @@ class PulseBroker:
         return port
 
     def _feed(self, conn: socket.socket, topic: str, anchor: int) -> None:
-        sent = 0  # count of spool lines already delivered this connection
+        pos = 0  # spool byte position already examined this connection
         delivered: list[str] = []
         redelivered = False
         try:
             with conn:
                 while not self._stop.is_set():
-                    lines = self._read_spool(topic, anchor)
-                    new = lines[sent:]
+                    new, pos = self._read_spool_from(topic, anchor, pos)
                     for ln in new:
                         conn.sendall(ln.encode())
                         delivered.append(ln)
                         if self._rate:
                             time.sleep(1.0 / self._rate)
-                    sent = len(lines)
                     if new:
                         continue  # drained a batch; check again at once
                     if not redelivered and self._redeliver and delivered:

@@ -437,8 +437,8 @@ def test_resample_gap_fill_semantics(spark):
     grid = TS.resample(df, "ts", "value", ["k"], step_sec=3600)
     out = grid.select(
         "k", "t", "v",
-        TS.fill_locf(grid, ["k"]).alias("locf"),
-        TS.fill_linear(grid, ["k"]).alias("lerp")).collect()
+        TS.fill_locf(["k"]).alias("locf"),
+        TS.fill_linear(["k"]).alias("lerp")).collect()
     byk = {}
     for r in out:
         byk.setdefault(r["k"], []).append(r)
@@ -450,8 +450,12 @@ def test_resample_gap_fill_semantics(spark):
         [(1.0, 1.0, 1.0)]
 
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="max_buckets"):
-        TS.resample(df, "ts", "value", ["k"], step_sec=1, max_buckets=100)
+    # the span cap is IN-PLAN (assert_true): construction stays
+    # job-free, the violation surfaces when the grid executes
+    capped = TS.resample(df, "ts", "value", ["k"], step_sec=1,
+                         max_buckets=100)
+    with _pytest.raises(Exception, match="max_buckets"):
+        capped.collect()
 
 
 def test_describe_columns_nested_register_ndv(spark):

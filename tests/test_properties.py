@@ -304,8 +304,8 @@ def test_resample_fills_match_pure_spec(spark, obs):
     grid = TS.resample(df, "ts", "value", ["k"], step_sec=3600)
     got = {r["t"]: (r["v"], r["locf"], r["lerp"]) for r in grid.select(
         "t", "v",
-        TS.fill_locf(grid, ["k"]).alias("locf"),
-        TS.fill_linear(grid, ["k"]).alias("lerp")).collect()}
+        TS.fill_locf(["k"]).alias("locf"),
+        TS.fill_linear(["k"]).alias("lerp")).collect()}
 
     # pure spec
     from collections import defaultdict

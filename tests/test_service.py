@@ -1247,8 +1247,8 @@ def test_resample_and_importance_ops_through_service(endpoint, spark, sf_dir):
     got = _post(endpoint + "/query", rq)["data"]
     grid = TS.resample(e, "ts", "value", ["user_id"], 86400)
     lib = (grid.select("user_id", "t", "v",
-                       TS.fill_locf(grid, ["user_id"]).alias("v_locf"),
-                       TS.fill_linear(grid, ["user_id"]).alias("v_lerp"))
+                       TS.fill_locf(["user_id"]).alias("v_locf"),
+                       TS.fill_linear(["user_id"]).alias("v_lerp"))
            .filter(F.col("user_id") == int(uid)).orderBy("t").collect())
     assert [(r["t"], r["v"], r["v_locf"], r["v_lerp"]) for r in got] == \
         [(r["t"], r["v"], r["v_locf"], r["v_lerp"]) for r in lib]

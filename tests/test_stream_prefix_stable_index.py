@@ -226,3 +226,44 @@ def test_incremental_refresh_skips_unchanged_batches(spark, sf_dir, tmp_path):
         pairs()
     DD.refresh_prefix_order(spark, idx, order)
     assert pairs() == before
+
+
+def test_crashed_incremental_refresh_is_refused(spark, sf_dir, tmp_path):
+    """r9 review finding #1: a refresh that rewrote a batch under the
+    NEW order and crashed BEFORE the order swap must not be vouched by
+    the pre-refresh manifest. Both defenses are exercised: the state
+    with rows newer than the manifest is refused by the guard, and
+    re-running the refresh heals it."""
+    import json as _json
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text").limit(120))
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx, order = str(tmp_path / "idx"), str(tmp_path / "order")
+    DD.freeze_prefix_order(stored, "doc_id", "text", order)
+    DD.append_positioned_index(stored, "doc_id", "text", idx, 0, spark, order)
+    rep = DD.refresh_prefix_order(spark, idx, order)  # manifest at epoch E
+
+    # simulate the crash window: batch 0's rows advance to epoch E+1
+    # (as a mid-refresh swap would), order and manifest stay at E
+    rows0 = os.path.join(idx, "rows", "batch=0")
+    bumped = spark.read.parquet(rows0).withColumn(
+        "epoch", F.lit(rep["epoch"] + 1))
+    tmp = rows0 + ".bump"
+    bumped.write.mode("overwrite").parquet(tmp)
+    import shutil
+    shutil.rmtree(rows0)
+    os.replace(tmp, rows0)
+    spark.catalog.refreshByPath(os.path.join(idx, "rows"))
+    man = _json.loads(open(os.path.join(idx, "rows_epochs.json")).read())
+    assert man == {"0": rep["epoch"]}  # stale manifest really does match
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="epoch mismatch"):
+        DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                    "doc_id", "text", threshold=0.5)
+    DD.refresh_prefix_order(spark, idx, order)  # heals
+    out = DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                      "doc_id", "text", threshold=0.5)
+    out.count()

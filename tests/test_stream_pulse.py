@@ -137,3 +137,28 @@ def test_noop_sink_drains_and_checkpoints(spark, tmp_path):
                     output_mode="complete")
     q2.awaitTermination(60)
     assert sum(p["numInputRows"] for p in q2.recentProgress) == 0
+
+
+def test_broker_restart_continues_offsets(tmp_path):
+    """A restarted broker over an existing spool must CONTINUE each
+    topic's offset sequence (r9 review): reissuing offset 0 for a
+    distinct new message would make the consumer dedup drop it."""
+    b1 = PulseBroker(str(tmp_path / "bus4"))
+    offs1 = [_publish(b1, i) for i in range(5)]
+    b1.publish("other", "x", {"event_id": 1, "kind": "k"})
+    b1.stop()
+    b2 = PulseBroker(str(tmp_path / "bus4"))  # restart over the spool
+    try:
+        assert offs1 == list(range(5))
+        assert _publish(b2, 5) == 5          # continues, not 0
+        assert b2.publish("other", "y", {"event_id": 2, "kind": "k"}) == 1
+        # spool offsets are strictly sequential per topic
+        spool = (tmp_path / "bus4" / "spool.ndjson").read_text().splitlines()
+        per = {}
+        for ln in spool:
+            m = json.loads(ln)
+            per.setdefault(m["topic"], []).append(m["offset"])
+        assert per["events"] == list(range(6))
+        assert per["other"] == [0, 1]
+    finally:
+        b2.stop()
