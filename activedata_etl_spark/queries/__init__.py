@@ -45,6 +45,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_resample_1h_fill",
     "sample_dsir_importance",
     "dedup_prefix_stable_small_delta",
+    "sample_leakage_safe_split",
     "sim_ann_multiprobe_bulk_auto",
     "dedup_semantic_clusters_auto",
 ]

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..ext import sampling as S
 from ..io import load_table
+from .q_ext import _near_dup_pairs_cte
 from .registry import query
 
 _BUCKET = S.sql_hash_bucket("doc_id", salt="s1")
@@ -209,3 +210,60 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.filter(F.col("source").isin("src0", "src1", "src2"))
     return S.importance_scores(d, ref, "doc_id", "text",
                                n=2, buckets=4096)
+
+
+@query(
+    "sample_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE """ + _near_dup_pairs_cte(0.2) + f""",
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {S.sql_hash_bucket("cluster_id", salt="leak1")}
+                     < 3435973836 THEN 'train'
+                WHEN {S.sql_hash_bucket("cluster_id", salt="leak1")}
+                     < 3865470565 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """,
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents MUST
+    land in the same split (a test doc with a train-set near-copy leaks
+    the answer — the eval-contamination failure mode dedup exists to
+    prevent), so the split hash keys on the near-dup CLUSTER id (min-id
+    label propagation over verified LSH pairs), not the doc id;
+    singletons key on their own id, identical to a plain doc-hash split.
+    Same-cluster-same-split holds by CONSTRUCTION (one hash per
+    cluster); the oracle re-derives clusters via the recursive-CTE
+    reachability and must match every label. Plan: the pairs + 
+    components chain is the dedup pipeline already priced in SCALE.md;
+    the split itself adds one scan-local hash."""
+    from ..ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+    comp = DD.connected_components(pairs) \
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    lab = (d.select("doc_id").join(comp, "doc_id", "left")
+           .withColumn("cluster_id",
+                       F.coalesce("cluster_id", F.col("doc_id"))))
+    return lab.withColumn("split", S.split_label(
+        F.col("cluster_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="leak1"))
