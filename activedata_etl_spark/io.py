@@ -204,7 +204,12 @@ def describe_columns_nested(df: DataFrame, exact: bool = True) -> DataFrame:
             else:
                 vals = expr
                 for _ in range(depth - 1):
-                    vals = F.flatten(vals)
+                    # a NULL inner array would null the whole flatten
+                    # (losing the siblings' values); drop it first — a
+                    # missing nested array contributes no elements,
+                    # same rule as the top level
+                    vals = F.flatten(
+                        F.filter(vals, lambda a: a.isNotNull()))
                 vals = F.coalesce(
                     F.transform(vals, lambda x: x.cast("string")),
                     F.array().cast("array<string>"))

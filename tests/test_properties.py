@@ -330,3 +330,47 @@ def test_resample_fills_match_pure_spec(spark, obs):
             pv, nv = means[prev], means[nxt]
             want = pv + (nv - pv) * (t - prev) / (nxt - prev)
             assert lerp == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-5, 5)),                  # info.x
+        st.one_of(st.none(),
+                  st.lists(st.tuples(st.one_of(st.none(),
+                                               st.integers(0, 3)),
+                                     st.one_of(st.none(),
+                                               st.lists(st.integers(0, 2),
+                                                        max_size=3))),
+                           max_size=4)),                           # items
+    ), min_size=1, max_size=30))
+def test_describe_columns_nested_matches_pure_walker(spark, rows):
+    """Nested catalog vs a pure-Python walker on arbitrary ragged rows:
+    per-leaf distinct/null/value counts at element multiplicity, missing
+    arrays contributing nothing, depth bookkeeping."""
+    from activedata_etl_spark.io import describe_columns_nested
+
+    data = [((x,), None if items is None
+             else [(k, tags) for k, tags in items])
+            for x, items in rows]
+    df = spark.createDataFrame(
+        data, "info struct<x:int>, "
+              "items array<struct<k:int,tags:array<int>>>")
+    got = {r["column"]: r for r in describe_columns_nested(df).collect()}
+
+    def stats(vals):
+        nn = [v for v in vals if v is not None]
+        return (len(set(nn)), len(vals) - len(nn), len(nn))
+
+    x_vals = [x for x, _ in rows]
+    k_vals = [k for _, items in rows if items for k, _ in items]
+    # a NULL inner array contributes no elements (missing nested array)
+    tag_vals = [t for _, items in rows if items
+                for _, tags in items if tags is not None for t in tags]
+    want = {"info.x": (0, *stats(x_vals)),
+            "items.k": (1, *stats(k_vals)),
+            "items.tags": (2, *stats(tag_vals))}
+    for col, (depth, card, nulls, nvals) in want.items():
+        r = got[col]
+        assert (r["nested_depth"], r["cardinality"], r["n_nulls"],
+                r["n_values"]) == (depth, card, nulls, nvals), col
