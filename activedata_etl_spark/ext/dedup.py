@@ -1481,15 +1481,26 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     eps = (stored_raw.groupBy("batch")
            .agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi"))
            .collect())
-    # a manifest entry vouches a batch only for rows it could have
-    # SEEN: rows newer than the manifest mean a later refresh touched
-    # the batch and crashed before re-vouching — refuse even if the
-    # manifest epoch happens to match the order (belt to the
-    # remove-manifest-first braces in refresh_prefix_order)
+    # a manifest entry vouches a batch only for the EXACT row epoch it
+    # fingerprinted against this order epoch: rows NEWER than recorded
+    # mean a later refresh touched the batch and crashed before
+    # re-vouching; rows OLDER (or mixed) mean an ingest replay that read
+    # a pre-refresh order overwrote the batch after the manifest landed
+    # — the manifest never saw those rows, so `<=` would vouch
+    # old-order positions and silently lose recall (r9 advisor).
+    # Either way: refuse; re-running refresh_prefix_order heals.
+
+    def vouched(batch: int, lo, hi) -> bool:
+        entry = man.get(batch)
+        if entry is None:
+            return False
+        rows_epoch, order_epoch = entry
+        return (order_epoch == epoch and rows_epoch is not None
+                and lo == rows_epoch and hi == rows_epoch)
+
     bad = [r for r in eps
            if not ((r["lo"] == epoch and r["hi"] == epoch)
-                   or (man.get(int(r["batch"])) == epoch
-                       and r["hi"] <= man.get(int(r["batch"]))))]
+                   or vouched(int(r["batch"]), r["lo"], r["hi"]))]
     if bad:
         detail = ", ".join(
             f"batch={r['batch']} rows=[{r['lo']},{r['hi']}] "
@@ -1588,10 +1599,20 @@ def _epoch_manifest_path(path: str) -> str:
     return os.path.join(path, "rows_epochs.json")
 
 
-def _load_epoch_manifest(path: str) -> dict[int, int]:
-    """batch id → last epoch its stored rows were VALIDATED under (an
-    incremental refresh proves a batch's rows are byte-identical under
-    the new order and records that instead of rewriting them)."""
+def _load_epoch_manifest(path: str) -> dict[int, tuple[int, int]]:
+    """batch id → ``(rows_epoch, order_epoch)``: the EXACT row epoch the
+    incremental refresh observed when it validated the batch (old epoch
+    for skipped batches, the new epoch for rewritten ones) and the order
+    epoch it validated against. Requiring the stored rows to still carry
+    exactly ``rows_epoch`` closes the replay hole the former ``hi <=
+    manifest`` form left open: an at-least-once ingest replay that read
+    the PRE-refresh order but landed AFTER the manifest writes
+    older-epoch, old-order rows — under ``<=`` those were vouched and
+    silently mixed orders (r9 advisor); under ``==`` they raise.
+
+    Legacy one-int entries (pre-r10 manifests vouched only the order
+    epoch) load as ``rows_epoch=None`` — never vouchable, so a stale
+    index fails loud and one refresh heals it."""
     import json
     import os
 
@@ -1599,7 +1620,14 @@ def _load_epoch_manifest(path: str) -> dict[int, int]:
     if not os.path.isfile(p):
         return {}
     with open(p) as f:
-        return {int(k): int(v) for k, v in json.load(f).items()}
+        raw = json.load(f)
+    out: dict[int, tuple[int, int]] = {}
+    for k, v in raw.items():
+        if isinstance(v, list):
+            out[int(k)] = (int(v[0]), int(v[1]))
+        else:  # legacy format: order epoch only, rows epoch unknown
+            out[int(k)] = (None, int(v))
+    return out
 
 
 def _row_fingerprint(rows: DataFrame):
@@ -1641,10 +1669,13 @@ def refresh_prefix_order(spark, path: str, order_path: str,
     most batches are unchanged. The proof is an order-independent
     content fingerprint (count + decimal sum of row hashes) computed
     from the repositioned frame vs the stored one; matching batches are
-    recorded in a sidecar epoch manifest (batch → validated epoch)
-    instead of being rewritten, and the delta join's guard accepts a
-    batch whose manifest entry matches the order epoch even though its
-    rows carry an older epoch number. The COMPUTE (reposition + compare
+    recorded in a sidecar epoch manifest (batch → [exact validated row
+    epoch, order epoch]) instead of being rewritten, and the delta
+    join's guard accepts a batch only when its stored rows still carry
+    EXACTLY the recorded row epoch — rows older than recorded (an
+    at-least-once ingest replay that positioned under a pre-refresh
+    order and landed after the manifest) refuse just like rows newer
+    than recorded (r9 advisor). The COMPUTE (reposition + compare
     aggregates over hash-width columns) still runs for every batch —
     that is what proves correctness — the saving is the write volume
     and file churn, which is the replication-amplified cost at 100 TB.
@@ -1691,19 +1722,33 @@ def refresh_prefix_order(spark, path: str, order_path: str,
     batches = sorted(d for d in os.listdir(rows_root)
                      if d.startswith("batch="))
     staged, skipped = [], []
+    validated: dict[str, list[int]] = {}
     for b in batches:
+        bid = b.split("=", 1)[1]
         stored_b = spark.read.parquet(os.path.join(rows_root, b))
         repos = _positioned_rows(stored_b.select("id", "s"), order)
         if incremental:
             new_fp = _row_fingerprint(repos)
-            old_fp = _row_fingerprint(stored_b)
-            if (new_fp["n"], new_fp["h"]) == (old_fp["n"], old_fp["h"]):
+            old = stored_b.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("id", "s", "n", "pos")
+                      .cast("decimal(38,0)")).alias("h"),
+                F.min("epoch").alias("lo"),
+                F.max("epoch").alias("hi")).collect()[0]
+            # skip only a SINGLE-epoch batch: the manifest vouches the
+            # one exact row epoch the fingerprint proved (r9 advisor —
+            # `<=` let pre-refresh-order replay rows pass); a
+            # mixed-epoch batch gets rewritten, which normalizes it
+            if ((new_fp["n"], new_fp["h"]) == (old["n"], old["h"])
+                    and old["lo"] == old["hi"]):
                 skipped.append(b)
+                validated[bid] = [int(old["lo"]), new_epoch]
                 continue
         out = os.path.join(path, f"rows.next.{b}")
         (repos.withColumn("epoch", F.lit(new_epoch))
          .write.mode("overwrite").parquet(out))
         staged.append((out, os.path.join(rows_root, b)))
+        validated[bid] = [new_epoch, new_epoch]
     if staged:
         # the OLD manifest vouches batches against the OLD order epoch;
         # once any batch is rewritten under the NEW order, a crash
@@ -1720,7 +1765,7 @@ def refresh_prefix_order(spark, path: str, order_path: str,
         os.replace(out, dst)
     shutil.rmtree(order_path, ignore_errors=True)
     os.replace(tmp_order, order_path)
-    manifest = {b.split("=", 1)[1]: new_epoch for b in batches}
+    manifest = validated  # batch → [validated rows epoch, order epoch]
     tmp_man = _epoch_manifest_path(path) + ".next"
     with open(tmp_man, "w") as f:
         json.dump(manifest, f)

@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
 
 # Edge-list caches created by pagerank(), bounded to the most recent
@@ -36,17 +38,35 @@ from pyspark.sql import DataFrame, functions as F
 # preserved (no eager checkpoint at plan-construction time).
 _EDGE_CACHES: list[DataFrame] = []
 _KEEP = 4
+# The service is a ThreadingHTTPServer: two request threads can race
+# release/trim on this module-global list (len-check-then-pop is not
+# atomic — an interleaving pops from an empty list and raises inside a
+# request thread). All mutations go through this lock; unpersist()
+# itself is JVM-side thread-safe (r9 advisor).
+_CACHE_LOCK = threading.Lock()
 
 
 def release_caches() -> None:
     """Unpersist edge-list caches from earlier :func:`pagerank` calls."""
-    while _EDGE_CACHES:
-        _EDGE_CACHES.pop().unpersist()
+    with _CACHE_LOCK:
+        drained = list(_EDGE_CACHES)
+        _EDGE_CACHES.clear()
+    for df in drained:
+        df.unpersist()
 
 
 def _trim_caches() -> None:
-    while len(_EDGE_CACHES) >= _KEEP:
-        _EDGE_CACHES.pop(0).unpersist()
+    with _CACHE_LOCK:
+        excess = []
+        while len(_EDGE_CACHES) >= _KEEP:
+            excess.append(_EDGE_CACHES.pop(0))
+    for df in excess:
+        df.unpersist()
+
+
+def _track_cache(df: DataFrame) -> None:
+    with _CACHE_LOCK:
+        _EDGE_CACHES.append(df)
 
 
 def cooccurrence_edges(df: DataFrame, id_col: str, slot_cols: list[str],
@@ -158,7 +178,7 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
                 .unionAll(edges.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))
                 .persist())
-    _EDGE_CACHES.append(directed)
+    _track_cache(directed)
     nodes = directed.select(F.col("src").alias("node")).distinct()
     nn = nodes.groupBy().agg(F.count(F.lit(1)).alias("__N__"))
     outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("__d__"))

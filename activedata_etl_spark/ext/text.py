@@ -7,6 +7,8 @@ is a single scan with no shuffle until the final aggregate.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword-overlap
@@ -255,13 +257,20 @@ def length_batches(df, shard_col: str, id_col: str, n_tok_col: str,
 
 _BPE_CACHES: list[list] = []  # one group (vocab + winners) per call
 _BPE_KEEP = 3
+# Mutated from ThreadingHTTPServer request threads — same lock
+# discipline as ext.graph._EDGE_CACHES (r9 advisor): list mutation
+# under the lock, unpersist() (JVM-side, thread-safe) outside it.
+_BPE_LOCK = threading.Lock()
 
 
 def release_bpe_caches() -> None:
     """Unpersist vocab/winner caches from earlier :func:`bpe_merges`
     calls (dropping them is a recompute, not a correctness hazard)."""
-    while _BPE_CACHES:
-        for df in _BPE_CACHES.pop():
+    with _BPE_LOCK:
+        drained = list(_BPE_CACHES)
+        _BPE_CACHES.clear()
+    for group in drained:
+        for df in group:
             df.unpersist()
 
 
@@ -270,8 +279,12 @@ def _trim_bpe_caches() -> None:
     # releasing everything at each call would unpersist a concurrent
     # request's winner chain mid-plan and re-pay the 2^n recompute the
     # persists exist for (r9 review finding #5)
-    while len(_BPE_CACHES) >= _BPE_KEEP:
-        for df in _BPE_CACHES.pop(0):
+    with _BPE_LOCK:
+        excess = []
+        while len(_BPE_CACHES) >= _BPE_KEEP:
+            excess.append(_BPE_CACHES.pop(0))
+    for group in excess:
+        for df in group:
             df.unpersist()
 
 
@@ -308,7 +321,8 @@ def bpe_merges(df, text_col: str, n_merges: int = 3, sep: str = "~"):
     # unpersists request caches per response.
     _trim_bpe_caches()
     group = []
-    _BPE_CACHES.append(group)
+    with _BPE_LOCK:
+        _BPE_CACHES.append(group)
     words = (df.select(F.explode(tokens(text_col)).alias("w"))
              .filter(~F.col("w").contains(sep) & (F.length("w") > 0))
              .groupBy("w").agg(F.count(F.lit(1)).alias("wf"))

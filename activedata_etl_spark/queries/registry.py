@@ -50,6 +50,15 @@ def ensure_built(path: str, build) -> str:
 
     marker = os.path.join(path, "_GRAFT_COMPLETE")
     if os.path.isfile(marker):
+        # refresh the marker on every read: scratch_dir's stale-sibling
+        # sweep age-gates on THIS mtime, and directory mtimes don't
+        # move on reads — without the touch a long-lived session still
+        # serving a pre-regeneration index (>24h old) could have it
+        # rmtree'd mid-query by another session's sweep (r9 advisor)
+        try:
+            os.utime(marker)
+        except OSError:
+            pass
         return path
     if os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
@@ -96,7 +105,17 @@ def scratch_dir(sf_dir: str, kind: str) -> str:
     cutoff = time.time() - 24 * 3600
     for old in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
         try:
-            if old != path and os.path.getmtime(old) < cutoff:
+            # gate on the FRESHEST marker under the dir, not the dir
+            # mtime: readers refresh their index's _GRAFT_COMPLETE via
+            # ensure_built's fast path, while directory mtimes never
+            # move on reads — so a live session's index stays protected
+            # however old the build is (r9 advisor)
+            if old == path:
+                continue
+            stamps = [os.path.getmtime(m) for m in glob.glob(
+                os.path.join(old, "**", "_GRAFT_COMPLETE"), recursive=True)]
+            stamps.append(os.path.getmtime(old))
+            if max(stamps) < cutoff:
                 shutil.rmtree(old, ignore_errors=True)
         except OSError:
             pass

@@ -257,7 +257,9 @@ def test_crashed_incremental_refresh_is_refused(spark, sf_dir, tmp_path):
     os.replace(tmp, rows0)
     spark.catalog.refreshByPath(os.path.join(idx, "rows"))
     man = _json.loads(open(os.path.join(idx, "rows_epochs.json")).read())
-    assert man == {"0": rep["epoch"]}  # stale manifest really does match
+    # stale manifest really does still match the order epoch; only the
+    # exact-rows-epoch check (r10, was `<=`) can catch the bumped rows
+    assert man["0"][1] == rep["epoch"] and man["0"][0] <= rep["epoch"]
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="epoch mismatch"):
@@ -267,3 +269,48 @@ def test_crashed_incremental_refresh_is_refused(spark, sf_dir, tmp_path):
     out = DD.prefix_join_stable_delta(spark, idx, order, delta,
                                       "doc_id", "text", threshold=0.5)
     out.count()
+
+
+def test_stale_order_replay_after_refresh_is_refused(spark, sf_dir,
+                                                     tmp_path):
+    """r9 advisor: an at-least-once ingest replay that positioned its
+    rows under a PRE-refresh order but overwrote its batch directory
+    AFTER the refresh's manifest landed carries an OLDER epoch than the
+    manifest recorded. The former `hi <= manifest` guard vouched those
+    rows (silent recall loss — old-order positions under the new
+    order); the exact-epoch guard must refuse, and re-running the
+    refresh must heal."""
+    import shutil
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text").limit(120))
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx, order = str(tmp_path / "idx"), str(tmp_path / "order")
+    DD.freeze_prefix_order(stored, "doc_id", "text", order)
+    DD.append_positioned_index(stored, "doc_id", "text", idx, 0, spark, order)
+    DD.refresh_prefix_order(spark, idx, order)
+    rep = DD.refresh_prefix_order(spark, idx, order)  # zero drift
+    assert rep["rewritten"] == []  # manifest alone vouches batch 0
+
+    # replay simulation: batch 0 overwritten with rows positioned under
+    # an older order — older epoch AND perturbed positions
+    rows0 = os.path.join(idx, "rows", "batch=0")
+    man = DD._load_epoch_manifest(idx)
+    stale_epoch = man[0][0] - 1
+    stale = (spark.read.parquet(rows0)
+             .withColumn("epoch", F.lit(stale_epoch))
+             .withColumn("pos", F.col("n") - F.col("pos") + 1))
+    tmp = rows0 + ".replay"
+    stale.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(rows0)
+    os.replace(tmp, rows0)
+    spark.catalog.refreshByPath(os.path.join(idx, "rows"))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="epoch mismatch"):
+        DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                    "doc_id", "text", threshold=0.5)
+    DD.refresh_prefix_order(spark, idx, order)  # heals (rewrites batch 0)
+    DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                "doc_id", "text", threshold=0.5).count()
