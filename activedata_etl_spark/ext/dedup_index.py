@@ -3,14 +3,25 @@
 ``near_dup_pairs`` (dedup.py) recomputes shingles+signatures per run behind
 a ``persist()`` — right for a one-shot query, wrong for the 100 TB corpus a
 training-data pipeline dedups repeatedly (nightly crawls, incremental
-ingests). This module materializes the two derived tables the pipeline
+ingests). This module materializes the derived tables the pipeline
 actually needs:
 
 - ``signatures/``  — one row per doc: id, h0..h{n-1} minhash columns plus
   precomputed band keys (band_0..band_{b-1}). ~100 bytes/doc regardless of
   document size, i.e. ~1% of corpus size: cheap to store, cheap to shuffle.
+- ``bands/`` (layout v2, r10) — the exploded (id, band_sig) rows laid out
+  one directory per ``(band_idx, sbkt)`` where ``sbkt =
+  pmod(xxhash64(band_sig), n_sig_buckets)``. The nightly delta's band keys
+  touch a BOUNDED set of those directories (≤ n_bands × n_sig_buckets,
+  and for a small delta far fewer), so the candidate join reads only the
+  band partitions that can possibly collide — static partition pruning,
+  the same seek-shaped move that took the bm25 delta from a postings scan
+  to a facts lookup (SCALE.md §r9).
 - ``shingle_sets/`` — one row per doc: id, distinct word-shingle set, used
   only by the exact-Jaccard verify stage on band-collided candidates.
+  Layout v2 partitions it by ``ibkt = pmod(xxhash64(id), n_set_buckets)``
+  so the verify stage reads only the set partitions holding candidate
+  ids instead of the whole corpus-sized table.
 
 Everything is md5-derived (see dedup.py), so rebuilding any slice of the
 index from source docs is bit-for-bit idempotent — the property that makes
@@ -19,39 +30,112 @@ activedata_etl/etl.py idempotent etl-key overwrite).
 
 Incremental story (``append_to_index`` + ``pairs_against_index``): new docs
 only ever need their OWN signatures computed (scan-local), then one
-equi-join of new band keys against the stored band table — never a
-recompute over the historical corpus. At 1000 executors the stored
-signature table is the small, hot side; the day's delta is the stream.
+equi-join of new band keys against the PRUNED stored band partitions —
+never a recompute over the historical corpus, and (v2) never a full scan
+of it either. At 1000 executors the day's delta is the stream and the
+touched band/set partitions are the only stored bytes read.
+
+Layout versioning: a v2 index carries ``graft_index_meta.json`` recording
+the bucket counts; indexes built before r10 lack it and are served by the
+legacy full-scan path (still correct — rebuild to get the seek shape).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .dedup import band_keys, jaccard_pairs, minhash_table, shingle_table
+from .dedup import band_keys, minhash_table, shingle_table
+
+# Default bucket counts. At 100 TB raise n_sig_buckets/n_set_buckets so a
+# partition directory stays a few hundred MB (they are knobs on
+# build_index, recorded in the meta file — queries adapt automatically).
+_SBKT = 32
+_IBKT = 32
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "graft_index_meta.json")
+
+
+def _write_meta(path: str, **kv) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(kv, f)
+    os.replace(tmp, _meta_path(path))
+
+
+def _load_meta(path: str) -> dict | None:
+    p = _meta_path(path)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _sig_flat(df: DataFrame, id_col: str, text_col: str, n_hashes: int,
+              n_bands: int, shingle_n: int, sh: DataFrame) -> DataFrame:
+    sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n, sh=sh)
+    return sig.select(F.col(id_col).alias("id"),
+                      *[F.col(f"h{i}") for i in range(n_hashes)],
+                      *band_keys(n_hashes, n_bands))
+
+
+def _write_derived(spark: SparkSession, sh: DataFrame, id_col: str,
+                   path: str, meta: dict, mode: str) -> None:
+    """Band + shingle-set shards for one build/append, in layout v2.
+
+    The band rows derive from the just-written ``signatures/`` files (a
+    columnar re-read), not the signature lineage — re-running the
+    shingle→minhash aggregation would double the build's dominant cost
+    (the bm25 ``_dl``-shard lesson, SCALE.md §r9). ``repartition`` on the
+    directory keys keeps output to one file per written directory
+    instead of one per upstream task."""
+    sig_stored = spark.read.parquet(os.path.join(path, "signatures"))
+    if mode == "append":
+        # only this batch's rows: signatures/ already holds the corpus
+        ids = sh.select(F.col(id_col).alias("id")).distinct()
+        sig_stored = sig_stored.join(ids, "id", "left_semi")
+    (_banded(sig_stored)
+     .withColumn("sbkt", F.pmod(F.xxhash64("band_sig"),
+                                F.lit(meta["sbkt"])).cast("int"))
+     .repartition("band_idx", "sbkt")
+     .write.mode(mode).partitionBy("band_idx", "sbkt")
+     .parquet(os.path.join(path, "bands")))
+    (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
+     .select(F.col(id_col).alias("id"), "sh")
+     .withColumn("ibkt", F.pmod(F.xxhash64("id"),
+                                F.lit(meta["ibkt"])).cast("int"))
+     .repartition("ibkt")
+     .write.mode(mode).partitionBy("ibkt")
+     .parquet(os.path.join(path, "shingle_sets")))
 
 
 def build_index(df: DataFrame, id_col: str, text_col: str, path: str,
                 n_hashes: int = 16, n_bands: int = 4,
-                shingle_n: int = 3) -> None:
-    """Materialize signatures (+band keys) and shingle sets under ``path``.
+                shingle_n: int = 3, n_sig_buckets: int = _SBKT,
+                n_set_buckets: int = _IBKT) -> None:
+    """Materialize signatures, the bucketed band table and bucketed
+    shingle sets under ``path``.
 
-    One scan of the corpus feeds both tables; the shingle rows shuffle once
+    One scan of the corpus feeds everything; the shingle rows shuffle once
     on the doc id (repartition inside shingle_table) and both aggregates
     reuse that partitioning. Band keys are stored denormalized so candidate
-    generation later is a pure read + posexplode, no hashing.
-    """
+    generation later is a pure read, no hashing — and in the v2 layout
+    already exploded into ``(band_idx, sbkt)`` directories so delta
+    queries prune to the collidable partitions."""
+    meta = {"layout": 2, "n_hashes": n_hashes, "n_bands": n_bands,
+            "shingle_n": shingle_n, "sbkt": int(n_sig_buckets),
+            "ibkt": int(n_set_buckets)}
     sh = shingle_table(df, id_col, text_col, shingle_n).persist()
     try:
-        sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n, sh=sh)
-        (sig.select(F.col(id_col).alias("id"), *[F.col(f"h{i}") for i in range(n_hashes)],
-                    *band_keys(n_hashes, n_bands))
-            .write.mode("overwrite").parquet(os.path.join(path, "signatures")))
-        (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
-           .select(F.col(id_col).alias("id"), "sh")
-           .write.mode("overwrite").parquet(os.path.join(path, "shingle_sets")))
+        (_sig_flat(df, id_col, text_col, n_hashes, n_bands, shingle_n, sh)
+         .write.mode("overwrite").parquet(os.path.join(path, "signatures")))
+        _write_derived(df.sparkSession, sh, id_col, path, meta, "overwrite")
+        _write_meta(path, **meta)
     finally:
         sh.unpersist()
 
@@ -61,7 +145,8 @@ def read_signatures(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_shingle_sets(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "shingle_sets"))
+    return (spark.read.parquet(os.path.join(path, "shingle_sets"))
+            .select("id", "sh"))
 
 
 def _banded(sig: DataFrame) -> DataFrame:
@@ -72,10 +157,18 @@ def _banded(sig: DataFrame) -> DataFrame:
     )
 
 
+def _read_bands(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.read.parquet(os.path.join(path, "bands"))
+            .select("id", "band_idx", "band_sig", "sbkt"))
+
+
 def candidate_pairs_from_index(spark: SparkSession, path: str,
                                max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidates from the stored band table — no text scan at all."""
-    banded = _banded(read_signatures(spark, path))
+    if _load_meta(path) is not None:
+        banded = _read_bands(spark, path).drop("sbkt")
+    else:  # legacy layout: explode the signature table per query
+        banded = _banded(read_signatures(spark, path))
     if max_bucket_size is not None:
         from pyspark.sql import Window
         bs = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_sig"))
@@ -97,7 +190,7 @@ def near_dup_pairs_from_index(spark: SparkSession, path: str,
     """Full near-dup pairs (candidates + exact-Jaccard verify) from the
     index alone. Identical output to dedup.near_dup_pairs on the same
     corpus/parameters — test_dedup_index asserts this — but the only
-    inputs are the two small derived tables."""
+    inputs are the derived tables."""
     cands = candidate_pairs_from_index(spark, path, max_bucket_size)
     sets_ = read_shingle_sets(spark, path)
     j = (cands
@@ -113,19 +206,28 @@ def near_dup_pairs_from_index(spark: SparkSession, path: str,
 def append_to_index(df_new: DataFrame, id_col: str, text_col: str, path: str,
                     n_hashes: int = 16, n_bands: int = 4,
                     shingle_n: int = 3) -> None:
-    """Incremental ingest: compute signatures/shingle sets for NEW docs only
-    and append. md5 determinism makes re-appending the same docs produce
-    identical rows (dedupable by id downstream); the historical corpus is
-    never rescanned."""
+    """Incremental ingest: compute signatures/band rows/shingle sets for
+    NEW docs only and append. md5 determinism makes re-appending the same
+    docs produce identical rows (dedupable by id downstream); the
+    historical corpus is never rescanned. Appending to a pre-r10 (v1)
+    index keeps the legacy layout (no bands/ table) — rebuild for the
+    seek-shaped delta path."""
+    meta = _load_meta(path)
+    if meta is not None:
+        assert (meta["n_hashes"], meta["n_bands"]) == (n_hashes, n_bands), \
+            "index built with different n_hashes/n_bands"
     sh = shingle_table(df_new, id_col, text_col, shingle_n).persist()
     try:
-        sig = minhash_table(df_new, id_col, text_col, n_hashes, shingle_n, sh=sh)
-        (sig.select(F.col(id_col).alias("id"), *[F.col(f"h{i}") for i in range(n_hashes)],
-                    *band_keys(n_hashes, n_bands))
-            .write.mode("append").parquet(os.path.join(path, "signatures")))
-        (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
-           .select(F.col(id_col).alias("id"), "sh")
-           .write.mode("append").parquet(os.path.join(path, "shingle_sets")))
+        (_sig_flat(df_new, id_col, text_col, n_hashes, n_bands, shingle_n, sh)
+         .write.mode("append").parquet(os.path.join(path, "signatures")))
+        if meta is not None:
+            _write_derived(df_new.sparkSession, sh, id_col, path, meta,
+                           "append")
+        else:
+            (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
+             .select(F.col(id_col).alias("id"), "sh")
+             .write.mode("append")
+             .parquet(os.path.join(path, "shingle_sets")))
     finally:
         sh.unpersist()
 
@@ -137,28 +239,110 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs between a NEW batch and the indexed corpus (plus
     within-batch pairs): the nightly-ingest query. Only the delta is
     tokenized; the corpus side is the stored band table. Pair order is
-    normalized (id_a < id_b) so output matches a full-corpus run."""
+    normalized (id_a < id_b) so output matches a full-corpus run.
+
+    v2 layout (r10): the delta path is SEEK-shaped, not scan-shaped —
+
+    1. the delta's band keys name the only ``(band_idx, sbkt)``
+       directories a collision can live in (a bounded driver probe,
+       ≤ n_bands × sbkt rows); the stored band read carries that
+       predicate on its PARTITION columns, so Catalyst prunes every
+       other directory at planning time;
+    2. candidate ids name the only ``ibkt`` shingle-set partitions the
+       verify stage needs (≤ ibkt values), same pruning; a semi-join
+       then cuts the surviving partitions to exactly the candidate rows
+       before the corpus-side dedup/union — the former code paid a
+       corpus-wide ``dropDuplicates`` shuffle here.
+
+    Degradation is graceful: a huge delta touches every bucket and the
+    plan converges to the v1 full-scan form, which is the floor anyway.
+    Under plan-only probes the pruning collects are skipped (explain
+    must execute nothing) and the unpruned plan is returned."""
+    from ..planmode import is_plan_only
+
+    meta = _load_meta(path)
     sh_new = shingle_table(df_new, id_col, text_col, shingle_n)
-    sig_new = minhash_table(df_new, id_col, text_col, n_hashes, shingle_n, sh=sh_new)
+    sig_new = minhash_table(df_new, id_col, text_col, n_hashes, shingle_n,
+                            sh=sh_new)
     banded_new = (sig_new.select(F.col(id_col).alias("id"),
                                  *band_keys(n_hashes, n_bands))
                   .transform(_banded))
-    banded_all = banded_new.unionByName(_banded(read_signatures(spark, path)))
-    a, b = banded_new.alias("a"), banded_all.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_sig") == F.col("b.band_sig"))
-               & (F.col("a.id") != F.col("b.id")))
-        .select(F.least("a.id", "b.id").alias("id_a"),
-                F.greatest("a.id", "b.id").alias("id_b"))
-        .distinct()
-    )
     sets_new = (sh_new.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
                 .select(F.col(id_col).alias("id"), "sh"))
-    sets_ = sets_new.unionByName(read_shingle_sets(spark, path)).dropDuplicates(["id"])
+    if meta is None or is_plan_only():
+        if meta is None:
+            stored_bands = _banded(read_signatures(spark, path))
+        else:
+            stored_bands = _read_bands(spark, path).drop("sbkt")
+        banded_all = banded_new.unionByName(stored_bands)
+        a, b = banded_new.alias("a"), banded_all.alias("b")
+        cands = (
+            a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.id") != F.col("b.id")))
+            .select(F.least("a.id", "b.id").alias("id_a"),
+                    F.greatest("a.id", "b.id").alias("id_b"))
+            .distinct()
+        )
+        sets_ = (sets_new.unionByName(read_shingle_sets(spark, path))
+                 .dropDuplicates(["id"]))
+        return _verify_jaccard(cands, sets_, threshold)
+
+    from .dedup import _materialize_release
+
+    banded_new = banded_new.withColumn(
+        "sbkt", F.pmod(F.xxhash64("band_sig"),
+                       F.lit(meta["sbkt"])).cast("int")).persist()
+    # bounded driver probe: the partition directories the delta can
+    # collide with — at most n_bands × sbkt rows regardless of corpus
+    hit: dict[int, list[int]] = {}
+    for r in banded_new.select("band_idx", "sbkt").distinct().collect():
+        hit.setdefault(int(r["band_idx"]), []).append(int(r["sbkt"]))
+    prune = F.lit(False)
+    for bi, bkts in hit.items():
+        prune = prune | ((F.col("band_idx") == bi) & F.col("sbkt").isin(bkts))
+    stored_b = _read_bands(spark, path).filter(prune)
+    a = banded_new.alias("a")
+    cross = (a.join(stored_b.alias("b"),
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.sbkt") == F.col("b.sbkt"))
+                    & (F.col("a.band_sig") == F.col("b.band_sig"))
+                    & (F.col("a.id") != F.col("b.id")))
+             .select(F.least("a.id", "b.id").alias("id_a"),
+                     F.greatest("a.id", "b.id").alias("id_b")))
+    c = banded_new.alias("c")
+    within = (a.join(c, (F.col("a.band_idx") == F.col("c.band_idx"))
+                     & (F.col("a.band_sig") == F.col("c.band_sig"))
+                     & (F.col("a.id") < F.col("c.id")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("c.id").alias("id_b")))
+    cands = cross.unionByName(within).distinct().persist()
+    cand_ids = (cands.select(F.col("id_a").alias("id"))
+                .unionByName(cands.select(F.col("id_b").alias("id")))
+                .distinct()
+                .withColumn("ibkt", F.pmod(F.xxhash64("id"),
+                                           F.lit(meta["ibkt"])).cast("int")))
+    # bounded driver probe #2: which shingle-set partitions hold a
+    # candidate — at most ibkt values
+    ibkts = [int(r["ibkt"]) for r in
+             cand_ids.select("ibkt").distinct().collect()]
+    stored_sets = (spark.read.parquet(os.path.join(path, "shingle_sets"))
+                   .filter(F.col("ibkt").isin(ibkts) if ibkts
+                           else F.lit(False))
+                   .join(cand_ids.select("id"), "id", "left_semi")
+                   .select("id", "sh"))
+    sets_ = sets_new.unionByName(stored_sets).dropDuplicates(["id"])
+    return _materialize_release(_verify_jaccard(cands, sets_, threshold),
+                                banded_new, cands)
+
+
+def _verify_jaccard(cands: DataFrame, sets_: DataFrame,
+                    threshold: float) -> DataFrame:
     j = (cands
-         .join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-         .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+         .join(sets_.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+         .join(sets_.select(F.col("id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
          .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
          .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
          .withColumn("jaccard", F.col("inter") / F.col("uni")))

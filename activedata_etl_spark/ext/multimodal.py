@@ -356,37 +356,85 @@ def ahash_pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     pair order normalized, so the output equals a full-corpus run
     restricted to delta-touching pairs (asserted in tests).
 
-    Plan: 4 band equi-joins' worth of candidates (delta side exploded
-    vs delta ∪ stored), one DISTINCT over the candidate pair ids —
-    delta-bounded, the simplification the small-batch regime affords
-    vs ahash_pairs' first-shared-band one-pass form — then the hamming
-    guard on scalar band columns joined back (whole-stage codegen)."""
-    delta = ahash_bands(df_new, id_col, text_col)
-    allb = delta.unionByName(read_ahash_index(spark, path)) \
-        .dropDuplicates(["id"])
+    Plan (r10 — same canonical-group algorithm as :func:`ahash_pairs`,
+    so the SCALE.md delta-vs-full comparison is like-for-like): docs
+    with IDENTICAL 64-bit hashes collapse to one canonical group before
+    the band join (on a densified hash space the exploded-candidate
+    DISTINCT the previous form paid grows with the square of group
+    size — the r9 sf1 rig measured it at 15.7s vs ahash_pairs' 1.26s
+    for the same pair volume); cross-group candidates use the
+    first-shared-band guard (no distinct), carry the bands as scalar
+    columns for the codegen'd hamming, and member pairs fan back out
+    at the end filtered to DELTA-touching (≥1 endpoint in the new
+    batch), which is this query's contract."""
+    delta = (ahash_bands(df_new, id_col, text_col)
+             .withColumn("__d__", F.lit(True)))
+    # a replayed delta id may already be stored: keep the delta row
+    # (identical bytes — aHash is a pure function of the payload)
+    stored = (read_ahash_index(spark, path)
+              .join(delta.select("id"), "id", "left_anti")
+              .withColumn("__d__", F.lit(False)))
+    allb = delta.unionByName(stored)
     names = [f"band{b}" for b in range(AHASH_BANDS)]
-
-    def banded(t):
-        return t.select("id", F.posexplode(F.array(*names))
-                        .alias("bidx", "bval"))
-
-    cands = (banded(delta).alias("d")
-             .join(banded(allb).alias("c"),
-                   (F.col("d.bidx") == F.col("c.bidx"))
-                   & (F.col("d.bval") == F.col("c.bval"))
-                   & (F.col("d.id") != F.col("c.id")))
-             .select(F.least("d.id", "c.id").alias("id_a"),
-                     F.greatest("d.id", "c.id").alias("id_b"))
-             .distinct())
-    a = allb.select(F.col("id").alias("id_a"),
-                    *[F.col(n).alias(f"a{i}") for i, n in enumerate(names)])
-    b = allb.select(F.col("id").alias("id_b"),
-                    *[F.col(n).alias(f"b{i}") for i, n in enumerate(names)])
-    j = cands.join(a, "id_a").join(b, "id_b")
+    groups = (allb.groupBy(*names)
+              .agg(F.array_sort(F.collect_list(F.struct("id", "__d__")))
+                   .alias("__m__")))
+    canon = groups.select(
+        F.element_at("__m__", 1).getField("id").alias("cid"), "__m__",
+        F.exists("__m__", lambda m: m.getField("__d__")).alias("__hd__"),
+        *names)
+    ex = canon.select(
+        "cid", "__m__", "__hd__", *names,
+        F.posexplode(F.array(*names)).alias("bidx", "bval"))
+    # only delta-containing groups probe; the probed side is everyone
+    a = (ex.filter("__hd__")
+         .select(F.col("cid").alias("ca"), F.col("__m__").alias("ids_a"),
+                 *[F.col(n).alias(f"a{i}") for i, n in enumerate(names)],
+                 "bidx", "bval"))
+    b = ex.select(F.col("cid").alias("cb"), F.col("__m__").alias("ids_b"),
+                  F.col("__hd__").alias("hd_b"),
+                  *[F.col(n).alias(f"b{i}") for i, n in enumerate(names)],
+                  "bidx", "bval")
     hamming = None
     for i in range(AHASH_BANDS):
         t = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
         hamming = t if hamming is None else hamming + t
-    return (j.withColumn("hamming", hamming.cast("bigint"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    hamming = hamming.cast("bigint")
+    diff = [F.col(f"a{i}") != F.col(f"b{i}") for i in range(AHASH_BANDS)]
+    first_shared = F.when(F.col("bidx") == 0, F.lit(True))
+    for i in range(1, AHASH_BANDS):
+        cond = diff[0]
+        for d_ in diff[1:i]:
+            cond = cond & d_
+        first_shared = first_shared.when(F.col("bidx") == i, cond)
+    # a delta↔delta group pair arrives in both orientations (both sides
+    # probe): keep ca < cb there; a delta↔stored pair arrives once
+    # (only the delta group probes): keep it whichever way ids compare
+    cross = (a.join(b, ["bidx", "bval"])
+             .filter(F.col("ca") != F.col("cb"))
+             .filter(~F.col("hd_b") | (F.col("ca") < F.col("cb")))
+             .filter(first_shared)
+             .withColumn("hamming", hamming)
+             .filter(F.col("hamming") <= max_hamming)
+             .select(F.explode("ids_a").alias("ma"), "ids_b", "hamming")
+             .select("ma", F.explode("ids_b").alias("mb"), "hamming")
+             .filter(F.col("ma.__d__") | F.col("mb.__d__"))
+             .select(F.least("ma.id", "mb.id").alias("id_a"),
+                     F.greatest("ma.id", "mb.id").alias("id_b"), "hamming"))
+    within = (canon.filter(F.col("__hd__") & (F.size("__m__") >= 2))
+              .select(F.explode(F.flatten(F.transform(
+                  "__m__",
+                  lambda x, i: F.transform(
+                      F.slice(F.col("__m__"), i + F.lit(2),
+                              F.size(F.col("__m__"))),
+                      lambda y: F.struct(
+                          x.getField("id").alias("id_a"),
+                          y.getField("id").alias("id_b"),
+                          (x.getField("__d__") | y.getField("__d__"))
+                          .alias("t")),
+                  ),
+              ))).alias("p"))
+              .filter(F.col("p.t"))
+              .select("p.id_a", "p.id_b",
+                      F.lit(0).cast("bigint").alias("hamming")))
+    return cross.unionByName(within)

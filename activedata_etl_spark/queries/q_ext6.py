@@ -464,7 +464,7 @@ def dedup_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
-    path = scratch_dir(sf_dir, "dedup_delta")
+    path = scratch_dir(sf_dir, "dedup_delta_v2")
     ensure_built(path, lambda: DI.build_index(corpus, "doc_id", "text", path))
     return DI.pairs_against_index(delta, "doc_id", "text", spark, path,
                                   threshold=0.2)
