@@ -54,6 +54,16 @@ from .dedup import band_keys, minhash_table, shingle_table
 # build_index, recorded in the meta file — queries adapt automatically).
 _SBKT = 32
 _IBKT = 32
+# Lookup-regime threshold: below this many collected keys, literal IN
+# pushdown (directory pruning + row-group skipping over sorted files)
+# beats any join; above it the predicates stop pruning and only add
+# evaluation cost (the 50%-delta fixture measured 1.9× — batch regime
+# scans instead). 4096 keys ≈ a few hundred KB of literals, driver-safe.
+_SEEK_CAP = 4096
+# Bulk-regime threshold: a delta above this fraction of the stored band
+# rows is a re-dedup, not an ingest — candidate ids approach the corpus
+# and the staged (persist/probe/checkpoint) pipeline only adds barriers.
+_BULK_FRACTION = 0.25
 
 
 def _meta_path(path: str) -> str:
@@ -103,6 +113,7 @@ def _write_derived(spark: SparkSession, sh: DataFrame, id_col: str,
      .withColumn("sbkt", F.pmod(F.xxhash64("band_sig"),
                                 F.lit(meta["sbkt"])).cast("int"))
      .repartition("band_idx", "sbkt")
+     .sortWithinPartitions("band_sig")  # row-group stats → IN-pushdown seeks
      .write.mode(mode).partitionBy("band_idx", "sbkt")
      .parquet(os.path.join(path, "bands")))
     (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
@@ -110,6 +121,7 @@ def _write_derived(spark: SparkSession, sh: DataFrame, id_col: str,
      .withColumn("ibkt", F.pmod(F.xxhash64("id"),
                                 F.lit(meta["ibkt"])).cast("int"))
      .repartition("ibkt")
+     .sortWithinPartitions("id")  # row-group stats → IN-pushdown seeks
      .write.mode(mode).partitionBy("ibkt")
      .parquet(os.path.join(path, "shingle_sets")))
 
@@ -135,6 +147,11 @@ def build_index(df: DataFrame, id_col: str, text_col: str, path: str,
         (_sig_flat(df, id_col, text_col, n_hashes, n_bands, shingle_n, sh)
          .write.mode("overwrite").parquet(os.path.join(path, "signatures")))
         _write_derived(df.sparkSession, sh, id_col, path, meta, "overwrite")
+        # indexed doc count (signature rows — docs below shingle_n
+        # tokens drop out) sizes the delta-query regime choice; read
+        # from the written files, not the lineage
+        meta["n_docs"] = (df.sparkSession.read
+                          .parquet(os.path.join(path, "signatures")).count())
         _write_meta(path, **meta)
     finally:
         sh.unpersist()
@@ -223,6 +240,13 @@ def append_to_index(df_new: DataFrame, id_col: str, text_col: str, path: str,
         if meta is not None:
             _write_derived(df_new.sparkSession, sh, id_col, path, meta,
                            "append")
+            # refresh the doc count from the files (replay-safe: a
+            # re-appended batch double-counts here, which only nudges
+            # the regime threshold, never correctness)
+            meta["n_docs"] = (df_new.sparkSession.read
+                              .parquet(os.path.join(path, "signatures"))
+                              .count())
+            _write_meta(path, **meta)
         else:
             (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
              .select(F.col(id_col).alias("id"), "sh")
@@ -241,23 +265,32 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     tokenized; the corpus side is the stored band table. Pair order is
     normalized (id_a < id_b) so output matches a full-corpus run.
 
-    v2 layout (r10): the delta path is SEEK-shaped, not scan-shaped —
+    v2 layout (r10): the verify stage NEVER pays the corpus — stored
+    shingle sets are cut to candidate ids (semi-join, or a pushed IN
+    predicate when the candidate list is collect-small) before the
+    union/dedup, where the former code shuffled every corpus row's
+    shingle array through a ``dropDuplicates``. The candidate stage is
+    ADAPTIVE on measured delta size (one count over the persisted delta
+    band rows, the auto-multiprobe pattern):
 
-    1. the delta's band keys name the only ``(band_idx, sbkt)``
-       directories a collision can live in (a bounded driver probe,
-       ≤ n_bands × sbkt rows); the stored band read carries that
-       predicate on its PARTITION columns, so Catalyst prunes every
-       other directory at planning time;
-    2. candidate ids name the only ``ibkt`` shingle-set partitions the
-       verify stage needs (≤ ibkt values), same pruning; a semi-join
-       then cuts the surviving partitions to exactly the candidate rows
-       before the corpus-side dedup/union — the former code paid a
-       corpus-wide ``dropDuplicates`` shuffle here.
+    - **lookup regime** (≤ ``_SEEK_CAP`` delta band rows — the "is this
+      batch of docs already in the corpus" interactive shape): the
+      delta's band keys are collected and pushed as literal predicates
+      on the stored band read — ``(band_idx, sbkt)`` prunes partition
+      directories outright, and ``band_sig IN (...)`` skips row groups
+      inside the survivors (files are laid down sorted by band_sig), so
+      the stored side reads a few seeks' worth of bytes however big the
+      corpus is. Candidate ids get the same treatment against the
+      id-sorted ``ibkt`` set partitions.
+    - **batch regime** (a big nightly delta): thousands of band keys
+      hit every bucket, so pruning predicates select everything and
+      only add cost — measured 1.9× on the 50%-delta fixture at the
+      10× rig before this regime split. The stored band table is
+      scanned once (it is ~1% of corpus bytes — the scan IS the floor)
+      with no filter; the verify keeps the candidate semi-join.
 
-    Degradation is graceful: a huge delta touches every bucket and the
-    plan converges to the v1 full-scan form, which is the floor anyway.
-    Under plan-only probes the pruning collects are skipped (explain
-    must execute nothing) and the unpruned plan is returned."""
+    Under plan-only probes the sizing counts are skipped (explain must
+    execute nothing) and the lazy batch-regime plan is returned."""
     from ..planmode import is_plan_only
 
     meta = _load_meta(path)
@@ -293,19 +326,56 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     banded_new = banded_new.withColumn(
         "sbkt", F.pmod(F.xxhash64("band_sig"),
                        F.lit(meta["sbkt"])).cast("int")).persist()
-    # bounded driver probe: the partition directories the delta can
-    # collide with — at most n_bands × sbkt rows regardless of corpus
-    hit: dict[int, list[int]] = {}
-    for r in banded_new.select("band_idx", "sbkt").distinct().collect():
-        hit.setdefault(int(r["band_idx"]), []).append(int(r["sbkt"]))
-    prune = F.lit(False)
-    for bi, bkts in hit.items():
-        prune = prune | ((F.col("band_idx") == bi) & F.col("sbkt").isin(bkts))
-    stored_b = _read_bands(spark, path).filter(prune)
+    # sizing probe: which regime is this delta? (persisted — every
+    # later consumer reads the materialized band rows, so the count's
+    # real cost, tokenizing the delta once, is work all paths need)
+    n_delta_bands = banded_new.count()
+    stored_bands_total = meta.get("n_docs", 0) * meta["n_bands"]
+    if (stored_bands_total and
+            n_delta_bands > _BULK_FRACTION * stored_bands_total):
+        # BULK regime: the "delta" is a large fraction of the corpus
+        # (re-dedup of a merged dump, the 50%-delta oracle fixture).
+        # Candidate ids approach the corpus, so candidate-restricting
+        # the verify buys nothing — and the staged barriers the other
+        # regimes need (persist cands, sizing counts, checkpoint)
+        # serialize what one lazy plan pipelines across all cores
+        # (measured 3.8× on the fixture at 1× before this regime
+        # existed). Run the v1-shaped single lazy plan off the stored
+        # band table; the persisted delta band rows still cut the
+        # delta pipeline from 3 executions to 1.
+        stored_bands = _read_bands(spark, path).drop("sbkt")
+        banded_all = banded_new.drop("sbkt").unionByName(stored_bands)
+        a, b = banded_new.alias("a"), banded_all.alias("b")
+        cands = (
+            a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.id") != F.col("b.id")))
+            .select(F.least("a.id", "b.id").alias("id_a"),
+                    F.greatest("a.id", "b.id").alias("id_b"))
+            .distinct()
+        )
+        sets_ = (sets_new.unionByName(read_shingle_sets(spark, path))
+                 .dropDuplicates(["id"]))
+        return _materialize_release(
+            _verify_jaccard(cands, sets_, threshold), banded_new)
+    stored_b = _read_bands(spark, path)
+    if n_delta_bands <= _SEEK_CAP:
+        # lookup regime: literal pushdown — (band_idx, sbkt) prunes
+        # directories, band_sig IN (...) skips row groups (sorted files)
+        hit: dict[tuple[int, int], list[str]] = {}
+        for r in banded_new.select("band_idx", "sbkt",
+                                   "band_sig").distinct().collect():
+            hit.setdefault((int(r["band_idx"]), int(r["sbkt"])),
+                           []).append(r["band_sig"])
+        prune = F.lit(False)
+        for (bi, bk), sigs in hit.items():
+            prune = prune | ((F.col("band_idx") == bi)
+                             & (F.col("sbkt") == bk)
+                             & F.col("band_sig").isin(sigs))
+        stored_b = stored_b.filter(prune)
     a = banded_new.alias("a")
     cross = (a.join(stored_b.alias("b"),
                     (F.col("a.band_idx") == F.col("b.band_idx"))
-                    & (F.col("a.sbkt") == F.col("b.sbkt"))
                     & (F.col("a.band_sig") == F.col("b.band_sig"))
                     & (F.col("a.id") != F.col("b.id")))
              .select(F.least("a.id", "b.id").alias("id_a"),
@@ -319,19 +389,27 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     cands = cross.unionByName(within).distinct().persist()
     cand_ids = (cands.select(F.col("id_a").alias("id"))
                 .unionByName(cands.select(F.col("id_b").alias("id")))
-                .distinct()
-                .withColumn("ibkt", F.pmod(F.xxhash64("id"),
-                                           F.lit(meta["ibkt"])).cast("int")))
-    # bounded driver probe #2: which shingle-set partitions hold a
-    # candidate — at most ibkt values
-    ibkts = [int(r["ibkt"]) for r in
-             cand_ids.select("ibkt").distinct().collect()]
-    stored_sets = (spark.read.parquet(os.path.join(path, "shingle_sets"))
-                   .filter(F.col("ibkt").isin(ibkts) if ibkts
-                           else F.lit(False))
-                   .join(cand_ids.select("id"), "id", "left_semi")
-                   .select("id", "sh"))
-    sets_ = sets_new.unionByName(stored_sets).dropDuplicates(["id"])
+                .distinct())
+    stored_sets = spark.read.parquet(os.path.join(path, "shingle_sets"))
+    n_cands = cand_ids.count()  # candidate-bounded (persisted cands)
+    if n_cands <= _SEEK_CAP:
+        rows = (cand_ids.withColumn(
+            "ibkt", F.pmod(F.xxhash64("id"),
+                           F.lit(meta["ibkt"])).cast("int")).collect())
+        ids = [r["id"] for r in rows]
+        ibkts = sorted({int(r["ibkt"]) for r in rows})
+        stored_sets = (stored_sets
+                       .filter(F.col("ibkt").isin(ibkts) if ibkts
+                               else F.lit(False))
+                       .filter(F.col("id").isin(ids) if ids
+                               else F.lit(False)))
+    else:
+        stored_sets = stored_sets.join(cand_ids, "id", "left_semi")
+    # union/dedup runs over candidate-bounded rows only — never a
+    # corpus-wide shuffle of the shingle arrays
+    sets_ = (sets_new.join(cand_ids, "id", "left_semi")
+             .unionByName(stored_sets.select("id", "sh"))
+             .dropDuplicates(["id"]))
     return _materialize_release(_verify_jaccard(cands, sets_, threshold),
                                 banded_new, cands)
 

@@ -557,6 +557,38 @@ def _resample(spark, df, spec) -> DataFrame:
     return out.select(*cols)
 
 
+@_op("leakage_safe_split")
+def _leakage_safe_split(spark, df, spec) -> DataFrame:
+    """Leakage-safe train/val/test split as a jx from clause
+    (queries/q_sampling.sample_leakage_safe_split made declarative,
+    VERDICT r9 #8): near-dup clusters (verified LSH pairs → min-id
+    components) share one split label, so near-copies never straddle
+    train/test. Spec: {"op": "leakage_safe_split", "table": ...,
+    "id": "doc_id", "text": "text", "threshold": 0.2,
+    "fractions": {"train": 0.8, "val": 0.1, "test": 0.1},
+    "salt": "leak1"}. Output: (id column, cluster_id, split)."""
+    from pyspark.sql import functions as F
+
+    from ..ext import dedup as DD
+    from ..ext import sampling as S
+
+    for req in ("id", "text"):
+        if req not in spec:
+            raise ValueError(f"leakage_safe_split needs {req!r}")
+    id_c, text_c = str(spec["id"]), str(spec["text"])
+    fractions = {str(k): float(v) for k, v in
+                 spec.get("fractions",
+                          {"train": 0.8, "val": 0.1, "test": 0.1}).items()}
+    pairs = DD.near_dup_pairs(df, id_c, text_c,
+                              threshold=float(spec.get("threshold", 0.2)))
+    comp = (DD.connected_components(pairs)
+            .select(F.col("id").alias(id_c), "cluster_id"))
+    lab = (df.select(id_c).join(comp, id_c, "left")
+           .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_c))))
+    return lab.withColumn("split", S.split_label(
+        F.col("cluster_id"), fractions, salt=str(spec.get("salt", ""))))
+
+
 @_op("importance_scores")
 def _importance_scores(spark, df, spec) -> DataFrame:
     """DSIR-style data selection as a jx from clause

@@ -452,26 +452,60 @@ def dedup_prefix_stable_order_delta(spark: SparkSession,
                                        "doc_id", "text", threshold=0.5)
 
 
-@query("dedup_prefix_stable_small_delta")
+#: the 1%-delta fixture plants ONE synthetic near-dup (a copy of the
+#: first shingle-bearing stored doc under this id, which is ≡1 mod 100
+#: and above any rig's id range) so the query provably returns ≥1 row
+#: at every sf — a rows-only registration whose expected count is 0
+#: gives the driver a vacuous signal (VERDICT r9 #3)
+_PLANT_ID = 900_000_001
+
+_EXACT_PAIRS_AUG = _EXACT_PAIRS.replace("FROM documents", "FROM docs_aug")
+
+
+@query(
+    "dedup_prefix_stable_small_delta",
+    oracle=f"""
+    WITH docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT {_PLANT_ID} AS doc_id, text FROM documents
+      WHERE doc_id = (
+        SELECT MIN(doc_id) FROM documents
+        WHERE doc_id % 4 = 0 AND len({_SHINGLES}) > 0)
+    ),
+    {_EXACT_PAIRS_AUG}
+    SELECT id_a, id_b, jaccard FROM exact
+    WHERE ((id_a % 100 = 1) OR (id_b % 100 = 1))
+      AND ((id_a % 2 = 0) OR (id_a % 100 = 1))
+      AND ((id_b % 2 = 0) OR (id_b % 100 = 1))
+    """,
+)
 def dedup_prefix_stable_small_delta(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """dedup_prefix_stable_order_delta at a REALISTIC delta fraction
-    (1%: doc_id % 100 == 1) — rows-only registration, for the scale
-    rigs: the oracle-carrying fixture uses a 50% delta so its blind
-    all-pairs oracle has cross-pairs to prove recall on, which makes
-    "delta" ≈ a full run by construction (tokenizing half the corpus
-    IS half the work; measured r9, SCALE.md). This form is the shape a
-    nightly ingest actually has: delta cost = tokenize 1% + scan the
-    stored prefix rows — 4.6 s vs ~27 s full at the 10× rig. Value
-    correctness is inherited: the same function, same index, same
-    order, only the delta predicate differs. The planted near-dup
-    pairs are sparse and id-random, so at sf<=0.01 the 1% sample often
-    contains no pair endpoint — ZERO rows is then the correct answer
-    (the 10× rig returns 50); the oracle-carrying twin proves the
-    pair values."""
+    (1%: doc_id % 100 == 1, plus one PLANTED near-dup — a copy of the
+    first shingle-bearing stored doc under id 900000001): the
+    oracle-carrying 50%-delta fixture makes "delta" ≈ a full run by
+    construction (tokenizing half the corpus IS half the work;
+    measured r9, SCALE.md); this form is the shape a nightly ingest
+    actually has — delta cost = tokenize 1% + read the pruned stored
+    prefix rows. The plant guarantees ≥1 output row at every sf (the
+    natural planted pairs are id-random and sparse, so a 1% sample
+    often contains no endpoint — r9's registration was rows-only and
+    vacuously 0 at driver scale), which also lets this form carry a
+    REAL oracle now: the blind all-pairs scan over documents ∪ the
+    planted doc, restricted to pairs that touch the delta AND whose
+    endpoints are both in stored (even ids) ∪ delta — exactly the
+    universe the incremental query sees."""
     d = load_table(spark, sf_dir, "documents")
     path, order_path = _stable_index(spark, sf_dir, d)
-    delta = d.filter(F.pmod("doc_id", F.lit(100)) == 1)
+    has_sh = F.size(DD.shingles(DD.tokens(F.col("text")), 3)) > 0
+    anchor = (d.filter((F.pmod("doc_id", F.lit(4)) == 0) & has_sh)
+              .orderBy("doc_id").limit(1)
+              .select(F.lit(_PLANT_ID).cast("long").alias("doc_id"),
+                      "text"))
+    delta = (d.filter(F.pmod("doc_id", F.lit(100)) == 1)
+             .select("doc_id", "text").unionByName(anchor))
     return DD.prefix_join_stable_delta(spark, path, order_path, delta,
                                        "doc_id", "text", threshold=0.5)
 

@@ -197,9 +197,15 @@ def make_handler(spark):
                     self._send(404, {"error": f"unknown table: {table}",
                                      "tables": sorted(TABLES)})
                     return
-                fn = describe_columns_nested if "nested=1" in qs \
-                    else describe_columns
-                rows = fn(spark.table(table)).collect()
+                if "nested=1" in qs:
+                    # ?exact=0 → register-NDV cardinalities (HLL sketch,
+                    # one pass, no per-leaf countDistinct shuffle — the
+                    # 100 TB serving form; VERDICT r9 #8)
+                    rows = describe_columns_nested(
+                        spark.table(table),
+                        exact="exact=0" not in qs).collect()
+                else:
+                    rows = describe_columns(spark.table(table)).collect()
                 self._send(200, {"table": table,
                                  "columns": [r.asDict() for r in rows]})
                 return

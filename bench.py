@@ -232,9 +232,10 @@ def main() -> None:
               file=sys.stderr)
 
     drift = round(calib / CALIB_FLOOR_SEC, 2)
+    total = round(sum(times.values()), 3)
     compact = {
         "metric": "headline_queries_total_wall_sec",
-        "value": round(sum(times.values()), 3),
+        "value": total,
         "unit": "sec",
         "sf": sf,
         "n": len(times),
@@ -242,6 +243,14 @@ def main() -> None:
         "calib": calib,
         "drift": drift,
         "drifted": drift > DRIFT_FLAG_RATIO,
+        # drift-normalized total (value / drift): divides out the
+        # ambient session-overhead multiplier the calibration probe
+        # measures, so ROUND-OVER-ROUND comparisons of this field
+        # cancel day-scale environment shifts that move probe and
+        # queries together (VERDICT r9 #4). Within-day comparisons
+        # should keep using the raw value; the probe floor itself is
+        # a same-day measurement (BASELINE.md r9 note).
+        "value_norm": round(total / max(drift, 0.01), 3),
     }
     full = {**compact, "queries": times, "queries_min": mins}
     # summary keys lead the long line so a HEAD-truncated capture keeps

@@ -47,6 +47,33 @@ AUTO_PAIRS = {
 }
 
 
+def _minhash_1pct_delta(spark, sf_dir):
+    """REALISTIC nightly shape (r10): 1% delta against a 99% v2-layout
+    index — the registered fixture keeps its 50% delta because the
+    oracle needs cross-pairs, so the seek-shaped claim is priced here
+    instead (the r9 prefix_stable precedent)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import dedup_index as DI
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.queries.registry import ensure_built, scratch_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.pmod("doc_id", F.lit(100)) != 1)
+    delta = d.filter(F.pmod("doc_id", F.lit(100)) == 1)
+    path = scratch_dir(sf_dir, "dedup_delta_1pct_v2")
+    ensure_built(path,
+                 lambda: DI.build_index(corpus, "doc_id", "text", path))
+    return DI.pairs_against_index(delta, "doc_id", "text", spark, path,
+                                  threshold=0.2)
+
+
+# family -> (delta callable, full-rerun registered twin)
+REALISTIC = {
+    "minhash_1pct": (_minhash_1pct_delta, "dedup_lsh_jaccard_pairs"),
+}
+
+
 def time_query(spark, fn, sf_dir: str, n_runs: int = 3):
     """First run builds any persisted index (reported separately as the
     one-time cost); each timed run RECONSTRUCTS the DataFrame — the
@@ -73,9 +100,16 @@ def main() -> None:
     from activedata_etl_spark.queries import QUERIES
     from activedata_etl_spark.session import get_spark
 
+    only = None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for a in sys.argv[1:]:
+        if a.startswith("--families="):
+            only = set(a.split("=", 1)[1].split(","))
     spark = get_spark("delta_sf1")
-    out: dict = {"delta": {}, "auto": {}}
+    out: dict = {"delta": {}, "auto": {}, "realistic": {}}
     for fam, (delta_q, full_q) in DELTA_FAMILIES.items():
+        if only and fam not in only:
+            continue
         out["delta"][fam] = {}
         for scale, sf_dir in SCALES.items():
             rec = {
@@ -85,7 +119,21 @@ def main() -> None:
             out["delta"][fam][scale] = rec
             print(json.dumps({"family": fam, "scale": scale, **rec}),
                   flush=True)
+    for fam, (delta_fn, full_q) in REALISTIC.items():
+        if only and fam not in only:
+            continue
+        out["realistic"][fam] = {}
+        for scale, sf_dir in SCALES.items():
+            rec = {
+                "delta": time_query(spark, delta_fn, sf_dir),
+                "full": time_query(spark, QUERIES[full_q], sf_dir),
+            }
+            out["realistic"][fam][scale] = rec
+            print(json.dumps({"family": fam, "scale": scale, **rec}),
+                  flush=True)
     for fam, (fixed_q, auto_q) in AUTO_PAIRS.items():
+        if only and fam not in only:
+            continue
         out["auto"][fam] = {}
         for scale, sf_dir in SCALES.items():
             rec = {
@@ -95,7 +143,7 @@ def main() -> None:
             out["auto"][fam][scale] = rec
             print(json.dumps({"family": fam, "scale": scale, **rec}),
                   flush=True)
-    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/delta_sf1.json"
+    dest = args[0] if args else "/tmp/delta_sf1.json"
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"done": True, "out": dest}))
