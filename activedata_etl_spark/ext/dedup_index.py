@@ -95,20 +95,24 @@ def _sig_flat(df: DataFrame, id_col: str, text_col: str, n_hashes: int,
 
 
 def _write_derived(spark: SparkSession, sh: DataFrame, id_col: str,
-                   path: str, meta: dict, mode: str) -> None:
+                   path: str, meta: dict, mode: str,
+                   sig: DataFrame | None = None) -> None:
     """Band + shingle-set shards for one build/append, in layout v2.
 
-    The band rows derive from the just-written ``signatures/`` files (a
-    columnar re-read), not the signature lineage — re-running the
+    On a BUILD the band rows derive from the just-written
+    ``signatures/`` files (a columnar re-read) — re-running the
     shingle→minhash aggregation would double the build's dominant cost
-    (the bm25 ``_dl``-shard lesson, SCALE.md §r9). ``repartition`` on the
+    (the bm25 ``_dl``-shard lesson, SCALE.md §r9). On an APPEND the
+    caller passes the batch's own persisted signature frame (``sig``):
+    re-reading signatures/ would pay an INDEX-sized scan per nightly
+    batch to extract batch-sized rows — the read-modify-write shape the
+    streaming measurement exists to catch (r10). ``repartition`` on the
     directory keys keeps output to one file per written directory
     instead of one per upstream task."""
-    sig_stored = spark.read.parquet(os.path.join(path, "signatures"))
-    if mode == "append":
-        # only this batch's rows: signatures/ already holds the corpus
-        ids = sh.select(F.col(id_col).alias("id")).distinct()
-        sig_stored = sig_stored.join(ids, "id", "left_semi")
+    if sig is not None:
+        sig_stored = sig
+    else:
+        sig_stored = spark.read.parquet(os.path.join(path, "signatures"))
     (_banded(sig_stored)
      .withColumn("sbkt", F.pmod(F.xxhash64("band_sig"),
                                 F.lit(meta["sbkt"])).cast("int"))
@@ -234,18 +238,18 @@ def append_to_index(df_new: DataFrame, id_col: str, text_col: str, path: str,
         assert (meta["n_hashes"], meta["n_bands"]) == (n_hashes, n_bands), \
             "index built with different n_hashes/n_bands"
     sh = shingle_table(df_new, id_col, text_col, shingle_n).persist()
+    sig = _sig_flat(df_new, id_col, text_col, n_hashes, n_bands,
+                    shingle_n, sh).persist()
     try:
-        (_sig_flat(df_new, id_col, text_col, n_hashes, n_bands, shingle_n, sh)
-         .write.mode("append").parquet(os.path.join(path, "signatures")))
+        sig.write.mode("append").parquet(os.path.join(path, "signatures"))
         if meta is not None:
             _write_derived(df_new.sparkSession, sh, id_col, path, meta,
-                           "append")
-            # refresh the doc count from the files (replay-safe: a
-            # re-appended batch double-counts here, which only nudges
-            # the regime threshold, never correctness)
-            meta["n_docs"] = (df_new.sparkSession.read
-                              .parquet(os.path.join(path, "signatures"))
-                              .count())
+                           "append", sig=sig)
+            # increment the doc count by this batch (batch-sized; a
+            # full recount paid an index-sized read per append — r10).
+            # Replay-safe: a re-appended batch double-counts here,
+            # which only nudges the regime threshold, never correctness
+            meta["n_docs"] = int(meta.get("n_docs", 0)) + sig.count()
             _write_meta(path, **meta)
         else:
             (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
@@ -254,6 +258,7 @@ def append_to_index(df_new: DataFrame, id_col: str, text_col: str, path: str,
              .parquet(os.path.join(path, "shingle_sets")))
     finally:
         sh.unpersist()
+        sig.unpersist()
 
 
 def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,

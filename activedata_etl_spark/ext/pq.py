@@ -1,0 +1,155 @@
+"""Product quantization (IVF-PQ's compression half) for embedding
+columns — the standard way a 100 TB vector corpus becomes searchable.
+
+A 64-d float64 vector is 512 bytes; its PQ code under (m=4, ksub=8) is
+4 small ints. The asymmetric-distance (ADC) search never touches raw
+vectors: the query builds an m×ksub distance table against the
+codebooks (broadcast — it is a few hundred rows however big the
+corpus), joins it to the stored codes on (subspace, code), and sums m
+table lookups per candidate. At cluster scale that is one broadcast
+join + one partial-aggregated shuffle over rows 100× smaller than the
+raw embedding table; the raw vectors are read exactly once, at encode
+time. (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public literature, no reference-repo
+counterpart; the reference has no vector surface at all.)
+
+Determinism contract (matches ext/similarity.ivf_build so the DuckDB
+oracle can reproduce codebooks bit-for-bit):
+
+- sub-vector split: m contiguous slices of an explicitly-passed dim;
+- seeding: per subspace, the ksub lowest-id vectors' sub-vectors,
+  code = their id-rank − 1;
+- assignment: min squared-L2 computed as an IN-ORDER left fold over
+  (x−y)² (the ``dot`` precedent — both engines fold left), ties →
+  lowest code;
+- re-estimation: per-dimension means via floor-quantized integer sums
+  (tie-rule-free across engines, same as ivf_build).
+
+Codes for empty clusters drop out of the re-estimated codebook on both
+engines identically, so the chain stays in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .similarity import _dvec
+
+
+def l2(a: Column, b: Column) -> Column:
+    """Squared L2 as a sequential in-order fold (IEEE-stable across
+    engines, like similarity.dot)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def subvectors(df: DataFrame, id_col: str, vec_col: str,
+               m: int, dim: int) -> DataFrame:
+    """(id, j, sv): m contiguous slices per vector. ``dim`` is explicit
+    (no data probe — plan-only safe); vectors are cast to double once."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    v = df.select(F.col(id_col).alias("id"),
+                  _dvec(F.col(vec_col)).alias("__v__"))
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice("__v__", j * sub + 1, sub))
+    return (v.select("id", F.posexplode(slices).alias("j", "sv")))
+
+
+def _assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (id, j): min (l2, code) — a min_by
+    hash aggregate, never a Window over the scored rows (the
+    _argmax_centroid r10 lesson: the exchange carries one row per
+    (id, j) whatever ksub is)."""
+    scored = (sv.join(F.broadcast(codebook), "j")
+              .withColumn("__d__", l2(F.col("sv"), F.col("cvec"))))
+    return (scored.groupBy("id", "j")
+            .agg(F.min_by(F.struct(F.col("sv"), F.col("code")),
+                          F.struct(F.col("__d__"), F.col("code")))
+                 .alias("__a__"))
+            .select("id", "j", F.col("__a__.sv").alias("sv"),
+                    F.col("__a__.code").alias("code")))
+
+
+def _reestimate(assign: DataFrame) -> DataFrame:
+    """Per-(j, code, dimension) floor-quantized integer-sum means —
+    the deterministic mean from similarity.ivf_build."""
+    return (assign
+            .select("j", "code", F.posexplode("sv").alias("__i__", "__x__"))
+            .groupBy("j", "code", "__i__")
+            .agg((F.sum(F.floor(F.col("__x__") * F.lit(1000000000.0))
+                        .cast("bigint")).cast("double")
+                  / (F.count("__x__") * F.lit(1000000000.0))).alias("__m__"))
+            .groupBy("j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("__i__", "__m__")))
+                 .alias("__s__"))
+            .select("j", "code", F.col("__s__.__m__").alias("cvec")))
+
+
+def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
+             ksub: int = 8, n_iter: int = 2, dim: int = 64) -> DataFrame:
+    """Train per-subspace codebooks: (j, code, cvec), code ∈ [0, ksub).
+    Corpus cost: n_iter+0 scans of the (id, j, sv) rows; the codebook
+    itself is m·ksub rows — driver- and broadcast-trivial at any corpus
+    size."""
+    sv = subvectors(df, id_col, vec_col, m, dim)
+    w = Window.partitionBy("j").orderBy("id")
+    codebook = (sv.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") <= ksub)
+                .select("j", (F.col("__rn__") - 1).alias("code"),
+                        F.col("sv").alias("cvec")))
+    for _ in range(n_iter):
+        codebook = _reestimate(_assign(sv, codebook))
+    return codebook
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebook: DataFrame, m: int = 4, dim: int = 64) -> DataFrame:
+    """(id, j, code) rows — the compressed corpus. Stored long-form (one
+    row per subspace) so ADC is a plain equi-join; collect to an
+    array<tinyint> column for at-rest storage if 4 rows/vec dominates."""
+    sv = subvectors(df, id_col, vec_col, m, dim)
+    return _assign(sv, codebook).select("id", "j", "code")
+
+
+def pq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+            k: int = 3, m: int = 4, ksub: int = 8, n_iter: int = 2,
+            dim: int = 64) -> DataFrame:
+    """ADC top-k: train on the corpus, encode it, then answer each query
+    from the codes alone. Output (q_id, vec_id, adc) — adc is the
+    approximate squared L2 (sum of m table lookups, folded in subspace
+    order so the float geometry is engine-stable).
+
+    Scale shape: distance table = queries × m × ksub rows (broadcast);
+    scored rows = codes joined to it on (j, code) — the corpus-sized
+    leg carries 3 small ints per row; one partial-aggregated shuffle on
+    (q_id, id); top-k is a per-query Window over k·|queries| survivors
+    of a TakeOrdered-style pushdown... the heap stays in the agg."""
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim)
+    qsv = subvectors(queries, id_col, vec_col, m, dim) \
+        .withColumnRenamed("id", "q_id")
+    dtab = (qsv.join(F.broadcast(codebook), "j")
+            .select("q_id", "j", "code",
+                    l2(F.col("sv"), F.col("cvec")).alias("d")))
+    scored = (codes.join(F.broadcast(dtab), ["j", "code"])
+              .filter(F.col("q_id") != F.col("id"))
+              .groupBy("q_id", "id")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("j", "d"))),
+                  F.lit(0.0), lambda acc, s: acc + s["d"]).alias("adc"),
+                  F.count("*").alias("__nj__"))
+              # only vectors matched in ALL m subspaces are comparable
+              # (every encoded vector is; the guard is belt-and-braces)
+              .filter(F.col("__nj__") == m).drop("__nj__"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
+                                           F.col("id").asc())
+    return (scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= k)
+            .select("q_id", F.col("id").alias("vec_id"), "adc"))

@@ -100,7 +100,21 @@ def _ann_topk(spark, df, spec) -> DataFrame:
         return SIM.ann_sign_lsh_topk(q, df, "q_id", "q_vec", id_col, vec_col,
                                      k=k,
                                      n_bits=nb if nb == "auto" else int(nb))
-    raise ValueError(f"unknown ann method {method!r}: brute|lsh")
+    if method == "pq":
+        # compressed-domain ADC search (ext/pq.py, r10): the query set
+        # re-selects from the corpus by the queries expression — PQ
+        # trains on the corpus and answers from codes + a broadcast
+        # distance table. dim is explicit (plan-only safe).
+        from ..ext import pq as PQ
+
+        qdf = df.filter(compile_expr(spec["queries"])) if "queries" in spec \
+            else df
+        return PQ.pq_topk(df, qdf, id_col, vec_col, k=k,
+                          m=int(spec.get("m", 4)),
+                          ksub=int(spec.get("ksub", 8)),
+                          n_iter=int(spec.get("n_iter", 2)),
+                          dim=int(spec.get("dim", 64)))
+    raise ValueError(f"unknown ann method {method!r}: brute|lsh|pq")
 
 
 @_op("quality_gate")

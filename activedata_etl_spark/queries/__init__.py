@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     q_ext7,
     q_ext8,
     q_ext9,
+    q_ext10,
     q_flagship,
     q_joins,
     q_jx,
@@ -41,13 +42,14 @@ from .registry import ORACLES, QUERIES
 # #4: the policy function is used here, not just asserted by a test, so
 # rotation can never drift from the module again).
 _NEW_THIS_ROUND: list[str] = [
-    "meta_columns_nested",
-    "events_resample_1h_fill",
-    "sample_dsir_importance",
+    # r10: product quantization (new family), the v2 bucketed minhash
+    # index behind dedup_index_delta_pairs (changed code path), and the
+    # now-oracle-paired 1%-delta fixture (was rows-only in r9).
+    "sim_pq_topk",
+    "sim_pq_code_balance",
+    "dedup_index_delta_pairs",
     "dedup_prefix_stable_small_delta",
-    "sample_leakage_safe_split",
-    "sim_ann_multiprobe_bulk_auto",
-    "dedup_semantic_clusters_auto",
+    "multimodal_ahash_index_pairs",
 ]
 
 # The verify driver samples a 50-entry PREFIX of this dict each round.

@@ -1,0 +1,121 @@
+"""Round-10 queries: product quantization (ext/pq.py) — the
+compressed-domain ANN path a 100 TB embedding corpus actually serves
+from. The oracle reproduces the ENTIRE chain (subspace split, seeded
+Lloyd with floor-quantized means, encode, ADC table scoring) in DuckDB
+CTEs, so a hash-match proves codebooks, codes, and distances are
+bit-identical across engines — the same standard the IVF family meets
+(q_ext._ivf_ctes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ext import pq as PQ
+from ..io import load_table
+from .registry import query
+
+_M, _KSUB, _ITER, _DIM, _NQ, _K = 4, 8, 2, 64, 10, 3
+_SUB = _DIM // _M
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """In-order fold of (x−y)² — the pq.l2 twin (list_sum and
+    F.aggregate both fold left, the established dot-product precedent)."""
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def _pq_ctes(m: int = _M, ksub: int = _KSUB, n_iter: int = _ITER,
+             sub: int = _SUB) -> list[str]:
+    """CTE chain mirroring pq.pq_train + pq_encode: c{n_iter} is the
+    trained codebook, af the encoded corpus (vec_id, j, code)."""
+    l2 = _sql_l2
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)",
+        f"""sv AS (
+          SELECT vec_id, j, vv[(j*{sub}+1):(j*{sub}+{sub})] AS s
+          FROM v CROSS JOIN range({m}) t(j))""",
+        f"""c0 AS (
+          SELECT j, rn - 1 AS code, s AS cvec FROM (
+            SELECT j, s, ROW_NUMBER() OVER (PARTITION BY j
+                     ORDER BY vec_id) AS rn
+            FROM sv) WHERE rn <= {ksub})""",
+    ]
+    for i in range(n_iter):
+        ctes.append(f"""a{i + 1} AS (
+          SELECT vec_id, j, s, code FROM (
+            SELECT sv.vec_id, sv.j, sv.s, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+                     ORDER BY {l2('sv.s', 'c.cvec')} ASC, c.code ASC) AS rn
+            FROM sv JOIN c{i} c ON c.j = sv.j) WHERE rn = 1)""")
+        ctes.append(f"""c{i + 1} AS (
+          SELECT j, code, list(m ORDER BY i) AS cvec FROM (
+            SELECT j, code, i,
+                   CAST(CAST(SUM(CAST(floor(x * CAST(1000000000 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS DOUBLE)
+                     / (COUNT(x) * CAST(1000000000 AS DOUBLE)) AS m
+            FROM (SELECT j, code, unnest(s) AS x,
+                         generate_subscripts(s, 1) AS i FROM a{i + 1})
+            GROUP BY j, code, i) GROUP BY j, code)""")
+    ctes.append(f"""af AS (
+      SELECT vec_id, j, code FROM (
+        SELECT sv.vec_id, sv.j, c.code,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+                 ORDER BY {l2('sv.s', 'c.cvec')} ASC, c.code ASC) AS rn
+        FROM sv JOIN c{n_iter} c ON c.j = sv.j) WHERE rn = 1)""")
+    return ctes
+
+
+def _pq_topk_oracle() -> str:
+    l2 = _sql_l2
+    ctes = _pq_ctes()
+    ctes.append(f"""dtab AS (
+      SELECT q.vec_id AS q_id, q.j, c.code, {l2('q.s', 'c.cvec')} AS d
+      FROM sv q JOIN c{_ITER} c ON c.j = q.j
+      WHERE q.vec_id < {_NQ})""")
+    ctes.append("""scored AS (
+      SELECT q_id, vec_id, list_sum(list(d ORDER BY j)) AS adc
+      FROM (SELECT dt.q_id, af.vec_id, dt.j, dt.d
+            FROM af JOIN dtab dt ON dt.j = af.j AND dt.code = af.code
+            WHERE dt.q_id <> af.vec_id)
+      GROUP BY q_id, vec_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT q_id, vec_id, adc FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY adc ASC, vec_id ASC) AS rn
+      FROM scored) WHERE rn <= {_K}""")
+
+
+@query("sim_pq_topk", oracle=_pq_topk_oracle())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (ext/pq.py): train (m=4, ksub=8)
+    codebooks on the embeddings, encode, answer the first 10 vectors'
+    k=3 neighbors from codes + a broadcast distance table alone — the
+    raw vectors are never touched after encode. The oracle re-derives
+    the identical codebooks/codes/distances, so the hash-match proves
+    the full compressed-domain geometry, not just row counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _NQ)
+    return PQ.pq_topk(emb, qs, "vec_id", "embedding", k=_K, m=_M,
+                      ksub=_KSUB, n_iter=_ITER, dim=_DIM)
+
+
+@query(
+    "sim_pq_code_balance",
+    oracle="WITH " + ",\n".join(_pq_ctes()) + """
+    SELECT j, code, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM af GROUP BY j, code
+    """,
+)
+def sim_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-balance audit: encoded-corpus occupancy per (subspace,
+    code) — the report a corpus owner reads before trusting PQ recall
+    (a code holding 90% of vectors means that subspace carries no
+    signal). Codebook training + encode, one count aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.pq_train(emb, "vec_id", "embedding", m=_M, ksub=_KSUB,
+                     n_iter=_ITER, dim=_DIM)
+    codes = PQ.pq_encode(emb, "vec_id", "embedding", cb, m=_M, dim=_DIM)
+    return (codes.groupBy("j", "code")
+            .agg(F.count("*").cast("long").alias("n_vecs")))

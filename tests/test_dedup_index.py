@@ -61,3 +61,60 @@ def test_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
     # from-scratch build (md5 determinism).
     DI.append_to_index(new, "doc_id", "text", inc, **PARAMS)
     assert _pairs_set(DI.near_dup_pairs_from_index(spark, inc, THRESHOLD)) == all_pairs
+
+
+def _touching(pairs, ids):
+    return {p for p in pairs if p[0] in ids or p[1] in ids}
+
+
+def test_lookup_regime_equals_direct(spark, sf_dir, tmp_path):
+    """A TINY delta (the 'is this batch already in the corpus' shape)
+    takes the v2 lookup regime — literal (band_idx, sbkt, band_sig IN)
+    predicates pushed onto the stored reads — and must return exactly
+    the delta-touching pairs of a from-scratch run over old ∪ delta."""
+    docs = _docs(spark, sf_dir, n=500)
+    old = docs.filter(F.col("doc_id") % 20 != 1)
+    new = docs.filter(F.col("doc_id") % 20 == 1)  # 5% delta → lookup
+    idx = str(tmp_path / "idx")
+    DI.build_index(old, "doc_id", "text", idx, **PARAMS)
+
+    got = DI.pairs_against_index(new, "doc_id", "text", spark, idx,
+                                 threshold=THRESHOLD, **PARAMS)
+    # the v2 layout must support directory pruning for the lookup
+    # regime's literal predicates: a (band_idx, sbkt) filter over the
+    # stored band table reaches the scan as PartitionFilters (the
+    # delta query's own plan is hidden behind its localCheckpoint, so
+    # the layout property is asserted on the stored read directly)
+    import os as _os
+    bands = spark.read.parquet(_os.path.join(idx, "bands"))
+    plan = (bands.filter((F.col("band_idx") == 0) & (F.col("sbkt") == 3))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    assert "band_idx" in plan.split("PartitionFilters", 1)[1][:400]
+
+    want = _touching(
+        _pairs_set(DD.near_dup_pairs(docs, "doc_id", "text",
+                                     threshold=THRESHOLD, **PARAMS)),
+        {r.doc_id for r in new.select("doc_id").collect()})
+    assert _pairs_set(got) == want and len(want) > 0
+
+
+def test_batch_regime_equals_direct(spark, sf_dir, tmp_path, monkeypatch):
+    """Forcing the middle (batch) regime — delta too big for literal
+    pushdown, too small for the bulk lazy plan — by pinning _SEEK_CAP
+    to 0: the stored band table scans unfiltered but the verify stage
+    still semi-joins to candidate ids. Same answer as the lookup run."""
+    docs = _docs(spark, sf_dir, n=500)
+    old = docs.filter(F.col("doc_id") % 20 != 1)
+    new = docs.filter(F.col("doc_id") % 20 == 1)
+    idx = str(tmp_path / "idx")
+    DI.build_index(old, "doc_id", "text", idx, **PARAMS)
+
+    monkeypatch.setattr(DI, "_SEEK_CAP", 0)
+    got = DI.pairs_against_index(new, "doc_id", "text", spark, idx,
+                                 threshold=THRESHOLD, **PARAMS)
+    want = _touching(
+        _pairs_set(DD.near_dup_pairs(docs, "doc_id", "text",
+                                     threshold=THRESHOLD, **PARAMS)),
+        {r.doc_id for r in new.select("doc_id").collect()})
+    assert _pairs_set(got) == want and len(want) > 0

@@ -507,3 +507,24 @@ def test_asof_and_top_component_ops_front_end_equals_direct(spark, sf_dir):
     want = (comp.select(F.posexplode("vt").alias("pos", "v"), "lam")
             .withColumn("pos", F.col("pos").cast("long")))
     assert rows(got) == rows(want)
+
+
+def test_pq_op_front_end_equals_direct(spark, sf_dir):
+    """ann_topk method="pq" (r10) routed through the jx from clause
+    equals ext/pq.pq_topk directly."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import pq as PQ
+    from activedata_etl_spark.io import load_table, register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = run(spark, {"from": {"op": "ann_topk", "table": "embeddings",
+                               "queries": {"lt": {"vec_id": 10}},
+                               "method": "pq", "k": 3,
+                               "m": 4, "ksub": 8, "dim": 64}})
+    want = PQ.pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                      "vec_id", "embedding", k=3, m=4, ksub=8, dim=64)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))

@@ -433,3 +433,99 @@ def test_chunk_delta_semijoin_before_dupcount(spark, sf_dir):
     is (delta hashes × their occurrences), not index-sized."""
     plan = _plan(spark, sf_dir, "dedup_chunk_delta_stats")
     assert "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# r10 (VERDICT r9 #6): operator-count guards for the most expensive
+# HEADLINE queries — the invariants the round notes quote, mechanically
+# pinned so a refactor that silently adds a shuffle/Window/Generate
+# fails CI instead of surfacing as a bench-drift question. Bounds are
+# ≤ the audited plan's counts at the smallest sf; equality is asserted
+# only where the invariant IS the count (e.g. resample's single Window).
+
+
+def test_gopher_rules_scan_local(spark, sf_dir):
+    """text_gopher_rules is one pass over the scan: per-doc column
+    math only — NO exchange, window, generate, or join of any kind may
+    ever appear (at 100 TB this query's cost must be the read)."""
+    plan = _plan(spark, sf_dir, "text_gopher_rules")
+    for op in ("Exchange", "Window", "Generate", "Join", "CartesianProduct"):
+        assert op not in plan, f"{op} crept into a scan-local plan"
+
+
+def test_typed_encoding_compiled_scan_local(spark, sf_dir):
+    """typed_encoding_compiled is the UDF-free compiled form: pure
+    column expressions over the scan — no exchange, no Python eval."""
+    plan = _plan(spark, sf_dir, "typed_encoding_compiled")
+    for op in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert op not in plan, f"{op} crept into the compiled form"
+
+
+def test_embedding_cosine_bulk_banded_equijoins(spark, sf_dir):
+    """dedup_embedding_cosine_bulk (the most expensive headline query)
+    is the bulk banded-join form: band equi-joins + broadcast only —
+    never a cartesian/nested-loop pairing of the vector table, and the
+    shuffle count stays at the audited 6 (band build, candidate join
+    sides, verify agg)."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine_bulk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 6, plan[:1500]
+
+
+def test_nested_explode_roundtrip_single_shuffle(spark, sf_dir):
+    """nested_explode_roundtrip: one Generate (the explode) and ONE
+    exchange (the collect_list regroup) — the irreducible minimum for
+    an explode→regroup roundtrip."""
+    plan = _plan(spark, sf_dir, "nested_explode_roundtrip")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert plan.count("Generate") == 1
+
+
+def test_meta_columns_nested_stacked_explode(spark, sf_dir):
+    """meta_columns_nested walks the full schema with ONE stacked
+    explode chain (≤2 Generates for array-in-array) and ≤3 exchanges
+    (leaf agg + distinct + the left join back to the schema leaf list)
+    — never a per-column job or a per-leaf shuffle."""
+    plan = _plan(spark, sf_dir, "meta_columns_nested")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:1500]
+    assert plan.count("Generate") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_single_window(spark, sf_dir):
+    """events_resample_1h_fill: LOCF + lerp share ONE Window operator
+    on one partitioning; the grid explode is one Generate; ≤3 total
+    exchanges (groupBy, window, span-guard probe)."""
+    plan = _plan(spark, sf_dir, "events_resample_1h_fill")
+    assert plan.count("Window") == 1, plan[:1500]
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_snowflake_roundtrip_broadcast_only(spark, sf_dir):
+    """snowflake_roundtrip: dim joins broadcast, one agg exchange —
+    no sort-merge join of the fact table."""
+    plan = _plan(spark, sf_dir, "snowflake_roundtrip")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semantic_banded_pairs_no_cartesian(spark, sf_dir):
+    """dedup_semantic_banded_pairs: the vector table is paired only
+    through band equi-joins; nested-loop operators may appear ONLY as
+    broadcast (the centroid/knob tables) — a plain CartesianProduct or
+    a sort-merge explosion of the pair space must fail here."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_banded_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 2, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") <= 38
+
+
+def test_silhouette_broadcast_centroid_geometry(spark, sf_dir):
+    """sim_silhouette: centroid-sized tables broadcast; the vector
+    corpus is never nested-loop paired with itself."""
+    plan = _plan(spark, sf_dir, "sim_silhouette")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 13, plan[:1500]

@@ -1,0 +1,68 @@
+"""Product quantization (ext/pq.py): determinism, partition invariance,
+and the ADC plan shape (broadcast joins only — the corpus-sized leg is
+codes, never raw vectors)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.ext import pq as PQ
+
+
+def _emb(spark, sf_dir, n=200):
+    return (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .filter(F.col("vec_id") < n).select("vec_id", "embedding"))
+
+
+def test_codes_partition_invariant(spark, sf_dir):
+    """Codebooks and codes must not depend on physical partitioning
+    (floor-quantized means + min_by tie rule carry the determinism)."""
+    emb = _emb(spark, sf_dir)
+    def run(df):
+        cb = PQ.pq_train(df, "vec_id", "embedding", m=4, ksub=8,
+                         n_iter=2, dim=64)
+        codes = PQ.pq_encode(df, "vec_id", "embedding", cb, m=4, dim=64)
+        return {(r.id, r.j, r.code) for r in codes.collect()}
+    assert run(emb.repartition(7)) == run(emb.repartition(3))
+
+
+def test_every_vector_gets_m_codes(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cb = PQ.pq_train(emb, "vec_id", "embedding", m=4, ksub=8,
+                     n_iter=2, dim=64)
+    codes = PQ.pq_encode(emb, "vec_id", "embedding", cb, m=4, dim=64)
+    per = codes.groupBy("id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per] == [4]
+    # codes live in [0, ksub)
+    mm = codes.agg(F.min("code"), F.max("code")).first()
+    assert mm[0] >= 0 and mm[1] <= 7
+
+
+def test_adc_plan_broadcast_only(spark, sf_dir):
+    """The ADC scoring path: distance table and codebook broadcast; the
+    encoded corpus is never cartesian/sort-merge paired."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = PQ.pq_topk(emb, qs, "vec_id", "embedding", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_neighbors_sane(spark, sf_dir):
+    """ADC is approximate, but a vector's PQ-nearest neighbors must
+    rank vectors with identical codes first: the top hit for a query
+    that shares all m codes with another vector scores adc == the
+    self-distance of that code combination (non-negative, finite)."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 10)
+    out = PQ.pq_topk(emb, qs, "vec_id", "embedding", k=3).collect()
+    assert len(out) == 30
+    assert all(r.adc >= 0.0 for r in out)
+    # per query: ranked ascending, ties broken by vec_id
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append((r.adc, r.vec_id))
+    for q, rows in by_q.items():
+        assert rows == sorted(rows)
