@@ -31,6 +31,9 @@ engines identically, so the chain stays in lockstep.
 
 from __future__ import annotations
 
+import json as _json
+import os as _os
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -118,21 +121,15 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     return _assign(sv, codebook).select("id", "j", "code")
 
 
-def pq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-            k: int = 3, m: int = 4, ksub: int = 8, n_iter: int = 2,
-            dim: int = 64) -> DataFrame:
-    """ADC top-k: train on the corpus, encode it, then answer each query
-    from the codes alone. Output (q_id, vec_id, adc) — adc is the
-    approximate squared L2 (sum of m table lookups, folded in subspace
-    order so the float geometry is engine-stable).
-
-    Scale shape: distance table = queries × m × ksub rows (broadcast);
-    scored rows = codes joined to it on (j, code) — the corpus-sized
-    leg carries 3 small ints per row; one partial-aggregated shuffle on
-    (q_id, id); top-k is a per-query Window over k·|queries| survivors
-    of a TakeOrdered-style pushdown... the heap stays in the agg."""
-    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
-    codes = pq_encode(df, id_col, vec_col, codebook, m, dim)
+def _adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+              id_col: str, vec_col: str, k: int, m: int,
+              dim: int) -> DataFrame:
+    """ADC scoring against an encoded corpus: distance table =
+    queries × codebook (broadcast — a few hundred rows at any corpus
+    size), scored rows = codes equi-joined to it on (j, code), one
+    partial-aggregated shuffle on (q_id, id), per-query top-k. The
+    per-(q_id, id) sum folds in subspace order so the float geometry is
+    engine-stable."""
     qsv = subvectors(queries, id_col, vec_col, m, dim) \
         .withColumnRenamed("id", "q_id")
     dtab = (qsv.join(F.broadcast(codebook), "j")
@@ -153,3 +150,80 @@ def pq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     return (scored.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= k)
             .select("q_id", F.col("id").alias("vec_id"), "adc"))
+
+
+def pq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+            k: int = 3, m: int = 4, ksub: int = 8, n_iter: int = 2,
+            dim: int = 64) -> DataFrame:
+    """ADC top-k: train on the corpus, encode it, then answer each query
+    from the codes alone. Output (q_id, vec_id, adc) — adc is the
+    approximate squared L2 (sum of m table lookups, folded in subspace
+    order so the float geometry is engine-stable).
+
+    Scale shape: distance table = queries × m × ksub rows (broadcast);
+    scored rows = codes joined to it on (j, code) — the corpus-sized
+    leg carries 3 small ints per row; one partial-aggregated shuffle on
+    (q_id, id); top-k is a per-query Window over k·|queries| survivors
+    of a TakeOrdered-style pushdown... the heap stays in the agg."""
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim)
+    return _adc_topk(codes, codebook, queries, id_col, vec_col, k, m, dim)
+
+
+# --- persisted PQ index (the serving shape at 100 TB) -----------------------
+#
+# Codebooks are trained ONCE (on the build corpus) and frozen; new
+# vectors are encoded against the frozen codebooks and appended —
+# retraining per batch would silently re-key every stored code. Codes
+# are a pure function of (payload, codebook), so at-least-once replay
+# appends byte-identical rows that the (id, j) dedupe on read collapses
+# — the standing index-family convention (ahash/band precedent).
+
+
+def _meta_path(path: str) -> str:
+    return _os.path.join(path, "_pq_meta.json")
+
+
+def build_pq_index(df: DataFrame, id_col: str, vec_col: str, path: str,
+                   m: int = 4, ksub: int = 8, n_iter: int = 2,
+                   dim: int = 64) -> None:
+    """Materialize codebook + encoded corpus under ``path``. The raw
+    vectors are read for training + encode and never again."""
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
+    codebook.write.mode("overwrite").parquet(_os.path.join(path, "codebook"))
+    pq_encode(df, id_col, vec_col, codebook, m, dim) \
+        .write.mode("overwrite").parquet(_os.path.join(path, "codes"))
+    with open(_meta_path(path), "w") as f:
+        _json.dump({"m": m, "ksub": ksub, "dim": dim}, f)
+
+
+def read_pq_codebook(spark, path: str) -> DataFrame:
+    return spark.read.parquet(_os.path.join(path, "codebook"))
+
+
+def read_pq_codes(spark, path: str) -> DataFrame:
+    return (spark.read.parquet(_os.path.join(path, "codes"))
+            .dropDuplicates(["id", "j"]))
+
+
+def append_pq_codes(df_new: DataFrame, id_col: str, vec_col: str,
+                    spark, path: str) -> None:
+    """Incremental maintenance: encode NEW vectors against the FROZEN
+    codebook and append — batch-sized work, no touch of stored codes."""
+    with open(_meta_path(path)) as f:
+        meta = _json.load(f)
+    cb = read_pq_codebook(spark, path)
+    pq_encode(df_new, id_col, vec_col, cb, meta["m"], meta["dim"]) \
+        .write.mode("append").parquet(_os.path.join(path, "codes"))
+
+
+def pq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
+                  spark, path: str, k: int = 3) -> DataFrame:
+    """ADC top-k answered from the index alone: the only corpus-sized
+    read is the codes table (m small ints per vector — ~64× smaller
+    than the raw embeddings); codebook and distance table broadcast."""
+    with open(_meta_path(path)) as f:
+        meta = _json.load(f)
+    return _adc_topk(read_pq_codes(spark, path),
+                     read_pq_codebook(spark, path), queries,
+                     id_col, vec_col, k, meta["m"], meta["dim"])

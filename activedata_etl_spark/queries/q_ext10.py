@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..ext import pq as PQ
 from ..io import load_table
-from .registry import query
+from .registry import ensure_built, query, scratch_dir
 
 _M, _KSUB, _ITER, _DIM, _NQ, _K = 4, 8, 2, 64, 10, 3
 _SUB = _DIM // _M
@@ -99,6 +99,23 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < _NQ)
     return PQ.pq_topk(emb, qs, "vec_id", "embedding", k=_K, m=_M,
                       ksub=_KSUB, n_iter=_ITER, dim=_DIM)
+
+
+@query("sim_pq_from_index", oracle=_pq_topk_oracle())
+def sim_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_pq_topk answered from the PERSISTED PQ index (ext/pq.py
+    build_pq_index / pq_index_topk): the serving path — codebook frozen
+    at build, the only corpus-sized read is the codes table (m small
+    ints per vector). Same oracle as sim_pq_topk: codes are a pure
+    function of (vector, codebook), so index-served == direct to the
+    last bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = scratch_dir(sf_dir, "pq_index")
+    ensure_built(path, lambda: PQ.build_pq_index(
+        emb, "vec_id", "embedding", path, m=_M, ksub=_KSUB,
+        n_iter=_ITER, dim=_DIM))
+    qs = emb.filter(F.col("vec_id") < _NQ)
+    return PQ.pq_index_topk(qs, "vec_id", "embedding", spark, path, k=_K)
 
 
 @query(

@@ -70,7 +70,14 @@ def _families():
             b, "doc_id", "text", p)),
         "band": (vecs, "id", lambda b, bid, p: SIM.append_to_band_index(
             b, "id", "embedding", p)),
+        "pq": (vecs, "id", lambda b, bid, p: _pq().append_pq_codes(
+            b, "id", "embedding", b.sparkSession, p)),
     }
+
+
+def _pq():
+    from activedata_etl_spark.ext import pq
+    return pq
 
 
 def _build_base(fam, source, key, append, spark, sf_dir, path):
@@ -85,6 +92,8 @@ def _build_base(fam, source, key, append, spark, sf_dir, path):
     t0 = time.perf_counter()
     if fam == "minhash":
         DI.build_index(base, "doc_id", "text", path)
+    elif fam == "pq":
+        _pq().build_pq_index(base, "id", "embedding", path)
     else:
         append(base, 0, path)
     return round(time.perf_counter() - t0, 3)

@@ -1,0 +1,74 @@
+"""Streaming maintenance of the persisted PQ index: the codebook is
+FROZEN at build (retraining per batch would re-key every stored code);
+new vectors encode against it and append. Codes are a pure function of
+(vector, codebook), so at-least-once replay appends byte-identical rows
+the (id, j) dedupe on read collapses — the standing index convention."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.ext import pq as PQ
+from activedata_etl_spark.streaming import stream as ST
+
+
+def _emb(spark, sf_dir, n=200):
+    return (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .filter(F.col("vec_id") < n).select("vec_id", "embedding"))
+
+
+def _topk(spark, path, queries):
+    return sorted((r.q_id, r.vec_id, r.adc) for r in PQ.pq_index_topk(
+        queries, "vec_id", "embedding", spark, path, k=3).collect())
+
+
+def test_stream_pq_appends_and_replay_idempotence(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    PQ.build_pq_index(old, "vec_id", "embedding", idx, m=4, ksub=8,
+                      n_iter=2, dim=64)
+
+    inbox = str(tmp_path / "inbox")
+    new.write.parquet(inbox)
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        PQ.append_pq_codes(batch_df, "vec_id", "embedding", spark, idx)
+
+    ST.run_foreach_batch(ST.file_stream(spark, inbox, emb.schema),
+                         ingest, str(tmp_path / "ckpt")).awaitTermination(120)
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    got = _topk(spark, idx, qs)
+
+    # index-served == direct ADC with the SAME (frozen) codebook over
+    # the full corpus: encode everything against the build codebook
+    cb = PQ.read_pq_codebook(spark, idx)
+    codes = PQ.pq_encode(emb, "vec_id", "embedding", cb, m=4, dim=64)
+    want = sorted((r.q_id, r.vec_id, r.adc) for r in PQ._adc_topk(
+        codes, cb, qs, "vec_id", "embedding", 3, 4, 64).collect())
+    assert got == want and len(got) == 30
+
+    # at-least-once replay: identical rows, dedupe on read, result fixed
+    PQ.append_pq_codes(new, "vec_id", "embedding", spark, idx)
+    assert _topk(spark, idx, qs) == want
+
+
+def test_frozen_codebook_differs_from_retrain(spark, sf_dir, tmp_path):
+    """The design reason the codebook freezes: retraining on the grown
+    corpus yields different codebooks (so different codes for OLD
+    vectors) — appending must not silently re-key the index."""
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "idx")
+    PQ.build_pq_index(old, "vec_id", "embedding", idx, m=4, ksub=8,
+                      n_iter=2, dim=64)
+    frozen = {(r.j, r.code, tuple(r.cvec)) for r in
+              PQ.read_pq_codebook(spark, idx).collect()}
+    retrained = {(r.j, r.code, tuple(r.cvec)) for r in PQ.pq_train(
+        emb, "vec_id", "embedding", m=4, ksub=8, n_iter=2,
+        dim=64).collect()}
+    assert frozen != retrained
