@@ -54,11 +54,25 @@ from .dedup import band_keys, minhash_table, shingle_table
 # build_index, recorded in the meta file — queries adapt automatically).
 _SBKT = 32
 _IBKT = 32
-# Lookup-regime threshold: below this many collected keys, literal IN
-# pushdown (directory pruning + row-group skipping over sorted files)
-# beats any join; above it the predicates stop pruning and only add
-# evaluation cost (the 50%-delta fixture measured 1.9× — batch regime
-# scans instead). 4096 keys ≈ a few hundred KB of literals, driver-safe.
+# Lookup-regime threshold for the BAND stage: the literal predicate is
+# an OR over the delta's distinct (band_idx, sbkt) groups, each with a
+# band_sig IN list — every surviving ROW evaluates that whole chain, so
+# its cost is (rows scanned) × (groups). Only a truly tiny delta keeps
+# both factors small (few groups → real directory pruning → few rows):
+# at 256 band rows (~64 docs, the "is this batch already ingested"
+# interactive shape) the scan is a few directories' worth of seeks; the
+# r10 rig measured a 2000-key delta WORSE than the unfiltered scan+join
+# (6.9s vs ~2s — all 128 directories hit, 2M rows × 128-branch OR), so
+# mid-size deltas take the batch regime's equi-join instead.
+_LOOKUP_CAP = 256
+# ...and only if the collected keys hit at most this fraction of the
+# (band_idx, sbkt) directories — a delta that touches most directories
+# scans the whole table anyway, so the OR chain is pure per-row cost.
+_LOOKUP_DIR_BUDGET = 0.25
+# Sets-stage threshold: a SINGLE id IN (...) predicate (hash-set eval,
+# no OR chain) + ibkt directory pruning — cheap per row, so it pays up
+# to a much larger candidate list. 4096 ids ≈ a few hundred KB of
+# literals, driver-safe.
 _SEEK_CAP = 4096
 # Bulk-regime threshold: a delta above this fraction of the stored band
 # rows is a re-dedup, not an ingest — candidate ids approach the corpus
@@ -278,8 +292,8 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     ADAPTIVE on measured delta size (one count over the persisted delta
     band rows, the auto-multiprobe pattern):
 
-    - **lookup regime** (≤ ``_SEEK_CAP`` delta band rows — the "is this
-      batch of docs already in the corpus" interactive shape): the
+    - **lookup regime** (≤ ``_LOOKUP_CAP`` delta band rows — the "is
+      this batch of docs already in the corpus" interactive shape): the
       delta's band keys are collected and pushed as literal predicates
       on the stored band read — ``(band_idx, sbkt)`` prunes partition
       directories outright, and ``band_sig IN (...)`` skips row groups
@@ -364,20 +378,30 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
         return _materialize_release(
             _verify_jaccard(cands, sets_, threshold), banded_new)
     stored_b = _read_bands(spark, path)
-    if n_delta_bands <= _SEEK_CAP:
+    if n_delta_bands <= _LOOKUP_CAP:
         # lookup regime: literal pushdown — (band_idx, sbkt) prunes
-        # directories, band_sig IN (...) skips row groups (sorted files)
+        # directories, band_sig IN (...) skips row groups (sorted
+        # files). The predicate is an OR over the hit directory groups
+        # and every SURVIVING row evaluates the whole chain, so it only
+        # pays when the hit set actually prunes: past ~1/4 of the
+        # directories the survivors are the whole table and the chain
+        # is pure per-row overhead (the r10 rig measured a 200-key
+        # delta — ~100 of 128 dirs hit — at 4.6s lookup vs ~1.3s as a
+        # plain join), so a poorly-pruning delta falls through to the
+        # batch regime's equi-join. The collect is ≤ _LOOKUP_CAP rows.
         hit: dict[tuple[int, int], list[str]] = {}
         for r in banded_new.select("band_idx", "sbkt",
                                    "band_sig").distinct().collect():
             hit.setdefault((int(r["band_idx"]), int(r["sbkt"])),
                            []).append(r["band_sig"])
-        prune = F.lit(False)
-        for (bi, bk), sigs in hit.items():
-            prune = prune | ((F.col("band_idx") == bi)
-                             & (F.col("sbkt") == bk)
-                             & F.col("band_sig").isin(sigs))
-        stored_b = stored_b.filter(prune)
+        n_dirs = int(meta["sbkt"]) * int(meta["n_bands"])
+        if len(hit) <= max(1, int(n_dirs * _LOOKUP_DIR_BUDGET)):
+            prune = F.lit(False)
+            for (bi, bk), sigs in hit.items():
+                prune = prune | ((F.col("band_idx") == bi)
+                                 & (F.col("sbkt") == bk)
+                                 & F.col("band_sig").isin(sigs))
+            stored_b = stored_b.filter(prune)
     a = banded_new.alias("a")
     cross = (a.join(stored_b.alias("b"),
                     (F.col("a.band_idx") == F.col("b.band_idx"))

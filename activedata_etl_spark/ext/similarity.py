@@ -331,6 +331,18 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str,
 
     def _assign(cur: DataFrame) -> DataFrame:
         if pruned:
+            # PIN the centroid frontier before the pruned assignment:
+            # the two-level path references ``cur`` several times per
+            # iteration (super seeds, super assignment, child map, the
+            # final broadcast) and Catalyst plans each reference's tree
+            # independently — unpinned, every reference re-runs the
+            # whole upstream Lloyd chain and the recompute compounds
+            # per iteration (measured 18.2s vs 3.9s fixed at the 10×
+            # rig before this pin — the pagerank/bpe frontier lesson,
+            # SCALE.md §r8). The flat path references ``cur`` once, so
+            # it stays lazy (and plan-only probes never reach here:
+            # pruned is False under explain).
+            cur = cur.localCheckpoint(eager=True)
             return _argmax_centroid_pruned(v, id_col, "__v__", cur, nlist)
         return _argmax_centroid(v, id_col, "__v__", cur)
 

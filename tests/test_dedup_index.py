@@ -67,11 +67,14 @@ def _touching(pairs, ids):
     return {p for p in pairs if p[0] in ids or p[1] in ids}
 
 
-def test_lookup_regime_equals_direct(spark, sf_dir, tmp_path):
+def test_lookup_regime_equals_direct(spark, sf_dir, tmp_path, monkeypatch):
     """A TINY delta (the 'is this batch already in the corpus' shape)
     takes the v2 lookup regime — literal (band_idx, sbkt, band_sig IN)
     predicates pushed onto the stored reads — and must return exactly
-    the delta-touching pairs of a from-scratch run over old ∪ delta."""
+    the delta-touching pairs of a from-scratch run over old ∪ delta.
+    The dir-budget gate is forced open so the literal path is the one
+    under test regardless of how many directories this corpus hits."""
+    monkeypatch.setattr(DI, "_LOOKUP_DIR_BUDGET", 1.0)
     docs = _docs(spark, sf_dir, n=500)
     old = docs.filter(F.col("doc_id") % 20 != 1)
     new = docs.filter(F.col("doc_id") % 20 == 1)  # 5% delta → lookup
@@ -110,6 +113,7 @@ def test_batch_regime_equals_direct(spark, sf_dir, tmp_path, monkeypatch):
     idx = str(tmp_path / "idx")
     DI.build_index(old, "doc_id", "text", idx, **PARAMS)
 
+    monkeypatch.setattr(DI, "_LOOKUP_CAP", 0)
     monkeypatch.setattr(DI, "_SEEK_CAP", 0)
     got = DI.pairs_against_index(new, "doc_id", "text", spark, idx,
                                  threshold=THRESHOLD, **PARAMS)
