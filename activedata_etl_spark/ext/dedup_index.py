@@ -455,3 +455,82 @@ def _verify_jaccard(cands: DataFrame, sets_: DataFrame,
          .withColumn("jaccard", F.col("inter") / F.col("uni")))
     return (j.filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b", "jaccard"))
+
+
+def purge_from_index(spark: SparkSession, path: str, ids) -> int:
+    """Right-to-be-forgotten over the v2 minhash index: remove every
+    trace of ``ids`` from signatures/, bands/ and shingle_sets/ so no
+    served pair, candidate, or signature can mention a forgotten doc.
+
+    The bucketed layout makes the derived-table rewrites SEEK-shaped:
+    the purged docs' band rows live only in the (band_idx, sbkt)
+    directories their stored signatures hash to, and their shingle sets
+    only in ibkt = xxhash64(id) % n — every untouched directory keeps
+    its files byte-identical (no tombstones, no merge-on-read debt).
+    signatures/ is unpartitioned (it is the compact corpus summary) and
+    rewrites whole — one columnar pass over id+hash columns. Each
+    rewrite goes through temp dir + rename so a crash leaves the old or
+    the new directory, never a partial one (the purge_from_fact_index
+    convention). n_docs decrements so the delta-regime threshold tracks
+    the live corpus. Returns the number of directories rewritten."""
+    import shutil
+
+    meta = _load_meta(path)
+    assert meta is not None, "purge_from_index needs the v2 layout"
+    if isinstance(ids, DataFrame):
+        ids_df = ids.toDF("id")
+    else:
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    ids_df = ids_df.persist()
+    try:
+        sig = read_signatures(spark, path)
+        purged_sig = sig.join(F.broadcast(ids_df), "id", "left_semi")
+        # the purged docs' band keys name the only band dirs to touch
+        hit_dirs = (_banded(purged_sig)
+                    .select("band_idx",
+                            F.pmod(F.xxhash64("band_sig"),
+                                   F.lit(meta["sbkt"])).cast("int")
+                            .alias("sbkt"))
+                    .distinct().collect())
+        ibkts = [r["ibkt"] for r in ids_df.select(
+            F.pmod(F.xxhash64("id"), F.lit(meta["ibkt"])).cast("int")
+            .alias("ibkt")).distinct().collect()]
+        n_purged = purged_sig.count()
+        if n_purged == 0 and not ibkts:
+            return 0
+
+        def _rewrite(sub: str, df: DataFrame) -> None:
+            tmp = sub + ".purge.tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(sub, ignore_errors=True)
+            os.rename(tmp, sub)
+
+        rewritten = 0
+        for r in hit_dirs:
+            sub = os.path.join(path, "bands",
+                               f"band_idx={r['band_idx']}",
+                               f"sbkt={r['sbkt']}")
+            if not os.path.isdir(sub):
+                continue
+            _rewrite(sub, spark.read.parquet(sub)
+                     .join(F.broadcast(ids_df), "id", "left_anti"))
+            rewritten += 1
+        for k in ibkts:
+            sub = os.path.join(path, "shingle_sets", f"ibkt={k}")
+            if not os.path.isdir(sub):
+                continue
+            kept = (spark.read.parquet(sub)
+                    .join(F.broadcast(ids_df), "id", "left_anti"))
+            _rewrite(sub, kept)
+            rewritten += 1
+        if n_purged:
+            _rewrite(os.path.join(path, "signatures"),
+                     sig.join(F.broadcast(ids_df), "id", "left_anti")
+                     .localCheckpoint())  # pin before the source dir moves
+            rewritten += 1
+            meta["n_docs"] = max(0, int(meta.get("n_docs", 0)) - n_purged)
+            _write_meta(path, **meta)
+        return rewritten
+    finally:
+        ids_df.unpersist()

@@ -227,3 +227,31 @@ def pq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
     return _adc_topk(read_pq_codes(spark, path),
                      read_pq_codebook(spark, path), queries,
                      id_col, vec_col, k, meta["m"], meta["dim"])
+
+
+def purge_pq_codes(spark, path: str, ids) -> int:
+    """Right-to-be-forgotten over the PQ index: rewrite codes/ without
+    the forgotten ids (temp dir + rename, the purge_from_fact_index
+    convention — a crash leaves old or new, never partial). Codes are
+    per-document facts with no derived statistics, so removing the rows
+    removes the documents from every ADC answer; the codebook keeps
+    serving (it is a trained model, not per-document data — the same
+    boundary a real deployment draws). Returns 1 if a rewrite happened."""
+    import shutil
+
+    from pyspark.sql import DataFrame as _DF
+
+    ids_df = ids.toDF("id") if isinstance(ids, _DF) else \
+        spark.createDataFrame([(int(i),) for i in ids], "id long")
+    codes_dir = _os.path.join(path, "codes")
+    codes = spark.read.parquet(codes_dir)
+    if codes.join(F.broadcast(ids_df), "id", "left_semi").isEmpty():
+        return 0
+    kept = codes.join(F.broadcast(ids_df), "id", "left_anti") \
+        .localCheckpoint()  # pin before the source dir moves
+    tmp = codes_dir + ".purge.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(codes_dir)
+    _os.rename(tmp, codes_dir)
+    return 1

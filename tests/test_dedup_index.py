@@ -122,3 +122,57 @@ def test_batch_regime_equals_direct(spark, sf_dir, tmp_path, monkeypatch):
                                      threshold=THRESHOLD, **PARAMS)),
         {r.doc_id for r in new.select("doc_id").collect()})
     assert _pairs_set(got) == want and len(want) > 0
+
+
+def test_purge_from_index_right_to_be_forgotten(spark, sf_dir, tmp_path):
+    """purge_from_index must leave the index serving EXACTLY what a
+    fresh build on the remaining corpus serves (pairs, candidates,
+    signatures), rewrite only the directories the purged ids live in,
+    and decrement the doc count."""
+    import os as _os
+
+    docs = _docs(spark, sf_dir, n=400)
+    victims = [r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0)
+               .select("doc_id").collect()][:20]
+    idx = str(tmp_path / "idx")
+    DI.build_index(docs, "doc_id", "text", idx, **PARAMS)
+    before_meta = DI._load_meta(idx)
+
+    # untouched band dirs must keep their bytes (no full-index rewrite)
+    def _mtimes(root):
+        out = {}
+        for dp, _, fns in _os.walk(root):
+            for fn in fns:
+                p = _os.path.join(dp, fn)
+                out[p] = _os.path.getmtime(p)
+        return out
+
+    bands_before = _mtimes(_os.path.join(idx, "bands"))
+    n = DI.purge_from_index(spark, idx, victims)
+    assert n > 0
+    bands_after = _mtimes(_os.path.join(idx, "bands"))
+    untouched = set(bands_before) & set(bands_after)
+    assert untouched, "purge rewrote every band file"
+    assert any(bands_before[p] == bands_after[p] for p in untouched)
+
+    survivors = docs.join(
+        spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        "doc_id", "left_anti")
+    fresh = str(tmp_path / "fresh")
+    DI.build_index(survivors, "doc_id", "text", fresh, **PARAMS)
+    assert _pairs_set(DI.near_dup_pairs_from_index(spark, idx, THRESHOLD)) \
+        == _pairs_set(DI.near_dup_pairs_from_index(spark, fresh, THRESHOLD))
+    # no forgotten id anywhere
+    sig_ids = {r.id for r in DI.read_signatures(spark, idx)
+               .select("id").collect()}
+    set_ids = {r.id for r in DI.read_shingle_sets(spark, idx)
+               .select("id").collect()}
+    assert not (set(victims) & (sig_ids | set_ids))
+    after_meta = DI._load_meta(idx)
+    assert after_meta["n_docs"] < before_meta["n_docs"]
+    # the delta query keeps working against the purged index
+    delta = docs.filter(F.col("doc_id") % 20 == 1)
+    got = DI.pairs_against_index(delta, "doc_id", "text", spark, idx,
+                                 threshold=THRESHOLD, **PARAMS)
+    assert not any((r.id_a in set(victims)) or (r.id_b in set(victims))
+                   for r in got.collect())

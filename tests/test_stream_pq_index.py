@@ -72,3 +72,29 @@ def test_frozen_codebook_differs_from_retrain(spark, sf_dir, tmp_path):
         emb, "vec_id", "embedding", m=4, ksub=8, n_iter=2,
         dim=64).collect()}
     assert frozen != retrained
+
+
+def test_purge_pq_codes_right_to_be_forgotten(spark, sf_dir, tmp_path):
+    """After a purge, no ADC answer may mention a forgotten id, and the
+    surviving answers equal an index built without the victims (same
+    frozen codebook — purge does not retrain)."""
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    PQ.build_pq_index(emb, "vec_id", "embedding", idx, m=4, ksub=8,
+                      n_iter=2, dim=64)
+    victims = [r.vec_id for r in
+               emb.filter(F.col("vec_id") % 9 == 5)
+               .select("vec_id").collect()][:10]
+    assert PQ.purge_pq_codes(spark, idx, victims) == 1
+    qs = emb.filter(F.col("vec_id") < 10)
+    got = PQ.pq_index_topk(qs, "vec_id", "embedding", spark, idx, k=3)
+    rows = got.collect()
+    assert rows and not any(r.vec_id in set(victims) for r in rows)
+    # equality with a manual filter of the codes under the same codebook
+    cb = PQ.read_pq_codebook(spark, idx)
+    codes = PQ.read_pq_codes(spark, idx)
+    want = sorted((r.q_id, r.vec_id, r.adc) for r in PQ._adc_topk(
+        codes, cb, qs, "vec_id", "embedding", 3, 4, 64).collect())
+    assert sorted((r.q_id, r.vec_id, r.adc) for r in rows) == want
+    # idempotent: purging the same ids again is a no-op
+    assert PQ.purge_pq_codes(spark, idx, victims) == 0
