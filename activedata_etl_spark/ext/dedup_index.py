@@ -525,9 +525,10 @@ def purge_from_index(spark: SparkSession, path: str, ids) -> int:
             _rewrite(sub, kept)
             rewritten += 1
         if n_purged:
+            # no pin needed: _rewrite fully materializes the tmp dir
+            # FROM the source before the source is removed
             _rewrite(os.path.join(path, "signatures"),
-                     sig.join(F.broadcast(ids_df), "id", "left_anti")
-                     .localCheckpoint())  # pin before the source dir moves
+                     sig.join(F.broadcast(ids_df), "id", "left_anti"))
             rewritten += 1
             meta["n_docs"] = max(0, int(meta.get("n_docs", 0)) - n_purged)
             _write_meta(path, **meta)

@@ -247,8 +247,9 @@ def purge_pq_codes(spark, path: str, ids) -> int:
     codes = spark.read.parquet(codes_dir)
     if codes.join(F.broadcast(ids_df), "id", "left_semi").isEmpty():
         return 0
-    kept = codes.join(F.broadcast(ids_df), "id", "left_anti") \
-        .localCheckpoint()  # pin before the source dir moves
+    # no pin needed: the tmp dir fully materializes from the source
+    # before the source is removed
+    kept = codes.join(F.broadcast(ids_df), "id", "left_anti")
     tmp = codes_dir + ".purge.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     kept.write.mode("overwrite").parquet(tmp)
