@@ -256,3 +256,64 @@ def purge_pq_codes(spark, path: str, ids) -> int:
     shutil.rmtree(codes_dir)
     _os.rename(tmp, codes_dir)
     return 1
+
+
+def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+               k: int = 3, nlist: int = 16, nprobe: int = 2,
+               m: int = 4, ksub: int = 8, n_iter: int = 2,
+               dim: int = 64) -> DataFrame:
+    """IVF-PQ: the full large-corpus ANN serving stack — route each
+    query to its ``nprobe`` nearest IVF centroids (max-cosine, the
+    repo's IVF metric), then ADC-score ONLY the vectors assigned to
+    the probed clusters, from PQ codes. Candidates shrink from N to
+    ~N·nprobe/nlist and the scoring never touches raw vectors — the
+    two multipliers that make 100-billion-vector search tractable
+    (IndexIVFPQ in the PQ paper's terminology; codebooks here are
+    trained on raw vectors, not residuals — the by_residual=False
+    variant — keeping both engines' chains in deterministic lockstep).
+
+    Scale shape: centroids + codebook + distance table broadcast; the
+    corpus-sized legs are the cluster assignment (id, cid) and the
+    codes (id, j, code) — both integer tables a fraction of the
+    embedding bytes; one shuffle at the (q_id, id) fold. Output
+    (q_id, vec_id, adc), ties → lowest id."""
+    from .similarity import cosine, ivf_build
+
+    cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist,
+                             n_iter=n_iter)
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim)
+
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       _dvec(F.col(vec_col)).alias("__qv__"))
+    probes_scored = (q.crossJoin(F.broadcast(cent))
+                     .withColumn("__cc__",
+                                 cosine(F.col("__qv__"), F.col("cvec"))))
+    wq = Window.partitionBy("q_id").orderBy(F.col("__cc__").desc(),
+                                            F.col("cid").asc())
+    probes = (probes_scored.withColumn("__rn__", F.row_number().over(wq))
+              .filter(F.col("__rn__") <= nprobe).select("q_id", "cid"))
+
+    cand = (assign.select(F.col(id_col).alias("id"), "cid")
+            .join(F.broadcast(probes), "cid")
+            .filter(F.col("q_id") != F.col("id"))
+            .select("q_id", "id"))
+
+    qsv = subvectors(queries, id_col, vec_col, m, dim) \
+        .withColumnRenamed("id", "q_id")
+    dtab = (qsv.join(F.broadcast(codebook), "j")
+            .select("q_id", "j", "code",
+                    l2(F.col("sv"), F.col("cvec")).alias("d")))
+    scored = (codes.join(F.broadcast(cand), "id")
+              .join(F.broadcast(dtab), ["q_id", "j", "code"])
+              .groupBy("q_id", "id")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("j", "d"))),
+                  F.lit(0.0), lambda acc, s: acc + s["d"]).alias("adc"),
+                  F.count("*").alias("__nj__"))
+              .filter(F.col("__nj__") == m).drop("__nj__"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
+                                           F.col("id").asc())
+    return (scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= k)
+            .select("q_id", F.col("id").alias("vec_id"), "adc"))

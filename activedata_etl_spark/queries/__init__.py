@@ -46,6 +46,7 @@ _NEW_THIS_ROUND: list[str] = [
     # index behind dedup_index_delta_pairs (changed code path), and the
     # now-oracle-paired 1%-delta fixture (was rows-only in r9).
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "sim_pq_from_index",
     "sim_pq_code_balance",
     "dedup_index_delta_pairs",

@@ -26,44 +26,46 @@ def _sql_l2(a: str, b: str) -> str:
 
 
 def _pq_ctes(m: int = _M, ksub: int = _KSUB, n_iter: int = _ITER,
-             sub: int = _SUB) -> list[str]:
-    """CTE chain mirroring pq.pq_train + pq_encode: c{n_iter} is the
-    trained codebook, af the encoded corpus (vec_id, j, code)."""
+             sub: int = _SUB, p: str = "") -> list[str]:
+    """CTE chain mirroring pq.pq_train + pq_encode: {p}c{n_iter} is the
+    trained codebook, {p}af the encoded corpus (vec_id, j, code). ``p``
+    prefixes every CTE name so the chain composes with the shared IVF
+    chain (q_ext._ivf_ctes) in one oracle without name collisions."""
     l2 = _sql_l2
     ctes = [
-        "v AS (SELECT vec_id, list_transform(embedding,"
+        f"{p}v AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)",
-        f"""sv AS (
+        f"""{p}sv AS (
           SELECT vec_id, j, vv[(j*{sub}+1):(j*{sub}+{sub})] AS s
-          FROM v CROSS JOIN range({m}) t(j))""",
-        f"""c0 AS (
+          FROM {p}v CROSS JOIN range({m}) t(j))""",
+        f"""{p}c0 AS (
           SELECT j, rn - 1 AS code, s AS cvec FROM (
             SELECT j, s, ROW_NUMBER() OVER (PARTITION BY j
                      ORDER BY vec_id) AS rn
-            FROM sv) WHERE rn <= {ksub})""",
+            FROM {p}sv) WHERE rn <= {ksub})""",
     ]
     for i in range(n_iter):
-        ctes.append(f"""a{i + 1} AS (
+        ctes.append(f"""{p}a{i + 1} AS (
           SELECT vec_id, j, s, code FROM (
             SELECT sv.vec_id, sv.j, sv.s, c.code,
                    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
                      ORDER BY {l2('sv.s', 'c.cvec')} ASC, c.code ASC) AS rn
-            FROM sv JOIN c{i} c ON c.j = sv.j) WHERE rn = 1)""")
-        ctes.append(f"""c{i + 1} AS (
+            FROM {p}sv sv JOIN {p}c{i} c ON c.j = sv.j) WHERE rn = 1)""")
+        ctes.append(f"""{p}c{i + 1} AS (
           SELECT j, code, list(m ORDER BY i) AS cvec FROM (
             SELECT j, code, i,
                    CAST(CAST(SUM(CAST(floor(x * CAST(1000000000 AS DOUBLE))
                        AS BIGINT)) AS BIGINT) AS DOUBLE)
                      / (COUNT(x) * CAST(1000000000 AS DOUBLE)) AS m
             FROM (SELECT j, code, unnest(s) AS x,
-                         generate_subscripts(s, 1) AS i FROM a{i + 1})
+                         generate_subscripts(s, 1) AS i FROM {p}a{i + 1})
             GROUP BY j, code, i) GROUP BY j, code)""")
-    ctes.append(f"""af AS (
+    ctes.append(f"""{p}af AS (
       SELECT vec_id, j, code FROM (
         SELECT sv.vec_id, sv.j, c.code,
                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
                  ORDER BY {l2('sv.s', 'c.cvec')} ASC, c.code ASC) AS rn
-        FROM sv JOIN c{n_iter} c ON c.j = sv.j) WHERE rn = 1)""")
+        FROM {p}sv sv JOIN {p}c{n_iter} c ON c.j = sv.j) WHERE rn = 1)""")
     return ctes
 
 
@@ -136,3 +138,60 @@ def sim_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = PQ.pq_encode(emb, "vec_id", "embedding", cb, m=_M, dim=_DIM)
     return (codes.groupBy("j", "code")
             .agg(F.count("*").cast("long").alias("n_vecs")))
+
+
+_NLIST, _NPROBE = 16, 2
+
+
+def _ivfpq_oracle() -> str:
+    """IVF routing (the shared q_ext._ivf_ctes chain, cosine metric) +
+    PQ scoring (the prefixed chain) composed in one statement: probes →
+    candidates from probed clusters → ADC over candidates only. A
+    hash-match proves BOTH index structures and their composition."""
+    from .q_ext import _ivf_ctes, _sql_cos
+
+    l2 = _sql_l2
+    ctes = _ivf_ctes(_NLIST, _ITER) + _pq_ctes(p="p")
+    ctes.append(f"""probes AS (
+      SELECT q_id, cid FROM (
+        SELECT q.vec_id AS q_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_sql_cos('q.vv', 'c.cvec')} DESC, c.cid ASC) AS rn
+        FROM v q, c{_ITER} c WHERE q.vec_id < {_NQ})
+      WHERE rn <= {_NPROBE})""")
+    ctes.append("""cand AS (
+      SELECT p.q_id, a.vec_id FROM probes p JOIN af a USING (cid)
+      WHERE p.q_id <> a.vec_id)""")
+    ctes.append(f"""pdtab AS (
+      SELECT q.vec_id AS q_id, q.j, c.code, {l2('q.s', 'c.cvec')} AS d
+      FROM psv q JOIN pc{_ITER} c ON c.j = q.j
+      WHERE q.vec_id < {_NQ})""")
+    ctes.append("""pscored AS (
+      SELECT q_id, vec_id, list_sum(list(d ORDER BY j)) AS adc
+      FROM (SELECT cd.q_id, pa.vec_id, dt.j, dt.d
+            FROM cand cd
+            JOIN paf pa ON pa.vec_id = cd.vec_id
+            JOIN pdtab dt ON dt.q_id = cd.q_id AND dt.j = pa.j
+                         AND dt.code = pa.code)
+      GROUP BY q_id, vec_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT q_id, vec_id, adc FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY adc ASC, vec_id ASC) AS rn
+      FROM pscored) WHERE rn <= {_K}""")
+
+
+@query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (ext/pq.ivfpq_topk): route each query to its nprobe=2
+    max-cosine IVF centroids, ADC-score only the probed clusters'
+    vectors from PQ codes — candidates shrink ~nprobe/nlist AND the
+    scoring reads 64×-compressed codes, the two multipliers of the
+    standard billion-vector serving stack. Oracle composes the shared
+    IVF CTE chain with the prefixed PQ chain, so the hash-match proves
+    routing, quantization, and their composition end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _NQ)
+    return PQ.ivfpq_topk(emb, qs, "vec_id", "embedding", k=_K,
+                         nlist=_NLIST, nprobe=_NPROBE, m=_M, ksub=_KSUB,
+                         n_iter=_ITER, dim=_DIM)

@@ -66,3 +66,41 @@ def test_topk_neighbors_sane(spark, sf_dir):
         by_q.setdefault(r.q_id, []).append((r.adc, r.vec_id))
     for q, rows in by_q.items():
         assert rows == sorted(rows)
+
+
+def test_ivfpq_corpus_legs_equijoin_only(spark, sf_dir):
+    """IVF-PQ plan shape: the only nested-loop pairing is the
+    query×centroid routing (queries × nlist rows, broadcast); every
+    corpus-sized leg (assignment, codes, candidates) joins equi- or
+    broadcast-hash. And each query's neighbors must come only from its
+    probed clusters."""
+    emb = _emb(spark, sf_dir, n=300)
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = PQ.ivfpq_topk(emb, qs, "vec_id", "embedding", k=3,
+                        nlist=8, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = out.collect()
+    assert rows and all(r.adc >= 0.0 for r in rows)
+    # candidates restricted to probed clusters: every returned neighbor
+    # shares a probed cluster with its query
+    from activedata_etl_spark.ext.similarity import cosine, ivf_build
+    cent, assign = ivf_build(emb, "vec_id", "embedding", nlist=8, n_iter=2)
+    cid_of = {r.vec_id: r.cid for r in
+              assign.select("vec_id", "cid").collect()}
+    from pyspark.sql.window import Window as W
+    q = qs.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("qv"))
+    sc = (q.crossJoin(F.broadcast(cent))
+          .withColumn("cc", cosine(
+              F.expr("transform(qv, x -> cast(x as double))"),
+              F.col("cvec"))))
+    wq = W.partitionBy("q_id").orderBy(F.col("cc").desc(),
+                                       F.col("cid").asc())
+    probed = {}
+    for r in (sc.withColumn("rn", F.row_number().over(wq))
+              .filter("rn <= 2").select("q_id", "cid").collect()):
+        probed.setdefault(r.q_id, set()).add(r.cid)
+    for r in rows:
+        assert cid_of[r.vec_id] in probed[r.q_id], (r, probed[r.q_id])
