@@ -159,10 +159,13 @@ HEADLINE = [
     # scaling story is the SCALE.md sf1 table.
     "meta_columns_nested",
     "events_resample_1h_fill",
-    # r10 addition: compressed-domain ANN (PQ codebook train + encode +
-    # broadcast-ADC top-k — the serving shape of a 100 TB vector store).
-    # sim_pq_code_balance rides the same train/encode chain.
+    # r10 additions: compressed-domain ANN (PQ codebook train + encode +
+    # broadcast-ADC top-k) and the composed IVF-PQ serving stack
+    # (nprobe routing + ADC over probed clusters only — the shape a
+    # 100 TB vector store actually answers from). sim_pq_code_balance /
+    # sim_pq_from_index ride the same train/encode chain.
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     # The r6-continuation prefix-filter family (dedup_prefix_filter_pairs
     # / decon_prefix_filter_overlap) is deliberately NOT headline, same
     # rationale as sim_knn_graph: it's a BATCH release-gate operator

@@ -466,7 +466,10 @@ def test_embedding_cosine_bulk_banded_equijoins(spark, sf_dir):
     is the bulk banded-join form: band equi-joins + broadcast only —
     never a cartesian/nested-loop pairing of the vector table, and the
     shuffle count stays at the audited 6 (band build, candidate join
-    sides, verify agg)."""
+    sides, verify agg). Cache cleared first: leftover persisted inputs
+    from other tests change size estimates and join strategy, and this
+    guard pins the CANONICAL cold plan."""
+    spark.catalog.clearCache()
     plan = _plan(spark, sf_dir, "dedup_embedding_cosine_bulk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -515,7 +518,10 @@ def test_semantic_banded_pairs_no_cartesian(spark, sf_dir):
     """dedup_semantic_banded_pairs: the vector table is paired only
     through band equi-joins; nested-loop operators may appear ONLY as
     broadcast (the centroid/knob tables) — a plain CartesianProduct or
-    a sort-merge explosion of the pair space must fail here."""
+    a sort-merge explosion of the pair space must fail here. Cache
+    cleared first — the canonical-cold-plan rule, see
+    test_embedding_cosine_bulk_banded_equijoins."""
+    spark.catalog.clearCache()
     plan = _plan(spark, sf_dir, "dedup_semantic_banded_pairs")
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") <= 2, plan[:1500]
@@ -524,7 +530,9 @@ def test_semantic_banded_pairs_no_cartesian(spark, sf_dir):
 
 def test_silhouette_broadcast_centroid_geometry(spark, sf_dir):
     """sim_silhouette: centroid-sized tables broadcast; the vector
-    corpus is never nested-loop paired with itself."""
+    corpus is never nested-loop paired with itself. Cache cleared
+    first — the canonical-cold-plan rule."""
+    spark.catalog.clearCache()
     plan = _plan(spark, sf_dir, "sim_silhouette")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
