@@ -535,3 +535,51 @@ def purge_from_index(spark: SparkSession, path: str, ids) -> int:
         return rewritten
     finally:
         ids_df.unpersist()
+
+
+def compact_index(spark: SparkSession, path: str) -> int:
+    """Fold per-append file churn: every append writes one file into
+    each touched (band_idx, sbkt) / ibkt directory, so after B nightly
+    batches a directory holds up to B small files — read fan-in and
+    open-cost grow with ingest history, not data. Compaction rewrites
+    each multi-file directory to ONE file re-sorted on its seek column
+    (band_sig / id — the row-group-stats order the lookup regime's IN
+    pushdown relies on, which interleaved appends progressively
+    degrade). signatures/ coalesces the same way. Read-invisible: same
+    rows, same answers (test-pinned); temp dir + rename per directory,
+    so a crash leaves old or new, never partial. Returns directories
+    rewritten. Run it on the compaction cadence the storage lifecycle
+    kit uses for the batch-keyed families."""
+    import glob as _glob
+    import shutil
+
+    meta = _load_meta(path)
+    assert meta is not None, "compact_index needs the v2 layout"
+
+    def _files(d: str) -> list[str]:
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+
+    def _rewrite(d: str, sort_col: str) -> None:
+        df = spark.read.parquet(d).coalesce(1) \
+            .sortWithinPartitions(sort_col)
+        tmp = d + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(d)
+        os.rename(tmp, d)
+
+    rewritten = 0
+    for leaf in _glob.glob(os.path.join(path, "bands", "band_idx=*",
+                                        "sbkt=*")):
+        if len(_files(leaf)) > 1:
+            _rewrite(leaf, "band_sig")
+            rewritten += 1
+    for leaf in _glob.glob(os.path.join(path, "shingle_sets", "ibkt=*")):
+        if len(_files(leaf)) > 1:
+            _rewrite(leaf, "id")
+            rewritten += 1
+    sig_dir = os.path.join(path, "signatures")
+    if os.path.isdir(sig_dir) and len(_files(sig_dir)) > 1:
+        _rewrite(sig_dir, "id")
+        rewritten += 1
+    return rewritten

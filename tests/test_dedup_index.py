@@ -176,3 +176,47 @@ def test_purge_from_index_right_to_be_forgotten(spark, sf_dir, tmp_path):
                                  threshold=THRESHOLD, **PARAMS)
     assert not any((r.id_a in set(victims)) or (r.id_b in set(victims))
                    for r in got.collect())
+
+
+def test_compact_index_read_invisible(spark, sf_dir, tmp_path):
+    """After several appends each touched directory holds several small
+    files; compact_index folds every multi-file directory to ONE
+    re-sorted file without changing any served answer."""
+    import glob as _glob
+    import os as _os
+
+    docs = _docs(spark, sf_dir, n=400)
+    idx = str(tmp_path / "idx")
+    DI.build_index(docs.filter(F.col("doc_id") % 3 == 0),
+                   "doc_id", "text", idx, **PARAMS)
+    for b in (1, 2):
+        DI.append_to_index(docs.filter(F.col("doc_id") % 3 == b),
+                           "doc_id", "text", idx, **PARAMS)
+
+    def n_files(pat):
+        return sum(len([f for f in _os.listdir(d) if f.startswith("part-")])
+                   for d in _glob.glob(pat))
+
+    bands_pat = _os.path.join(idx, "bands", "band_idx=*", "sbkt=*")
+    before_files = n_files(bands_pat)
+    before_pairs = _pairs_set(DI.near_dup_pairs_from_index(spark, idx,
+                                                           THRESHOLD))
+    delta = docs.filter(F.col("doc_id") % 20 == 1)
+    before_delta = _pairs_set(DI.pairs_against_index(
+        delta, "doc_id", "text", spark, idx, threshold=THRESHOLD, **PARAMS))
+
+    n = DI.compact_index(spark, idx)
+    assert n > 0
+    after_files = n_files(bands_pat)
+    assert after_files < before_files
+    # every leaf dir now holds exactly one data file
+    for d in _glob.glob(bands_pat):
+        assert len([f for f in _os.listdir(d)
+                    if f.startswith("part-")]) == 1
+    assert _pairs_set(DI.near_dup_pairs_from_index(spark, idx, THRESHOLD)) \
+        == before_pairs
+    assert _pairs_set(DI.pairs_against_index(
+        delta, "doc_id", "text", spark, idx, threshold=THRESHOLD,
+        **PARAMS)) == before_delta
+    # idempotent: a second compaction finds nothing to fold
+    assert DI.compact_index(spark, idx) == 0
