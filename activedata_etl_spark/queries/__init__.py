@@ -48,6 +48,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_pq_from_index",
+    "sim_pq_recall_audit",
     "sim_pq_code_balance",
     "dedup_index_delta_pairs",
     "dedup_prefix_stable_small_delta",

@@ -195,3 +195,78 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivfpq_topk(emb, qs, "vec_id", "embedding", k=_K,
                          nlist=_NLIST, nprobe=_NPROBE, m=_M, ksub=_KSUB,
                          n_iter=_ITER, dim=_DIM)
+
+
+@query(
+    "sim_pq_recall_audit",
+    oracle="WITH " + ",\n".join(_pq_ctes() + [
+        f"""exd AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, a.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_sql_l2('q.vv', 'a.vv')} ASC,
+                              a.vec_id ASC) AS rn
+            FROM v q, v a
+            WHERE q.vec_id < {_NQ} AND a.vec_id <> q.vec_id)
+          WHERE rn <= {_K})""",
+        f"""pqdtab AS (
+          SELECT q.vec_id AS q_id, q.j, c.code,
+                 {_sql_l2('q.s', 'c.cvec')} AS d
+          FROM sv q JOIN c{_ITER} c ON c.j = q.j
+          WHERE q.vec_id < {_NQ})""",
+        """pqd AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY adc ASC, vec_id ASC) AS rn
+            FROM (SELECT q_id, vec_id,
+                         list_sum(list(d ORDER BY j)) AS adc
+                  FROM (SELECT dt.q_id, af.vec_id, dt.j, dt.d
+                        FROM af JOIN pqdtab dt
+                          ON dt.j = af.j AND dt.code = af.code
+                        WHERE dt.q_id <> af.vec_id)
+                  GROUP BY q_id, vec_id))
+          WHERE rn <= """ + str(_K) + ")",
+    ]) + f"""
+    SELECT e.q_id,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
+           COUNT(p.vec_id) / CAST({_K} AS DOUBLE) AS recall
+    FROM exd e LEFT JOIN pqd p
+      ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+    GROUP BY e.q_id
+    """,
+)
+def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall audit — the calibration report a corpus owner reads
+    before trusting compressed-domain search (the
+    dedup_lsh_recall_audit pattern): per query, how many of the EXACT
+    squared-L2 top-k survive in the ADC top-k. Both sides derive in
+    one statement on both engines, so the recall numbers themselves
+    hash-match — the audit is exact, not estimated. Exact side: one
+    broadcast of the query batch against the corpus (a corpus scan per
+    query BATCH, not per query — the brute-force baseline every ANN
+    audit needs)."""
+    from ..ext import pq as PQ2
+    from ..ext.similarity import _dvec
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _NQ)
+
+    v = emb.select(F.col("vec_id").alias("id"),
+                   _dvec(F.col("embedding")).alias("__v__"))
+    q = qs.select(F.col("vec_id").alias("q_id"),
+                  _dvec(F.col("embedding")).alias("__qv__"))
+    scored = (v.crossJoin(F.broadcast(q))
+              .filter(F.col("q_id") != F.col("id"))
+              .withColumn("__d__", PQ2.l2(F.col("__qv__"), F.col("__v__"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("__d__").asc(),
+                                           F.col("id").asc())
+    exact = (scored.withColumn("__rn__", F.row_number().over(w))
+             .filter(F.col("__rn__") <= _K).select("q_id", "id"))
+    pq = PQ.pq_topk(emb, qs, "vec_id", "embedding", k=_K, m=_M,
+                    ksub=_KSUB, n_iter=_ITER, dim=_DIM) \
+        .select("q_id", F.col("vec_id").alias("id"), F.lit(1).alias("__hit__"))
+    return (exact.join(pq, ["q_id", "id"], "left")
+            .groupBy("q_id")
+            .agg(F.count("__hit__").cast("long").alias("n_hit"),
+                 (F.count("__hit__") / F.lit(float(_K))).alias("recall")))
