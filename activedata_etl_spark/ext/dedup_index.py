@@ -465,75 +465,76 @@ def purge_from_index(spark: SparkSession, path: str, ids) -> int:
     The bucketed layout makes the derived-table rewrites SEEK-shaped:
     the purged docs' band rows live only in the (band_idx, sbkt)
     directories their stored signatures hash to, and their shingle sets
-    only in ibkt = xxhash64(id) % n — every untouched directory keeps
-    its files byte-identical (no tombstones, no merge-on-read debt).
-    signatures/ is unpartitioned (it is the compact corpus summary) and
-    rewrites whole — one columnar pass over id+hash columns. Each
-    rewrite goes through temp dir + rename so a crash leaves the old or
-    the new directory, never a partial one (the purge_from_fact_index
-    convention). n_docs decrements so the delta-regime threshold tracks
-    the live corpus. Returns the number of directories rewritten."""
-    import shutil
+    only in ibkt = xxhash64(id) % n. Every candidate directory is
+    MEMBERSHIP-PROBED before rewriting (the purge_from_fact_index
+    convention), so untouched directories keep their files
+    byte-identical, a replayed purge is a true no-op (returns 0), and
+    the return value counts only directories that actually shed rows.
+    Ids keep their native type — no numeric coercion, so string-keyed
+    indexes purge correctly (r10 review). Rewrites go through
+    iosafe.atomic_rewrite (discovery-invisible temp + swap; interrupted
+    swaps self-heal via adopt_orphans at the start of every pass).
+    n_docs decrements so the delta-regime threshold tracks the live
+    corpus."""
+    from .iosafe import adopt_orphans, atomic_rewrite
 
     meta = _load_meta(path)
     assert meta is not None, "purge_from_index needs the v2 layout"
+    adopt_orphans(path)
+    sig = read_signatures(spark, path)
     if isinstance(ids, DataFrame):
         ids_df = ids.toDF("id")
     else:
-        ids_df = spark.createDataFrame([(int(i),) for i in ids], "id long")
+        from pyspark.sql.types import StructField, StructType
+
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids],
+            StructType([StructField("id", sig.schema["id"].dataType)]))
     ids_df = ids_df.persist()
+    purged_sig = sig.join(F.broadcast(ids_df), "id", "left_semi").persist()
     try:
-        sig = read_signatures(spark, path)
-        purged_sig = sig.join(F.broadcast(ids_df), "id", "left_semi")
-        # the purged docs' band keys name the only band dirs to touch
+        n_purged = purged_sig.count()
+        if n_purged == 0:
+            return 0
+        # only ids actually present name directories; each is probed
+        # again for membership before any bytes move
         hit_dirs = (_banded(purged_sig)
                     .select("band_idx",
                             F.pmod(F.xxhash64("band_sig"),
                                    F.lit(meta["sbkt"])).cast("int")
                             .alias("sbkt"))
                     .distinct().collect())
-        ibkts = [r["ibkt"] for r in ids_df.select(
+        ibkts = [r["ibkt"] for r in purged_sig.select(
             F.pmod(F.xxhash64("id"), F.lit(meta["ibkt"])).cast("int")
             .alias("ibkt")).distinct().collect()]
-        n_purged = purged_sig.count()
-        if n_purged == 0 and not ibkts:
-            return 0
 
-        def _rewrite(sub: str, df: DataFrame) -> None:
-            tmp = sub + ".purge.tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            df.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(sub, ignore_errors=True)
-            os.rename(tmp, sub)
+        def _purge_dir(sub: str) -> int:
+            if not os.path.isdir(sub):
+                return 0
+            shard = spark.read.parquet(sub)
+            if shard.join(F.broadcast(ids_df), "id", "left_semi") \
+                    .isEmpty():
+                return 0
+            atomic_rewrite(
+                shard.join(F.broadcast(ids_df), "id", "left_anti"), sub)
+            return 1
 
         rewritten = 0
         for r in hit_dirs:
-            sub = os.path.join(path, "bands",
-                               f"band_idx={r['band_idx']}",
-                               f"sbkt={r['sbkt']}")
-            if not os.path.isdir(sub):
-                continue
-            _rewrite(sub, spark.read.parquet(sub)
-                     .join(F.broadcast(ids_df), "id", "left_anti"))
-            rewritten += 1
+            rewritten += _purge_dir(os.path.join(
+                path, "bands", f"band_idx={r['band_idx']}",
+                f"sbkt={r['sbkt']}"))
         for k in ibkts:
-            sub = os.path.join(path, "shingle_sets", f"ibkt={k}")
-            if not os.path.isdir(sub):
-                continue
-            kept = (spark.read.parquet(sub)
-                    .join(F.broadcast(ids_df), "id", "left_anti"))
-            _rewrite(sub, kept)
-            rewritten += 1
-        if n_purged:
-            # no pin needed: _rewrite fully materializes the tmp dir
-            # FROM the source before the source is removed
-            _rewrite(os.path.join(path, "signatures"),
-                     sig.join(F.broadcast(ids_df), "id", "left_anti"))
-            rewritten += 1
-            meta["n_docs"] = max(0, int(meta.get("n_docs", 0)) - n_purged)
-            _write_meta(path, **meta)
+            rewritten += _purge_dir(
+                os.path.join(path, "shingle_sets", f"ibkt={k}"))
+        atomic_rewrite(sig.join(F.broadcast(ids_df), "id", "left_anti"),
+                       os.path.join(path, "signatures"))
+        rewritten += 1
+        meta["n_docs"] = max(0, int(meta.get("n_docs", 0)) - n_purged)
+        _write_meta(path, **meta)
         return rewritten
     finally:
+        purged_sig.unpersist()
         ids_df.unpersist()
 
 
@@ -546,27 +547,25 @@ def compact_index(spark: SparkSession, path: str) -> int:
     (band_sig / id — the row-group-stats order the lookup regime's IN
     pushdown relies on, which interleaved appends progressively
     degrade). signatures/ coalesces the same way. Read-invisible: same
-    rows, same answers (test-pinned); temp dir + rename per directory,
-    so a crash leaves old or new, never partial. Returns directories
-    rewritten. Run it on the compaction cadence the storage lifecycle
-    kit uses for the batch-keyed families."""
+    rows, same answers (test-pinned); rewrites go through
+    iosafe.atomic_rewrite (discovery-invisible temp + self-healing
+    swap). Returns directories rewritten. Run it on the compaction
+    cadence the storage lifecycle kit uses for the batch-keyed
+    families."""
     import glob as _glob
-    import shutil
+
+    from .iosafe import adopt_orphans, atomic_rewrite
 
     meta = _load_meta(path)
     assert meta is not None, "compact_index needs the v2 layout"
+    adopt_orphans(path)
 
     def _files(d: str) -> list[str]:
         return [f for f in os.listdir(d) if f.startswith("part-")]
 
     def _rewrite(d: str, sort_col: str) -> None:
-        df = spark.read.parquet(d).coalesce(1) \
-            .sortWithinPartitions(sort_col)
-        tmp = d + ".compact.tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(d)
-        os.rename(tmp, d)
+        atomic_rewrite(spark.read.parquet(d).coalesce(1)
+                       .sortWithinPartitions(sort_col), d)
 
     rewritten = 0
     for leaf in _glob.glob(os.path.join(path, "bands", "band_idx=*",

@@ -122,21 +122,33 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
 
 
 def _adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
-              id_col: str, vec_col: str, k: int, m: int,
-              dim: int) -> DataFrame:
+              id_col: str, vec_col: str, k: int, m: int, dim: int,
+              cand: DataFrame | None = None) -> DataFrame:
     """ADC scoring against an encoded corpus: distance table =
     queries × codebook (broadcast — a few hundred rows at any corpus
     size), scored rows = codes equi-joined to it on (j, code), one
     partial-aggregated shuffle on (q_id, id), per-query top-k. The
     per-(q_id, id) sum folds in subspace order so the float geometry is
-    engine-stable."""
+    engine-stable.
+
+    ``cand`` (optional, (q_id, id) pairs) restricts scoring to named
+    query↔candidate pairs — the IVF-PQ probed-cluster path. It can be a
+    corpus-scale fraction, so it joins as a PLAIN equi-join (shuffle
+    sized by the candidates; AQE may still choose broadcast when it is
+    actually small) — only the genuinely tiny tables (codebook,
+    distance table) carry broadcast hints."""
     qsv = subvectors(queries, id_col, vec_col, m, dim) \
         .withColumnRenamed("id", "q_id")
     dtab = (qsv.join(F.broadcast(codebook), "j")
             .select("q_id", "j", "code",
                     l2(F.col("sv"), F.col("cvec")).alias("d")))
-    scored = (codes.join(F.broadcast(dtab), ["j", "code"])
-              .filter(F.col("q_id") != F.col("id"))
+    if cand is not None:
+        scored = (codes.join(cand, "id")
+                  .join(F.broadcast(dtab), ["q_id", "j", "code"]))
+    else:
+        scored = (codes.join(F.broadcast(dtab), ["j", "code"])
+                  .filter(F.col("q_id") != F.col("id")))
+    scored = (scored
               .groupBy("q_id", "id")
               .agg(F.aggregate(
                   F.array_sort(F.collect_list(F.struct("j", "d"))),
@@ -231,30 +243,29 @@ def pq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
 
 def purge_pq_codes(spark, path: str, ids) -> int:
     """Right-to-be-forgotten over the PQ index: rewrite codes/ without
-    the forgotten ids (temp dir + rename, the purge_from_fact_index
-    convention — a crash leaves old or new, never partial). Codes are
-    per-document facts with no derived statistics, so removing the rows
-    removes the documents from every ADC answer; the codebook keeps
-    serving (it is a trained model, not per-document data — the same
-    boundary a real deployment draws). Returns 1 if a rewrite happened."""
-    import shutil
-
+    the forgotten ids (iosafe.atomic_rewrite — discovery-invisible temp
+    + self-healing swap). Codes are per-document facts with no derived
+    statistics, so removing the rows removes the documents from every
+    ADC answer; the codebook keeps serving (it is a trained model, not
+    per-document data — the same boundary a real deployment draws).
+    Ids keep their native type (no numeric coercion — string-keyed
+    stores purge correctly). Returns 1 if a rewrite happened."""
     from pyspark.sql import DataFrame as _DF
+    from pyspark.sql.types import StructField, StructType
 
-    ids_df = ids.toDF("id") if isinstance(ids, _DF) else \
-        spark.createDataFrame([(int(i),) for i in ids], "id long")
+    from .iosafe import adopt_orphans, atomic_rewrite
+
+    adopt_orphans(path)
     codes_dir = _os.path.join(path, "codes")
     codes = spark.read.parquet(codes_dir)
+    ids_df = ids.toDF("id") if isinstance(ids, _DF) else \
+        spark.createDataFrame(
+            [(i,) for i in ids],
+            StructType([StructField("id", codes.schema["id"].dataType)]))
     if codes.join(F.broadcast(ids_df), "id", "left_semi").isEmpty():
         return 0
-    # no pin needed: the tmp dir fully materializes from the source
-    # before the source is removed
-    kept = codes.join(F.broadcast(ids_df), "id", "left_anti")
-    tmp = codes_dir + ".purge.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    kept.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(codes_dir)
-    _os.rename(tmp, codes_dir)
+    atomic_rewrite(codes.join(F.broadcast(ids_df), "id", "left_anti"),
+                   codes_dir)
     return 1
 
 
@@ -273,10 +284,12 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     variant — keeping both engines' chains in deterministic lockstep).
 
     Scale shape: centroids + codebook + distance table broadcast; the
-    corpus-sized legs are the cluster assignment (id, cid) and the
-    codes (id, j, code) — both integer tables a fraction of the
-    embedding bytes; one shuffle at the (q_id, id) fold. Output
-    (q_id, vec_id, adc), ties → lowest id."""
+    corpus-sized legs — cluster assignment (id, cid), codes
+    (id, j, code), and the candidate pairs (~N·|queries|·nprobe/nlist,
+    a corpus FRACTION, never broadcast: r10 review) — are integer
+    tables a fraction of the embedding bytes, joined equi-style with
+    one shuffle at the (q_id, id) fold. Output (q_id, vec_id, adc),
+    ties → lowest id."""
     from .similarity import cosine, ivf_build
 
     cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist,
@@ -298,22 +311,5 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             .join(F.broadcast(probes), "cid")
             .filter(F.col("q_id") != F.col("id"))
             .select("q_id", "id"))
-
-    qsv = subvectors(queries, id_col, vec_col, m, dim) \
-        .withColumnRenamed("id", "q_id")
-    dtab = (qsv.join(F.broadcast(codebook), "j")
-            .select("q_id", "j", "code",
-                    l2(F.col("sv"), F.col("cvec")).alias("d")))
-    scored = (codes.join(F.broadcast(cand), "id")
-              .join(F.broadcast(dtab), ["q_id", "j", "code"])
-              .groupBy("q_id", "id")
-              .agg(F.aggregate(
-                  F.array_sort(F.collect_list(F.struct("j", "d"))),
-                  F.lit(0.0), lambda acc, s: acc + s["d"]).alias("adc"),
-                  F.count("*").alias("__nj__"))
-              .filter(F.col("__nj__") == m).drop("__nj__"))
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
-                                           F.col("id").asc())
-    return (scored.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") <= k)
-            .select("q_id", F.col("id").alias("vec_id"), "adc"))
+    return _adc_topk(codes, codebook, queries, id_col, vec_col, k, m,
+                     dim, cand=cand)

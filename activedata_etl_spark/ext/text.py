@@ -911,6 +911,9 @@ def purge_from_fact_index(spark, path: str, ids, id_col: str = "id") -> int:
 
     from pyspark.sql import DataFrame as _DF, functions as _F
 
+    from .iosafe import adopt_orphans
+
+    adopt_orphans(path)
     if isinstance(ids, _DF):
         ids_df = ids.toDF(id_col)
     else:
@@ -925,9 +928,10 @@ def purge_from_fact_index(spark, path: str, ids, id_col: str = "id") -> int:
 
 def _purge_root(spark, path: str, ids_df, id_col: str) -> int:
     import os
-    import shutil
 
     from pyspark.sql import functions as _F
+
+    from .iosafe import atomic_rewrite
 
     rewritten = 0
     for d in sorted(os.listdir(path)):
@@ -938,11 +942,10 @@ def _purge_root(spark, path: str, ids_df, id_col: str) -> int:
         hit = shard.join(_F.broadcast(ids_df), id_col, "left_semi").limit(1)
         if not hit.count():
             continue
-        kept = shard.join(_F.broadcast(ids_df), id_col, "left_anti")
-        tmp = sub + ".purge.tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(sub)
-        os.rename(tmp, sub)
+        # iosafe.atomic_rewrite: the old `batch=N.purge.tmp` sibling was
+        # VISIBLE to partition discovery — a crash between write and
+        # swap left the index serving duplicate rows (r10 review)
+        atomic_rewrite(
+            shard.join(_F.broadcast(ids_df), id_col, "left_anti"), sub)
         rewritten += 1
     return rewritten

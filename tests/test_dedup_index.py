@@ -220,3 +220,62 @@ def test_compact_index_read_invisible(spark, sf_dir, tmp_path):
         **PARAMS)) == before_delta
     # idempotent: a second compaction finds nothing to fold
     assert DI.compact_index(spark, idx) == 0
+
+
+def test_purge_string_keyed_index(spark, sf_dir, tmp_path):
+    """Ids keep their native type through a purge (r10 review: the old
+    int() coercion crashed on string keys — or worse, null-joined and
+    reported success without forgetting anything)."""
+    docs = (_docs(spark, sf_dir, n=200)
+            .select(F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+                    .alias("doc_id"), "text"))
+    idx = str(tmp_path / "idx")
+    DI.build_index(docs, "doc_id", "text", idx, **PARAMS)
+    victims = [r.doc_id for r in docs.limit(5).collect()]
+    n = DI.purge_from_index(spark, idx, victims)
+    assert n > 0
+    left = {r.id for r in DI.read_signatures(spark, idx)
+            .select("id").collect()}
+    assert not (set(victims) & left)
+    # replayed purge: true no-op
+    assert DI.purge_from_index(spark, idx, victims) == 0
+    # absent ids: no rewrite, no false success
+    assert DI.purge_from_index(spark, idx, ["doc-999999"]) == 0
+
+
+def test_interrupted_swap_self_heals(spark, sf_dir, tmp_path):
+    """iosafe.adopt_orphans finishes an interrupted rewrite: an orphan
+    temp with a missing destination IS the complete new data (swap
+    crashed between rmtree and rename); one with a live destination is
+    pre-swap garbage."""
+    import os as _os
+    import shutil as _shutil
+
+    from activedata_etl_spark.ext.iosafe import adopt_orphans
+
+    docs = _docs(spark, sf_dir, n=200)
+    idx = str(tmp_path / "idx")
+    DI.build_index(docs, "doc_id", "text", idx, **PARAMS)
+    before = _pairs_set(DI.near_dup_pairs_from_index(spark, idx, THRESHOLD))
+
+    sets_root = _os.path.join(idx, "shingle_sets")
+    leaf = sorted(d for d in _os.listdir(sets_root)
+                  if d.startswith("ibkt="))[0]
+    dest = _os.path.join(sets_root, leaf)
+    orphan = _os.path.join(sets_root, "_rewrite_tmp", leaf)
+    _os.makedirs(_os.path.dirname(orphan), exist_ok=True)
+    # simulate a crash mid-swap: new data fully written, dest removed
+    _shutil.copytree(dest, orphan)
+    _shutil.rmtree(dest)
+    assert adopt_orphans(idx) == 1
+    assert _os.path.isdir(dest) and not _os.path.isdir(orphan)
+    assert _pairs_set(DI.near_dup_pairs_from_index(spark, idx,
+                                                   THRESHOLD)) == before
+    # pre-swap garbage: dest still present -> orphan dropped
+    _shutil.copytree(dest, orphan)
+    assert adopt_orphans(idx) == 1
+    assert _os.path.isdir(dest) and not _os.path.isdir(orphan)
+    # and an orphan is INVISIBLE to readers while it exists
+    _shutil.copytree(dest, orphan)
+    assert _pairs_set(DI.near_dup_pairs_from_index(spark, idx,
+                                                   THRESHOLD)) == before
