@@ -438,3 +438,180 @@ def ahash_pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
               .select("p.id_a", "p.id_b",
                       F.lit(0).cast("bigint").alias("hamming")))
     return cross.unionByName(within)
+
+
+# --- GROUP-layout perceptual index (r10; NOTES r11 #3 pulled forward) ------
+#
+# The row-layout index above stores (id, band0..3) rows, so EVERY delta
+# query re-runs the canonical-hash groupBy over the whole stored corpus
+# — index-sized work per nightly batch (measured: delta 2.37s vs full
+# 1.43s at the 10x rig). This layout persists the groups themselves,
+# exploded two ways so the delta query's stored reads are pruned to the
+# directories its own hashes name (the v2-minhash move):
+#
+# - hash/hbkt=k          one row per (batch, hash group): b0..b3, ids
+# - bands/bidx=i/bbkt=k  one row per (group, band): bval + all four
+#                        band scalars + ids
+#
+# Appends write the batch's OWN groups as new fragment rows — batch-
+# sized, no read of stored data. Fragments of one hash across batches
+# have disjoint member sets (ids are immutable), so the delta pairs
+# against each fragment independently; no corpus-wide re-group, ever.
+# The pruning predicates here are PARTITION-COLUMN-ONLY (bidx, bbkt,
+# hbkt) — evaluated at planning, zero per-row cost — while the data-
+# column equality (band values, hashes) rides the join, which is the
+# lesson the minhash lookup regime paid to learn (SCALE.md §r10).
+
+_GBKT = 32
+
+
+def _group_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "graft_ahash_groups.json")
+
+
+def _write_group_fragments(h: DataFrame, path: str, nb: int) -> None:
+    import os
+
+    names = [f"band{b}" for b in range(AHASH_BANDS)]
+    groups = (h.groupBy(*names)
+              .agg(F.array_sort(F.collect_list("id")).alias("ids")))
+    (groups.withColumn("hbkt", F.pmod(F.xxhash64(*names),
+                                      F.lit(nb)).cast("int"))
+     .repartition("hbkt")
+     .write.mode("append").partitionBy("hbkt")
+     .parquet(os.path.join(path, "hash")))
+    ex = groups.select(
+        *names, "ids",
+        F.posexplode(F.array(*[F.col(n) for n in names]))
+        .alias("bidx", "bval"))
+    (ex.withColumn("bbkt", F.pmod(F.xxhash64("bval"),
+                                  F.lit(nb)).cast("int"))
+     .repartition("bidx", "bbkt")
+     .write.mode("append").partitionBy("bidx", "bbkt")
+     .parquet(os.path.join(path, "bands")))
+
+
+def build_ahash_group_index(df: DataFrame, id_col: str, text_col: str,
+                            path: str, n_buckets: int = _GBKT) -> None:
+    import json as _json
+
+    _write_group_fragments(ahash_bands(df, id_col, text_col), path,
+                           int(n_buckets))
+    with open(_group_meta_path(path), "w") as f:
+        _json.dump({"n_buckets": int(n_buckets)}, f)
+
+
+def append_ahash_group_index(df_new: DataFrame, id_col: str, text_col: str,
+                             path: str) -> None:
+    """Batch-sized incremental maintenance: group the NEW docs and
+    append their fragments. Replaying a batch appends byte-identical
+    fragments that the read-side dropDuplicates collapses (the standing
+    at-least-once convention)."""
+    import json as _json
+
+    with open(_group_meta_path(path)) as f:
+        nb = _json.load(f)["n_buckets"]
+    _write_group_fragments(ahash_bands(df_new, id_col, text_col), path, nb)
+
+
+def ahash_group_index_pairs(df_new: DataFrame, id_col: str, text_col: str,
+                            spark, path: str,
+                            max_hamming: int = 6) -> DataFrame:
+    """Delta-touching hamming-ball pairs from the GROUP index: three
+    disjoint legs, none of which re-groups or even scans the stored
+    corpus —
+
+    1. delta×delta: :func:`ahash_pairs` over the batch alone;
+    2. delta×stored identical-hash: the delta's groups equi-join the
+       ``hash/`` fragments in the hbkt directories its hashes name;
+    3. delta×stored cross-hash: the delta's band rows equi-join the
+       ``bands/`` fragments in the (bidx, bbkt) directories its band
+       values name, first-shared-band guard, hamming in (0, max].
+
+    Stored member sets are disjoint across fragments, so member-pair
+    fan-out needs no distinct; output (id_a, id_b, hamming) normalized,
+    identical to the row-layout delta query (oracle-pinned)."""
+    import json as _json
+    import os
+
+    with open(_group_meta_path(path)) as f:
+        nb = _json.load(f)["n_buckets"]
+    names = [f"band{b}" for b in range(AHASH_BANDS)]
+
+    dh = ahash_bands(df_new, id_col, text_col)
+    dgroups = (dh.groupBy(*names)
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .persist())
+
+    # leg 1: within the batch
+    within = ahash_pairs(df_new, id_col, text_col, max_hamming)
+
+    # leg 2: identical hash — hbkt dirs named by the delta's hashes
+    hbkts = [r["hbkt"] for r in dgroups.select(
+        F.pmod(F.xxhash64(*names), F.lit(nb)).cast("int").alias("hbkt"))
+        .distinct().collect()]
+    stored_h = (spark.read.parquet(os.path.join(path, "hash"))
+                .filter(F.col("hbkt").isin(hbkts) if hbkts
+                        else F.lit(False))
+                .dropDuplicates([*names, "ids"])
+                .select(*[F.col(n).alias(f"s_{n}") for n in names],
+                        F.col("ids").alias("ids_s")))
+    same = (dgroups.join(
+        stored_h, [F.col(n) == F.col(f"s_{n}") for n in names])
+        .select(F.explode("ids").alias("x"), "ids_s")
+        .select("x", F.explode("ids_s").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("id_a"),
+                F.greatest("x", "y").alias("id_b"),
+                F.lit(0).cast("bigint").alias("hamming")))
+
+    # leg 3: cross hash — (bidx, bbkt) dirs named by the delta's bands
+    dex = dgroups.select(
+        "ids", *names,
+        F.posexplode(F.array(*[F.col(n) for n in names]))
+        .alias("bidx", "bval"))
+    bkts = [(int(r["bidx"]), int(r["bbkt"])) for r in dex.select(
+        "bidx", F.pmod(F.xxhash64("bval"), F.lit(nb)).cast("int")
+        .alias("bbkt")).distinct().collect()]
+    prune = F.lit(False)
+    for bi, bk in bkts:  # partition columns only: pruned at planning
+        prune = prune | ((F.col("bidx") == bi) & (F.col("bbkt") == bk))
+    stored_b = (spark.read.parquet(os.path.join(path, "bands"))
+                .filter(prune)
+                .dropDuplicates([*names, "ids", "bidx"])
+                .select(F.col("bval").alias("s_bval"),
+                        F.col("bidx").alias("s_bidx"),
+                        F.col("ids").alias("ids_s"),
+                        *[F.col(n).alias(f"b{i}")
+                          for i, n in enumerate(names)]))
+    a = dex.select("bidx", "bval", F.col("ids").alias("ids_a"),
+                   *[F.col(n).alias(f"a{i}") for i, n in enumerate(names)])
+    hamming = None
+    for i in range(AHASH_BANDS):
+        t = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        hamming = t if hamming is None else hamming + t
+    hamming = hamming.cast("bigint")
+    diff = [F.col(f"a{i}") != F.col(f"b{i}") for i in range(AHASH_BANDS)]
+    first_shared = F.when(F.col("bidx") == 0, F.lit(True))
+    for i in range(1, AHASH_BANDS):
+        cond = diff[0]
+        for d_ in diff[1:i]:
+            cond = cond & d_
+        first_shared = first_shared.when(F.col("bidx") == i, cond)
+    cross = (a.join(stored_b, (F.col("bidx") == F.col("s_bidx"))
+                    & (F.col("bval") == F.col("s_bval")))
+             .filter(first_shared)
+             .withColumn("hamming", hamming)
+             .filter((F.col("hamming") > 0)
+                     & (F.col("hamming") <= max_hamming))
+             .select(F.explode("ids_a").alias("x"), "ids_s", "hamming")
+             .select("x", F.explode("ids_s").alias("y"), "hamming")
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"), "hamming"))
+
+    from .dedup import _materialize_release
+
+    return _materialize_release(
+        within.unionByName(same).unionByName(cross), dgroups)

@@ -50,6 +50,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sim_pq_from_index",
     "sim_pq_recall_audit",
     "sim_pq_code_balance",
+    "multimodal_ahash_group_pairs",
     "dedup_index_delta_pairs",
     "dedup_prefix_stable_small_delta",
     "multimodal_ahash_index_pairs",

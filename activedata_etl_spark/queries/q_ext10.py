@@ -270,3 +270,34 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("q_id")
             .agg(F.count("__hit__").cast("long").alias("n_hit"),
                  (F.count("__hit__") / F.lit(float(_K))).alias("recall")))
+
+
+def _ahash_group_oracle() -> str:
+    from .q_ext8 import _ahash_index_oracle
+
+    return _ahash_index_oracle()
+
+
+@query("multimodal_ahash_group_pairs", oracle=_ahash_group_oracle())
+def multimodal_ahash_group_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly image-dedup shape served from the GROUP-layout
+    perceptual index (ext/multimodal.ahash_group_index_pairs): stored
+    groups are persisted pre-grouped and exploded into hbkt / (bidx,
+    bbkt) directories, so the delta query reads only the directories
+    its own hashes name and never re-groups the corpus — the r10 rig
+    measured the row-layout delta paying a corpus-sized groupBy per
+    query (2.37 s vs full 1.43 s at 10×); this layout removes it
+    structurally. Same oracle as multimodal_ahash_index_pairs: the
+    layout is invisible to the pair set."""
+    from ..ext import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    hist1 = d.filter(F.col("doc_id") % 10 < 5)
+    hist2 = d.filter((F.col("doc_id") % 10 >= 5) & (F.col("doc_id") % 10 < 7))
+    delta = d.filter(F.col("doc_id") % 10 >= 7)
+    path = scratch_dir(sf_dir, "ahash_groups")
+    ensure_built(path, lambda: [
+        MM.build_ahash_group_index(hist1, "doc_id", "text", path),
+        MM.append_ahash_group_index(hist2, "doc_id", "text", path)])
+    return MM.ahash_group_index_pairs(delta, "doc_id", "text", spark, path,
+                                      max_hamming=6)

@@ -38,6 +38,7 @@ DELTA_FAMILIES = {
     "bm25": ("text_bm25_delta_topk", "text_bm25_topk"),
     "chunk": ("dedup_chunk_delta_stats", "dedup_chunk_level"),
     "ahash": ("multimodal_ahash_index_pairs", "multimodal_ahash_pairs"),
+    "ahash_group": ("multimodal_ahash_group_pairs", "multimodal_ahash_pairs"),
     "minhash": ("dedup_index_delta_pairs", "dedup_lsh_jaccard_pairs"),
 }
 

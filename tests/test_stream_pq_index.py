@@ -98,3 +98,36 @@ def test_purge_pq_codes_right_to_be_forgotten(spark, sf_dir, tmp_path):
     assert sorted((r.q_id, r.vec_id, r.adc) for r in rows) == want
     # idempotent: purging the same ids again is a no-op
     assert PQ.purge_pq_codes(spark, idx, victims) == 0
+
+
+def test_ahash_group_index_equals_row_index(spark, sf_dir, tmp_path):
+    """The GROUP-layout perceptual index must serve exactly the pairs
+    the row-layout index serves (delta-touching hamming-ball), with
+    appends and replayed appends collapsing on read."""
+    import os as _os
+
+    from activedata_etl_spark.ext import multimodal as MM
+
+    docs = (spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") < 400).select("doc_id", "text"))
+    hist1 = docs.filter(F.col("doc_id") % 10 < 5)
+    hist2 = docs.filter((F.col("doc_id") % 10 >= 5)
+                        & (F.col("doc_id") % 10 < 7))
+    delta = docs.filter(F.col("doc_id") % 10 >= 7)
+
+    row_idx = str(tmp_path / "row")
+    MM.build_ahash_index(hist1, "doc_id", "text", row_idx)
+    MM.append_ahash_index(hist2, "doc_id", "text", row_idx)
+    grp_idx = str(tmp_path / "grp")
+    MM.build_ahash_group_index(hist1, "doc_id", "text", grp_idx)
+    MM.append_ahash_group_index(hist2, "doc_id", "text", grp_idx)
+    # replayed append: byte-identical fragments, collapsed on read
+    MM.append_ahash_group_index(hist2, "doc_id", "text", grp_idx)
+
+    want = {(r.id_a, r.id_b, r.hamming) for r in
+            MM.ahash_pairs_against_index(delta, "doc_id", "text", spark,
+                                         row_idx, max_hamming=6).collect()}
+    got = {(r.id_a, r.id_b, r.hamming) for r in
+           MM.ahash_group_index_pairs(delta, "doc_id", "text", spark,
+                                      grp_idx, max_hamming=6).collect()}
+    assert got == want and len(got) > 0
