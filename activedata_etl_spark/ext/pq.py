@@ -313,3 +313,98 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             .select("q_id", "id"))
     return _adc_topk(codes, codebook, queries, id_col, vec_col, k, m,
                      dim, cand=cand)
+
+
+# --- persisted IVF-PQ index: the end-state ANN serving artifact ------------
+#
+# codes live in cid=<cluster> directories, so a query's ADC scan reads
+# ONLY its probed clusters' directories — partition pruning does the
+# inverted-file part (the ivf_build docstring's promise, materialized).
+# Centroids and codebooks freeze at build (trained models, not
+# per-document data); appended vectors route and encode against them —
+# batch-sized maintenance, replay collapsed by the (id, j) dedupe.
+
+
+def build_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str,
+                      nlist: int = 16, m: int = 4, ksub: int = 8,
+                      n_iter: int = 2, dim: int = 64) -> None:
+    from .similarity import ivf_build
+
+    cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist,
+                             n_iter=n_iter)
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
+    cent.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    codebook.write.mode("overwrite").parquet(
+        _os.path.join(path, "codebook"))
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim)
+    cids = assign.select(F.col(id_col).alias("id"), "cid")
+    (codes.join(cids, "id")
+     .repartition("cid")
+     .write.mode("overwrite").partitionBy("cid")
+     .parquet(_os.path.join(path, "codes")))
+    with open(_meta_path(path), "w") as f:
+        _json.dump({"m": m, "ksub": ksub, "dim": dim,
+                    "nlist": nlist}, f)
+
+
+def _route(queries: DataFrame, cent: DataFrame, id_col: str, vec_col: str,
+           nprobe: int) -> DataFrame:
+    """(q_id, cid) for each query's nprobe max-cosine centroids —
+    queries × nlist rows, centroid table broadcast."""
+    from .similarity import cosine
+
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       _dvec(F.col(vec_col)).alias("__qv__"))
+    scored = (q.crossJoin(F.broadcast(cent))
+              .withColumn("__cc__", cosine(F.col("__qv__"), F.col("cvec"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("__cc__").desc(),
+                                           F.col("cid").asc())
+    return (scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= nprobe).select("q_id", "cid"))
+
+
+def append_ivfpq_index(df_new: DataFrame, id_col: str, vec_col: str,
+                       spark, path: str) -> None:
+    """Route + encode NEW vectors against the FROZEN centroids and
+    codebooks and append into their cid directories — batch-sized, no
+    read of stored codes."""
+    with open(_meta_path(path)) as f:
+        meta = _json.load(f)
+    cent = spark.read.parquet(_os.path.join(path, "centroids"))
+    cb = read_pq_codebook(spark, path)
+    assign = _route(df_new, cent, id_col, vec_col, nprobe=1) \
+        .withColumnRenamed("q_id", "id")
+    codes = pq_encode(df_new, id_col, vec_col, cb, meta["m"], meta["dim"])
+    (codes.join(assign, "id")
+     .repartition("cid")
+     .write.mode("append").partitionBy("cid")
+     .parquet(_os.path.join(path, "codes")))
+
+
+def ivfpq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
+                     spark, path: str, k: int = 3,
+                     nprobe: int = 2) -> DataFrame:
+    """ADC top-k from the persisted IVF-PQ index: route the queries,
+    then read ONLY the probed cid directories (a partition-column
+    filter — pruned at planning; the probed-cid list is |queries|×
+    nprobe values, driver-bounded) and score those codes against the
+    broadcast distance table. The untouched clusters' bytes are never
+    opened — the inverted-file promise, done with directories."""
+    with open(_meta_path(path)) as f:
+        meta = _json.load(f)
+    cent = spark.read.parquet(_os.path.join(path, "centroids"))
+    cb = read_pq_codebook(spark, path)
+    probes = _route(queries, cent, id_col, vec_col, nprobe).persist()
+    cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    codes = (spark.read.parquet(_os.path.join(path, "codes"))
+             .filter(F.col("cid").isin(cids) if cids else F.lit(False))
+             .dropDuplicates(["id", "j"]))
+    cand = (codes.select("id", "cid").dropDuplicates(["id"])
+            .join(F.broadcast(probes), "cid")
+            .filter(F.col("q_id") != F.col("id"))
+            .select("q_id", "id"))
+    out = _adc_topk(codes.drop("cid"), cb, queries, id_col, vec_col,
+                    k, meta["m"], meta["dim"], cand=cand)
+    from .dedup import _materialize_release
+
+    return _materialize_release(out, probes)

@@ -47,6 +47,7 @@ _NEW_THIS_ROUND: list[str] = [
     # now-oracle-paired 1%-delta fixture (was rows-only in r9).
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "sim_ivfpq_from_index",
     "sim_pq_from_index",
     "sim_pq_recall_audit",
     "sim_pq_code_balance",

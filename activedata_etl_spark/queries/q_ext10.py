@@ -301,3 +301,24 @@ def multimodal_ahash_group_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.append_ahash_group_index(hist2, "doc_id", "text", path)])
     return MM.ahash_group_index_pairs(delta, "doc_id", "text", spark, path,
                                       max_hamming=6)
+
+
+@query("sim_ivfpq_from_index", oracle=_ivfpq_oracle())
+def sim_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivfpq_topk answered from the PERSISTED IVF-PQ index
+    (ext/pq.build_ivfpq_index / ivfpq_index_topk): codes live in
+    cid=<cluster> directories, so the query reads ONLY its probed
+    clusters' directories — partition pruning does the inverted-file
+    part, and the untouched clusters' bytes are never opened. Same
+    oracle as sim_ivfpq_topk: routing/quantization freeze at build on
+    the same corpus, so index-served == composed-inline bit for bit."""
+    from ..ext import pq as PQM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = scratch_dir(sf_dir, "ivfpq_index")
+    ensure_built(path, lambda: PQM.build_ivfpq_index(
+        emb, "vec_id", "embedding", path, nlist=_NLIST, m=_M,
+        ksub=_KSUB, n_iter=_ITER, dim=_DIM))
+    qs = emb.filter(F.col("vec_id") < _NQ)
+    return PQM.ivfpq_index_topk(qs, "vec_id", "embedding", spark, path,
+                                k=_K, nprobe=_NPROBE)

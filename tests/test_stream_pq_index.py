@@ -131,3 +131,53 @@ def test_ahash_group_index_equals_row_index(spark, sf_dir, tmp_path):
            MM.ahash_group_index_pairs(delta, "doc_id", "text", spark,
                                       grp_idx, max_hamming=6).collect()}
     assert got == want and len(got) > 0
+
+
+def test_ivfpq_index_partition_prunes_and_appends(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index reads ONLY probed cid directories (a
+    partition filter on the codes scan), appends route+encode against
+    the frozen models, and a replayed append collapses on read."""
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    PQ.build_ivfpq_index(old, "vec_id", "embedding", idx, nlist=8,
+                         m=4, ksub=8, n_iter=2, dim=64)
+    PQ.append_ivfpq_index(new, "vec_id", "embedding", spark, idx)
+    qs = emb.filter(F.col("vec_id") < 6)
+    out = PQ.ivfpq_index_topk(qs, "vec_id", "embedding", spark, idx,
+                              k=3, nprobe=2)
+    # plan: the codes scan carries a cid PartitionFilter (the probed
+    # set), so unprobed clusters' directories are never opened — assert
+    # on the stored read directly (the query plan hides behind its
+    # localCheckpoint, the dedup_index test precedent)
+    import os as _os
+    codes = spark.read.parquet(_os.path.join(idx, "codes"))
+    plan = (codes.filter(F.col("cid").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:300]
+
+    rows = {(r.q_id, r.vec_id, r.adc) for r in out.collect()}
+    assert rows and len({q for q, _, _ in rows}) == 6
+
+    # equality with the manual frozen-model pipeline over the union
+    cent = spark.read.parquet(_os.path.join(idx, "centroids"))
+    cb = PQ.read_pq_codebook(spark, idx)
+    assign = PQ._route(emb, cent, "vec_id", "embedding", nprobe=1) \
+        .withColumnRenamed("q_id", "id")
+    codes_all = PQ.pq_encode(emb, "vec_id", "embedding", cb, 4, 64)
+    probes = PQ._route(qs, cent, "vec_id", "embedding", nprobe=2)
+    cand = (assign.join(probes, assign["cid"] == probes["cid"])
+            .filter(F.col("q_id") != F.col("id"))
+            .select("q_id", "id"))
+    want = {(r.q_id, r.vec_id, r.adc) for r in PQ._adc_topk(
+        codes_all, cb, qs, "vec_id", "embedding", 3, 4, 64,
+        cand=cand).collect()}
+    assert rows == want
+
+    # replayed append: dedupe on read keeps the answer fixed
+    PQ.append_ivfpq_index(new, "vec_id", "embedding", spark, idx)
+    rows2 = {(r.q_id, r.vec_id, r.adc) for r in PQ.ivfpq_index_topk(
+        qs, "vec_id", "embedding", spark, idx, k=3, nprobe=2).collect()}
+    assert rows2 == rows
