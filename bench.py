@@ -160,12 +160,15 @@ HEADLINE = [
     "meta_columns_nested",
     "events_resample_1h_fill",
     # r10 additions: compressed-domain ANN (PQ codebook train + encode +
-    # broadcast-ADC top-k) and the composed IVF-PQ serving stack
-    # (nprobe routing + ADC over probed clusters only — the shape a
-    # 100 TB vector store actually answers from). sim_pq_code_balance /
-    # sim_pq_from_index ride the same train/encode chain.
+    # broadcast-ADC top-k), the composed IVF-PQ stack (nprobe routing +
+    # ADC over probed clusters only), and both PERSISTED serving forms —
+    # frozen codes (sim_pq_from_index) and cid-partition-pruned IVF-PQ
+    # (sim_ivfpq_from_index) — the shapes a 100 TB vector store actually
+    # answers from. sim_pq_code_balance rides the same chain.
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "sim_pq_from_index",
+    "sim_ivfpq_from_index",
     # The r6-continuation prefix-filter family (dedup_prefix_filter_pairs
     # / decon_prefix_filter_overlap) is deliberately NOT headline, same
     # rationale as sim_knn_graph: it's a BATCH release-gate operator
