@@ -135,7 +135,14 @@ def test_purge_from_index_right_to_be_forgotten(spark, sf_dir, tmp_path):
     victims = [r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0)
                .select("doc_id").collect()][:20]
     idx = str(tmp_path / "idx")
-    DI.build_index(docs, "doc_id", "text", idx, **PARAMS)
+    # build + one spilled append, so the purge must also cover rows
+    # still sitting in bands_spill/sets_spill (r11 delta-spill layout)
+    DI.build_index(docs.filter(F.col("doc_id") % 5 != 0),
+                   "doc_id", "text", idx, **PARAMS)
+    DI.append_to_index(docs.filter(F.col("doc_id") % 5 == 0),
+                       "doc_id", "text", idx, **PARAMS)
+    import os as _os2
+    assert _os2.path.isdir(_os2.path.join(idx, "bands_spill"))
     before_meta = DI._load_meta(idx)
 
     # untouched band dirs must keep their bytes (no full-index rewrite)
@@ -179,9 +186,12 @@ def test_purge_from_index_right_to_be_forgotten(spark, sf_dir, tmp_path):
 
 
 def test_compact_index_read_invisible(spark, sf_dir, tmp_path):
-    """After several appends each touched directory holds several small
-    files; compact_index folds every multi-file directory to ONE
-    re-sorted file without changing any served answer."""
+    """The r11 delta-spill lifecycle (VERDICT r10 #4): an append lands
+    as ONE batch-sized file per table in bands_spill/sets_spill (the
+    pre-r11 layout fanned ≤160 small files across the bucket
+    directories per nightly batch); readers union spill with the
+    bucketed layout; compact_index folds spill rows into their home
+    directories and removes the spill — all read-invisible."""
     import glob as _glob
     import os as _os
 
@@ -189,16 +199,22 @@ def test_compact_index_read_invisible(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "idx")
     DI.build_index(docs.filter(F.col("doc_id") % 3 == 0),
                    "doc_id", "text", idx, **PARAMS)
-    for b in (1, 2):
-        DI.append_to_index(docs.filter(F.col("doc_id") % 3 == b),
-                           "doc_id", "text", idx, **PARAMS)
 
     def n_files(pat):
         return sum(len([f for f in _os.listdir(d) if f.startswith("part-")])
                    for d in _glob.glob(pat))
 
     bands_pat = _os.path.join(idx, "bands", "band_idx=*", "sbkt=*")
-    before_files = n_files(bands_pat)
+    build_files = n_files(bands_pat)
+    for b in (1, 2):
+        before = n_files(_os.path.join(idx, "bands_spill")) if b == 2 else 0
+        DI.append_to_index(docs.filter(F.col("doc_id") % 3 == b),
+                           "doc_id", "text", idx, **PARAMS)
+        # write amplification is batch-sized: ONE file per table per
+        # append, and the bucketed directories are untouched
+        assert n_files(_os.path.join(idx, "bands_spill")) == before + 1
+        assert n_files(bands_pat) == build_files
+
     before_pairs = _pairs_set(DI.near_dup_pairs_from_index(spark, idx,
                                                            THRESHOLD))
     delta = docs.filter(F.col("doc_id") % 20 == 1)
@@ -207,9 +223,9 @@ def test_compact_index_read_invisible(spark, sf_dir, tmp_path):
 
     n = DI.compact_index(spark, idx)
     assert n > 0
-    after_files = n_files(bands_pat)
-    assert after_files < before_files
-    # every leaf dir now holds exactly one data file
+    # spill folded away; every leaf dir holds exactly one data file
+    assert not _os.path.isdir(_os.path.join(idx, "bands_spill"))
+    assert not _os.path.isdir(_os.path.join(idx, "sets_spill"))
     for d in _glob.glob(bands_pat):
         assert len([f for f in _os.listdir(d)
                     if f.startswith("part-")]) == 1
@@ -244,10 +260,12 @@ def test_purge_string_keyed_index(spark, sf_dir, tmp_path):
 
 
 def test_interrupted_swap_self_heals(spark, sf_dir, tmp_path):
-    """iosafe.adopt_orphans finishes an interrupted rewrite: an orphan
-    temp with a missing destination IS the complete new data (swap
-    crashed between rmtree and rename); one with a live destination is
-    pre-swap garbage."""
+    """iosafe.adopt_orphans resolves every crash point of the
+    aside-rename protocol (r11): a PROVEN-complete orphan (_SUCCESS)
+    whose destination was renamed aside is the new data — renamed in;
+    an UNPROVEN orphan is dropped (never adopted); a ``.old`` tombstone
+    with a live destination is post-swap garbage; one without is the
+    only surviving copy — restored."""
     import os as _os
     import shutil as _shutil
 
@@ -264,18 +282,118 @@ def test_interrupted_swap_self_heals(spark, sf_dir, tmp_path):
     dest = _os.path.join(sets_root, leaf)
     orphan = _os.path.join(sets_root, "_rewrite_tmp", leaf)
     _os.makedirs(_os.path.dirname(orphan), exist_ok=True)
-    # simulate a crash mid-swap: new data fully written, dest removed
+
+    # crash between aside-rename and swap: new data fully written
+    # (_SUCCESS — atomic_rewrite only renames dest aside after a
+    # successful write), dest moved to the tombstone
     _shutil.copytree(dest, orphan)
-    _shutil.rmtree(dest)
+    open(_os.path.join(orphan, "_SUCCESS"), "w").close()
+    _os.rename(dest, orphan + ".old")
     assert adopt_orphans(idx) == 1
     assert _os.path.isdir(dest) and not _os.path.isdir(orphan)
+    assert not _os.path.isdir(orphan + ".old")
     assert _pairs_set(DI.near_dup_pairs_from_index(spark, idx,
                                                    THRESHOLD)) == before
-    # pre-swap garbage: dest still present -> orphan dropped
+
+    # crash after swap, mid-tombstone-rmtree: dest is the new data,
+    # the tombstone is unreachable garbage -> dropped
+    _shutil.copytree(dest, orphan + ".old")
+    assert adopt_orphans(idx) == 1
+    assert _os.path.isdir(dest) and not _os.path.isdir(orphan + ".old")
+
+    # crash before the aside-rename: dest still present -> orphan is
+    # garbage regardless of completeness (the rewrite simply reruns)
     _shutil.copytree(dest, orphan)
+    open(_os.path.join(orphan, "_SUCCESS"), "w").close()
     assert adopt_orphans(idx) == 1
     assert _os.path.isdir(dest) and not _os.path.isdir(orphan)
+
+    # crash mid-write on a fresh destination: no _SUCCESS, no dest, no
+    # tombstone -> the UNPROVEN orphan is dropped, never served (v1
+    # would have adopted a half-written directory here)
+    ghost_dest = _os.path.join(sets_root, "ibkt=9999")
+    ghost = _os.path.join(sets_root, "_rewrite_tmp", "ibkt=9999")
+    _shutil.copytree(dest, ghost)
+    if _os.path.exists(_os.path.join(ghost, "_SUCCESS")):
+        _os.remove(_os.path.join(ghost, "_SUCCESS"))
+    assert adopt_orphans(idx) == 1
+    assert not _os.path.isdir(ghost) and not _os.path.isdir(ghost_dest)
+
     # and an orphan is INVISIBLE to readers while it exists
     _shutil.copytree(dest, orphan)
     assert _pairs_set(DI.near_dup_pairs_from_index(spark, idx,
                                                    THRESHOLD)) == before
+    adopt_orphans(idx)
+
+
+def test_half_deleted_destination_never_served(spark, sf_dir, tmp_path):
+    """The r10-ADVICE crash window: v1 rmtree'd the live destination
+    before renaming the temp in, so a crash mid-delete left a PARTIAL
+    dest that adopt_orphans then made permanent (dropping the complete
+    new copy). The aside-rename protocol never deletes live data in
+    place — after ANY adopt_orphans pass the served directory equals
+    either the full old data or the full new data, bit-for-bit."""
+    import os as _os
+    import shutil as _shutil
+
+    from activedata_etl_spark.ext.iosafe import adopt_orphans, atomic_rewrite
+
+    src = str(tmp_path / "src")
+    spark.range(0, 100).withColumn("v", F.col("id") * 2) \
+        .coalesce(2).write.parquet(src)
+    dest = str(tmp_path / "served" / "data")
+    _os.makedirs(_os.path.dirname(dest))
+    _shutil.copytree(src, dest)
+    old_rows = {tuple(r) for r in spark.read.parquet(dest).collect()}
+
+    # the rewrite drops half the rows; run it for real to prove the
+    # normal path, then reconstruct the crash states around it
+    atomic_rewrite(spark.read.parquet(src).filter(F.col("id") < 50), dest)
+    new_rows = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    assert new_rows == {t for t in old_rows if t[0] < 50}
+
+    # crash state the advice names: complete new copy in the temp home,
+    # dest present (v1 would drop the new copy even if dest were
+    # half-deleted; now dest is PROVEN whole — the protocol never
+    # half-deletes — so dropping the temp is correct and loss-free)
+    home = _os.path.join(_os.path.dirname(dest), "_rewrite_tmp")
+    orphan = _os.path.join(home, "data")
+    _os.makedirs(home, exist_ok=True)
+    _shutil.copytree(src, orphan)
+    open(_os.path.join(orphan, "_SUCCESS"), "w").close()
+    assert adopt_orphans(str(tmp_path / "served")) == 1
+    assert {tuple(r) for r in spark.read.parquet(dest).collect()} == new_rows
+
+
+def test_rewrite_is_single_writer(spark, tmp_path):
+    """Concurrent rewrite of the same destination raises (the advisor's
+    race: purge vs compaction on one index), and adopt_orphans skips a
+    temp whose writer lock is live instead of adopting a directory
+    still being written."""
+    import fcntl
+    import os as _os
+
+    import pytest
+
+    from activedata_etl_spark.ext import iosafe
+
+    dest = str(tmp_path / "idx" / "data")
+    _os.makedirs(_os.path.dirname(dest))
+    spark.range(10).write.parquet(dest)
+
+    lock_path = iosafe._tmp_path(dest) + ".lock"
+    _os.makedirs(_os.path.dirname(lock_path), exist_ok=True)
+    fd = _os.open(lock_path, _os.O_CREAT | _os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            iosafe.atomic_rewrite(spark.range(5), dest)
+        # a live writer's temp is not adopted, dropped, or unlinked
+        orphan = iosafe._tmp_path(dest)
+        _os.makedirs(orphan, exist_ok=True)
+        assert iosafe.adopt_orphans(str(tmp_path / "idx")) == 0
+        assert _os.path.isdir(orphan)
+    finally:
+        _os.close(fd)
+    assert iosafe.adopt_orphans(str(tmp_path / "idx")) == 1
+    assert {r.id for r in spark.read.parquet(dest).collect()} == set(range(10))
