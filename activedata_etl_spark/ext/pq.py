@@ -96,15 +96,31 @@ def _reestimate(assign: DataFrame) -> DataFrame:
 
 
 def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
-             ksub: int = 8, n_iter: int = 2, dim: int = 64) -> DataFrame:
+             ksub: int = 8, n_iter: int = 2, dim: int = 64,
+             train_fraction: float | None = None) -> DataFrame:
     """Train per-subspace codebooks: (j, code, cvec), code ∈ [0, ksub).
-    Corpus cost: n_iter+0 scans of the (id, j, sv) rows; the codebook
+    Corpus cost: n_iter scans of the (id, j, sv) rows; the codebook
     itself is m·ksub rows — driver- and broadcast-trivial at any corpus
-    size."""
+    size. Seeding is a TakeOrdered over ids alone (lowest ksub), never
+    a corpus-wide Window (v1 shuffled ALL (id, j, sv) rows into m
+    partitions just to keep ksub of them — r10 ADVICE).
+
+    ``train_fraction`` bounds training cost at corpus scale the way
+    real deployments do — codebooks are trained on a SAMPLE, encode
+    stays full-corpus. The sample is the deterministic md5 hash filter
+    from ext/sampling (salt ``"pqtrain:"``), so any engine reproduces
+    the trained codebook bit-for-bit; seeds stay the ksub lowest ids
+    WITHIN the sample."""
+    if train_fraction is not None and train_fraction < 1.0:
+        from .sampling import hash_sample
+
+        df = hash_sample(df, F.col(id_col), train_fraction, salt="pqtrain:")
     sv = subvectors(df, id_col, vec_col, m, dim)
+    seed_ids = df.select(F.col(id_col).alias("id")).orderBy("id").limit(ksub)
+    # the Window now sorts ksub rows per subspace (post-join), not the corpus
     w = Window.partitionBy("j").orderBy("id")
-    codebook = (sv.withColumn("__rn__", F.row_number().over(w))
-                .filter(F.col("__rn__") <= ksub)
+    codebook = (sv.join(F.broadcast(seed_ids), "id")
+                .withColumn("__rn__", F.row_number().over(w))
                 .select("j", (F.col("__rn__") - 1).alias("code"),
                         F.col("sv").alias("cvec")))
     for _ in range(n_iter):
@@ -242,31 +258,73 @@ def pq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
 
 
 def purge_pq_codes(spark, path: str, ids) -> int:
-    """Right-to-be-forgotten over the PQ index: rewrite codes/ without
-    the forgotten ids (iosafe.atomic_rewrite — discovery-invisible temp
-    + self-healing swap). Codes are per-document facts with no derived
-    statistics, so removing the rows removes the documents from every
-    ADC answer; the codebook keeps serving (it is a trained model, not
-    per-document data — the same boundary a real deployment draws).
-    Ids keep their native type (no numeric coercion — string-keyed
-    stores purge correctly). Returns 1 if a rewrite happened."""
+    """Right-to-be-forgotten over a PQ or IVF-PQ index: rewrite codes
+    without the forgotten ids (iosafe.atomic_rewrite — discovery-
+    invisible temp + aside-rename swap). Codes are per-document facts
+    with no derived statistics, so removing the rows removes the
+    documents from every ADC answer; the codebook (and for IVF-PQ the
+    centroids) keeps serving — trained models, not per-document data,
+    the same boundary a real deployment draws. Ids keep their native
+    type (no numeric coercion — string-keyed stores purge correctly).
+
+    Layout-aware (r10 ADVICE): the IVF-PQ index keeps codes in
+    ``cid=<cluster>`` partition directories; the flat rewrite this
+    function v1 applied demoted ``cid`` to a data column, so the next
+    partitioned append produced a mixed layout that partition discovery
+    rejects — and pruning in ivfpq_index_topk was lost even before
+    that. An index whose meta carries ``nlist`` now purges SEEK-SHAPED:
+    each ``cid=`` directory is membership-probed and only directories
+    actually holding forgotten ids rewrite (untouched clusters stay
+    byte-identical — the minhash purge precedent). Returns the number
+    of directories rewritten (0/1 for the flat PQ layout)."""
     from pyspark.sql import DataFrame as _DF
     from pyspark.sql.types import StructField, StructType
 
     from .iosafe import adopt_orphans, atomic_rewrite
 
     adopt_orphans(path)
+    with open(_meta_path(path)) as f:
+        meta = _json.load(f)
     codes_dir = _os.path.join(path, "codes")
     codes = spark.read.parquet(codes_dir)
     ids_df = ids.toDF("id") if isinstance(ids, _DF) else \
         spark.createDataFrame(
             [(i,) for i in ids],
             StructType([StructField("id", codes.schema["id"].dataType)]))
-    if codes.join(F.broadcast(ids_df), "id", "left_semi").isEmpty():
-        return 0
-    atomic_rewrite(codes.join(F.broadcast(ids_df), "id", "left_anti"),
-                   codes_dir)
-    return 1
+    if "nlist" not in meta:
+        if codes.join(F.broadcast(ids_df), "id", "left_semi").isEmpty():
+            return 0
+        atomic_rewrite(codes.join(F.broadcast(ids_df), "id", "left_anti"),
+                       codes_dir)
+        return 1
+    # IVF-PQ layout: probe, then rewrite only the hit cid directories.
+    # The probe reads only the id column (column-pruned) WITH the cid
+    # partition value; the per-directory rewrite reads that leaf alone
+    # (its files do not carry cid — the value lives in the dirname, so
+    # a flat leaf rewrite preserves the partitioned layout exactly).
+    hit_cids = [r["cid"] for r in
+                (codes.select("cid", "id")
+                 .join(F.broadcast(ids_df), "id", "left_semi")
+                 .select("cid").distinct().collect())]
+    rewritten = 0
+    for cid in sorted(hit_cids):
+        leaf = _os.path.join(codes_dir, f"cid={cid}")
+        shard = spark.read.parquet(leaf)
+        atomic_rewrite(shard.join(F.broadcast(ids_df), "id", "left_anti"),
+                       leaf)
+        rewritten += 1
+    return rewritten
+
+
+def purge_ivfpq_codes(spark, path: str, ids) -> int:
+    """Explicit right-to-be-forgotten entry point for the IVF-PQ index
+    (purge_pq_codes dispatches on the meta's ``nlist`` either way; this
+    name asserts the caller's intent against the wrong index root)."""
+    with open(_meta_path(path)) as f:
+        meta = _json.load(f)
+    assert "nlist" in meta, \
+        f"{path} is a flat PQ index (no nlist in meta) — use purge_pq_codes"
+    return purge_pq_codes(spark, path, ids)
 
 
 def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,

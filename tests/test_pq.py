@@ -104,3 +104,55 @@ def test_ivfpq_corpus_legs_equijoin_only(spark, sf_dir):
         probed.setdefault(r.q_id, set()).add(r.cid)
     for r in rows:
         assert cid_of[r.vec_id] in probed[r.q_id], (r, probed[r.q_id])
+
+
+def test_train_seed_is_takeordered_no_corpus_window(spark, sf_dir):
+    """Seeding must be a TakeOrdered over ids (lowest ksub), never a
+    corpus-wide Window: v1 shuffled every (id, j, sv) row into m
+    partitions just to keep ksub of them (r10 ADVICE). The one Window
+    left ranks the ksub seed rows AFTER the TakeOrdered+broadcast-join
+    prune — it must sit strictly above the TakeOrdered in the plan (its
+    input is ksub·m rows whatever the corpus size)."""
+    emb = _emb(spark, sf_dir)
+    cb = PQ.pq_train(emb, "vec_id", "embedding", m=4, ksub=8,
+                     n_iter=2, dim=64)
+    plan = cb._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # every Window node's subtree contains the TakeOrdered prune —
+    # i.e. no Window anywhere consumes unpruned corpus rows
+    lines = plan.splitlines()
+    win_rows = [i for i, l in enumerate(lines) if "Window [" in l]
+    tak_rows = [i for i, l in enumerate(lines)
+                if "TakeOrderedAndProject" in l]
+    assert win_rows and tak_rows
+    assert all(any(t > w for t in tak_rows) for w in win_rows)
+    assert cb.count() <= 4 * 8
+
+
+def test_train_fraction_matches_explicit_sample(spark, sf_dir):
+    """train_fraction trains on the deterministic md5 hash sample: the
+    resulting codebook must equal training on the explicitly-filtered
+    corpus (the oracle form), and full-corpus encode against it stays
+    total — every vector gets m codes."""
+    from activedata_etl_spark.ext.sampling import hash_sample
+
+    emb = _emb(spark, sf_dir)
+    cb_knob = {(r.j, r.code, tuple(r.cvec)) for r in PQ.pq_train(
+        emb, "vec_id", "embedding", m=4, ksub=8, n_iter=2, dim=64,
+        train_fraction=0.5).collect()}
+    sampled = hash_sample(emb, F.col("vec_id"), 0.5, salt="pqtrain:")
+    cb_manual = {(r.j, r.code, tuple(r.cvec)) for r in PQ.pq_train(
+        sampled, "vec_id", "embedding", m=4, ksub=8, n_iter=2,
+        dim=64).collect()}
+    assert cb_knob == cb_manual and len(cb_knob) > 0
+    # the sample is real (a different codebook than full-corpus training)
+    cb_full = {(r.j, r.code, tuple(r.cvec)) for r in PQ.pq_train(
+        emb, "vec_id", "embedding", m=4, ksub=8, n_iter=2,
+        dim=64).collect()}
+    assert cb_knob != cb_full
+    # encode stays full-corpus: every vector coded in all m subspaces
+    cb_df = PQ.pq_train(emb, "vec_id", "embedding", m=4, ksub=8,
+                        n_iter=2, dim=64, train_fraction=0.5)
+    codes = PQ.pq_encode(emb, "vec_id", "embedding", cb_df, m=4, dim=64)
+    per = codes.groupBy("id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per] == [4]

@@ -181,3 +181,73 @@ def test_ivfpq_index_partition_prunes_and_appends(spark, sf_dir, tmp_path):
     rows2 = {(r.q_id, r.vec_id, r.adc) for r in PQ.ivfpq_index_topk(
         qs, "vec_id", "embedding", spark, idx, k=3, nprobe=2).collect()}
     assert rows2 == rows
+
+
+def test_purge_ivfpq_preserves_partitioned_layout(spark, sf_dir, tmp_path):
+    """The r10-ADVICE misuse: purging an IVF-PQ index through the flat
+    rewrite demoted cid to a data column, so the next partitioned
+    append produced a layout partition discovery rejects (and pruning
+    was lost even before that). Purge is now layout-aware and
+    seek-shaped: only cid directories holding forgotten ids rewrite,
+    untouched cluster files stay byte-identical, appends keep working,
+    and no answer mentions a forgotten id."""
+    import os as _os
+
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    PQ.build_ivfpq_index(old, "vec_id", "embedding", idx, nlist=8,
+                         m=4, ksub=8, n_iter=2, dim=64)
+    codes_dir = _os.path.join(idx, "codes")
+
+    def _leaf_bytes():
+        out = {}
+        for d in sorted(_os.listdir(codes_dir)):
+            if not d.startswith("cid="):
+                continue
+            leaf = _os.path.join(codes_dir, d)
+            out[d] = {f: _os.path.getsize(_os.path.join(leaf, f))
+                      for f in sorted(_os.listdir(leaf))
+                      if f.endswith(".parquet")}
+        return out
+
+    before = _leaf_bytes()
+    victims = [r.vec_id for r in
+               old.filter(F.col("vec_id") % 10 == 4)
+               .select("vec_id").collect()][:8]
+    hit_cids = {r.cid for r in
+                spark.read.parquet(codes_dir)
+                .filter(F.col("id").isin(victims))
+                .select("cid").distinct().collect()}
+    n = PQ.purge_ivfpq_codes(spark, idx, victims)
+    assert n == len(hit_cids) > 0
+    after = _leaf_bytes()
+    # layout intact: still cid= directories, and untouched clusters'
+    # files are byte-identical (seek-shaped — only hit dirs rewrote)
+    assert set(after) <= set(before)
+    for d, files in before.items():
+        if int(d.split("=", 1)[1]) not in hit_cids:
+            assert after[d] == files
+    # replayed purge: true no-op
+    assert PQ.purge_ivfpq_codes(spark, idx, victims) == 0
+
+    # the append the flat rewrite used to poison
+    PQ.append_ivfpq_index(new, "vec_id", "embedding", spark, idx)
+    qs = emb.filter(F.col("vec_id") < 6)
+    rows = PQ.ivfpq_index_topk(qs, "vec_id", "embedding", spark, idx,
+                               k=3, nprobe=2).collect()
+    assert rows and not any(r.vec_id in set(victims) for r in rows)
+    # pruning still works: the codes scan keeps its partition column
+    plan = (spark.read.parquet(codes_dir)
+            .filter(F.col("cid").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:300]
+    # and a flat PQ index refuses the ivfpq entry point
+    flat = str(tmp_path / "flat")
+    PQ.build_pq_index(old, "vec_id", "embedding", flat, m=4, ksub=8,
+                      n_iter=2, dim=64)
+    import pytest
+    with pytest.raises(AssertionError, match="flat PQ index"):
+        PQ.purge_ivfpq_codes(spark, flat, victims)
