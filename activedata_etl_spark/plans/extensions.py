@@ -114,7 +114,33 @@ def _ann_topk(spark, df, spec) -> DataFrame:
                           ksub=int(spec.get("ksub", 8)),
                           n_iter=int(spec.get("n_iter", 2)),
                           dim=int(spec.get("dim", 64)))
-    raise ValueError(f"unknown ann method {method!r}: brute|lsh|pq")
+    if method in ("pq_index", "ivfpq_index"):
+        # SERVING path (r11, VERDICT r10 #3): answer from a PERSISTED
+        # index — the frozen codebook (+ centroids for ivfpq) and the
+        # stored codes; no training, no raw-vector read. ``index``
+        # names an ATTACHED index base dir (serve(..., indexes=...) /
+        # io.register_index_path) — the jx surface resolves indexes by
+        # NAME only, never raw filesystem paths (the
+        # prefix_stable_delta convention). ``nprobe`` bounds the probed
+        # clusters for ivfpq_index.
+        from ..ext import pq as PQ
+        from ..io import index_path
+
+        name = spec.get("index")
+        base = index_path(name) if isinstance(name, str) else None
+        if base is None:
+            raise ValueError(
+                f"ann_topk method {method!r} needs 'index' naming an "
+                "attached PQ index (serve(..., indexes={name: base_dir}) "
+                "or io.register_index_path)")
+        qdf = df.filter(compile_expr(spec["queries"])) if "queries" in spec \
+            else df
+        if method == "pq_index":
+            return PQ.pq_index_topk(qdf, id_col, vec_col, spark, base, k=k)
+        return PQ.ivfpq_index_topk(qdf, id_col, vec_col, spark, base, k=k,
+                                   nprobe=int(spec.get("nprobe", 2)))
+    raise ValueError(
+        f"unknown ann method {method!r}: brute|lsh|pq|pq_index|ivfpq_index")
 
 
 @_op("quality_gate")
@@ -533,7 +559,8 @@ def _prefix_stable_delta(spark, df, spec) -> DataFrame:
         spark, os.path.join(base, "idx"), os.path.join(base, "order"),
         df,
         spec.get("id", "doc_id"), spec.get("text", "text"),
-        threshold=float(spec.get("threshold", 0.5)))
+        threshold=float(spec.get("threshold", 0.5)),
+        pair_bound=str(spec.get("pair_bound", "aggregate")))
 
 
 @_op("resample")
