@@ -1437,7 +1437,8 @@ def append_positioned_index(df: DataFrame, id_col: str, text_col: str,
 def prefix_join_stable_delta(spark, path: str, order_path: str,
                              delta: DataFrame, id_col: str, text_col: str,
                              threshold: float = 0.5,
-                             shingle_n: int | None = 3) -> DataFrame:
+                             shingle_n: int | None = 3,
+                             pair_bound: str = "aggregate") -> DataFrame:
     """The stable-order form of :func:`prefix_join_index_delta`: pairs
     between a NEW batch and the stored corpus (plus within-batch pairs)
     at Jaccard >= threshold, recall 1.0, with the stored side's prefix
@@ -1457,6 +1458,9 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     """
     import os
 
+    if pair_bound not in ("positional", "aggregate"):
+        raise ValueError(
+            f"pair_bound must be positional|aggregate, got {pair_bound!r}")
     t = float(threshold)
     elems = (shingles(tokens(text_col), shingle_n) if shingle_n
              else F.array_distinct(tokens(text_col)))
@@ -1524,29 +1528,62 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     s = prefix(stored).select(F.col("id").alias("id_s"),
                               F.col("n").alias("n_s"),
                               F.col("pos").alias("__ps__"), "s")
-    o_req_ds = F.ceil((F.col("n_d") + F.col("n_s"))
-                      * F.lit(t / (1.0 + t)) - 1e-9)
-    cross = (d.join(s, "s")
-             .filter((F.col("n_s") >= F.col("n_d") * F.lit(t) - 1e-9)
-                     & (F.col("n_d") >= F.col("n_s") * F.lit(t) - 1e-9)
-                     & (F.least(F.col("n_d") - F.col("__pd__"),
-                                F.col("n_s") - F.col("__ps__")) + 1
-                        >= o_req_ds))
-             .select(F.least("id_d", "id_s").alias("id_a"),
-                     F.greatest("id_d", "id_s").alias("id_b")))
+    len_ds = ((F.col("n_s") >= F.col("n_d") * F.lit(t) - 1e-9)
+              & (F.col("n_d") >= F.col("n_s") * F.lit(t) - 1e-9))
     d2 = d.select(F.col("id_d").alias("id_b"), F.col("n_d").alias("n_b"),
                   F.col("__pd__").alias("__pb__"), "s")
-    o_req_dd = F.ceil((F.col("n_d") + F.col("n_b"))
-                      * F.lit(t / (1.0 + t)) - 1e-9)
-    within = (d.join(d2, "s")
-              .filter((F.col("id_d") < F.col("id_b"))
-                      & (F.col("n_b") >= F.col("n_d") * F.lit(t) - 1e-9)
-                      & (F.col("n_d") >= F.col("n_b") * F.lit(t) - 1e-9)
-                      & (F.least(F.col("n_d") - F.col("__pd__"),
-                                 F.col("n_b") - F.col("__pb__")) + 1
-                         >= o_req_dd))
-              .select(F.col("id_d").alias("id_a"), "id_b"))
-    cand = cross.unionByName(within).distinct()
+    len_dd = ((F.col("n_b") >= F.col("n_d") * F.lit(t) - 1e-9)
+              & (F.col("n_d") >= F.col("n_b") * F.lit(t) - 1e-9))
+    if pair_bound == "aggregate":
+        # PPJoin+ pair bound, ported from prefix_candidates (r11): both
+        # sides are positioned under the SAME frozen order, so the
+        # _cand_aggregate proof applies verbatim — c counts ALL shared
+        # both-prefix elements exactly and the remainder sits strictly
+        # after both max positions. The per-row positional filter must
+        # NOT run first (it would undercount c); the bound replaces it.
+        # Measured at the 10× rig's 50%-fixture: 1.24M positional
+        # candidates → the aggregate survivors feed the long-form
+        # verify, which priced at 17.3s of the 24.3s delta wall.
+        swap = F.col("id_d") > F.col("id_s")
+        cross_rows = (
+            d.join(s, "s").filter(len_ds)
+            .select(F.least("id_d", "id_s").alias("id_a"),
+                    F.greatest("id_d", "id_s").alias("id_b"),
+                    F.when(swap, F.col("n_s")).otherwise(F.col("n_d"))
+                    .alias("n_a"),
+                    F.when(swap, F.col("n_d")).otherwise(F.col("n_s"))
+                    .alias("n_b"),
+                    F.when(swap, F.col("__ps__")).otherwise(F.col("__pd__"))
+                    .alias("__pa__"),
+                    F.when(swap, F.col("__pd__")).otherwise(F.col("__ps__"))
+                    .alias("__pb__")))
+        within_rows = (
+            d.join(d2, "s")
+            .filter((F.col("id_d") < F.col("id_b")) & len_dd)
+            .select(F.col("id_d").alias("id_a"), "id_b",
+                    F.col("n_d").alias("n_a"), "n_b",
+                    F.col("__pd__").alias("__pa__"),
+                    F.col("__pb__")))
+        cand = _cand_aggregate(cross_rows.unionByName(within_rows), t)
+    else:
+        o_req_ds = F.ceil((F.col("n_d") + F.col("n_s"))
+                          * F.lit(t / (1.0 + t)) - 1e-9)
+        cross = (d.join(s, "s")
+                 .filter(len_ds
+                         & (F.least(F.col("n_d") - F.col("__pd__"),
+                                    F.col("n_s") - F.col("__ps__")) + 1
+                            >= o_req_ds))
+                 .select(F.least("id_d", "id_s").alias("id_a"),
+                         F.greatest("id_d", "id_s").alias("id_b")))
+        o_req_dd = F.ceil((F.col("n_d") + F.col("n_b"))
+                          * F.lit(t / (1.0 + t)) - 1e-9)
+        within = (d.join(d2, "s")
+                  .filter((F.col("id_d") < F.col("id_b")) & len_dd
+                          & (F.least(F.col("n_d") - F.col("__pd__"),
+                                     F.col("n_b") - F.col("__pb__")) + 1
+                             >= o_req_dd))
+                  .select(F.col("id_d").alias("id_a"), "id_b"))
+        cand = cross.unionByName(within).distinct()
     # verify over (id, s) rows from BOTH sides — the positioned index
     # doubles as the element store, and the delta side reads the
     # PERSISTED new_pos rows (new_tok's lineage would re-run the

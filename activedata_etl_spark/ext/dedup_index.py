@@ -110,7 +110,8 @@ def _sig_flat(df: DataFrame, id_col: str, text_col: str, n_hashes: int,
 
 def _write_derived(spark: SparkSession, sh: DataFrame, id_col: str,
                    path: str, meta: dict, mode: str,
-                   sig: DataFrame | None = None) -> None:
+                   sig: DataFrame | None = None,
+                   spill: bool = False) -> None:
     """Band + shingle-set shards for one build/append, in layout v2.
 
     On a BUILD the band rows derive from the just-written
@@ -122,22 +123,41 @@ def _write_derived(spark: SparkSession, sh: DataFrame, id_col: str,
     batch to extract batch-sized rows — the read-modify-write shape the
     streaming measurement exists to catch (r10). ``repartition`` on the
     directory keys keeps output to one file per written directory
-    instead of one per upstream task."""
+    instead of one per upstream task.
+
+    ``spill=True`` (appends — VERDICT r10 #4): a nightly batch fanned
+    one small file into EVERY touched (band_idx, sbkt) / ibkt directory
+    — ≤160 files per append, write amplification growing with the
+    bucket count, not the batch. Spilled appends instead land as ONE
+    batch-sized sorted file per table in ``bands_spill/`` /
+    ``sets_spill/`` (bucket keys carried as ordinary columns); readers
+    union the bucketed layout with the spill, and compact_index folds
+    spill rows into their home directories on the compaction cadence —
+    so steady-state reads stay seek-shaped while per-append file count
+    is O(1)."""
     if sig is not None:
         sig_stored = sig
     else:
         sig_stored = spark.read.parquet(os.path.join(path, "signatures"))
-    (_banded(sig_stored)
-     .withColumn("sbkt", F.pmod(F.xxhash64("band_sig"),
-                                F.lit(meta["sbkt"])).cast("int"))
+    bands = (_banded(sig_stored)
+             .withColumn("sbkt", F.pmod(F.xxhash64("band_sig"),
+                                        F.lit(meta["sbkt"])).cast("int")))
+    sets_ = (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
+             .select(F.col(id_col).alias("id"), "sh")
+             .withColumn("ibkt", F.pmod(F.xxhash64("id"),
+                                        F.lit(meta["ibkt"])).cast("int")))
+    if spill:
+        (bands.coalesce(1).sortWithinPartitions("band_sig")
+         .write.mode("append").parquet(os.path.join(path, "bands_spill")))
+        (sets_.coalesce(1).sortWithinPartitions("id")
+         .write.mode("append").parquet(os.path.join(path, "sets_spill")))
+        return
+    (bands
      .repartition("band_idx", "sbkt")
      .sortWithinPartitions("band_sig")  # row-group stats → IN-pushdown seeks
      .write.mode(mode).partitionBy("band_idx", "sbkt")
      .parquet(os.path.join(path, "bands")))
-    (sh.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
-     .select(F.col(id_col).alias("id"), "sh")
-     .withColumn("ibkt", F.pmod(F.xxhash64("id"),
-                                F.lit(meta["ibkt"])).cast("int"))
+    (sets_
      .repartition("ibkt")
      .sortWithinPartitions("id")  # row-group stats → IN-pushdown seeks
      .write.mode(mode).partitionBy("ibkt")
@@ -180,8 +200,25 @@ def read_signatures(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_shingle_sets(spark: SparkSession, path: str) -> DataFrame:
-    return (spark.read.parquet(os.path.join(path, "shingle_sets"))
-            .select("id", "sh"))
+    base = spark.read.parquet(os.path.join(path, "shingle_sets"))
+    if "ibkt" not in base.columns:  # legacy v1 layout: flat, no spill
+        return base.select("id", "sh")
+    return _read_sets_with_ibkt(spark, path).select("id", "sh")
+
+
+def _read_sets_with_ibkt(spark: SparkSession, path: str) -> DataFrame:
+    """shingle_sets ∪ the unfolded append spill (id, sh, ibkt) — ibkt is
+    a partition column on the bucketed side, an ordinary column on the
+    spill side; above the union it is just a column, and Catalyst
+    pushes ibkt/id filters through the union into both scans (directory
+    pruning on the bucketed child, row-group stats on the spill)."""
+    out = (spark.read.parquet(os.path.join(path, "shingle_sets"))
+           .select("id", "sh", "ibkt"))
+    spill = os.path.join(path, "sets_spill")
+    if os.path.isdir(spill):
+        out = out.unionByName(
+            spark.read.parquet(spill).select("id", "sh", "ibkt"))
+    return out
 
 
 def _banded(sig: DataFrame) -> DataFrame:
@@ -193,8 +230,18 @@ def _banded(sig: DataFrame) -> DataFrame:
 
 
 def _read_bands(spark: SparkSession, path: str) -> DataFrame:
-    return (spark.read.parquet(os.path.join(path, "bands"))
+    out = (spark.read.parquet(os.path.join(path, "bands"))
+           .select("id", "band_idx", "band_sig", "sbkt"))
+    spill = os.path.join(path, "bands_spill")
+    if os.path.isdir(spill):
+        # unfolded appends: (band_idx, sbkt) are ordinary columns here;
+        # the lookup regime's prune predicate still reaches both scans
+        # (pushed through the union — dirs on the bucketed child,
+        # row-group stats on the sorted spill files)
+        out = out.unionByName(
+            spark.read.parquet(spill)
             .select("id", "band_idx", "band_sig", "sbkt"))
+    return out
 
 
 def candidate_pairs_from_index(spark: SparkSession, path: str,
@@ -258,7 +305,7 @@ def append_to_index(df_new: DataFrame, id_col: str, text_col: str, path: str,
         sig.write.mode("append").parquet(os.path.join(path, "signatures"))
         if meta is not None:
             _write_derived(df_new.sparkSession, sh, id_col, path, meta,
-                           "append", sig=sig)
+                           "append", sig=sig, spill=True)
             # increment the doc count by this batch (batch-sized; a
             # full recount paid an index-sized read per append — r10).
             # Replay-safe: a re-appended batch double-counts here,
@@ -342,13 +389,24 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
 
     from .dedup import _materialize_release
 
+    sh_new = sh_new.persist()  # feeds BOTH the minhash and the verify's
+    # sets_new leg — unpersisted, the verify re-tokenized the delta
+    # (measured ~10% of the 1% nightly wall, r11)
     banded_new = banded_new.withColumn(
         "sbkt", F.pmod(F.xxhash64("band_sig"),
                        F.lit(meta["sbkt"])).cast("int")).persist()
-    # sizing probe: which regime is this delta? (persisted — every
-    # later consumer reads the materialized band rows, so the count's
-    # real cost, tokenizing the delta once, is work all paths need)
-    n_delta_bands = banded_new.count()
+    # sizing probe: which regime is this delta? ONE action returns both
+    # the band-row count AND the exact directory-hit count (persisted —
+    # every later consumer reads the materialized band rows, so the
+    # probe's real cost, tokenizing the delta once, is work all paths
+    # need; the dir count decides the lookup regime BEFORE any collect,
+    # where v2.0 collected the keys first and threw them away when the
+    # budget failed — a wasted driver round-trip on every nightly run)
+    sizing = banded_new.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("band_idx", "sbkt").alias("nd")).first()
+    n_delta_bands = int(sizing["n"])
+    n_dirs_hit = int(sizing["nd"])
     stored_bands_total = meta.get("n_docs", 0) * meta["n_bands"]
     if (stored_bands_total and
             n_delta_bands > _BULK_FRACTION * stored_bands_total):
@@ -376,9 +434,11 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
         sets_ = (sets_new.unionByName(read_shingle_sets(spark, path))
                  .dropDuplicates(["id"]))
         return _materialize_release(
-            _verify_jaccard(cands, sets_, threshold), banded_new)
+            _verify_jaccard(cands, sets_, threshold), banded_new, sh_new)
     stored_b = _read_bands(spark, path)
-    if n_delta_bands <= _LOOKUP_CAP:
+    n_dirs = int(meta["sbkt"]) * int(meta["n_bands"])
+    if (n_delta_bands <= _LOOKUP_CAP
+            and n_dirs_hit <= max(1, int(n_dirs * _LOOKUP_DIR_BUDGET))):
         # lookup regime: literal pushdown — (band_idx, sbkt) prunes
         # directories, band_sig IN (...) skips row groups (sorted
         # files). The predicate is an OR over the hit directory groups
@@ -388,20 +448,20 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
         # is pure per-row overhead (the r10 rig measured a 200-key
         # delta — ~100 of 128 dirs hit — at 4.6s lookup vs ~1.3s as a
         # plain join), so a poorly-pruning delta falls through to the
-        # batch regime's equi-join. The collect is ≤ _LOOKUP_CAP rows.
+        # batch regime's equi-join. Both gates are decided from the
+        # sizing aggregate — the keys are only collected once the
+        # regime is CHOSEN (≤ _LOOKUP_CAP rows).
         hit: dict[tuple[int, int], list[str]] = {}
         for r in banded_new.select("band_idx", "sbkt",
                                    "band_sig").distinct().collect():
             hit.setdefault((int(r["band_idx"]), int(r["sbkt"])),
                            []).append(r["band_sig"])
-        n_dirs = int(meta["sbkt"]) * int(meta["n_bands"])
-        if len(hit) <= max(1, int(n_dirs * _LOOKUP_DIR_BUDGET)):
-            prune = F.lit(False)
-            for (bi, bk), sigs in hit.items():
-                prune = prune | ((F.col("band_idx") == bi)
-                                 & (F.col("sbkt") == bk)
-                                 & F.col("band_sig").isin(sigs))
-            stored_b = stored_b.filter(prune)
+        prune = F.lit(False)
+        for (bi, bk), sigs in hit.items():
+            prune = prune | ((F.col("band_idx") == bi)
+                             & (F.col("sbkt") == bk)
+                             & F.col("band_sig").isin(sigs))
+        stored_b = stored_b.filter(prune)
     a = banded_new.alias("a")
     cross = (a.join(stored_b.alias("b"),
                     (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -419,12 +479,17 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     cand_ids = (cands.select(F.col("id_a").alias("id"))
                 .unionByName(cands.select(F.col("id_b").alias("id")))
                 .distinct())
-    stored_sets = spark.read.parquet(os.path.join(path, "shingle_sets"))
-    n_cands = cand_ids.count()  # candidate-bounded (persisted cands)
-    if n_cands <= _SEEK_CAP:
-        rows = (cand_ids.withColumn(
-            "ibkt", F.pmod(F.xxhash64("id"),
-                           F.lit(meta["ibkt"])).cast("int")).collect())
+    stored_sets = _read_sets_with_ibkt(spark, path)
+    # sizing + seek keys in ONE action: limit(cap+1) both bounds the
+    # collect and answers "≤ cap?" (v2.0 ran a count, then a second
+    # collect over the same persisted cands — one driver round-trip per
+    # nightly run for nothing). The action materializes the cands
+    # persist; the verify below reuses it.
+    rows = (cand_ids.withColumn(
+        "ibkt", F.pmod(F.xxhash64("id"),
+                       F.lit(meta["ibkt"])).cast("int"))
+        .limit(_SEEK_CAP + 1).collect())
+    if len(rows) <= _SEEK_CAP:
         ids = [r["id"] for r in rows]
         ibkts = sorted({int(r["ibkt"]) for r in rows})
         stored_sets = (stored_sets
@@ -440,7 +505,7 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
              .unionByName(stored_sets.select("id", "sh"))
              .dropDuplicates(["id"]))
     return _materialize_release(_verify_jaccard(cands, sets_, threshold),
-                                banded_new, cands)
+                                banded_new, cands, sh_new)
 
 
 def _verify_jaccard(cands: DataFrame, sets_: DataFrame,
@@ -527,6 +592,11 @@ def purge_from_index(spark: SparkSession, path: str, ids) -> int:
         for k in ibkts:
             rewritten += _purge_dir(
                 os.path.join(path, "shingle_sets", f"ibkt={k}"))
+        # unfolded append spill: batch-sized by construction, so each
+        # spill table purges as ONE probed unit (still membership-gated
+        # — an untouched spill stays byte-identical)
+        for d in ("bands_spill", "sets_spill"):
+            rewritten += _purge_dir(os.path.join(path, d))
         atomic_rewrite(sig.join(F.broadcast(ids_df), "id", "left_anti"),
                        os.path.join(path, "signatures"))
         rewritten += 1
@@ -568,6 +638,49 @@ def compact_index(spark: SparkSession, path: str) -> int:
                        .sortWithinPartitions(sort_col), d)
 
     rewritten = 0
+    # fold the append spill into its home directories FIRST (r11 — the
+    # delta-spill design: appends write one batch-sized file per table;
+    # compaction moves those rows into the bucketed layout). Crash
+    # safety: the fold dedups rows (replayed appends write identical
+    # rows, and a crash between fold and spill-removal leaves rows
+    # duplicated across leaf+spill — every reader dedups candidates/ids
+    # anyway, and the next compaction converges because the fold is a
+    # distinct-union, not a blind append).
+    import shutil as _shutil
+
+    bands_spill = os.path.join(path, "bands_spill")
+    if os.path.isdir(bands_spill):
+        spill = spark.read.parquet(bands_spill).persist()
+        homes = spill.select("band_idx", "sbkt").distinct().collect()
+        for r in homes:
+            leaf = os.path.join(path, "bands", f"band_idx={r['band_idx']}",
+                                f"sbkt={r['sbkt']}")
+            rows = (spill.filter((F.col("band_idx") == r["band_idx"])
+                                 & (F.col("sbkt") == r["sbkt"]))
+                    .select("id", "band_sig"))
+            if os.path.isdir(leaf):
+                rows = rows.unionByName(
+                    spark.read.parquet(leaf).select("id", "band_sig"))
+            atomic_rewrite(rows.distinct().coalesce(1)
+                           .sortWithinPartitions("band_sig"), leaf)
+            rewritten += 1
+        spill.unpersist()
+        _shutil.rmtree(bands_spill, ignore_errors=True)
+    sets_spill = os.path.join(path, "sets_spill")
+    if os.path.isdir(sets_spill):
+        spill = spark.read.parquet(sets_spill).persist()
+        for r in spill.select("ibkt").distinct().collect():
+            leaf = os.path.join(path, "shingle_sets", f"ibkt={r['ibkt']}")
+            rows = (spill.filter(F.col("ibkt") == r["ibkt"])
+                    .select("id", "sh"))
+            if os.path.isdir(leaf):
+                rows = rows.unionByName(
+                    spark.read.parquet(leaf).select("id", "sh"))
+            atomic_rewrite(rows.dropDuplicates(["id"]).coalesce(1)
+                           .sortWithinPartitions("id"), leaf)
+            rewritten += 1
+        spill.unpersist()
+        _shutil.rmtree(sets_spill, ignore_errors=True)
     for leaf in _glob.glob(os.path.join(path, "bands", "band_idx=*",
                                         "sbkt=*")):
         if len(_files(leaf)) > 1:
