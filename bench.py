@@ -193,16 +193,30 @@ CALIB_FLOOR_SEC = 0.052  # medians of 3 fresh sessions: .0541/.0479/.0527
 DRIFT_FLAG_RATIO = 1.2
 
 
-def _calibrate(spark, n_runs: int) -> float:
-    probe = spark.range(64, numPartitions=1).cache()
-    probe.count()  # materialize the cache (warm-up, discarded)
+def _calibrate(spark, n_runs: int, probe=None) -> float:
+    own = probe is None
+    if own:
+        probe = _probe_frame(spark)
     runs = []
     for _ in range(max(n_runs, 7)):
         t0 = time.perf_counter()
         probe.collect()
         runs.append(time.perf_counter() - t0)
-    probe.unpersist()
+    if own:
+        probe.unpersist()
     return round(sorted(runs)[len(runs) // 2], 4)
+
+
+def _probe_frame(spark):
+    probe = spark.range(64, numPartitions=1).cache()
+    probe.count()  # materialize the cache (warm-up, discarded)
+    return probe
+
+
+def _probe_once(probe) -> float:
+    t0 = time.perf_counter()
+    probe.collect()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -214,8 +228,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     mins: dict[str, float] = {}
+    qdrift: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    calib = _calibrate(spark, n_runs)
+    probe = _probe_frame(spark)
+    calib = _calibrate(spark, n_runs, probe)
     for name in HEADLINE:
         # Build the plan ONCE: the timed region is execution, not Python
         # plan construction / Catalyst re-analysis / parquet footer reads.
@@ -238,8 +254,16 @@ def main() -> None:
         runs += [one_run() for _ in range(n_runs - 1)]
         times[name] = round(sorted(runs)[len(runs) // 2], 3)
         mins[name] = round(min(runs), 3)
-        print(f"  {name}: {times[name]}s (min {mins[name]}s)",
-              file=sys.stderr)
+        # per-query LOCAL drift (VERDICT r10 #6): three probe collects
+        # right after this query's timed runs, so a transient load
+        # spike during THIS query's window is distinguishable from a
+        # real plan regression — session-level calib can't see a spike
+        # that lands on one 40ms query and is gone by the next (the
+        # corpus_global_shuffle 3.56× class of question)
+        qc = sorted(_probe_once(probe) for _ in range(3))[1]
+        qdrift[name] = round(qc / CALIB_FLOOR_SEC, 2)
+        print(f"  {name}: {times[name]}s (min {mins[name]}s, "
+              f"drift {qdrift[name]})", file=sys.stderr)
 
     drift = round(calib / CALIB_FLOOR_SEC, 2)
     total = round(sum(times.values()), 3)
@@ -262,7 +286,8 @@ def main() -> None:
         # a same-day measurement (BASELINE.md r9 note).
         "value_norm": round(total / max(drift, 0.01), 3),
     }
-    full = {**compact, "queries": times, "queries_min": mins}
+    full = {**compact, "queries": times, "queries_min": mins,
+            "queries_drift": qdrift}
     # summary keys lead the long line so a HEAD-truncated capture keeps
     # the totals; the per-query dicts follow on their own lines; the
     # compact totals-only object (<200 bytes) is the FINAL line so any
