@@ -1469,7 +1469,14 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
                .select(F.col(id_col).alias("id"), F.explode(elems).alias("s")))
     order = spark.read.parquet(order_path)
     epoch = _order_epoch(order)
-    new_pos = _positioned_rows(new_tok, order.select("s", "df")).persist()
+    # UNPERSISTED by design (r11): new_pos has three consumers (two
+    # candidate legs + the verify), but caching it was measured SLOWER
+    # at the 10× rig's bulk fixture — the cache write serializes the
+    # full positioned rows, while without it Catalyst column-prunes the
+    # position Window entirely out of the verify leg (which only needs
+    # (id, s)) and the recomputes pipeline inside each consumer's own
+    # stage. A 1% nightly delta re-tokenizes ~nothing in absolute terms.
+    new_pos = _positioned_rows(new_tok, order.select("s", "df"))
     # no read-time dedup: batch-keyed OVERWRITE makes replay idempotent
     stored_raw = (spark.read.option("basePath", os.path.join(path, "rows"))
                   .parquet(os.path.join(path, "rows")))
@@ -1541,9 +1548,12 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
         # both-prefix elements exactly and the remainder sits strictly
         # after both max positions. The per-row positional filter must
         # NOT run first (it would undercount c); the bound replaces it.
-        # Measured at the 10× rig's 50%-fixture: 1.24M positional
-        # candidates → the aggregate survivors feed the long-form
-        # verify, which priced at 17.3s of the 24.3s delta wall.
+        # Honest rig numbers (SCALE.md r11): on the word-salted bulk
+        # fixture it prunes only 1.24M → 1.19M (matches land early, so
+        # the suffix-capacity term stays loose) at the same join cost —
+        # kept as the default because it is never weaker than a single
+        # row's bound and wins on template-boilerplate corpora (the
+        # prefix_candidates measurement: 310k → 125k).
         swap = F.col("id_d") > F.col("id_s")
         cross_rows = (
             d.join(s, "s").filter(len_ds)
@@ -1585,15 +1595,14 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
                   .select(F.col("id_d").alias("id_a"), "id_b"))
         cand = cross.unionByName(within).distinct()
     # verify over (id, s) rows from BOTH sides — the positioned index
-    # doubles as the element store, and the delta side reads the
-    # PERSISTED new_pos rows (new_tok's lineage would re-run the
-    # shingle/explode scan a second time), so nothing is re-tokenized
+    # doubles as the element store; the delta leg goes through new_pos
+    # so Catalyst prunes it to (id, s) (the Window drops out of this
+    # branch entirely — see the unpersisted-by-design note above)
     tok_all = (new_pos.select("id", "s")
                .unionByName(stored.select("id", "s"))
                .select(F.col("id").alias("__id__"), F.col("s").alias("__s__")))
     return _materialize_release(
-        jaccard_pairs_counts(cand, tok_all, "__id__", threshold=t),
-        new_pos)
+        jaccard_pairs_counts(cand, tok_all, "__id__", threshold=t))
 
 
 def prefix_order_staleness(spark, path: str, order_path: str) -> DataFrame:

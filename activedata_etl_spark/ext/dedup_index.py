@@ -54,6 +54,27 @@ from .dedup import band_keys, minhash_table, shingle_table
 # build_index, recorded in the meta file — queries adapt automatically).
 _SBKT = 32
 _IBKT = 32
+# Target bytes per bucket directory for the size-adaptive layout (r11).
+# A FIXED 32×4-directory fan-out was wrong at both ends of the scale:
+# at sf0.1 it spread a 5 MB band table over 128 ~40 KB files (160
+# footer reads per unpruned delta scan — the measured ~1s floor of the
+# 1% nightly query was file opens, not data), while at 100 TB the same
+# 32 caps out far too small. Buckets now derive from the indexed doc
+# count at build time so directories land near _BUCKET_TARGET_BYTES;
+# the cap keeps the directory count bounded (pruning lists stay
+# driver-trivial) and row-group stats on the sorted files carry the
+# seek behavior INSIDE each directory whatever the bucket count.
+_BUCKET_TARGET_BYTES = 16 << 20
+_BAND_ROW_BYTES = 40      # id + 32-hex band_sig + overhead, parquet-encoded
+_SET_ROW_BYTES = 1000     # id + ~120-shingle string array
+
+
+def _auto_buckets(n_docs: int, n_bands: int) -> tuple[int, int]:
+    sbkt = max(1, min(_SBKT,
+                      n_docs * n_bands * _BAND_ROW_BYTES
+                      // (_BUCKET_TARGET_BYTES * n_bands)))
+    ibkt = max(1, min(_IBKT, n_docs * _SET_ROW_BYTES // _BUCKET_TARGET_BYTES))
+    return int(sbkt), int(ibkt)
 # Lookup-regime threshold for the BAND stage: the literal predicate is
 # an OR over the delta's distinct (band_idx, sbkt) groups, each with a
 # band_sig IN list — every surviving ROW evaluates that whole chain, so
@@ -166,8 +187,8 @@ def _write_derived(spark: SparkSession, sh: DataFrame, id_col: str,
 
 def build_index(df: DataFrame, id_col: str, text_col: str, path: str,
                 n_hashes: int = 16, n_bands: int = 4,
-                shingle_n: int = 3, n_sig_buckets: int = _SBKT,
-                n_set_buckets: int = _IBKT) -> None:
+                shingle_n: int = 3, n_sig_buckets: int | None = None,
+                n_set_buckets: int | None = None) -> None:
     """Materialize signatures, the bucketed band table and bucketed
     shingle sets under ``path``.
 
@@ -176,20 +197,25 @@ def build_index(df: DataFrame, id_col: str, text_col: str, path: str,
     reuse that partitioning. Band keys are stored denormalized so candidate
     generation later is a pure read, no hashing — and in the v2 layout
     already exploded into ``(band_idx, sbkt)`` directories so delta
-    queries prune to the collidable partitions."""
+    queries prune to the collidable partitions. Bucket counts default to
+    SIZE-ADAPTIVE (_auto_buckets, from the indexed doc count): a fixed
+    fan-out was 160 tiny files at sf0.1 and the measured floor of the
+    nightly delta's stored scan; pass explicit counts to pin a layout."""
     meta = {"layout": 2, "n_hashes": n_hashes, "n_bands": n_bands,
-            "shingle_n": shingle_n, "sbkt": int(n_sig_buckets),
-            "ibkt": int(n_set_buckets)}
+            "shingle_n": shingle_n}
     sh = shingle_table(df, id_col, text_col, shingle_n).persist()
     try:
         (_sig_flat(df, id_col, text_col, n_hashes, n_bands, shingle_n, sh)
          .write.mode("overwrite").parquet(os.path.join(path, "signatures")))
-        _write_derived(df.sparkSession, sh, id_col, path, meta, "overwrite")
         # indexed doc count (signature rows — docs below shingle_n
-        # tokens drop out) sizes the delta-query regime choice; read
-        # from the written files, not the lineage
+        # tokens drop out) sizes the delta-query regime choice AND the
+        # bucket fan-out; read from the written files, not the lineage
         meta["n_docs"] = (df.sparkSession.read
                           .parquet(os.path.join(path, "signatures")).count())
+        auto_s, auto_i = _auto_buckets(meta["n_docs"], n_bands)
+        meta["sbkt"] = int(n_sig_buckets) if n_sig_buckets else auto_s
+        meta["ibkt"] = int(n_set_buckets) if n_set_buckets else auto_i
+        _write_derived(df.sparkSession, sh, id_col, path, meta, "overwrite")
         _write_meta(path, **meta)
     finally:
         sh.unpersist()
@@ -437,31 +463,36 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
             _verify_jaccard(cands, sets_, threshold), banded_new, sh_new)
     stored_b = _read_bands(spark, path)
     n_dirs = int(meta["sbkt"]) * int(meta["n_bands"])
-    if (n_delta_bands <= _LOOKUP_CAP
-            and n_dirs_hit <= max(1, int(n_dirs * _LOOKUP_DIR_BUDGET))):
-        # lookup regime: literal pushdown — (band_idx, sbkt) prunes
-        # directories, band_sig IN (...) skips row groups (sorted
-        # files). The predicate is an OR over the hit directory groups
-        # and every SURVIVING row evaluates the whole chain, so it only
-        # pays when the hit set actually prunes: past ~1/4 of the
-        # directories the survivors are the whole table and the chain
-        # is pure per-row overhead (the r10 rig measured a 200-key
-        # delta — ~100 of 128 dirs hit — at 4.6s lookup vs ~1.3s as a
-        # plain join), so a poorly-pruning delta falls through to the
-        # batch regime's equi-join. Both gates are decided from the
-        # sizing aggregate — the keys are only collected once the
-        # regime is CHOSEN (≤ _LOOKUP_CAP rows).
-        hit: dict[tuple[int, int], list[str]] = {}
-        for r in banded_new.select("band_idx", "sbkt",
-                                   "band_sig").distinct().collect():
-            hit.setdefault((int(r["band_idx"]), int(r["sbkt"])),
-                           []).append(r["band_sig"])
-        prune = F.lit(False)
-        for (bi, bk), sigs in hit.items():
-            prune = prune | ((F.col("band_idx") == bi)
-                             & (F.col("sbkt") == bk)
-                             & F.col("band_sig").isin(sigs))
-        stored_b = stored_b.filter(prune)
+    if n_delta_bands <= _LOOKUP_CAP:
+        # lookup regime, split into its two independent mechanisms
+        # (r11 — the r10 form coupled them and lost both when either
+        # failed):
+        # 1. ``band_sig IN (...)`` — ONE hash-set membership per row,
+        #    cheap at any selectivity, and row-group stats on the
+        #    sorted files turn it into seeks inside every directory.
+        #    Always pushed for a ≤_LOOKUP_CAP delta.
+        # 2. the (band_idx, sbkt) OR-chain — real directory pruning,
+        #    but every surviving row evaluates the whole chain, so it
+        #    only pays when the hit set actually prunes (the r10 rig
+        #    measured a 200-key delta — ~100 of 128 dirs hit — at 4.6s
+        #    vs ~1.3s as a plain join). Gated on the sizing aggregate's
+        #    exact directory-hit count, BEFORE any collect.
+        rows = banded_new.select("band_idx", "sbkt",
+                                 "band_sig").distinct().collect()
+        if n_dirs_hit <= max(1, int(n_dirs * _LOOKUP_DIR_BUDGET)):
+            hit: dict[tuple[int, int], list[str]] = {}
+            for r in rows:
+                hit.setdefault((int(r["band_idx"]), int(r["sbkt"])),
+                               []).append(r["band_sig"])
+            prune = F.lit(False)
+            for (bi, bk), sigs in hit.items():
+                prune = prune | ((F.col("band_idx") == bi)
+                                 & (F.col("sbkt") == bk)
+                                 & F.col("band_sig").isin(sigs))
+            stored_b = stored_b.filter(prune)
+        else:
+            stored_b = stored_b.filter(
+                F.col("band_sig").isin([r["band_sig"] for r in rows]))
     a = banded_new.alias("a")
     cross = (a.join(stored_b.alias("b"),
                     (F.col("a.band_idx") == F.col("b.band_idx"))
