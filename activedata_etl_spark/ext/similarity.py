@@ -541,13 +541,19 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
 
     Scale: reuses :func:`ivf_build` (broadcast-centroid assignment, no
     vector-table shuffle); representative selection is one max_by agg
-    over cid (nlist rows out, broadcast back). At corpus scale pick
-    nlist ≈ √N (SemDeDup uses ~√N clusters) so clusters stay balanced —
-    ``nlist="auto"`` does exactly that from one count() (the sf1 rig's
-    adjudication of the fixed-k forms: at 10× vectors a fixed nlist
-    means 10× cluster sizes and ×100 within-cluster pairwise work in
-    the refinement stages; √N keeps cluster size AND cluster count
-    growing as √N).
+    over cid (nlist rows out, broadcast back). ``nlist="auto"`` picks
+    ≈√N clusters (the SemDeDup contract) from one count().
+
+    Auto-vs-fixed adjudication (r11, measure_semantic_crossover): on
+    CLUSTERING ALONE the √N path has NOT crossed below fixed-16 at any
+    measured size — 2.14× at 20k, 2.47× at 80k, 1.48× at 200k vectors
+    (the ratio bends down past the constant-bound regime but stays
+    >1). √N-clustering-is-cheaper remains UNPROVEN below N≈10⁶; the
+    default therefore stays fixed nlist=16, and auto's justification
+    remains the REFINEMENT stage — fixed nlist means cluster sizes
+    grow with N and the within-cluster O(Σ cluster²) pair work grows
+    ×(N/nlist); √N keeps both cluster size and count at √N (the r8
+    composed-query evidence, where auto beat fixed end-to-end).
 
     Returns (id, cid, rep_id, cos_rep, keep)."""
     two_level = False
