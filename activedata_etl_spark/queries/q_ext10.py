@@ -26,15 +26,17 @@ def _sql_l2(a: str, b: str) -> str:
 
 
 def _pq_ctes(m: int = _M, ksub: int = _KSUB, n_iter: int = _ITER,
-             sub: int = _SUB, p: str = "") -> list[str]:
+             sub: int = _SUB, p: str = "", where: str = "") -> list[str]:
     """CTE chain mirroring pq.pq_train + pq_encode: {p}c{n_iter} is the
     trained codebook, {p}af the encoded corpus (vec_id, j, code). ``p``
     prefixes every CTE name so the chain composes with the shared IVF
-    chain (q_ext._ivf_ctes) in one oracle without name collisions."""
+    chain (q_ext._ivf_ctes) in one oracle without name collisions.
+    ``where`` restricts the source rows (the train_fraction twin)."""
     l2 = _sql_l2
     ctes = [
         f"{p}v AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)",
+        f" x -> CAST(x AS DOUBLE)) AS vv FROM embeddings"
+        f"{(' WHERE ' + where) if where else ''})",
         f"""{p}sv AS (
           SELECT vec_id, j, vv[(j*{sub}+1):(j*{sub}+{sub})] AS s
           FROM {p}v CROSS JOIN range({m}) t(j))""",
@@ -322,3 +324,36 @@ def sim_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < _NQ)
     return PQM.ivfpq_index_topk(qs, "vec_id", "embedding", spark, path,
                                 k=_K, nprobe=_NPROBE)
+
+
+def _pq_sampled_oracle() -> str:
+    from ..ext.sampling import sql_hash_bucket
+
+    thr = int(0.5 * 2 ** 32)
+    ctes = _pq_ctes(where=f"{sql_hash_bucket('vec_id', 'pqtrain:')} < {thr}")
+    # long form (j, code, dim i, value): the driver compare hashes
+    # scalars only — array columns are unhashable on its side
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT j, code, CAST(generate_subscripts(cvec, 1) - 1 AS BIGINT) AS i,
+           unnest(cvec) AS x
+    FROM c{_ITER}""")
+
+
+@query("sim_pq_train_sampled", oracle=_pq_sampled_oracle())
+def sim_pq_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook trained on the deterministic md5 half-sample
+    (ext/pq.pq_train train_fraction=0.5, r11): real deployments train
+    PQ codebooks on a sample because training is the only cost that
+    rescans the corpus per Lloyd iteration (measured 38.8 → 9.0s at the
+    10× rig with fraction=0.1), while encode stays full-corpus. The
+    oracle re-derives the sampled training chain — the md5 hash filter
+    (ext/sampling.sql_hash_bucket, the established sampling oracle
+    form) composed with the full PQ CTE chain — so a hash-match proves
+    the sampled codebook is bit-identical across engines, not merely
+    shaped right."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.pq_train(emb, "vec_id", "embedding", m=_M, ksub=_KSUB,
+                     n_iter=_ITER, dim=_DIM, train_fraction=0.5)
+    return cb.select("j", "code",
+                     F.posexplode("cvec").alias("i", "x")) \
+        .select("j", "code", F.col("i").cast("long").alias("i"), "x")
