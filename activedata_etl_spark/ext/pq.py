@@ -52,17 +52,65 @@ def l2(a: Column, b: Column) -> Column:
 
 
 def subvectors(df: DataFrame, id_col: str, vec_col: str,
-               m: int, dim: int) -> DataFrame:
+               m: int, dim: int,
+               perm: list[int] | None = None) -> DataFrame:
     """(id, j, sv): m contiguous slices per vector. ``dim`` is explicit
-    (no data probe — plan-only safe); vectors are cast to double once."""
+    (no data probe — plan-only safe); vectors are cast to double once.
+    ``perm`` (optional, from :func:`dim_permutation`) reorders the
+    dimensions BEFORE slicing — a plan-time projection (the literal
+    index list is applied element-wise), zero extra shuffle."""
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     sub = dim // m
-    v = df.select(F.col(id_col).alias("id"),
-                  _dvec(F.col(vec_col)).alias("__v__"))
+    vec = _dvec(F.col(vec_col))
+    if perm is not None:
+        assert sorted(perm) == list(range(dim)), "perm must permute 0..dim-1"
+        vec = F.array(*[F.element_at(vec, p + 1) for p in perm])
+    v = df.select(F.col(id_col).alias("id"), vec.alias("__v__"))
     slices = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.slice("__v__", j * sub + 1, sub))
     return (v.select("id", F.posexplode(slices).alias("j", "sv")))
+
+
+def dim_permutation(df: DataFrame, id_col: str, vec_col: str,
+                    m: int, dim: int) -> list[int]:
+    """Variance-balancing dimension permutation — the deterministic
+    OPQ-lite (Ge et al. CVPR 2013 motivate rotations by exactly this
+    imbalance; a PERMUTATION is the rotation subgroup both engines can
+    reproduce bit-for-bit). Naive contiguous slicing puts correlated
+    high-variance dimensions in one subspace, whose ksub centroids then
+    carry all the signal while other subspaces quantize noise; dealing
+    dimensions round-robin by variance rank balances per-subspace
+    energy at zero runtime cost (the permutation is applied as a
+    plan-time projection).
+
+    Determinism contract: the ranking statistic is the INTEGER
+    n·Σq(x²) − (Σq(x))² over floor-quantized values q(x) =
+    floor(x·10⁹) — exact decimal(38,0) arithmetic, order-independent,
+    so every engine ranks identically; ties break on the dimension
+    index. Subspace j gets ranks j, m+j, 2m+j, … (rank r lands at
+    position (r%m)·(dim/m) + r//m). The collect is dim rows — a
+    bounded driver probe (the probes/cids precedent)."""
+    sub = dim // m
+    q = F.floor(F.col("__x__") * F.lit(1000000000.0)).cast("bigint")
+    stats = (df.select(F.posexplode(_dvec(F.col(vec_col)))
+                       .alias("__i__", "__x__"))
+             .groupBy("__i__")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                  F.sum(q.cast("decimal(38,0)")).alias("s"),
+                  # cast each q BEFORE squaring: q² alone can overflow
+                  # bigint (q ~ 1e9 → q² ~ 1e18, and the SUM certainly)
+                  F.sum(q.cast("decimal(38,0)")
+                        * q.cast("decimal(38,0)")).alias("ss"))
+             .select("__i__",
+                     (F.col("n") * F.col("ss")
+                      - F.col("s") * F.col("s")).alias("__score__"))
+             .collect())
+    ranked = sorted(stats, key=lambda r: (-r["__score__"], r["__i__"]))
+    perm = [0] * dim
+    for rank, row in enumerate(ranked):
+        perm[(rank % m) * sub + rank // m] = int(row["__i__"])
+    return perm
 
 
 def _assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -97,7 +145,8 @@ def _reestimate(assign: DataFrame) -> DataFrame:
 
 def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
              ksub: int = 8, n_iter: int = 2, dim: int = 64,
-             train_fraction: float | None = None) -> DataFrame:
+             train_fraction: float | None = None,
+             perm: list[int] | None = None) -> DataFrame:
     """Train per-subspace codebooks: (j, code, cvec), code ∈ [0, ksub).
     Corpus cost: n_iter scans of the (id, j, sv) rows; the codebook
     itself is m·ksub rows — driver- and broadcast-trivial at any corpus
@@ -115,7 +164,7 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
         from .sampling import hash_sample
 
         df = hash_sample(df, F.col(id_col), train_fraction, salt="pqtrain:")
-    sv = subvectors(df, id_col, vec_col, m, dim)
+    sv = subvectors(df, id_col, vec_col, m, dim, perm=perm)
     seed_ids = df.select(F.col(id_col).alias("id")).orderBy("id").limit(ksub)
     # the Window now sorts ksub rows per subspace (post-join), not the corpus
     w = Window.partitionBy("j").orderBy("id")
@@ -129,17 +178,19 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
 
 
 def pq_encode(df: DataFrame, id_col: str, vec_col: str,
-              codebook: DataFrame, m: int = 4, dim: int = 64) -> DataFrame:
+              codebook: DataFrame, m: int = 4, dim: int = 64,
+              perm: list[int] | None = None) -> DataFrame:
     """(id, j, code) rows — the compressed corpus. Stored long-form (one
     row per subspace) so ADC is a plain equi-join; collect to an
     array<tinyint> column for at-rest storage if 4 rows/vec dominates."""
-    sv = subvectors(df, id_col, vec_col, m, dim)
+    sv = subvectors(df, id_col, vec_col, m, dim, perm=perm)
     return _assign(sv, codebook).select("id", "j", "code")
 
 
 def _adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
               id_col: str, vec_col: str, k: int, m: int, dim: int,
-              cand: DataFrame | None = None) -> DataFrame:
+              cand: DataFrame | None = None,
+              perm: list[int] | None = None) -> DataFrame:
     """ADC scoring against an encoded corpus: distance table =
     queries × codebook (broadcast — a few hundred rows at any corpus
     size), scored rows = codes equi-joined to it on (j, code), one
@@ -153,7 +204,7 @@ def _adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
     sized by the candidates; AQE may still choose broadcast when it is
     actually small) — only the genuinely tiny tables (codebook,
     distance table) carry broadcast hints."""
-    qsv = subvectors(queries, id_col, vec_col, m, dim) \
+    qsv = subvectors(queries, id_col, vec_col, m, dim, perm=perm) \
         .withColumnRenamed("id", "q_id")
     dtab = (qsv.join(F.broadcast(codebook), "j")
             .select("q_id", "j", "code",
@@ -182,7 +233,7 @@ def _adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
 
 def pq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             k: int = 3, m: int = 4, ksub: int = 8, n_iter: int = 2,
-            dim: int = 64) -> DataFrame:
+            dim: int = 64, balance_dims: bool = False) -> DataFrame:
     """ADC top-k: train on the corpus, encode it, then answer each query
     from the codes alone. Output (q_id, vec_id, adc) — adc is the
     approximate squared L2 (sum of m table lookups, folded in subspace
@@ -193,9 +244,12 @@ def pq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     leg carries 3 small ints per row; one partial-aggregated shuffle on
     (q_id, id); top-k is a per-query Window over k·|queries| survivors
     of a TakeOrdered-style pushdown... the heap stays in the agg."""
-    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
-    codes = pq_encode(df, id_col, vec_col, codebook, m, dim)
-    return _adc_topk(codes, codebook, queries, id_col, vec_col, k, m, dim)
+    perm = dim_permutation(df, id_col, vec_col, m, dim) \
+        if balance_dims else None
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim, perm=perm)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm)
+    return _adc_topk(codes, codebook, queries, id_col, vec_col, k, m, dim,
+                     perm=perm)
 
 
 # --- persisted PQ index (the serving shape at 100 TB) -----------------------

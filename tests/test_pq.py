@@ -156,3 +156,38 @@ def test_train_fraction_matches_explicit_sample(spark, sf_dir):
     codes = PQ.pq_encode(emb, "vec_id", "embedding", cb_df, m=4, dim=64)
     per = codes.groupBy("id").count().select("count").distinct().collect()
     assert [r["count"] for r in per] == [4]
+
+
+def test_dim_permutation_balanced_pq(spark, sf_dir):
+    """The variance-balancing permutation (r11 OPQ-lite): valid
+    permutation, partition-invariant (exact-integer ranking), identity
+    perm reproduces the unpermuted chain exactly, and the permutation
+    is applied as a plan-time projection — no extra shuffle/Window in
+    the training plan beyond the unpermuted form's."""
+    emb = _emb(spark, sf_dir)
+    perm = PQ.dim_permutation(emb, "vec_id", "embedding", 4, 64)
+    assert sorted(perm) == list(range(64))
+    assert PQ.dim_permutation(emb.repartition(7), "vec_id", "embedding",
+                              4, 64) == perm
+
+    ident = {(r.j, r.code, tuple(r.cvec)) for r in PQ.pq_train(
+        emb, "vec_id", "embedding", m=4, ksub=8, n_iter=2, dim=64,
+        perm=list(range(64))).collect()}
+    plain = {(r.j, r.code, tuple(r.cvec)) for r in PQ.pq_train(
+        emb, "vec_id", "embedding", m=4, ksub=8, n_iter=2,
+        dim=64).collect()}
+    assert ident == plain
+
+    balanced = PQ.pq_train(emb, "vec_id", "embedding", m=4, ksub=8,
+                           n_iter=2, dim=64, perm=perm)
+    plan = balanced._jdf.queryExecution().executedPlan().toString()
+    ref = PQ.pq_train(emb, "vec_id", "embedding", m=4, ksub=8,
+                      n_iter=2, dim=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == ref.count("Exchange")
+    assert plan.count("Window") == ref.count("Window")
+    # and the balanced top-k runs end to end with the same shape
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = PQ.pq_topk(emb, qs, "vec_id", "embedding", k=3,
+                     balance_dims=True)
+    assert out.count() == 15
