@@ -268,15 +268,23 @@ def _meta_path(path: str) -> str:
 
 def build_pq_index(df: DataFrame, id_col: str, vec_col: str, path: str,
                    m: int = 4, ksub: int = 8, n_iter: int = 2,
-                   dim: int = 64) -> None:
+                   dim: int = 64, train_fraction: float | None = None,
+                   balance_dims: bool = False) -> None:
     """Materialize codebook + encoded corpus under ``path``. The raw
-    vectors are read for training + encode and never again."""
-    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
+    vectors are read for training + encode and never again.
+    ``balance_dims`` freezes the variance-balancing permutation
+    (:func:`dim_permutation`) into the index meta — appends and serving
+    apply the SAME permutation forever after, the frozen-model
+    convention the codebook already follows."""
+    perm = dim_permutation(df, id_col, vec_col, m, dim) \
+        if balance_dims else None
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim,
+                        train_fraction=train_fraction, perm=perm)
     codebook.write.mode("overwrite").parquet(_os.path.join(path, "codebook"))
-    pq_encode(df, id_col, vec_col, codebook, m, dim) \
+    pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm) \
         .write.mode("overwrite").parquet(_os.path.join(path, "codes"))
     with open(_meta_path(path), "w") as f:
-        _json.dump({"m": m, "ksub": ksub, "dim": dim}, f)
+        _json.dump({"m": m, "ksub": ksub, "dim": dim, "perm": perm}, f)
 
 
 def read_pq_codebook(spark, path: str) -> DataFrame:
@@ -295,7 +303,8 @@ def append_pq_codes(df_new: DataFrame, id_col: str, vec_col: str,
     with open(_meta_path(path)) as f:
         meta = _json.load(f)
     cb = read_pq_codebook(spark, path)
-    pq_encode(df_new, id_col, vec_col, cb, meta["m"], meta["dim"]) \
+    pq_encode(df_new, id_col, vec_col, cb, meta["m"], meta["dim"],
+              perm=meta.get("perm")) \
         .write.mode("append").parquet(_os.path.join(path, "codes"))
 
 
@@ -308,7 +317,8 @@ def pq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
         meta = _json.load(f)
     return _adc_topk(read_pq_codes(spark, path),
                      read_pq_codebook(spark, path), queries,
-                     id_col, vec_col, k, meta["m"], meta["dim"])
+                     id_col, vec_col, k, meta["m"], meta["dim"],
+                     perm=meta.get("perm"))
 
 
 def purge_pq_codes(spark, path: str, ids) -> int:
@@ -384,7 +394,7 @@ def purge_ivfpq_codes(spark, path: str, ids) -> int:
 def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                k: int = 3, nlist: int = 16, nprobe: int = 2,
                m: int = 4, ksub: int = 8, n_iter: int = 2,
-               dim: int = 64) -> DataFrame:
+               dim: int = 64, balance_dims: bool = False) -> DataFrame:
     """IVF-PQ: the full large-corpus ANN serving stack — route each
     query to its ``nprobe`` nearest IVF centroids (max-cosine, the
     repo's IVF metric), then ADC-score ONLY the vectors assigned to
@@ -406,8 +416,11 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 
     cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist,
                              n_iter=n_iter)
-    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
-    codes = pq_encode(df, id_col, vec_col, codebook, m, dim)
+    perm = dim_permutation(df, id_col, vec_col, m, dim) \
+        if balance_dims else None
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim,
+                        perm=perm)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm)
 
     q = queries.select(F.col(id_col).alias("q_id"),
                        _dvec(F.col(vec_col)).alias("__qv__"))
@@ -424,7 +437,7 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("q_id") != F.col("id"))
             .select("q_id", "id"))
     return _adc_topk(codes, codebook, queries, id_col, vec_col, k, m,
-                     dim, cand=cand)
+                     dim, cand=cand, perm=perm)
 
 
 # --- persisted IVF-PQ index: the end-state ANN serving artifact ------------
@@ -439,16 +452,23 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 
 def build_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str,
                       nlist: int = 16, m: int = 4, ksub: int = 8,
-                      n_iter: int = 2, dim: int = 64) -> None:
+                      n_iter: int = 2, dim: int = 64,
+                      train_fraction: float | None = None,
+                      balance_dims: bool = False) -> None:
     from .similarity import ivf_build
 
     cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist,
                              n_iter=n_iter)
-    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim)
+    # the permutation affects only the PQ half — IVF routing compares
+    # whole vectors, and cosine is permutation-invariant
+    perm = dim_permutation(df, id_col, vec_col, m, dim) \
+        if balance_dims else None
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim,
+                        train_fraction=train_fraction, perm=perm)
     cent.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     codebook.write.mode("overwrite").parquet(
         _os.path.join(path, "codebook"))
-    codes = pq_encode(df, id_col, vec_col, codebook, m, dim)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm)
     cids = assign.select(F.col(id_col).alias("id"), "cid")
     (codes.join(cids, "id")
      .repartition("cid")
@@ -456,7 +476,7 @@ def build_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str,
      .parquet(_os.path.join(path, "codes")))
     with open(_meta_path(path), "w") as f:
         _json.dump({"m": m, "ksub": ksub, "dim": dim,
-                    "nlist": nlist}, f)
+                    "nlist": nlist, "perm": perm}, f)
 
 
 def _route(queries: DataFrame, cent: DataFrame, id_col: str, vec_col: str,
@@ -486,7 +506,8 @@ def append_ivfpq_index(df_new: DataFrame, id_col: str, vec_col: str,
     cb = read_pq_codebook(spark, path)
     assign = _route(df_new, cent, id_col, vec_col, nprobe=1) \
         .withColumnRenamed("q_id", "id")
-    codes = pq_encode(df_new, id_col, vec_col, cb, meta["m"], meta["dim"])
+    codes = pq_encode(df_new, id_col, vec_col, cb, meta["m"], meta["dim"],
+                      perm=meta.get("perm"))
     (codes.join(assign, "id")
      .repartition("cid")
      .write.mode("append").partitionBy("cid")
@@ -516,7 +537,8 @@ def ivfpq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("q_id") != F.col("id"))
             .select("q_id", "id"))
     out = _adc_topk(codes.drop("cid"), cb, queries, id_col, vec_col,
-                    k, meta["m"], meta["dim"], cand=cand)
+                    k, meta["m"], meta["dim"], cand=cand,
+                    perm=meta.get("perm"))
     from .dedup import _materialize_release
 
     return _materialize_release(out, probes)

@@ -251,3 +251,64 @@ def test_purge_ivfpq_preserves_partitioned_layout(spark, sf_dir, tmp_path):
     import pytest
     with pytest.raises(AssertionError, match="flat PQ index"):
         PQ.purge_ivfpq_codes(spark, flat, victims)
+
+
+def test_balanced_index_freezes_permutation(spark, sf_dir, tmp_path):
+    """A balance_dims index freezes the variance permutation in its
+    meta (the frozen-model convention the codebook follows): serving
+    equals the inline balanced chain, and appended vectors encode under
+    the SAME stored permutation — an append that recomputed it on the
+    grown corpus would silently re-key every stored code, exactly the
+    retrain hazard the frozen codebook exists to prevent."""
+    import json as _json
+    import os as _os
+
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    PQ.build_pq_index(old, "vec_id", "embedding", idx, m=4, ksub=8,
+                      n_iter=2, dim=64, balance_dims=True)
+    with open(_os.path.join(idx, "_pq_meta.json")) as f:
+        meta = _json.load(f)
+    perm = meta["perm"]
+    assert sorted(perm) == list(range(64))
+    assert perm == PQ.dim_permutation(old, "vec_id", "embedding", 4, 64)
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    got = sorted((r.q_id, r.vec_id, r.adc) for r in PQ.pq_index_topk(
+        qs, "vec_id", "embedding", spark, idx, k=3).collect())
+    cb = PQ.read_pq_codebook(spark, idx)
+    want = sorted((r.q_id, r.vec_id, r.adc) for r in PQ._adc_topk(
+        PQ.read_pq_codes(spark, idx), cb, qs, "vec_id", "embedding",
+        3, 4, 64, perm=perm).collect())
+    assert got == want and len(got) == 30
+
+    # append under the FROZEN perm: stored codes for the new batch
+    # equal an explicit encode-with-perm, and replay collapses
+    PQ.append_pq_codes(new, "vec_id", "embedding", spark, idx)
+    stored = {(r.id, r.j, r.code) for r in
+              PQ.read_pq_codes(spark, idx).collect()}
+    expect_new = {(r.id, r.j, r.code) for r in PQ.pq_encode(
+        new, "vec_id", "embedding", cb, 4, 64, perm=perm).collect()}
+    assert expect_new <= stored
+    before = sorted((r.q_id, r.vec_id, r.adc) for r in PQ.pq_index_topk(
+        qs, "vec_id", "embedding", spark, idx, k=3).collect())
+    PQ.append_pq_codes(new, "vec_id", "embedding", spark, idx)
+    after = sorted((r.q_id, r.vec_id, r.adc) for r in PQ.pq_index_topk(
+        qs, "vec_id", "embedding", spark, idx, k=3).collect())
+    assert before == after
+
+    # ivfpq variant: balanced build serves and purges with pruning intact
+    ividx = str(tmp_path / "ividx")
+    PQ.build_ivfpq_index(old, "vec_id", "embedding", ividx, nlist=8,
+                         m=4, ksub=8, n_iter=2, dim=64,
+                         balance_dims=True)
+    rows = PQ.ivfpq_index_topk(qs, "vec_id", "embedding", spark, ividx,
+                               k=3, nprobe=2).collect()
+    assert len(rows) == 30
+    victims = [r.vec_id for r in old.limit(5).collect()]
+    assert PQ.purge_ivfpq_codes(spark, ividx, victims) > 0
+    rows2 = PQ.ivfpq_index_topk(qs, "vec_id", "embedding", spark, ividx,
+                                k=3, nprobe=2).collect()
+    assert rows2 and not any(r.vec_id in set(victims) for r in rows2)
