@@ -164,11 +164,15 @@ def _semantic_dedup(spark, df, spec) -> DataFrame:
     k-means clusters, per-cluster representative, keep flag."""
     from ..ext import similarity as SIM
 
+    # nlist "auto" = √N clusters (the SemDeDup contract; see the
+    # semantic_dedup docstring's r11 adjudication — auto's value is the
+    # refinement stage, fixed-16 stays the clustering default)
+    nl = spec.get("nlist", 16)
     return SIM.semantic_dedup(
         df,
         id_col=spec.get("id", "vec_id"),
         vec_col=spec.get("vector", "embedding"),
-        nlist=int(spec.get("nlist", 16)),
+        nlist=nl if nl == "auto" else int(nl),
         n_iter=int(spec.get("n_iter", 2)),
         threshold=float(spec.get("threshold", 0.995)),
     )

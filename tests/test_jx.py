@@ -272,6 +272,14 @@ def test_extension_ops_front_end_equals_direct(spark, sf_dir):
                               threshold=0.9)
     assert rows(got) == rows(want)
 
+    # nlist "auto" passes through (√N clusters) instead of crashing on
+    # int("auto") — r11; equality vs the direct auto call
+    got = run(spark, {"from": {"op": "semantic_dedup", "table": "embeddings",
+                               "nlist": "auto", "threshold": 0.9}})
+    want = SIM.semantic_dedup(emb, "vec_id", "embedding", nlist="auto",
+                              threshold=0.9)
+    assert rows(got) == rows(want)
+
     got = run(spark, {"from": {"op": "split", "table": "documents",
                                "weights": {"a": 0.5, "b": 0.5},
                                "salt": "s1"},
