@@ -192,6 +192,55 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def jaccard_pairs_ids(candidates: DataFrame, sh_rows: DataFrame,
+                      id_col: str, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard verify over DICTIONARY-ENCODED token arrays (r11):
+    the middle ground between the two existing verifies. The array form
+    (:func:`jaccard_pairs`) attaches ~10 KB STRING arrays to every
+    candidate pair — measured GC meltdown at 10×; the long form
+    (:func:`jaccard_pairs_counts`) is memory-bounded but shuffles
+    pairs × tokens rows (the 15-17s wall of the stable-delta bulk
+    fixture, SCALE.md r11). Here each distinct token gets an integer id
+    and each doc becomes a ~1 KB int-array — 10-20× smaller than the
+    string form, so the per-pair intersect is memory-safe at delta-
+    bounded pair counts while avoiding the pairs×tokens fan-out.
+
+    Token ids must be BIJECTIVE (a collision would silently inflate an
+    intersection — xxhash64 alone is not exact), deterministic, and
+    assigned without a global sort: id = bucket·2⁴⁰ + rank, where
+    bucket = xxhash64(token) % 1024 and rank = row_number within the
+    bucket ordered by token — a parallel per-bucket sort of the
+    vocabulary, unique by construction. ``sh_rows`` must be DISTINCT
+    (id, token) rows (the positioned-index contract)."""
+    sh = sh_rows.select(F.col(id_col).alias("__id__"), F.col("__s__"))
+    w = Window.partitionBy("__b__").orderBy("__s__")
+    vocab = (sh.select("__s__").distinct()
+             .withColumn("__b__", F.pmod(F.xxhash64("__s__"),
+                                         F.lit(1024)).cast("long"))
+             .withColumn("__tid__",
+                         F.col("__b__") * F.lit(1 << 40)
+                         + F.row_number().over(w))
+             .select("__s__", "__tid__"))
+    sets_ = (sh.join(vocab, "__s__")
+             .groupBy("__id__")
+             .agg(F.collect_list("__tid__").alias("__ta__"),
+                  F.count(F.lit(1)).alias("__n__")))
+    j = (candidates
+         .join(sets_.select(F.col("__id__").alias("id_a"),
+                            F.col("__ta__").alias("__ta_a__"),
+                            F.col("__n__").alias("__na__")), "id_a")
+         .join(sets_.select(F.col("__id__").alias("id_b"),
+                            F.col("__ta__").alias("__ta_b__"),
+                            F.col("__n__").alias("__nb__")), "id_b")
+         .withColumn("inter",
+                     F.size(F.array_intersect("__ta_a__", "__ta_b__")))
+         .withColumn("jaccard",
+                     F.col("inter")
+                     / (F.col("__na__") + F.col("__nb__") - F.col("inter"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def jaccard_pairs_counts(candidates: DataFrame, sh_rows: DataFrame,
                          id_col: str, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard verify in LONG FORM: shared-shingle COUNTS via joins
@@ -1438,7 +1487,8 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
                              delta: DataFrame, id_col: str, text_col: str,
                              threshold: float = 0.5,
                              shingle_n: int | None = 3,
-                             pair_bound: str = "aggregate") -> DataFrame:
+                             pair_bound: str = "aggregate",
+                             verify: str = "counts") -> DataFrame:
     """The stable-order form of :func:`prefix_join_index_delta`: pairs
     between a NEW batch and the stored corpus (plus within-batch pairs)
     at Jaccard >= threshold, recall 1.0, with the stored side's prefix
@@ -1461,6 +1511,8 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     if pair_bound not in ("positional", "aggregate"):
         raise ValueError(
             f"pair_bound must be positional|aggregate, got {pair_bound!r}")
+    if verify not in ("counts", "ids"):
+        raise ValueError(f"verify must be counts|ids, got {verify!r}")
     t = float(threshold)
     elems = (shingles(tokens(text_col), shingle_n) if shingle_n
              else F.array_distinct(tokens(text_col)))
@@ -1597,12 +1649,24 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     # verify over (id, s) rows from BOTH sides — the positioned index
     # doubles as the element store; the delta leg goes through new_pos
     # so Catalyst prunes it to (id, s) (the Window drops out of this
-    # branch entirely — see the unpersisted-by-design note above)
+    # branch entirely — see the unpersisted-by-design note above).
+    # Verify form (r11, both exact — equality test-pinned at two
+    # scales and three thresholds):
+    # - "counts" (default): the long-form pairs×tokens shuffle — its
+    #   cost scales with CANDIDATES, so a realistic small delta pays
+    #   nearly nothing (5.6s at the 10× rig's 1% shape).
+    # - "ids": dictionary-encoded int-array intersect — pays a
+    #   corpus-sized vocabulary+array build UP FRONT but each of the
+    #   1.2M bulk-fixture pairs then costs one ~1 KB intersect instead
+    #   of a ~120-row join fan-out (fresh-JVM mins at 10×: 16.2 vs
+    #   19.7 bulk — and 9.2 vs 5.4 on the 1% shape, which is why it is
+    #   NOT the default: right only when candidates ≈ corpus).
     tok_all = (new_pos.select("id", "s")
                .unionByName(stored.select("id", "s"))
                .select(F.col("id").alias("__id__"), F.col("s").alias("__s__")))
+    verify_fn = jaccard_pairs_ids if verify == "ids" else jaccard_pairs_counts
     return _materialize_release(
-        jaccard_pairs_counts(cand, tok_all, "__id__", threshold=t))
+        verify_fn(cand, tok_all, "__id__", threshold=t))
 
 
 def prefix_order_staleness(spark, path: str, order_path: str) -> DataFrame:

@@ -568,7 +568,8 @@ def _prefix_stable_delta(spark, df, spec) -> DataFrame:
         df,
         spec.get("id", "doc_id"), spec.get("text", "text"),
         threshold=float(spec.get("threshold", 0.5)),
-        pair_bound=str(spec.get("pair_bound", "aggregate")))
+        pair_bound=str(spec.get("pair_bound", "aggregate")),
+        verify=str(spec.get("verify", "counts")))
 
 
 @_op("resample")

@@ -448,8 +448,13 @@ def dedup_prefix_stable_order_delta(spark: SparkSession,
     d = load_table(spark, sf_dir, "documents")
     path, order_path = _stable_index(spark, sf_dir, d)
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    # verify="ids": this fixture's 50% delta makes candidates
+    # corpus-sized, the shape the int-array verify is for (the 1%
+    # fixture below keeps the counts default — see the knob's rationale
+    # in prefix_join_stable_delta)
     return DD.prefix_join_stable_delta(spark, path, order_path, delta,
-                                       "doc_id", "text", threshold=0.5)
+                                       "doc_id", "text", threshold=0.5,
+                                       verify="ids")
 
 
 #: the 1%-delta fixture plants ONE synthetic near-dup (a copy of the

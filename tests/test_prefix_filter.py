@@ -270,3 +270,38 @@ def test_pair_bound_typo_fails_loud(spark, sf_dir):
     with pytest.raises(ValueError, match="pair_bound"):
         DD.prefix_filter_pairs(d, "doc_id", "text", threshold=0.5,
                                pair_bound="agregate").collect()
+
+
+def test_stable_delta_verify_forms_identical(spark, sf_dir, tmp_path):
+    """The two verify forms of prefix_join_stable_delta (long-form
+    counts vs dictionary-encoded int-array intersect, r11) are the same
+    exact math — identical pairs AND jaccard values at every threshold.
+    The ids form exists for bulk shapes where candidates ≈ corpus (the
+    knob's docstring carries the measured trade); a token-id collision
+    would show up here as an inflated intersection."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    base = str(tmp_path / "ps")
+    idx, order = _os.path.join(base, "idx"), _os.path.join(base, "order")
+    b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+    DD.freeze_prefix_order(b0, "doc_id", "text", order)
+    DD.append_positioned_index(b0, "doc_id", "text", idx, 0, spark, order)
+    DD.append_positioned_index(d.filter(F.pmod("doc_id", F.lit(4)) == 2),
+                               "doc_id", "text", idx, 1, spark, order)
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    for thr in (0.3, 0.6):
+        a = {(r.id_a, r.id_b, round(r.jaccard, 9))
+             for r in DD.prefix_join_stable_delta(
+                 spark, idx, order, delta, "doc_id", "text",
+                 threshold=thr, verify="counts").collect()}
+        b = {(r.id_a, r.id_b, round(r.jaccard, 9))
+             for r in DD.prefix_join_stable_delta(
+                 spark, idx, order, delta, "doc_id", "text",
+                 threshold=thr, verify="ids").collect()}
+        assert a == b and a
