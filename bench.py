@@ -169,6 +169,16 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "sim_pq_from_index",
     "sim_ivfpq_from_index",
+    # r11 additions: the variance-balanced PQ chain (perm derivation +
+    # permuted train/encode/ADC — the anisotropic-corpus serving shape),
+    # md5-sampled codebook training (the bounded-training-cost path a
+    # 100 TB corpus actually takes), and the realistic 1% stable-order
+    # nightly delta (tokenize 1%, read pruned positioned rows — the
+    # serving-shaped member of the prefix family; its 50% bulk twin
+    # stays non-headline with the batch release-gate rationale above).
+    "sim_pq_balanced_topk",
+    "sim_pq_train_sampled",
+    "dedup_prefix_stable_small_delta",
     # The r6-continuation prefix-filter family (dedup_prefix_filter_pairs
     # / decon_prefix_filter_overlap) is deliberately NOT headline, same
     # rationale as sim_knn_graph: it's a BATCH release-gate operator
