@@ -49,20 +49,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dedup import band_keys, minhash_table, shingle_table
 
-# Default bucket counts. At 100 TB raise n_sig_buckets/n_set_buckets so a
-# partition directory stays a few hundred MB (they are knobs on
-# build_index, recorded in the meta file — queries adapt automatically).
-_SBKT = 32
-_IBKT = 32
+# Bucket-count CAPS for the size-adaptive layout (raised from 32, r11
+# ADVICE — the adaptive fan-out must be able to grow, not only shrink).
+# 1024 sbkt dirs × 4 bands × 16 MB ≈ 64 GB of band rows before a
+# directory exceeds its target — ~400M docs per index shard. The cap
+# exists so driver-side prune lists (the lookup regime's OR-chain and
+# the purge/compact membership probes) stay a few thousand entries;
+# beyond it, per-directory size grows linearly but row-group stats on
+# the sorted files keep seeks bounded INSIDE each directory. For a true
+# 100 TB single index, pass explicit n_sig_buckets/n_set_buckets (knobs
+# on build_index, recorded in the meta — queries adapt automatically).
+_SBKT = 1024
+_IBKT = 1024
 # Target bytes per bucket directory for the size-adaptive layout (r11).
 # A FIXED 32×4-directory fan-out was wrong at both ends of the scale:
 # at sf0.1 it spread a 5 MB band table over 128 ~40 KB files (160
 # footer reads per unpruned delta scan — the measured ~1s floor of the
-# 1% nightly query was file opens, not data), while at 100 TB the same
-# 32 caps out far too small. Buckets now derive from the indexed doc
-# count at build time so directories land near _BUCKET_TARGET_BYTES;
-# the cap keeps the directory count bounded (pruning lists stay
-# driver-trivial) and row-group stats on the sorted files carry the
+# 1% nightly query was file opens, not data), while at large corpora a
+# small cap stops adapting upward. Buckets now derive from the indexed
+# doc count at build time so directories land near _BUCKET_TARGET_BYTES
+# up to the caps above; row-group stats on the sorted files carry the
 # seek behavior INSIDE each directory whatever the bucket count.
 _BUCKET_TARGET_BYTES = 16 << 20
 _BAND_ROW_BYTES = 40      # id + 32-hex band_sig + overhead, parquet-encoded
@@ -300,7 +306,14 @@ def near_dup_pairs_from_index(spark: SparkSession, path: str,
     corpus/parameters — test_dedup_index asserts this — but the only
     inputs are the derived tables."""
     cands = candidate_pairs_from_index(spark, path, max_bucket_size)
+    # ids can be duplicated across leaf+spill (crash between compact's
+    # fold and spill rmtree, or a replayed append) — without the dedup
+    # the verify join emits duplicate pairs (r11 ADVICE). Rows are
+    # md5-identical per id, so any-row-wins is exact; skip the shuffle
+    # when no spill exists (the only duplication source).
     sets_ = read_shingle_sets(spark, path)
+    if os.path.isdir(os.path.join(path, "sets_spill")):
+        sets_ = sets_.dropDuplicates(["id"])
     j = (cands
          .join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -83,30 +83,43 @@ def _writer_lock(lock_path: str):
     is unlinked ONLY by the writer that acquired it (a failed acquire
     must not delete the live writer's lock path), and acquisition
     re-verifies the path still names the locked inode — the standard
-    unlink-vs-recreate race on lock files."""
+    unlink-vs-recreate race on lock files. A stale-inode hit means the
+    PREVIOUS writer unlinked its lock between our open and our flock
+    (benign sequential contention, r11 ADVICE), so acquisition retries
+    on the fresh path instead of raising; only a flock held by a LIVE
+    writer raises."""
     import fcntl
 
     os.makedirs(os.path.dirname(lock_path), exist_ok=True)
-    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    fd = None
     acquired = False
     try:
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            if os.fstat(fd).st_ino != os.stat(lock_path).st_ino:
-                raise OSError("stale lock inode")
-        except OSError:
-            raise RuntimeError(
-                f"concurrent rewrite of {lock_path[:-len(_LOCK_SUFFIX)]}: "
-                "index maintenance is single-writer per destination")
+        while True:
+            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                raise RuntimeError(
+                    f"concurrent rewrite of "
+                    f"{lock_path[:-len(_LOCK_SUFFIX)]}: index maintenance "
+                    "is single-writer per destination")
+            try:
+                if os.fstat(fd).st_ino == os.stat(lock_path).st_ino:
+                    break
+            except FileNotFoundError:
+                pass  # previous holder unlinked it — retry on fresh file
+            os.close(fd)
+            fd = None
         acquired = True
         yield
     finally:
-        if acquired:
-            try:
-                os.unlink(lock_path)  # while still holding the flock
-            except OSError:
-                pass
-        os.close(fd)  # releases the flock
+        if fd is not None:
+            if acquired:
+                try:
+                    os.unlink(lock_path)  # while still holding the flock
+                except OSError:
+                    pass
+            os.close(fd)  # releases the flock
 
 
 def _locked_by_live_writer(lock_path: str) -> bool:
@@ -114,7 +127,10 @@ def _locked_by_live_writer(lock_path: str) -> bool:
 
     if not os.path.exists(lock_path):
         return False
-    fd = os.open(lock_path, os.O_RDWR)
+    try:
+        fd = os.open(lock_path, os.O_RDWR)
+    except FileNotFoundError:
+        return False  # the writer unlinked its lock in the window — gone
     try:
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)

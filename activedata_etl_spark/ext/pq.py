@@ -170,6 +170,10 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
     w = Window.partitionBy("j").orderBy("id")
     codebook = (sv.join(F.broadcast(seed_ids), "id")
                 .withColumn("__rn__", F.row_number().over(w))
+                # guard against duplicate ids (join multiplicity) pushing
+                # codes outside [0, ksub) — r11 ADVICE; a short codebook
+                # (sample < ksub docs) stays short, which _assign handles
+                .filter(F.col("__rn__") <= ksub)
                 .select("j", (F.col("__rn__") - 1).alias("code"),
                         F.col("sv").alias("cvec")))
     for _ in range(n_iter):
