@@ -240,9 +240,14 @@ def main() -> None:
     mins: dict[str, float] = {}
     qdrift: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # subset selection for calm-session per-query readings (VERDICT r11
+    # #1's agg_cube loop-closing pattern): SPARK_GRAFT_BENCH_ONLY=a,b
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = ([q for q in HEADLINE if q in set(only.split(","))]
+                if only else HEADLINE)
     probe = _probe_frame(spark)
     calib = _calibrate(spark, n_runs, probe)
-    for name in HEADLINE:
+    for name in headline:
         # Build the plan ONCE: the timed region is execution, not Python
         # plan construction / Catalyst re-analysis / parquet footer reads.
         df = QUERIES[name](spark, SF_DIR)
@@ -287,14 +292,22 @@ def main() -> None:
         "calib": calib,
         "drift": drift,
         "drifted": drift > DRIFT_FLAG_RATIO,
-        # drift-normalized total (value / drift): divides out the
-        # ambient session-overhead multiplier the calibration probe
+        # drift-normalized total (value / capped drift): divides out
+        # the ambient session-overhead multiplier the calibration probe
         # measures, so ROUND-OVER-ROUND comparisons of this field
         # cancel day-scale environment shifts that move probe and
-        # queries together (VERDICT r9 #4). Within-day comparisons
-        # should keep using the raw value; the probe floor itself is
-        # a same-day measurement (BASELINE.md r9 note).
-        "value_norm": round(total / max(drift, 0.01), 3),
+        # queries together (VERDICT r9 #4). The divisor is CAPPED at
+        # 1.3 (VERDICT r11 #2): the driver-side probe saturates harder
+        # under heavy load than executor-bound queries, so dividing by
+        # the raw drift under-reads — r11's 9.06/2.15 produced a
+        # "true" value BELOW the session's own total_min, an
+        # impossibility. Under the cap value_norm is a mild correction
+        # on calm-ish sessions and a LOWER-BOUND-respecting raw-ish
+        # number on drifted ones; on heavily drifted sessions trust
+        # total_min and an idle re-run, not this field. Within-day
+        # comparisons should keep using the raw value; the probe floor
+        # itself is a same-day measurement (BASELINE.md r9 note).
+        "value_norm": round(total / min(max(drift, 0.01), 1.3), 3),
     }
     full = {**compact, "queries": times, "queries_min": mins,
             "queries_drift": qdrift}
