@@ -1427,13 +1427,63 @@ def freeze_prefix_order(df: DataFrame, id_col: str, text_col: str,
     epoch it was positioned under, and the delta join REFUSES to run
     when rows and order disagree (a crash or concurrent refresh can
     leave them mixed — the prefix lemma needs ONE shared order, so a
-    mix must be an explicit error, never a silent recall loss)."""
+    mix must be an explicit error, never a silent recall loss).
+
+    The order also carries ``tid`` — a STABLE bijective integer id per
+    element (r12, the positional verify's dictionary): assigned once
+    here with the :func:`jaccard_pairs_ids` bucket-rank scheme and
+    carried over unchanged by every refresh (new vocabulary ranks
+    above each bucket's old max), so per-doc int-arrays stored at
+    ingest stay valid across refreshes forever."""
     elems = (shingles(tokens(text_col), shingle_n) if shingle_n
              else F.array_distinct(tokens(text_col)))
-    (df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"))
-     .groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-     .withColumn("epoch", F.lit(int(epoch)))
-     .write.mode("overwrite").parquet(order_path))
+    agg = (df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"))
+           .groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+           .withColumn("epoch", F.lit(int(epoch))))
+    _with_tids(agg, None).write.mode("overwrite").parquet(order_path)
+
+
+_TID_BUCKETS = 1024
+_TID_SHIFT = 1 << 40
+
+
+def _with_tids(order_agg: DataFrame, old_order: DataFrame | None) -> DataFrame:
+    """Attach stable element ids to an (s, df, epoch) order frame.
+
+    tid = bucket·2⁴⁰ + rank-within-bucket (bucket = xxhash64(s) %
+    1024, rank ordered by s) — bijective by construction, assigned by
+    a parallel per-bucket sort of the vocabulary, never a global one
+    (the jaccard_pairs_ids scheme). With ``old_order`` (a refresh),
+    existing elements KEEP their tid and new vocabulary ranks strictly
+    above each bucket's old max — stored int-arrays never go stale.
+    Retired tids (an element leaving the order) are never reused while
+    any stored doc still carries the element, which holds by
+    construction: the order's dfs are summed from the stored batches'
+    own token shards, so an element with a surviving doc has df ≥ 1."""
+    if old_order is None or "tid" not in old_order.columns:
+        w = Window.partitionBy("__b__").orderBy("s")
+        return (order_agg
+                .withColumn("__b__", F.pmod(F.xxhash64("s"),
+                                            F.lit(_TID_BUCKETS)).cast("long"))
+                .withColumn("tid", F.col("__b__") * F.lit(_TID_SHIFT)
+                            + F.row_number().over(w))
+                .drop("__b__"))
+    old = old_order.select("s", "tid")
+    cur = order_agg.join(old, "s", "left")
+    bmax = (old
+            .withColumn("__b__", F.expr(f"tid div {_TID_SHIFT}"))
+            .groupBy("__b__")
+            .agg(F.max(F.pmod(F.col("tid"), F.lit(_TID_SHIFT)))
+                 .alias("__mx__")))
+    w = Window.partitionBy("__b__").orderBy("s")
+    fresh = (cur.filter(F.col("tid").isNull()).drop("tid")
+             .withColumn("__b__", F.pmod(F.xxhash64("s"),
+                                         F.lit(_TID_BUCKETS)).cast("long"))
+             .join(bmax, "__b__", "left").fillna(0, ["__mx__"])
+             .withColumn("tid", F.col("__b__") * F.lit(_TID_SHIFT)
+                         + F.col("__mx__") + F.row_number().over(w))
+             .drop("__b__", "__mx__"))
+    return cur.filter(F.col("tid").isNotNull()).unionByName(fresh)
 
 
 def _order_epoch(order: DataFrame) -> int:
@@ -1452,6 +1502,74 @@ def _positioned_rows(tok: DataFrame, order: DataFrame) -> DataFrame:
             .withColumn("pos", F.row_number().over(
                 w.orderBy(F.col("df").asc(), F.col("s").asc())))
             .select("id", "s", "n", "pos"))
+
+
+def _doc_sets(tok: DataFrame, order: DataFrame) -> DataFrame:
+    """(id, s) rows → one row per doc: (id, n, tids, unseen) with tids
+    the sorted stable ids of elements present in the order and unseen
+    the sorted strings of elements that are not (collect_list skips
+    nulls on both legs). n counts ALL elements, so the Jaccard
+    denominator never depends on the tid/unseen split."""
+    return (tok.join(order.select("s", "tid"), "s", "left")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("tid")).alias("tids"),
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("tid").isNull(), F.col("s"))))
+                 .alias("unseen"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def _resolve_unseen(sets_: DataFrame, order: DataFrame) -> DataFrame:
+    """Re-classify each doc's unseen strings against the CURRENT order:
+    elements that gained a tid at a refresh AFTER the doc's ingest move
+    from the string array into the int array, so two docs ingested
+    under different order epochs always compare element-for-element.
+    Only rows with a non-empty unseen array pay (an explode bounded by
+    the count of unseen element occurrences — rare vocabulary by
+    construction); everything else passes through untouched."""
+    with_u = sets_.filter(F.size("unseen") > 0)
+    no_u = sets_.filter(F.size("unseen") == 0)
+    mapped = (with_u.select("id", F.explode("unseen").alias("s"))
+              .join(order.select("s", "tid"), "s", "left")
+              .groupBy("id")
+              .agg(F.collect_list("tid").alias("__t2__"),
+                   F.sort_array(F.collect_list(
+                       F.when(F.col("tid").isNull(), F.col("s"))))
+                   .alias("__u2__")))
+    resolved = (with_u.join(mapped, "id")
+                .select("id", "n",
+                        F.sort_array(F.concat("tids", "__t2__"))
+                        .alias("tids"),
+                        F.col("__u2__").alias("unseen")))
+    return no_u.unionByName(resolved)
+
+
+def jaccard_pairs_positional(candidates: DataFrame, sets_: DataFrame,
+                             threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard verify over PRE-BUILT per-doc arrays (r12 — the
+    stable-order index's verify): each candidate pair costs two equi-
+    join probes and one int-array intersect (+ a string intersect over
+    the tiny unseen arrays). Unlike :func:`jaccard_pairs_ids` there is
+    NO per-query vocabulary build and NO corpus-wide token join — the
+    arrays were written once at ingest under the order's stable tids —
+    and unlike :func:`jaccard_pairs_counts` nothing scales with
+    pairs × tokens. ``sets_`` must already be unseen-resolved against
+    one single order (:func:`_resolve_unseen`)."""
+    a = sets_.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                     F.col("tids").alias("__ta__"),
+                     F.col("unseen").alias("__ua__"))
+    b = sets_.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+                     F.col("tids").alias("__tb__"),
+                     F.col("unseen").alias("__ub__"))
+    j = (candidates.join(a, "id_a").join(b, "id_b")
+         .withColumn("inter",
+                     F.size(F.array_intersect("__ta__", "__tb__"))
+                     + F.size(F.array_intersect("__ua__", "__ub__")))
+         .withColumn("jaccard",
+                     F.col("inter")
+                     / (F.col("n_a") + F.col("n_b") - F.col("inter"))))
+    return (j.filter(F.col("jaccard") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "jaccard"))
 
 
 def append_positioned_index(df: DataFrame, id_col: str, text_col: str,
@@ -1481,6 +1599,18 @@ def append_positioned_index(df: DataFrame, id_col: str, text_col: str,
     (tok.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
      .write.mode("overwrite")
      .parquet(os.path.join(path, "df", f"batch={int(batch)}")))
+    if "tid" in order.columns:
+        # sets sidecar (r12, the positional verify): one compact row per
+        # doc — sorted int-array of stable element ids + the (rare)
+        # not-yet-in-order elements as strings. tids never change
+        # meaning (stable across refreshes), so this table is written
+        # once at ingest and NEVER rewritten; unseen elements that gain
+        # a tid at a later refresh are remapped at query time from the
+        # tiny string arrays, never by touching stored bytes.
+        (_doc_sets(tok, order)
+         .withColumn("epoch", F.lit(_order_epoch(order)))
+         .write.mode("overwrite")
+         .parquet(os.path.join(path, "sets", f"batch={int(batch)}")))
 
 
 def prefix_join_stable_delta(spark, path: str, order_path: str,
@@ -1511,8 +1641,9 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     if pair_bound not in ("positional", "aggregate"):
         raise ValueError(
             f"pair_bound must be positional|aggregate, got {pair_bound!r}")
-    if verify not in ("counts", "ids"):
-        raise ValueError(f"verify must be counts|ids, got {verify!r}")
+    if verify not in ("counts", "ids", "positional"):
+        raise ValueError(
+            f"verify must be counts|ids|positional, got {verify!r}")
     t = float(threshold)
     elems = (shingles(tokens(text_col), shingle_n) if shingle_n
              else F.array_distinct(tokens(text_col)))
@@ -1661,6 +1792,40 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     #   of a ~120-row join fan-out (fresh-JVM mins at 10×: 16.2 vs
     #   19.7 bulk — and 9.2 vs 5.4 on the 1% shape, which is why it is
     #   NOT the default: right only when candidates ≈ corpus).
+    # - "positional" (r12): per-doc int-arrays read STRAIGHT from the
+    #   sets sidecar written at ingest under the order's STABLE tids —
+    #   the ids-verify's per-pair cost with its corpus-sized
+    #   vocabulary+array build amortized into the index. The delta side
+    #   builds its arrays from the already-exploded delta tokens; the
+    #   stored side is a parquet scan of ~1 KB rows. Requires a
+    #   tid-carrying order and a sets/ dir per batch (any index frozen
+    #   or refreshed on this engine version).
+    if verify == "positional":
+        if "tid" not in order.columns:
+            raise ValueError(
+                "positional verify needs a tid-carrying order — re-run "
+                "freeze_prefix_order or refresh_prefix_order on this "
+                "engine version (tids are assigned there and are stable "
+                "thereafter)")
+        sets_root = os.path.join(path, "sets")
+        row_b = {d for d in os.listdir(os.path.join(path, "rows"))
+                 if d.startswith("batch=")}
+        set_b = (set(os.listdir(sets_root))
+                 if os.path.isdir(sets_root) else set())
+        if not row_b <= set_b:
+            raise ValueError(
+                f"positional verify: sets sidecar missing for batches "
+                f"{sorted(row_b - set_b)} — re-ingest those batches (or "
+                "use verify='counts')")
+        stored_sets = (spark.read.option("basePath", sets_root)
+                       .parquet(sets_root)
+                       .select("id", "n", "tids", "unseen"))
+        delta_sets = _doc_sets(new_tok, order).select(
+            "id", "n", "tids", "unseen")
+        all_sets = _resolve_unseen(
+            delta_sets.unionByName(stored_sets), order)
+        return _materialize_release(
+            jaccard_pairs_positional(cand, all_sets, t))
     tok_all = (new_pos.select("id", "s")
                .unionByName(stored.select("id", "s"))
                .select(F.col("id").alias("__id__"), F.col("s").alias("__s__")))
@@ -1811,17 +1976,23 @@ def refresh_prefix_order(spark, path: str, order_path: str,
     stored = (spark.read.option("basePath", rows_root).parquet(rows_root))
     prev = stored.agg(F.max("epoch")).collect()[0][0]
     prev = int(prev) if prev is not None else 0
+    old_order = None
     if os.path.isdir(order_path):
         # an all-skipped incremental refresh advances the ORDER epoch
         # without touching row epochs — the next epoch must clear both,
         # or a changed order could reuse a number the manifest already
         # validated batches against
-        prev = max(prev, _order_epoch(spark.read.parquet(order_path)))
+        old_order = spark.read.parquet(order_path)
+        prev = max(prev, _order_epoch(old_order))
     new_epoch = prev + 1
     current = (spark.read.option("basePath", os.path.join(path, "df"))
                .parquet(os.path.join(path, "df"))
                .groupBy("s").agg(F.sum("df").cast("bigint").alias("df"))
                .withColumn("epoch", F.lit(new_epoch)))
+    # stable tids carried over (r12): existing elements keep theirs, new
+    # vocabulary ranks above each bucket's old max — stored per-doc
+    # int-arrays (the sets sidecar) stay valid without any rewrite
+    current = _with_tids(current, old_order)
     tmp_order = order_path + ".next"
     current.write.mode("overwrite").parquet(tmp_order)
     order = spark.read.parquet(tmp_order).select("s", "df")

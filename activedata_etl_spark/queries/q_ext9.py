@@ -457,6 +457,33 @@ def dedup_prefix_stable_order_delta(spark: SparkSession,
                                        verify="ids")
 
 
+@query(
+    "dedup_prefix_stable_positional",
+    oracle=f"""
+    WITH {_EXACT_PAIRS}
+    SELECT id_a, id_b, jaccard FROM exact
+    WHERE (id_a % 2 = 1) OR (id_b % 2 = 1)
+    """,
+)
+def dedup_prefix_stable_positional(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """dedup_prefix_stable_order_delta with the r12 POSITIONAL verify:
+    exact Jaccard from the per-doc int-arrays stored in the index's
+    sets sidecar (ext/dedup.jaccard_pairs_positional) — each of the
+    bulk fixture's candidate pairs costs one array intersect, with no
+    per-query vocabulary build (the ids verify's upfront cost, paid
+    once at ingest under the order's stable tids) and no pairs×tokens
+    shuffle (the counts verify's wall). Same fixture, same oracle, same
+    exact output as the other two verifies — the hash match pins the
+    three forms equal at driver scale."""
+    d = load_table(spark, sf_dir, "documents")
+    path, order_path = _stable_index(spark, sf_dir, d)
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    return DD.prefix_join_stable_delta(spark, path, order_path, delta,
+                                       "doc_id", "text", threshold=0.5,
+                                       verify="positional")
+
+
 #: the 1%-delta fixture plants ONE synthetic near-dup (a copy of the
 #: first shingle-bearing stored doc under this id, which is ≡1 mod 100
 #: and above any rig's id range) so the query provably returns ≥1 row
@@ -523,7 +550,9 @@ def _stable_index(spark, sf_dir: str, d: DataFrame) -> tuple[str, str]:
     hand-rolled marker and was migrated by the r9 review)."""
     import os
 
-    base = scratch_dir(sf_dir, "prefstable")
+    # v2: the r12 engine writes the sets sidecar + tid-carrying order;
+    # a v1 scratch dir lacks both, so the tag bump forces one rebuild
+    base = scratch_dir(sf_dir, "prefstable_v2")
     path, order_path = os.path.join(base, "idx"), os.path.join(base, "order")
 
     def _build():

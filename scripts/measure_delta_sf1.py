@@ -35,6 +35,10 @@ SCALES = {
 DELTA_FAMILIES = {
     "prefix_stable": ("dedup_prefix_stable_order_delta",
                       "dedup_prefix_filter_pairs"),
+    # r12: same bulk fixture, positional (sets-sidecar) verify — the
+    # acceptance test for VERDICT r11 #1 is this row ≤0.8× its full twin
+    "prefix_stable_positional": ("dedup_prefix_stable_positional",
+                                 "dedup_prefix_filter_pairs"),
     "bm25": ("text_bm25_delta_topk", "text_bm25_topk"),
     "chunk": ("dedup_chunk_delta_stats", "dedup_chunk_level"),
     "ahash": ("multimodal_ahash_index_pairs", "multimodal_ahash_pairs"),
@@ -69,9 +73,39 @@ def _minhash_1pct_delta(spark, sf_dir):
                                   threshold=0.2)
 
 
+def _prefix_1pct_positional(spark, sf_dir):
+    """The registered 1% stable-delta fixture with verify='positional'
+    instead of its counts default — priced against the registered
+    counts form (the 'full' slot below) to check the r12 verify does
+    NOT regress the realistic nightly shape (VERDICT r11 #1's second
+    acceptance criterion)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.queries.q_ext9 import _PLANT_ID, _stable_index
+
+    d = load_table(spark, sf_dir, "documents")
+    path, order_path = _stable_index(spark, sf_dir, d)
+    has_sh = F.size(DD.shingles(DD.tokens(F.col("text")), 3)) > 0
+    anchor = (d.filter((F.pmod("doc_id", F.lit(4)) == 0) & has_sh)
+              .orderBy("doc_id").limit(1)
+              .select(F.lit(_PLANT_ID).cast("long").alias("doc_id"),
+                      "text"))
+    delta = (d.filter(F.pmod("doc_id", F.lit(100)) == 1)
+             .select("doc_id", "text").unionByName(anchor))
+    return DD.prefix_join_stable_delta(spark, path, order_path, delta,
+                                       "doc_id", "text", threshold=0.5,
+                                       verify="positional")
+
+
 # family -> (delta callable, full-rerun registered twin)
 REALISTIC = {
     "minhash_1pct": (_minhash_1pct_delta, "dedup_lsh_jaccard_pairs"),
+    # delta = positional 1% shape, "full" = the registered counts form
+    # (a twin comparison, not a delta-vs-rerun one)
+    "prefix_1pct_positional": (_prefix_1pct_positional,
+                               "dedup_prefix_stable_small_delta"),
 }
 
 

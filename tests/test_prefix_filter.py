@@ -300,8 +300,114 @@ def test_stable_delta_verify_forms_identical(spark, sf_dir, tmp_path):
              for r in DD.prefix_join_stable_delta(
                  spark, idx, order, delta, "doc_id", "text",
                  threshold=thr, verify="counts").collect()}
+        for form in ("ids", "positional"):
+            b = {(r.id_a, r.id_b, round(r.jaccard, 9))
+                 for r in DD.prefix_join_stable_delta(
+                     spark, idx, order, delta, "doc_id", "text",
+                     threshold=thr, verify=form).collect()}
+            assert a == b and a, form
+
+
+def test_positional_verify_survives_order_refresh(spark, sf_dir, tmp_path):
+    """The unseen→tid migration case (r12): batch 1 is ingested under
+    an order frozen from batch 0 only, so its sets rows classify the
+    new vocabulary into the unseen STRING array; refresh_prefix_order
+    then assigns those elements tids WITHOUT rewriting any sets batch
+    (stable-tid contract). A delta doc containing the migrated elements
+    now puts them in its INT array — the query-time unseen resolution
+    is what keeps the two representations comparable, and this test is
+    the proof: positional == counts after the refresh, at two
+    thresholds."""
+    import os as _os
+
+    d = load_table(spark, sf_dir, "documents")
+    base = str(tmp_path / "ps2")
+    idx, order = _os.path.join(base, "idx"), _os.path.join(base, "order")
+    b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+    DD.freeze_prefix_order(b0, "doc_id", "text", order)
+    DD.append_positioned_index(b0, "doc_id", "text", idx, 0, spark, order)
+    DD.append_positioned_index(d.filter(F.pmod("doc_id", F.lit(4)) == 2),
+                               "doc_id", "text", idx, 1, spark, order)
+    sets1 = _os.path.join(idx, "sets", "batch=1")
+    mtimes_before = sorted(
+        (_os.path.getmtime(_os.path.join(sets1, f)), f)
+        for f in _os.listdir(sets1))
+    res = DD.refresh_prefix_order(spark, idx, order)
+    assert res["epoch"] >= 1
+    # stable-tid contract: no sets batch was rewritten by the refresh
+    assert mtimes_before == sorted(
+        (_os.path.getmtime(_os.path.join(sets1, f)), f)
+        for f in _os.listdir(sets1))
+    # the refreshed order carries tids for ALL current vocabulary, and
+    # batch 1's unseen strings (non-empty pre-refresh by construction)
+    # are now tid-mapped — the exact migration the resolver handles
+    o = spark.read.parquet(order)
+    assert "tid" in o.columns
+    assert o.filter(F.col("tid").isNull()).count() == 0
+    unseen_cnt = (spark.read.parquet(sets1)
+                  .agg(F.sum(F.size("unseen"))).collect()[0][0])
+    assert unseen_cnt > 0, "fixture must exercise the migration path"
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    for thr in (0.3, 0.6):
+        a = {(r.id_a, r.id_b, round(r.jaccard, 9))
+             for r in DD.prefix_join_stable_delta(
+                 spark, idx, order, delta, "doc_id", "text",
+                 threshold=thr, verify="counts").collect()}
         b = {(r.id_a, r.id_b, round(r.jaccard, 9))
              for r in DD.prefix_join_stable_delta(
                  spark, idx, order, delta, "doc_id", "text",
-                 threshold=thr, verify="ids").collect()}
+                 threshold=thr, verify="positional").collect()}
         assert a == b and a
+
+
+def test_tids_stable_and_bijective_across_refresh(spark, sf_dir, tmp_path):
+    """Every element present before a refresh keeps its exact tid, new
+    vocabulary gets fresh ids, and the full map stays bijective — a
+    collision or reassignment would silently corrupt every stored
+    int-array."""
+    import os as _os
+
+    d = load_table(spark, sf_dir, "documents")
+    base = str(tmp_path / "ps3")
+    idx, order = _os.path.join(base, "idx"), _os.path.join(base, "order")
+    b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+    DD.freeze_prefix_order(b0, "doc_id", "text", order)
+    DD.append_positioned_index(b0, "doc_id", "text", idx, 0, spark, order)
+    before = {r["s"]: r["tid"]
+              for r in spark.read.parquet(order).collect()}
+    DD.append_positioned_index(d.filter(F.pmod("doc_id", F.lit(4)) == 2),
+                               "doc_id", "text", idx, 1, spark, order)
+    DD.refresh_prefix_order(spark, idx, order)
+    after = {r["s"]: r["tid"]
+             for r in spark.read.parquet(order).collect()}
+    assert set(before) < set(after), "refresh must add batch-1 vocab"
+    assert all(after[s] == t for s, t in before.items())
+    assert len(set(after.values())) == len(after), "tids must be bijective"
+
+
+def test_positional_verify_refuses_tidless_index(spark, sf_dir, tmp_path):
+    """A pre-r12 index (order without tid, no sets sidecar) must raise,
+    never silently fall back or miscount."""
+    import os as _os
+
+    import pytest as _pytest
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    base = str(tmp_path / "ps4")
+    idx, order = _os.path.join(base, "idx"), _os.path.join(base, "order")
+    b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+    DD.freeze_prefix_order(b0, "doc_id", "text", order)
+    # simulate the legacy layout: strip tid from the order, drop sets
+    legacy = spark.read.parquet(order).select("s", "df", "epoch")
+    legacy.write.mode("overwrite").parquet(order + ".legacy")
+    import shutil as _shutil
+    _shutil.rmtree(order)
+    _os.replace(order + ".legacy", order)
+    spark.catalog.refreshByPath(order)
+    DD.append_positioned_index(b0, "doc_id", "text", idx, 0, spark, order)
+    assert not _os.path.isdir(_os.path.join(idx, "sets"))
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    with _pytest.raises(ValueError, match="tid-carrying order"):
+        DD.prefix_join_stable_delta(spark, idx, order, delta,
+                                    "doc_id", "text",
+                                    verify="positional").collect()
