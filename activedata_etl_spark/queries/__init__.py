@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     q_ext8,
     q_ext9,
     q_ext10,
+    q_ext11,
     q_flagship,
     q_joins,
     q_jx,
@@ -42,19 +43,11 @@ from .registry import ORACLES, QUERIES
 # #4: the policy function is used here, not just asserted by a test, so
 # rotation can never drift from the module again).
 _NEW_THIS_ROUND: list[str] = [
-    # r10: product quantization (new family), the v2 bucketed minhash
-    # index behind dedup_index_delta_pairs (changed code path), and the
-    # now-oracle-paired 1%-delta fixture (was rows-only in r9).
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_from_index",
-    "sim_pq_from_index",
-    "sim_pq_recall_audit",
-    "sim_pq_code_balance",
-    "multimodal_ahash_group_pairs",
-    "dedup_index_delta_pairs",
-    "dedup_prefix_stable_small_delta",
-    "multimodal_ahash_index_pairs",
+    # r12: the positional (sets-sidecar) verify for the stable-order
+    # prefix index, and the jx-queryable metadata catalog.
+    "dedup_prefix_stable_positional",
+    "meta_tables_catalog",
+    "meta_columns_jx",
 ]
 
 # The verify driver samples a 50-entry PREFIX of this dict each round.

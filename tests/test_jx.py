@@ -536,3 +536,61 @@ def test_pq_op_front_end_equals_direct(spark, sf_dir):
                       "vec_id", "embedding", k=3, m=4, ksub=8, dim=64)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_meta_tables_jx_queryable(spark, sf_dir):
+    """{"from": "meta.tables"} serves the catalog through the ordinary
+    jx pipeline (r12 — the reference's queryable meta containers)."""
+    from activedata_etl_spark.io import TABLES, register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    got = run(spark, {"from": "meta.tables",
+                      "where": {"in": {"table": sorted(TABLES)}}})
+    rows_ = {r["table"]: (r["type"], r["is_temporary"])
+             for r in got.collect()}
+    assert set(rows_) == set(TABLES)
+    assert all(t == "temporary" and tmp for t, tmp in rows_.values())
+
+
+def test_meta_columns_jx_pinned_table_prunes_others(spark, sf_dir):
+    """A table-pinned meta.columns query must (a) return exactly that
+    table's catalog and (b) NOT scan any other table: the eq filter
+    pushes through the catalog union, folds each child's literal table
+    name, and PropagateEmptyRelation removes the other children — the
+    scalable shape for a 1000-table catalog."""
+    from activedata_etl_spark.io import describe_columns, load_table, \
+        register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    got = run(spark, {"from": "meta.columns",
+                      "where": {"eq": {"table": "nation"}}})
+    want = {(r["column"], r["dtype"], r["cardinality"], r["n_nulls"])
+            for r in describe_columns(
+                load_table(spark, sf_dir, "nation")).collect()}
+    assert {(r["column"], r["dtype"], r["cardinality"], r["n_nulls"])
+            for r in got.collect()} == want and want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "nation" in plan
+    for other in ("lineitem", "orders", "documents", "embeddings"):
+        assert other not in plan, f"pinned query must not scan {other}"
+
+
+def test_meta_columns_unpinned_catalogs_everything(spark, sf_dir):
+    """The unpinned form really is the full catalog: one row per
+    (table, column) across all ten base tables."""
+    from activedata_etl_spark.io import TABLES, load_table, register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    got = (run(spark, {"from": "meta.columns",
+                       "where": {"in": {"table": sorted(TABLES)}}})
+           .collect())
+    per_table = {}
+    for r in got:
+        per_table.setdefault(r["table"], set()).add(r["column"])
+    assert set(per_table) == set(TABLES)
+    for t in TABLES:
+        assert per_table[t] == set(
+            load_table(spark, sf_dir, t).columns)
