@@ -1819,13 +1819,24 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
                 "use verify='counts')")
         stored_sets = (spark.read.option("basePath", sets_root)
                        .parquet(sets_root)
-                       .select("id", "n", "tids", "unseen"))
+                       .select("id", "n", "tids", "unseen", "epoch"))
         delta_sets = _doc_sets(new_tok, order).select(
             "id", "n", "tids", "unseen")
-        all_sets = _resolve_unseen(
-            delta_sets.unionByName(stored_sets), order)
+        # unseen→tid remap is needed ONLY for batches ingested under an
+        # OLDER order (a refresh may have tid'd their unseen strings);
+        # a batch at the current order epoch is classified against this
+        # exact order already, and tokens absent from the current order
+        # can't be in any tid array — so the no-refresh case (the
+        # common one) skips the remap's corpus-wide explode entirely
+        cur = (stored_sets.filter(F.col("epoch") == F.lit(epoch))
+               .drop("epoch"))
+        stale = (stored_sets.filter(F.col("epoch") != F.lit(epoch))
+                 .drop("epoch"))
+        all_sets = (delta_sets.unionByName(cur)
+                    .unionByName(_resolve_unseen(stale, order))
+                    .persist())  # consumed by BOTH pair-join legs
         return _materialize_release(
-            jaccard_pairs_positional(cand, all_sets, t))
+            jaccard_pairs_positional(cand, all_sets, t), all_sets)
     tok_all = (new_pos.select("id", "s")
                .unionByName(stored.select("id", "s"))
                .select(F.col("id").alias("__id__"), F.col("s").alias("__s__")))

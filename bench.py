@@ -179,6 +179,12 @@ HEADLINE = [
     "sim_pq_balanced_topk",
     "sim_pq_train_sampled",
     "dedup_prefix_stable_small_delta",
+    # r12 additions: the pinned-table jx metadata catalog (one aggregate
+    # pass over the pinned table — the catalog-serving shape; the
+    # unpinned full-catalog form is a batch job, not headline). The
+    # positional-verify bulk twin stays non-headline with the same
+    # batch release-gate rationale as the rest of the prefix family.
+    "meta_columns_jx",
     # The r6-continuation prefix-filter family (dedup_prefix_filter_pairs
     # / decon_prefix_filter_overlap) is deliberately NOT headline, same
     # rationale as sim_knn_graph: it's a BATCH release-gate operator
