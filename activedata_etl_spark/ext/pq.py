@@ -51,18 +51,51 @@ def l2(a: Column, b: Column) -> Column:
     )
 
 
+def rotate_expr(vec: Column, rot: list[list[float]]) -> Column:
+    """Apply a dim×dim rotation as a plan-time projection: out[i] =
+    in-order left fold of rot[i][j]·vec[j] (the ``l2``/dot precedent —
+    DuckDB's ``list_sum(list_transform(list_zip(...)))`` folds the same
+    products in the same order, so the rotated floats are bit-identical
+    across engines). The matrix is a literal array-of-arrays — zero
+    shuffle, zero data probe; rows whose off-slot entries are 0.0 cost
+    only exact ``acc + 0.0`` no-ops inside whole-stage codegen."""
+    rows = F.array(*[F.array(*[F.lit(float(v)) for v in row])
+                     for row in rot])
+    return F.transform(
+        rows,
+        lambda r: F.aggregate(F.zip_with(r, vec, lambda a, b: a * b),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
 def subvectors(df: DataFrame, id_col: str, vec_col: str,
                m: int, dim: int,
-               perm: list[int] | None = None) -> DataFrame:
+               perm: list[int] | None = None,
+               rot: list[list[float]] | None = None) -> DataFrame:
     """(id, j, sv): m contiguous slices per vector. ``dim`` is explicit
     (no data probe — plan-only safe); vectors are cast to double once.
-    ``perm`` (optional, from :func:`dim_permutation`) reorders the
-    dimensions BEFORE slicing — a plan-time projection (the literal
-    index list is applied element-wise), zero extra shuffle."""
+    ``rot`` (optional, an explicit matrix or :func:`pca_rotation`'s
+    output) rotates the vector FIRST; ``perm`` (optional, from
+    :func:`dim_permutation`) then reorders the (rotated) dimensions
+    BEFORE slicing — both are plan-time projections (literal matrix /
+    index list applied element-wise), zero extra shuffle."""
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     sub = dim // m
     vec = _dvec(F.col(vec_col))
-    if perm is not None:
+    if rot is not None:
+        assert len(rot) == dim, f"rotation is {len(rot)}-row, dim {dim}"
+        if perm is not None:
+            # compose perm∘rot into ONE matrix by permuting the ROWS:
+            # out[i] = Σ_j rot[perm[i]][j]·x[j] — the same products in
+            # the same order as element_at(rotate(x), perm[i]+1), so
+            # bit-identical, but the plan carries one literal matrix
+            # instead of dim copies of it (element_at over the rotation
+            # tree duplicated all dim² literals per output slot — a
+            # ~260k-node analysis tree that OOM'd a vanilla driver)
+            assert sorted(perm) == list(range(dim)), \
+                "perm must permute 0..dim-1"
+            rot = [rot[p] for p in perm]
+        vec = rotate_expr(vec, rot)
+    elif perm is not None:
         assert sorted(perm) == list(range(dim)), "perm must permute 0..dim-1"
         vec = F.array(*[F.element_at(vec, p + 1) for p in perm])
     v = df.select(F.col(id_col).alias("id"), vec.alias("__v__"))
@@ -73,7 +106,8 @@ def subvectors(df: DataFrame, id_col: str, vec_col: str,
 
 
 def dim_permutation(df: DataFrame, id_col: str, vec_col: str,
-                    m: int, dim: int) -> list[int]:
+                    m: int, dim: int,
+                    rot: list[list[float]] | None = None) -> list[int]:
     """Variance-balancing dimension permutation — the deterministic
     OPQ-lite (Ge et al. CVPR 2013 motivate rotations by exactly this
     imbalance; a PERMUTATION is the rotation subgroup both engines can
@@ -82,7 +116,12 @@ def dim_permutation(df: DataFrame, id_col: str, vec_col: str,
     carry all the signal while other subspaces quantize noise; dealing
     dimensions round-robin by variance rank balances per-subspace
     energy at zero runtime cost (the permutation is applied as a
-    plan-time projection).
+    plan-time projection). ``rot`` (optional) ranks the ROTATED
+    dimensions — under a trained rotation the permutation must balance
+    the post-rotation variances (the r12 OPQ adjudication measured
+    rotation WITHOUT rebalancing at ~⅕ the recall of naive slicing:
+    derotation concentrates all variance into a few coordinates that
+    contiguous slices then waste — scripts/opq_r12.json).
 
     Determinism contract: the ranking statistic is the INTEGER
     n·Σq(x²) − (Σq(x))² over floor-quantized values q(x) =
@@ -93,8 +132,10 @@ def dim_permutation(df: DataFrame, id_col: str, vec_col: str,
     bounded driver probe (the probes/cids precedent)."""
     sub = dim // m
     q = F.floor(F.col("__x__") * F.lit(1000000000.0)).cast("bigint")
-    stats = (df.select(F.posexplode(_dvec(F.col(vec_col)))
-                       .alias("__i__", "__x__"))
+    vec = _dvec(F.col(vec_col))
+    if rot is not None:
+        vec = rotate_expr(vec, rot)
+    stats = (df.select(F.posexplode(vec).alias("__i__", "__x__"))
              .groupBy("__i__")
              .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
                   F.sum(q.cast("decimal(38,0)")).alias("s"),
@@ -111,6 +152,98 @@ def dim_permutation(df: DataFrame, id_col: str, vec_col: str,
     for rank, row in enumerate(ranked):
         perm[(rank % m) * sub + rank // m] = int(row["__i__"])
     return perm
+
+
+def pca_rotation(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                 train_fraction: float | None = None) -> list[list[float]]:
+    """Trained rotation — the full-OPQ adoption (r12 adjudication,
+    scripts/opq_r12.json): when dimensions are CORRELATED (anisotropy
+    smeared across coordinates by some upstream basis), no permutation
+    can unmix them; the eigenbasis of the covariance can. On the
+    correlated-anisotropic rig the oracle derotation + permutation
+    reads recall@10 0.176→0.368 (m=8, ksub=16) and 0.382→0.536
+    (ksub=64) vs the permutation alone — Ge et al. CVPR 2013's
+    alternating minimization converges toward exactly this derotation,
+    so PCA-on-covariance is the deterministic one-shot variant.
+
+    Determinism contract (two exact bounded aggregates + a frozen
+    driver-side eigensolve):
+
+    - second moments: p_ij = Σ q_i·q_j and s_i = Σ q_i over
+      floor-quantized q = floor(x·10⁹), multiplied in decimal(38,0)
+      AFTER the cast (the dim_permutation overflow rule) — exact
+      integers, order-independent, any engine reproduces them;
+    - the integer covariance n·p_ij − s_i·s_j converts to float64 once
+      on the driver; ``numpy.linalg.eigh`` runs there on the dim×dim
+      matrix — and the resulting matrix is FROZEN (stored in index
+      meta / applied as a literal), so serving determinism never
+      depends on LAPACK: the eigensolve is training, not query path;
+    - canonicalization: eigenvectors ordered by eigenvalue descending
+      (ties → original order), each sign-fixed so its largest-|v|
+      component (ties → lowest index) is positive.
+
+    Scale shape: the pair aggregate explodes N·dim² rows but map-side
+    combine collapses them to dim(dim+1)/2 groups per task — the
+    shuffle is bytes, the explode is the cost, and ``train_fraction``
+    (deterministic md5 sample, salt ``"pqrot:"``) bounds it exactly
+    like pq_train's sampled training. Output: rot[i][j] with
+    rotated[i] = Σ_j rot[i][j]·x[j] (eigenvector rows)."""
+    import numpy as np
+
+    if train_fraction is not None and train_fraction < 1.0:
+        from .sampling import hash_sample
+
+        df = hash_sample(df, F.col(id_col), train_fraction, salt="pqrot:")
+    qarr = F.transform(
+        _dvec(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(1000000000.0)).cast("bigint"))
+    rows = df.select(qarr.alias("__q__"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    marg = (rows.select(F.posexplode("__q__").alias("__i__", "__qi__"))
+            .groupBy("__i__")
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                 F.sum(dec(F.col("__qi__"))).alias("s"))
+            .collect())
+    pair = (rows
+            .select(F.posexplode("__q__").alias("__i__", "__qi__"),
+                    F.col("__q__"))
+            .select("__i__", "__qi__",
+                    F.posexplode("__q__").alias("__j__", "__qj__"))
+            .filter(F.col("__j__") >= F.col("__i__"))
+            .groupBy("__i__", "__j__")
+            .agg(F.sum(dec(F.col("__qi__")) * dec(F.col("__qj__")))
+                 .alias("p"))
+            .collect())
+    n = int(marg[0]["n"]) if marg else 0
+    assert n > 0, "pca_rotation: empty training set"
+    s = [0] * dim
+    for r in marg:
+        s[int(r["__i__"])] = int(r["s"])
+    cov = np.zeros((dim, dim))
+    for r in pair:
+        i, j = int(r["__i__"]), int(r["__j__"])
+        c = float(n * int(r["p"]) - s[i] * s[j])
+        cov[i][j] = cov[j][i] = c
+    _, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    rot = []
+    for k in range(dim - 1, -1, -1):  # descending
+        v = vecs[:, k]
+        lead = int(np.argmax(np.abs(v)))  # ties → lowest index
+        rot.append([float(x) for x in (-v if v[lead] < 0 else v)])
+    return rot
+
+
+def _resolve_rotation(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                      rotation, train_fraction: float | None = None):
+    """``rotation`` is None, an explicit dim×dim matrix (list of
+    rows — e.g. trained offline, or the fixed literal of an oracle
+    twin), or ``"pca"`` (train via :func:`pca_rotation` on ``df``)."""
+    if rotation is None:
+        return None
+    if rotation == "pca":
+        return pca_rotation(df, id_col, vec_col, dim,
+                            train_fraction=train_fraction)
+    return [[float(v) for v in row] for row in rotation]
 
 
 def _assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -146,7 +279,8 @@ def _reestimate(assign: DataFrame) -> DataFrame:
 def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
              ksub: int = 8, n_iter: int = 2, dim: int = 64,
              train_fraction: float | None = None,
-             perm: list[int] | None = None) -> DataFrame:
+             perm: list[int] | None = None,
+             rot: list[list[float]] | None = None) -> DataFrame:
     """Train per-subspace codebooks: (j, code, cvec), code ∈ [0, ksub).
     Corpus cost: n_iter scans of the (id, j, sv) rows; the codebook
     itself is m·ksub rows — driver- and broadcast-trivial at any corpus
@@ -164,7 +298,7 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
         from .sampling import hash_sample
 
         df = hash_sample(df, F.col(id_col), train_fraction, salt="pqtrain:")
-    sv = subvectors(df, id_col, vec_col, m, dim, perm=perm)
+    sv = subvectors(df, id_col, vec_col, m, dim, perm=perm, rot=rot)
     seed_ids = df.select(F.col(id_col).alias("id")).orderBy("id").limit(ksub)
     # the Window now sorts ksub rows per subspace (post-join), not the corpus
     w = Window.partitionBy("j").orderBy("id")
@@ -183,18 +317,20 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
 
 def pq_encode(df: DataFrame, id_col: str, vec_col: str,
               codebook: DataFrame, m: int = 4, dim: int = 64,
-              perm: list[int] | None = None) -> DataFrame:
+              perm: list[int] | None = None,
+              rot: list[list[float]] | None = None) -> DataFrame:
     """(id, j, code) rows — the compressed corpus. Stored long-form (one
     row per subspace) so ADC is a plain equi-join; collect to an
     array<tinyint> column for at-rest storage if 4 rows/vec dominates."""
-    sv = subvectors(df, id_col, vec_col, m, dim, perm=perm)
+    sv = subvectors(df, id_col, vec_col, m, dim, perm=perm, rot=rot)
     return _assign(sv, codebook).select("id", "j", "code")
 
 
 def _adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
               id_col: str, vec_col: str, k: int, m: int, dim: int,
               cand: DataFrame | None = None,
-              perm: list[int] | None = None) -> DataFrame:
+              perm: list[int] | None = None,
+              rot: list[list[float]] | None = None) -> DataFrame:
     """ADC scoring against an encoded corpus: distance table =
     queries × codebook (broadcast — a few hundred rows at any corpus
     size), scored rows = codes equi-joined to it on (j, code), one
@@ -208,8 +344,8 @@ def _adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
     sized by the candidates; AQE may still choose broadcast when it is
     actually small) — only the genuinely tiny tables (codebook,
     distance table) carry broadcast hints."""
-    qsv = subvectors(queries, id_col, vec_col, m, dim, perm=perm) \
-        .withColumnRenamed("id", "q_id")
+    qsv = subvectors(queries, id_col, vec_col, m, dim, perm=perm,
+                     rot=rot).withColumnRenamed("id", "q_id")
     dtab = (qsv.join(F.broadcast(codebook), "j")
             .select("q_id", "j", "code",
                     l2(F.col("sv"), F.col("cvec")).alias("d")))
@@ -237,7 +373,8 @@ def _adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
 
 def pq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             k: int = 3, m: int = 4, ksub: int = 8, n_iter: int = 2,
-            dim: int = 64, balance_dims: bool = False) -> DataFrame:
+            dim: int = 64, balance_dims: bool = False,
+            rotation=None) -> DataFrame:
     """ADC top-k: train on the corpus, encode it, then answer each query
     from the codes alone. Output (q_id, vec_id, adc) — adc is the
     approximate squared L2 (sum of m table lookups, folded in subspace
@@ -248,12 +385,15 @@ def pq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     leg carries 3 small ints per row; one partial-aggregated shuffle on
     (q_id, id); top-k is a per-query Window over k·|queries| survivors
     of a TakeOrdered-style pushdown... the heap stays in the agg."""
-    perm = dim_permutation(df, id_col, vec_col, m, dim) \
+    rot = _resolve_rotation(df, id_col, vec_col, dim, rotation)
+    perm = dim_permutation(df, id_col, vec_col, m, dim, rot=rot) \
         if balance_dims else None
-    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim, perm=perm)
-    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm)
+    codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim,
+                        perm=perm, rot=rot)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm,
+                      rot=rot)
     return _adc_topk(codes, codebook, queries, id_col, vec_col, k, m, dim,
-                     perm=perm)
+                     perm=perm, rot=rot)
 
 
 # --- persisted PQ index (the serving shape at 100 TB) -----------------------
@@ -273,22 +413,25 @@ def _meta_path(path: str) -> str:
 def build_pq_index(df: DataFrame, id_col: str, vec_col: str, path: str,
                    m: int = 4, ksub: int = 8, n_iter: int = 2,
                    dim: int = 64, train_fraction: float | None = None,
-                   balance_dims: bool = False) -> None:
+                   balance_dims: bool = False, rotation=None) -> None:
     """Materialize codebook + encoded corpus under ``path``. The raw
     vectors are read for training + encode and never again.
     ``balance_dims`` freezes the variance-balancing permutation
     (:func:`dim_permutation`) into the index meta — appends and serving
     apply the SAME permutation forever after, the frozen-model
     convention the codebook already follows."""
-    perm = dim_permutation(df, id_col, vec_col, m, dim) \
+    rot = _resolve_rotation(df, id_col, vec_col, dim, rotation,
+                            train_fraction=train_fraction)
+    perm = dim_permutation(df, id_col, vec_col, m, dim, rot=rot) \
         if balance_dims else None
     codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim,
-                        train_fraction=train_fraction, perm=perm)
+                        train_fraction=train_fraction, perm=perm, rot=rot)
     codebook.write.mode("overwrite").parquet(_os.path.join(path, "codebook"))
-    pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm) \
+    pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm, rot=rot) \
         .write.mode("overwrite").parquet(_os.path.join(path, "codes"))
     with open(_meta_path(path), "w") as f:
-        _json.dump({"m": m, "ksub": ksub, "dim": dim, "perm": perm}, f)
+        _json.dump({"m": m, "ksub": ksub, "dim": dim, "perm": perm,
+                    "rot": rot}, f)
 
 
 def read_pq_codebook(spark, path: str) -> DataFrame:
@@ -308,7 +451,7 @@ def append_pq_codes(df_new: DataFrame, id_col: str, vec_col: str,
         meta = _json.load(f)
     cb = read_pq_codebook(spark, path)
     pq_encode(df_new, id_col, vec_col, cb, meta["m"], meta["dim"],
-              perm=meta.get("perm")) \
+              perm=meta.get("perm"), rot=meta.get("rot")) \
         .write.mode("append").parquet(_os.path.join(path, "codes"))
 
 
@@ -322,7 +465,7 @@ def pq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
     return _adc_topk(read_pq_codes(spark, path),
                      read_pq_codebook(spark, path), queries,
                      id_col, vec_col, k, meta["m"], meta["dim"],
-                     perm=meta.get("perm"))
+                     perm=meta.get("perm"), rot=meta.get("rot"))
 
 
 def purge_pq_codes(spark, path: str, ids) -> int:
@@ -398,7 +541,8 @@ def purge_ivfpq_codes(spark, path: str, ids) -> int:
 def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                k: int = 3, nlist: int = 16, nprobe: int = 2,
                m: int = 4, ksub: int = 8, n_iter: int = 2,
-               dim: int = 64, balance_dims: bool = False) -> DataFrame:
+               dim: int = 64, balance_dims: bool = False,
+               rotation=None) -> DataFrame:
     """IVF-PQ: the full large-corpus ANN serving stack — route each
     query to its ``nprobe`` nearest IVF centroids (max-cosine, the
     repo's IVF metric), then ADC-score ONLY the vectors assigned to
@@ -420,11 +564,13 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 
     cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist,
                              n_iter=n_iter)
-    perm = dim_permutation(df, id_col, vec_col, m, dim) \
+    rot = _resolve_rotation(df, id_col, vec_col, dim, rotation)
+    perm = dim_permutation(df, id_col, vec_col, m, dim, rot=rot) \
         if balance_dims else None
     codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim,
-                        perm=perm)
-    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm)
+                        perm=perm, rot=rot)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm,
+                      rot=rot)
 
     q = queries.select(F.col(id_col).alias("q_id"),
                        _dvec(F.col(vec_col)).alias("__qv__"))
@@ -441,7 +587,7 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("q_id") != F.col("id"))
             .select("q_id", "id"))
     return _adc_topk(codes, codebook, queries, id_col, vec_col, k, m,
-                     dim, cand=cand, perm=perm)
+                     dim, cand=cand, perm=perm, rot=rot)
 
 
 # --- persisted IVF-PQ index: the end-state ANN serving artifact ------------
@@ -458,21 +604,25 @@ def build_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str,
                       nlist: int = 16, m: int = 4, ksub: int = 8,
                       n_iter: int = 2, dim: int = 64,
                       train_fraction: float | None = None,
-                      balance_dims: bool = False) -> None:
+                      balance_dims: bool = False, rotation=None) -> None:
     from .similarity import ivf_build
 
     cent, assign = ivf_build(df, id_col, vec_col, nlist=nlist,
                              n_iter=n_iter)
-    # the permutation affects only the PQ half — IVF routing compares
-    # whole vectors, and cosine is permutation-invariant
-    perm = dim_permutation(df, id_col, vec_col, m, dim) \
+    # rotation + permutation affect only the PQ half — IVF routing
+    # compares whole vectors, and cosine is invariant under both
+    # (orthogonal maps preserve dot products and norms)
+    rot = _resolve_rotation(df, id_col, vec_col, dim, rotation,
+                            train_fraction=train_fraction)
+    perm = dim_permutation(df, id_col, vec_col, m, dim, rot=rot) \
         if balance_dims else None
     codebook = pq_train(df, id_col, vec_col, m, ksub, n_iter, dim,
-                        train_fraction=train_fraction, perm=perm)
+                        train_fraction=train_fraction, perm=perm, rot=rot)
     cent.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     codebook.write.mode("overwrite").parquet(
         _os.path.join(path, "codebook"))
-    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm)
+    codes = pq_encode(df, id_col, vec_col, codebook, m, dim, perm=perm,
+                      rot=rot)
     cids = assign.select(F.col(id_col).alias("id"), "cid")
     (codes.join(cids, "id")
      .repartition("cid")
@@ -480,7 +630,7 @@ def build_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str,
      .parquet(_os.path.join(path, "codes")))
     with open(_meta_path(path), "w") as f:
         _json.dump({"m": m, "ksub": ksub, "dim": dim,
-                    "nlist": nlist, "perm": perm}, f)
+                    "nlist": nlist, "perm": perm, "rot": rot}, f)
 
 
 def _route(queries: DataFrame, cent: DataFrame, id_col: str, vec_col: str,
@@ -511,7 +661,7 @@ def append_ivfpq_index(df_new: DataFrame, id_col: str, vec_col: str,
     assign = _route(df_new, cent, id_col, vec_col, nprobe=1) \
         .withColumnRenamed("q_id", "id")
     codes = pq_encode(df_new, id_col, vec_col, cb, meta["m"], meta["dim"],
-                      perm=meta.get("perm"))
+                      perm=meta.get("perm"), rot=meta.get("rot"))
     (codes.join(assign, "id")
      .repartition("cid")
      .write.mode("append").partitionBy("cid")
@@ -542,7 +692,7 @@ def ivfpq_index_topk(queries: DataFrame, id_col: str, vec_col: str,
             .select("q_id", "id"))
     out = _adc_topk(codes.drop("cid"), cb, queries, id_col, vec_col,
                     k, meta["m"], meta["dim"], cand=cand,
-                    perm=meta.get("perm"))
+                    perm=meta.get("perm"), rot=meta.get("rot"))
     from .dedup import _materialize_release
 
     return _materialize_release(out, probes)

@@ -110,14 +110,17 @@ def _ann_topk(spark, df, spec) -> DataFrame:
         qdf = df.filter(compile_expr(spec["queries"])) if "queries" in spec \
             else df
         # balance_dims: the variance-balancing permutation (r11
-        # OPQ-lite); train_fraction: deterministic md5-sampled training
+        # OPQ-lite); rotation: "pca" (trained, ext/pq.pca_rotation) or
+        # an explicit dim×dim matrix — the full-OPQ path (r12);
+        # train_fraction: deterministic md5-sampled training
         return PQ.pq_topk(df, qdf, id_col, vec_col, k=k,
                           m=int(spec.get("m", 4)),
                           ksub=int(spec.get("ksub", 8)),
                           n_iter=int(spec.get("n_iter", 2)),
                           dim=int(spec.get("dim", 64)),
                           balance_dims=bool(spec.get("balance_dims",
-                                                     False)))
+                                                     False)),
+                          rotation=spec.get("rotation"))
     if method in ("pq_index", "ivfpq_index"):
         # SERVING path (r11, VERDICT r10 #3): answer from a PERSISTED
         # index — the frozen codebook (+ centroids for ivfpq) and the

@@ -431,3 +431,132 @@ def sim_pq_balanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_topk(emb, qs, "vec_id", "embedding", k=_K, m=_M,
                       ksub=_KSUB, n_iter=_ITER, dim=_DIM,
                       balance_dims=True)
+
+
+def _fixed_rotation(dim: int = _DIM) -> list[list[float]]:
+    """A fixed orthogonal rotation for the oracle-paired rotated-PQ
+    twin: block-diagonal 2×2 Givens blocks with distinct angles —
+    orthogonal by construction, and its float entries are generated
+    ONCE here and embedded as literals in BOTH the Spark plan
+    (pq.rotate_expr) and the DuckDB oracle (``repr`` round-trips a
+    double exactly in both parsers), so the two engines multiply the
+    same bits. The trained path (pq.pca_rotation) is adjudicated on
+    the rig and served by the rows-only ``sim_pq_pca_topk`` twin —
+    an eigensolve has no SQL restatement; this FIXED matrix is the
+    oracle-carrying form proving the rotate→rank→permute→train→
+    encode→ADC chain bit-for-bit (the _auto / fixed-twin precedent)."""
+    import math
+
+    rot = [[0.0] * dim for _ in range(dim)]
+    for b in range(dim // 2):
+        t = 0.1 + 0.05 * b
+        c, s = math.cos(t), math.sin(t)
+        rot[2 * b][2 * b] = c
+        rot[2 * b][2 * b + 1] = s
+        rot[2 * b + 1][2 * b] = -s
+        rot[2 * b + 1][2 * b + 1] = c
+    return rot
+
+
+_ROT = _fixed_rotation()
+
+
+def _pq_rotated_oracle() -> str:
+    """The rotated+balanced chain: rotate with the SAME literal matrix
+    (in-order fold per output coordinate — list_sum mirrors
+    F.aggregate, the _sql_l2 precedent), re-derive the variance
+    ranking on the ROTATED vectors from the same exact integers, then
+    run the standard permuted PQ chain + ADC top-k."""
+    l2 = _sql_l2
+    # %.17e forces DOUBLE typing in DuckDB (a bare decimal literal
+    # parses as DECIMAL, and decimal→double products round differently
+    # in the last ulp); 17 digits round-trips the double exactly
+    vals = ",\n".join(
+        "({}, [{}])".format(i, ", ".join("%.17e" % v for v in row))
+        for i, row in enumerate(_ROT))
+    pre = [
+        """rbase AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)""",
+        f"""rrot AS (SELECT * FROM (VALUES {vals}) t(i, rvec))""",
+        """bv0 AS (
+          SELECT vec_id, list(val ORDER BY i) AS vv
+          FROM (SELECT v.vec_id, r.i,
+                       list_sum(list_transform(list_zip(r.rvec, v.vv),
+                                p -> p[1] * p[2])) AS val
+                FROM rbase v CROSS JOIN rrot r)
+          GROUP BY vec_id)""",
+        """bstat AS (
+          SELECT i, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(q AS HUGEINT)) AS s,
+                 SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss
+          FROM (SELECT generate_subscripts(vv, 1) AS i,
+                       CAST(floor(unnest(vv) * 1000000000.0) AS BIGINT) AS q
+                FROM bv0)
+          GROUP BY i)""",
+        f"""bperm AS (
+          SELECT i, ((rnk - 1) % {_M}) * {_SUB} + (rnk - 1) // {_M} AS pos
+          FROM (SELECT i, ROW_NUMBER() OVER (
+                  ORDER BY n * ss - s * s DESC, i ASC) AS rnk
+                FROM bstat))""",
+    ]
+    v_sql = """
+          SELECT vec_id, list(x ORDER BY pos) AS vv
+          FROM (SELECT vec_id, generate_subscripts(vv, 1) AS i,
+                       unnest(vv) AS x FROM bv0)
+          JOIN bperm USING (i) GROUP BY vec_id"""
+    ctes = _pq_ctes(pre=pre, v_sql=v_sql)
+    ctes.append(f"""dtab AS (
+      SELECT q.vec_id AS q_id, q.j, c.code, {l2('q.s', 'c.cvec')} AS d
+      FROM sv q JOIN c{_ITER} c ON c.j = q.j
+      WHERE q.vec_id < {_NQ})""")
+    ctes.append("""scored AS (
+      SELECT q_id, vec_id, list_sum(list(d ORDER BY j)) AS adc
+      FROM (SELECT dt.q_id, af.vec_id, dt.j, dt.d
+            FROM af JOIN dtab dt ON dt.j = af.j AND dt.code = af.code
+            WHERE dt.q_id <> af.vec_id)
+      GROUP BY q_id, vec_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT q_id, vec_id, adc FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY adc ASC, vec_id ASC) AS rn
+      FROM scored) WHERE rn <= {_K}""")
+
+
+@query("sim_pq_rotated_topk", oracle=_pq_rotated_oracle())
+def sim_pq_rotated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k under an explicit rotation composed with the variance
+    permutation (ext/pq rotate_expr + dim_permutation(rot=...) — the
+    full-OPQ pipeline, r12 adjudication): when anisotropy is smeared
+    across coordinates by correlation, a permutation alone is blind;
+    rotating into the decorrelated basis and THEN balancing roughly
+    doubles recall on the correlated rig (scripts/opq_r12.json:
+    0.176→0.368 at m=8/ksub=16, 0.382→0.536 at ksub=64 — while
+    rotation WITHOUT rebalancing is ~⅕ of naive, so the two must
+    compose). This oracle-carrying twin uses a fixed literal
+    block-Givens matrix; the trained variant (rotation="pca") is
+    sim_pq_pca_topk. Both rotation and permutation are plan-time
+    projections — zero extra shuffle at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _NQ)
+    return PQ.pq_topk(emb, qs, "vec_id", "embedding", k=_K, m=_M,
+                      ksub=_KSUB, n_iter=_ITER, dim=_DIM,
+                      balance_dims=True, rotation=_ROT)
+
+
+@query("sim_pq_pca_topk")
+def sim_pq_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k under the TRAINED rotation (ext/pq.pca_rotation —
+    full OPQ, adopted r12): eigenbasis of the exact quantized-integer
+    covariance (two bounded aggregates + one frozen driver-side
+    eigensolve), composed with the variance permutation on the rotated
+    coordinates. On the correlated-anisotropic rig the engine path
+    reaches the oracle-derotation upper bound (scripts/opq_r12.json,
+    ``pca_engine`` vs ``rotated_permuted``). Rows-only: an eigensolve
+    has no DuckDB restatement — sim_pq_rotated_topk is the
+    oracle-carrying fixed twin proving the identical plan chain (the
+    _auto-form precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _NQ)
+    return PQ.pq_topk(emb, qs, "vec_id", "embedding", k=_K, m=_M,
+                      ksub=_KSUB, n_iter=_ITER, dim=_DIM,
+                      balance_dims=True, rotation="pca")

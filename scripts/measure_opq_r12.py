@@ -76,7 +76,7 @@ def build_fixture(spark):
              "var_ratio_derotated": round(float(vb.max() / vb.min()), 2)})
 
 
-def recall_at_k(spark, emb, vec_col, m, ksub, balance):
+def recall_at_k(spark, emb, vec_col, m, ksub, balance, rotation=None):
     from pyspark.sql import Window, functions as F
 
     from activedata_etl_spark.ext import pq as PQ
@@ -86,7 +86,8 @@ def recall_at_k(spark, emb, vec_col, m, ksub, balance):
     e = emb.select("vec_id", F.col(vec_col).alias("embedding"))
     qs = e.filter(F.col("vec_id") < NQ)
     got = PQ.pq_topk(e, qs, "vec_id", "embedding", k=K, m=m, ksub=ksub,
-                     n_iter=2, dim=DIM, balance_dims=balance)
+                     n_iter=2, dim=DIM, balance_dims=balance,
+                     rotation=rotation)
     q = qs.select(F.col("vec_id").alias("q_id"),
                   _dvec(F.col("embedding")).alias("qv"))
     c = e.select(F.col("vec_id").alias("id"),
@@ -119,6 +120,10 @@ def main() -> None:
             "rotated": recall_at_k(spark, emb, "emb_derot", m, ksub, False),
             "rotated_permuted": recall_at_k(spark, emb, "emb_derot",
                                             m, ksub, True),
+            # the ENGINE's trained path on the RAW correlated vectors —
+            # adoption bar: matches the oracle-derotation upper bound
+            "pca_engine": recall_at_k(spark, emb, "emb", m, ksub, True,
+                                      rotation="pca"),
         }
         print(json.dumps({key: out[key]}), flush=True)
     dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/opq_r12.json"

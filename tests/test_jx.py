@@ -538,6 +538,30 @@ def test_pq_op_front_end_equals_direct(spark, sf_dir):
         sorted(map(tuple, want.collect()))
 
 
+def test_pq_rotation_through_jx(spark, sf_dir):
+    """ann_topk method="pq" with rotation="pca" + balance_dims (r12
+    full-OPQ) routed through the jx from clause equals the direct
+    trained-rotation chain."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import pq as PQ
+    from activedata_etl_spark.io import load_table, register_views
+    from activedata_etl_spark.plans.query import run
+
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = run(spark, {"from": {"op": "ann_topk", "table": "embeddings",
+                               "queries": {"lt": {"vec_id": 5}},
+                               "method": "pq", "k": 3, "m": 4, "ksub": 8,
+                               "dim": 64, "balance_dims": True,
+                               "rotation": "pca"}})
+    want = PQ.pq_topk(emb, emb.filter(F.col("vec_id") < 5),
+                      "vec_id", "embedding", k=3, m=4, ksub=8, dim=64,
+                      balance_dims=True, rotation="pca")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
 def test_meta_tables_jx_queryable(spark, sf_dir):
     """{"from": "meta.tables"} serves the catalog through the ordinary
     jx pipeline (r12 — the reference's queryable meta containers)."""

