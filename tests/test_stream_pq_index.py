@@ -312,3 +312,44 @@ def test_balanced_index_freezes_permutation(spark, sf_dir, tmp_path):
     rows2 = PQ.ivfpq_index_topk(qs, "vec_id", "embedding", spark, ividx,
                                 k=3, nprobe=2).collect()
     assert rows2 and not any(r.vec_id in set(victims) for r in rows2)
+
+
+def test_rotated_index_streaming_appends(spark, sf_dir, tmp_path):
+    """A trained rotation frozen into the index meta (r12 full-OPQ)
+    must govern STREAMING appends exactly like the permutation:
+    batches encode through the frozen (rot, perm, codebook), replay
+    stays idempotent, and index-served top-k equals the direct chain
+    with the same frozen model over the full corpus."""
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    PQ.build_pq_index(old, "vec_id", "embedding", idx, m=4, ksub=8,
+                      n_iter=2, dim=64, balance_dims=True, rotation="pca")
+    import json
+    meta = json.load(open(os.path.join(idx, "_pq_meta.json")))
+    assert meta["rot"] is not None and meta["perm"] is not None
+
+    inbox = str(tmp_path / "inbox")
+    new.write.parquet(inbox)
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        PQ.append_pq_codes(batch_df, "vec_id", "embedding", spark, idx)
+
+    ST.run_foreach_batch(ST.file_stream(spark, inbox, emb.schema),
+                         ingest, str(tmp_path / "ckpt")).awaitTermination(120)
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    got = _topk(spark, idx, qs)
+    cb = PQ.read_pq_codebook(spark, idx)
+    codes = PQ.pq_encode(emb, "vec_id", "embedding", cb, m=4, dim=64,
+                         perm=meta["perm"], rot=meta["rot"])
+    want = sorted((r.q_id, r.vec_id, r.adc) for r in PQ._adc_topk(
+        codes, cb, qs, "vec_id", "embedding", 3, 4, 64,
+        perm=meta["perm"], rot=meta["rot"]).collect())
+    assert got == want and len(got) == 30
+    # replay idempotence under the rotated chain
+    PQ.append_pq_codes(new, "vec_id", "embedding", spark, idx)
+    assert _topk(spark, idx, qs) == want
