@@ -185,6 +185,11 @@ HEADLINE = [
     # positional-verify bulk twin stays non-headline with the same
     # batch release-gate rationale as the rest of the prefix family.
     "meta_columns_jx",
+    # the full-OPQ serving shape (r12): fixed-rotation chain — prices
+    # the fused rotation+permutation plan-time projection; the trained
+    # pca twin adds only a one-shot training probe, so the fixed form
+    # is the serving-representative member
+    "sim_pq_rotated_topk",
     # The r6-continuation prefix-filter family (dedup_prefix_filter_pairs
     # / decon_prefix_filter_overlap) is deliberately NOT headline, same
     # rationale as sim_knn_graph: it's a BATCH release-gate operator
