@@ -139,19 +139,25 @@ def describe_columns(df: DataFrame) -> DataFrame:
     (``vendor/jx_elasticsearch/meta.py :: ColumnList``): per column its
     name, type, exact cardinality and null count, computed in ONE
     aggregate pass then unpivoted (no per-column jobs)."""
+    # quote input names and key the stat aliases POSITIONALLY: a column
+    # literally named "n.name" (legal — the dotted-output tests make
+    # them) must neither parse as struct access nor leak its dot into a
+    # generated alias (r12 full-suite catch: a foreign temp view with a
+    # dotted column crashed every later unpinned catalog scan)
     aggs = []
-    for name, dtype in df.dtypes:
-        aggs.append(F.countDistinct(F.col(name)).alias(f"__card_{name}"))
-        aggs.append((F.count(F.lit(1)) - F.count(F.col(name))).alias(f"__nulls_{name}"))
+    for i, (name, dtype) in enumerate(df.dtypes):
+        src = F.col("`" + name.replace("`", "``") + "`")
+        aggs.append(F.countDistinct(src).alias(f"__card_{i}"))
+        aggs.append((F.count(F.lit(1)) - F.count(src)).alias(f"__nulls_{i}"))
     stats = df.agg(*aggs)
     rows = F.array(*[
         F.struct(
             F.lit(name).alias("column"),
             F.lit(dtype).alias("dtype"),
-            F.col(f"__card_{name}").alias("cardinality"),
-            F.col(f"__nulls_{name}").alias("n_nulls"),
+            F.col(f"__card_{i}").alias("cardinality"),
+            F.col(f"__nulls_{i}").alias("n_nulls"),
         )
-        for name, dtype in df.dtypes
+        for i, (name, dtype) in enumerate(df.dtypes)
     ])
     return stats.select(F.explode(rows).alias("c")).select("c.*")
 
@@ -187,7 +193,10 @@ def meta_columns(spark: SparkSession) -> DataFrame:
         cols = [c for c, dt in df.dtypes if not dt.startswith("map<")]
         if not cols:
             continue
-        d = (describe_columns(df.select(*cols))
+        # quote: a view column named "n.name" must not parse as a path
+        d = (describe_columns(
+                df.select(*[F.col("`" + c.replace("`", "``") + "`")
+                            for c in cols]))
              .select(F.lit(t.name).alias("table"),
                      "column", "dtype", "cardinality", "n_nulls"))
         out = d if out is None else out.unionByName(d)

@@ -562,6 +562,32 @@ def test_pq_rotation_through_jx(spark, sf_dir):
         sorted(map(tuple, want.collect()))
 
 
+def test_meta_columns_survives_dotted_view_names(spark, sf_dir):
+    """A catalog-visible view with a literally-dotted column name (the
+    dotted-output tests register such views) must not crash the
+    unpinned meta.columns scan — r12 full-suite catch: F.col over the
+    raw name parsed "n.name" as struct access and every later catalog
+    test failed on the leftover view."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import load_table, meta_columns, \
+        register_views
+
+    register_views(spark, sf_dir)
+    (load_table(spark, sf_dir, "nation")
+     .select("n_nationkey", F.col("n_name").alias("n.name"))
+     .createOrReplaceTempView("nation_dotted_catalog_probe"))
+    try:
+        got = (meta_columns(spark)
+               .filter(F.col("table") == "nation_dotted_catalog_probe")
+               .collect())
+        assert {r["column"] for r in got} == {"n_nationkey", "n.name"}
+        card = {r["column"]: r["cardinality"] for r in got}
+        assert card["n.name"] == card["n_nationkey"]
+    finally:
+        spark.catalog.dropTempView("nation_dotted_catalog_probe")
+
+
 def test_meta_tables_jx_queryable(spark, sf_dir):
     """{"from": "meta.tables"} serves the catalog through the ordinary
     jx pipeline (r12 — the reference's queryable meta containers)."""
