@@ -378,8 +378,9 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     ADAPTIVE on measured delta size (one count over the persisted delta
     band rows, the auto-multiprobe pattern):
 
-    - **lookup regime** (≤ ``_LOOKUP_CAP`` delta band rows — the "is
-      this batch of docs already in the corpus" interactive shape): the
+    - **lookup regime** (≤ ``_LOOKUP_CAP`` distinct delta band keys —
+      the "is this batch of docs already in the corpus" interactive
+      shape; distinct keys bound the pushed IN-list size, r12): the
       delta's band keys are collected and pushed as literal predicates
       on the stored band read — ``(band_idx, sbkt)`` prunes partition
       directories outright, and ``band_sig IN (...)`` skips row groups
@@ -434,18 +435,41 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
     banded_new = banded_new.withColumn(
         "sbkt", F.pmod(F.xxhash64("band_sig"),
                        F.lit(meta["sbkt"])).cast("int")).persist()
-    # sizing probe: which regime is this delta? ONE action returns both
-    # the band-row count AND the exact directory-hit count (persisted —
-    # every later consumer reads the materialized band rows, so the
-    # probe's real cost, tokenizing the delta once, is work all paths
-    # need; the dir count decides the lookup regime BEFORE any collect,
-    # where v2.0 collected the keys first and threw them away when the
-    # budget failed — a wasted driver round-trip on every nightly run)
-    sizing = banded_new.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("band_idx", "sbkt").alias("nd")).first()
-    n_delta_bands = int(sizing["n"])
-    n_dirs_hit = int(sizing["nd"])
+    # sizing probe, ONE action for the whole lookup path (r12 — the
+    # r11 form ran a sizing agg AND, in lookup regime, a second
+    # distinct-collect over the same persisted rows; the interactive
+    # shape paid two driver barriers for one decision): group to the
+    # distinct pushdown keys and limit-collect _LOOKUP_CAP+1 of them
+    # with their row counts. ≤ cap groups → this collect already holds
+    # everything every later decision needs (exact total band rows =
+    # sum of counts for the bulk gate, the exact dir-hit set for the
+    # OR-chain budget, and the IN-list keys themselves); > cap groups
+    # → a count-only agg decides bulk vs batch (one extra action only
+    # on big deltas, where it is noise against the scan it precedes).
+    # The lookup gate statistic becomes DISTINCT keys rather than raw
+    # band rows — the IN list is built from distinct keys, so the cap
+    # now bounds the actual pushed-predicate size (a duplicate-heavy
+    # delta no longer falls out of lookup for rows it dedups anyway).
+    # The total band-row count (the bulk gate's statistic) rides the
+    # SAME job as an observed metric (df.observe sits below the
+    # groupBy, so every persisted row flows through it before the
+    # exchange — the limit above the aggregate cannot short-circuit
+    # map-side work): sizing is ONE driver barrier in EVERY regime.
+    # (The v2.2 interim ran a separate count() when the group limit
+    # overflowed — measured +0.6s on the 10× batch shape; the
+    # observation gets the count for free.)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    grouped = (banded_new
+               .observe(obs, F.count(F.lit(1)).alias("n"))
+               .groupBy("band_idx", "sbkt", "band_sig")
+               .agg(F.count(F.lit(1)).alias("__n__"))
+               .limit(_LOOKUP_CAP + 1).collect())
+    n_delta_bands = int(obs.get["n"])
+    in_lookup = len(grouped) <= _LOOKUP_CAP
+    n_dirs_hit = len({(int(r["band_idx"]), int(r["sbkt"]))
+                      for r in grouped}) if in_lookup else 0
     stored_bands_total = meta.get("n_docs", 0) * meta["n_bands"]
     if (stored_bands_total and
             n_delta_bands > _BULK_FRACTION * stored_bands_total):
@@ -476,7 +500,7 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
             _verify_jaccard(cands, sets_, threshold), banded_new, sh_new)
     stored_b = _read_bands(spark, path)
     n_dirs = int(meta["sbkt"]) * int(meta["n_bands"])
-    if n_delta_bands <= _LOOKUP_CAP:
+    if in_lookup:
         # lookup regime, split into its two independent mechanisms
         # (r11 — the r10 form coupled them and lost both when either
         # failed):
@@ -488,10 +512,10 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
         #    but every surviving row evaluates the whole chain, so it
         #    only pays when the hit set actually prunes (the r10 rig
         #    measured a 200-key delta — ~100 of 128 dirs hit — at 4.6s
-        #    vs ~1.3s as a plain join). Gated on the sizing aggregate's
-        #    exact directory-hit count, BEFORE any collect.
-        rows = banded_new.select("band_idx", "sbkt",
-                                 "band_sig").distinct().collect()
+        #    vs ~1.3s as a plain join). Gated on the exact
+        #    directory-hit count — already in hand from the one
+        #    grouped sizing collect, no further action.
+        rows = grouped
         if n_dirs_hit <= max(1, int(n_dirs * _LOOKUP_DIR_BUDGET)):
             hit: dict[tuple[int, int], list[str]] = {}
             for r in rows:
