@@ -186,7 +186,19 @@ def meta_columns(spark: SparkSession) -> DataFrame:
     everything — same cost as the reference's full-catalog refresh."""
     out = None
     for t in spark.catalog.listTables():
-        df = spark.table(t.name)
+        try:
+            df = spark.table(t.name)
+        except Exception:
+            continue  # dropped concurrently / unreadable provider
+        if df.isStreaming:
+            # a streaming temp view (readStream-backed) taints the
+            # WHOLE union as streaming even when a pinned filter would
+            # prune it — UnsupportedOperationChecker rejects the batch
+            # collect before the optimizer runs (r12 full-suite catch:
+            # a leftover stream view crashed every later catalog scan).
+            # NDV/null stats are not batch-computable on a stream; the
+            # view still appears in meta.tables, which never scans.
+            continue
         # map columns are not countDistinct-able (unorderable) — they'd
         # fail ANALYSIS for the whole union even when pruned; keep the
         # catalog total by excluding them per-table

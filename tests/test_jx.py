@@ -588,6 +588,33 @@ def test_meta_columns_survives_dotted_view_names(spark, sf_dir):
         spark.catalog.dropTempView("nation_dotted_catalog_probe")
 
 
+def test_meta_columns_skips_streaming_views(spark, sf_dir, tmp_path):
+    """A leftover readStream-backed temp view must not taint the
+    meta.columns union as streaming (r12 full-suite catch #2: the
+    UnsupportedOperationChecker rejects a batch collect over ANY plan
+    containing a streaming source, even one a pinned filter would
+    prune)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.io import meta_columns, register_views
+
+    register_views(spark, sf_dir)
+    inbox = str(tmp_path / "inbox")
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s") \
+        .write.parquet(inbox)
+    schema = spark.read.parquet(inbox).schema
+    (spark.readStream.schema(schema).parquet(inbox)
+     .createOrReplaceTempView("stream_probe_view"))
+    try:
+        got = meta_columns(spark)
+        assert not got.isStreaming
+        tabs = {r["table"] for r in got.select("table").distinct()
+                .collect()}
+        assert "stream_probe_view" not in tabs and "nation" in tabs
+    finally:
+        spark.catalog.dropTempView("stream_probe_view")
+
+
 def test_meta_tables_jx_queryable(spark, sf_dir):
     """{"from": "meta.tables"} serves the catalog through the ordinary
     jx pipeline (r12 — the reference's queryable meta containers)."""
