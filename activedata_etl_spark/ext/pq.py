@@ -58,9 +58,19 @@ def rotate_expr(vec: Column, rot: list[list[float]]) -> Column:
     products in the same order, so the rotated floats are bit-identical
     across engines). The matrix is a literal array-of-arrays — zero
     shuffle, zero data probe; rows whose off-slot entries are 0.0 cost
-    only exact ``acc + 0.0`` no-ops inside whole-stage codegen."""
-    rows = F.array(*[F.array(*[F.lit(float(v)) for v in row])
-                     for row in rot])
+    only exact ``acc + 0.0`` no-ops inside whole-stage codegen.
+
+    The literal is built as ONE SQL string, not dim² ``F.lit`` Column
+    objects: each lit is a py4j round-trip, and the per-call cost made
+    plan CONSTRUCTION quadratic in dim (measured 3.1/7.5/30.9s at dim
+    64/128/256; the expr-string form reads 1.1/—/5.6s and executes
+    faster too). ``%.17e`` round-trips every double exactly and the
+    ``D`` suffix pins the SQL literal type to DOUBLE, so the bits are
+    identical to the ``F.lit`` form — the DuckDB-oracle bit-match
+    (sim_pq_rotated_topk) pins this."""
+    rows = F.expr("array({})".format(", ".join(
+        "array(" + ", ".join("%.17eD" % float(v) for v in row) + ")"
+        for row in rot)))
     return F.transform(
         rows,
         lambda r: F.aggregate(F.zip_with(r, vec, lambda a, b: a * b),
