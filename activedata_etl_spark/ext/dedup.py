@@ -1613,12 +1613,27 @@ def append_positioned_index(df: DataFrame, id_col: str, text_col: str,
          .parquet(os.path.join(path, "sets", f"batch={int(batch)}")))
 
 
+def _sets_complete(path: str) -> bool:
+    """True iff every stored rows batch has its sets sidecar — the
+    structural prerequisite for the positional verify (tids in the
+    order are checked separately; both hold for any index frozen or
+    refreshed on an r12+ engine)."""
+    import os
+
+    rows_root = os.path.join(path, "rows")
+    sets_root = os.path.join(path, "sets")
+    if not os.path.isdir(sets_root) or not os.path.isdir(rows_root):
+        return False
+    row_b = {d for d in os.listdir(rows_root) if d.startswith("batch=")}
+    return row_b <= set(os.listdir(sets_root))
+
+
 def prefix_join_stable_delta(spark, path: str, order_path: str,
                              delta: DataFrame, id_col: str, text_col: str,
                              threshold: float = 0.5,
                              shingle_n: int | None = 3,
                              pair_bound: str = "aggregate",
-                             verify: str = "counts") -> DataFrame:
+                             verify: str | None = None) -> DataFrame:
     """The stable-order form of :func:`prefix_join_index_delta`: pairs
     between a NEW batch and the stored corpus (plus within-batch pairs)
     at Jaccard >= threshold, recall 1.0, with the stored side's prefix
@@ -1635,13 +1650,23 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     never a pair. Delta ids are assumed disjoint from stored ids (the
     ingest contract shared by every delta form). Output
     (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``verify=None`` (the default, r13) resolves to ``"positional"``
+    when the index supports it (tid-carrying order + a sets sidecar for
+    every stored batch — any index frozen or refreshed on an r12+
+    engine) and falls back to ``"counts"`` for pre-r12 indexes — the
+    SCALE.md r12 adjudication made positional the recommended form
+    (bulk 0.52× the counts twin, realistic 1% delta slightly faster at
+    both scales), so the default now follows the documentation.
+    Explicit values behave as before, including the loud refusal when
+    ``"positional"`` is requested on an index that cannot serve it.
     """
     import os
 
     if pair_bound not in ("positional", "aggregate"):
         raise ValueError(
             f"pair_bound must be positional|aggregate, got {pair_bound!r}")
-    if verify not in ("counts", "ids", "positional"):
+    if verify not in ("counts", "ids", "positional", None):
         raise ValueError(
             f"verify must be counts|ids|positional, got {verify!r}")
     t = float(threshold)
@@ -1652,6 +1677,15 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
                .select(F.col(id_col).alias("id"), F.explode(elems).alias("s")))
     order = spark.read.parquet(order_path)
     epoch = _order_epoch(order)
+    if verify is None:
+        # r13 default flip: positional wherever the index can serve it
+        # (tid order + complete sets sidecar); counts for pre-r12
+        # indexes — auto-detected so a caller never needs to know the
+        # index vintage, while an EXPLICIT "positional" still refuses
+        # loudly below rather than silently degrading
+        verify = ("positional"
+                  if "tid" in order.columns and _sets_complete(path)
+                  else "counts")
     # UNPERSISTED by design (r11): new_pos has three consumers (two
     # candidate legs + the verify), but caching it was measured SLOWER
     # at the 10× rig's bulk fixture — the cache write serializes the
@@ -1781,9 +1815,10 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
     # doubles as the element store; the delta leg goes through new_pos
     # so Catalyst prunes it to (id, s) (the Window drops out of this
     # branch entirely — see the unpersisted-by-design note above).
-    # Verify form (r11, both exact — equality test-pinned at two
-    # scales and three thresholds):
-    # - "counts" (default): the long-form pairs×tokens shuffle — its
+    # Verify form (r11, all exact — equality test-pinned at two
+    # scales and three thresholds; default since r13 = positional on
+    # any index that can serve it, counts otherwise):
+    # - "counts": the long-form pairs×tokens shuffle — its
     #   cost scales with CANDIDATES, so a realistic small delta pays
     #   nearly nothing (5.6s at the 10× rig's 1% shape).
     # - "ids": dictionary-encoded int-array intersect — pays a
@@ -2027,6 +2062,15 @@ def refresh_prefix_order(spark, path: str, order_path: str,
                       .cast("decimal(38,0)")).alias("h"),
                 F.min("epoch").alias("lo"),
                 F.max("epoch").alias("hi")).collect()[0]
+            # an EMPTY batch (every doc below the shingle width, or an
+            # empty replayed delta — legitimate at ingest) has nothing
+            # to reposition and nothing the delta join's epoch guard
+            # can see (it aggregates per batch over ROWS): skip it with
+            # no manifest entry instead of int(None)-crashing on its
+            # NULL epoch aggregate (r13 fuzzer catch, seed 20260818001)
+            if int(old["n"]) == 0:
+                skipped.append(b)
+                continue
             # skip only a SINGLE-epoch batch: the manifest vouches the
             # one exact row epoch the fingerprint proved (r9 advisor —
             # `<=` let pre-refresh-order replay rows pass); a

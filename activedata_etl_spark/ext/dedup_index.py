@@ -468,6 +468,20 @@ def pairs_against_index(df_new: DataFrame, id_col: str, text_col: str,
                .limit(_LOOKUP_CAP + 1).collect())
     n_delta_bands = int(obs.get["n"])
     in_lookup = len(grouped) <= _LOOKUP_CAP
+    # Observed-metric invariant (ADVICE r12): Spark only guarantees an
+    # Observation when the plan consumes its input; the shuffle map
+    # stage below the groupBy forces that today, but a future
+    # limit/AQE pushdown across the partial aggregate would silently
+    # under-read n_delta_bands and misroute the regime. When the limit
+    # did NOT truncate, the collected groups are exhaustive, so their
+    # counts must sum to exactly the observed total — assert it (zero
+    # extra driver actions; the collect already happened).
+    if in_lookup:
+        assert n_delta_bands == sum(int(r["__n__"]) for r in grouped), (
+            "observed band-row count diverged from the exhaustive group "
+            "sum — the Observation no longer sees every input row "
+            f"({n_delta_bands} observed vs "
+            f"{sum(int(r['__n__']) for r in grouped)} grouped)")
     n_dirs_hit = len({(int(r["band_idx"]), int(r["sbkt"]))
                       for r in grouped}) if in_lookup else 0
     stored_bands_total = meta.get("n_docs", 0) * meta["n_bands"]

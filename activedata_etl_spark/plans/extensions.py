@@ -572,7 +572,9 @@ def _prefix_stable_delta(spark, df, spec) -> DataFrame:
         spec.get("id", "doc_id"), spec.get("text", "text"),
         threshold=float(spec.get("threshold", 0.5)),
         pair_bound=str(spec.get("pair_bound", "aggregate")),
-        verify=str(spec.get("verify", "counts")))
+        # None → the engine's r13 auto-resolution (positional when the
+        # index can serve it, counts for pre-r12 indexes)
+        verify=str(spec["verify"]) if "verify" in spec else None)
 
 
 @_op("resample")

@@ -17,8 +17,6 @@ from ..io import TABLES, register_views
 from ..plans import query as JX
 from .registry import query
 
-_TL = ", ".join(f"'{t}'" for t in TABLES)
-
 
 @query(
     "meta_tables_catalog",

@@ -450,7 +450,8 @@ def dedup_prefix_stable_order_delta(spark: SparkSession,
     delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
     # verify="ids": this fixture's 50% delta makes candidates
     # corpus-sized, the shape the int-array verify is for (the 1%
-    # fixture below keeps the counts default — see the knob's rationale
+    # fixture below rides the r13 default, which auto-resolves to
+    # positional on this tid-carrying index — see the knob's rationale
     # in prefix_join_stable_delta)
     return DD.prefix_join_stable_delta(spark, path, order_path, delta,
                                        "doc_id", "text", threshold=0.5,

@@ -397,3 +397,35 @@ def test_rewrite_is_single_writer(spark, tmp_path):
         _os.close(fd)
     assert iosafe.adopt_orphans(str(tmp_path / "idx")) == 1
     assert {r.id for r in spark.read.parquet(dest).collect()} == set(range(10))
+
+
+def test_observed_sizing_metric_sees_all_rows(spark):
+    """Pin the Spark contract the one-barrier sizing path rides on
+    (ADVICE r12, dedup_index.pairs_against_index): an ``Observation``
+    placed BELOW a ``groupBy().agg().limit(k).collect()`` must count
+    EVERY input row, even when the limit truncates the grouped output
+    — the shuffle map stage forces full input consumption. If a future
+    Spark version pushes the limit across the partial aggregate, this
+    test (and the in-code exhaustive-group-sum assert it backs) is the
+    tripwire before the regime gate silently misroutes."""
+    from pyspark.sql import Observation
+
+    df = (spark.range(0, 10_000)
+          .withColumn("g", F.pmod(F.col("id"), F.lit(97))))
+
+    # truncating limit: 97 groups, keep only 5 — observation still exact
+    obs = Observation()
+    rows = (df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .groupBy("g").agg(F.count(F.lit(1)).alias("__n__"))
+            .limit(5).collect())
+    assert len(rows) == 5
+    assert int(obs.get["n"]) == 10_000
+
+    # non-truncating limit: the collected groups are exhaustive and
+    # their counts sum to the observed total (the in-code invariant)
+    obs2 = Observation()
+    rows2 = (df.observe(obs2, F.count(F.lit(1)).alias("n"))
+             .groupBy("g").agg(F.count(F.lit(1)).alias("__n__"))
+             .limit(200).collect())
+    assert len(rows2) == 97
+    assert int(obs2.get["n"]) == 10_000 == sum(int(r["__n__"]) for r in rows2)

@@ -411,3 +411,78 @@ def test_positional_verify_refuses_tidless_index(spark, sf_dir, tmp_path):
         DD.prefix_join_stable_delta(spark, idx, order, delta,
                                     "doc_id", "text",
                                     verify="positional").collect()
+
+
+def test_default_verify_resolves_positional_then_falls_back(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """r13 default flip: ``verify=None`` resolves to positional on a
+    tid-carrying index with complete sets sidecars, and silently to
+    counts on an index that cannot serve positional — same exact pairs
+    either way, and never the loud refusal (which remains reserved for
+    an EXPLICIT verify="positional" request)."""
+    import os as _os
+    import shutil as _shutil
+
+    d = load_table(spark, sf_dir, "documents").limit(300)
+    base = str(tmp_path / "ps5")
+    idx, order = _os.path.join(base, "idx"), _os.path.join(base, "order")
+    b0 = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+    DD.freeze_prefix_order(b0, "doc_id", "text", order)
+    DD.append_positioned_index(b0, "doc_id", "text", idx, 0, spark, order)
+    DD.append_positioned_index(d.filter(F.pmod("doc_id", F.lit(4)) == 2),
+                               "doc_id", "text", idx, 1, spark, order)
+    delta = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    def pairs(**kw):
+        return {(r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in DD.prefix_join_stable_delta(
+                    spark, idx, order, delta, "doc_id", "text",
+                    threshold=0.3, **kw).collect()}
+
+    # modern index: the resolver's structural predicate holds...
+    assert DD._sets_complete(idx)
+    want = pairs(verify="positional")
+    assert pairs() == want and want  # ...and the default matches it
+    # force the fallback leg without touching the index: the resolver
+    # must route to counts, not raise
+    monkeypatch.setattr(DD, "_sets_complete", lambda p: False)
+    assert pairs() == want
+    monkeypatch.undo()
+    # genuinely degraded index (sets sidecar gone): default still
+    # answers (counts), explicit positional still refuses loudly
+    _shutil.rmtree(_os.path.join(idx, "sets"))
+    assert not DD._sets_complete(idx)
+    assert pairs() == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sets sidecar missing"):
+        pairs(verify="positional")
+
+
+def test_refresh_survives_empty_ingest_batch(spark, tmp_path):
+    """r13 fuzzer catch (seed 20260818001): an ingest batch whose docs
+    are ALL below the shingle width writes an empty rows directory —
+    legitimate (a thin nightly delta) — and the incremental refresh
+    crashed on the batch's NULL epoch aggregate (int(None)). The empty
+    batch must be skipped (no manifest entry needed: the delta join's
+    epoch guard aggregates per batch over rows, so an empty batch is
+    invisible to it) and the refreshed index must keep answering."""
+    import os as _os
+
+    rows = [(i, f"alpha beta gamma w{i} delta epsilon") for i in range(20)]
+    rows += [(100 + i, "xy") for i in range(3)]  # < shingle width
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    base = str(tmp_path / "ps6")
+    idx, order = _os.path.join(base, "idx"), _os.path.join(base, "order")
+    full = d.filter(F.col("doc_id") < 100)
+    DD.freeze_prefix_order(full, "doc_id", "text", order)
+    DD.append_positioned_index(full, "doc_id", "text", idx, 0, spark, order)
+    DD.append_positioned_index(d.filter(F.col("doc_id") >= 100),
+                               "doc_id", "text", idx, 1, spark, order)
+    res = DD.refresh_prefix_order(spark, idx, order)
+    assert "batch=1" in res["skipped"]
+    delta = spark.createDataFrame([(500, "alpha beta gamma w1 delta "
+                                    "epsilon")], "doc_id: long, text: string")
+    got = {(r.id_a, r.id_b) for r in DD.prefix_join_stable_delta(
+        spark, idx, order, delta, "doc_id", "text",
+        threshold=0.5).collect()}
+    assert (1, 500) in got
