@@ -9,6 +9,7 @@ only:
         [--port 9200]
 
     POST /query          {jx query JSON}  → formatted result JSON
+    POST /index          {index build/purge verb JSON} → index metadata
     GET  /               service banner (health check)
 
 One shared SparkSession serves all requests (Spark is thread-safe for
@@ -158,8 +159,105 @@ def _materialize_stream(df):
     return df
 
 
-def make_handler(spark):
+def handle_index_verb(spark, q: dict, index_root: str) -> dict:
+    """The service-level ANN index lifecycle (VERDICT r12 "What's
+    missing" #2): build a PQ / IVF-PQ index — including the r12
+    ``rotation`` ("pca" or an explicit dim×dim matrix, frozen into the
+    index meta) and md5-sampled ``train_fraction`` — attach it by name
+    (the attach_indexes pattern, so ``method: pq_index/ivfpq_index`` jx
+    queries and the /tables catalog see it immediately), or purge ids
+    from it (right-to-be-forgotten over HTTP).
+
+    Verbs::
+
+        {"verb": "build", "name": "vecs", "method": "pq"|"ivfpq",
+         "from": "embeddings", "id": "vec_id", "vec": "embedding",
+         "m": 4, "ksub": 8, "n_iter": 2, "dim": 64, "nlist": 16,
+         "train_fraction": 0.5, "balance_dims": true,
+         "rotation": "pca" | [[...], ...], "where": {jx expr}}
+        {"verb": "purge", "name": "vecs", "ids": [3, 17]}
+
+    Source resolution goes through registered VIEWS only (the jx
+    surface's no-raw-paths convention); the index lands under
+    ``<index_root>/<name>`` with the name restricted to a bare
+    identifier — no path traversal through the HTTP surface."""
+    import os
+
+    from .ext import pq as PQ
+    from .io import index_path
+
+    verb = q.get("verb", "build")
+    name = q.get("name")
+    if not isinstance(name, str) or not re.fullmatch(
+            r"[A-Za-z_][0-9A-Za-z_]*", name):
+        raise ValueError("index 'name' must be a bare identifier "
+                         "([A-Za-z_][0-9A-Za-z_]*)")
+    if verb == "purge":
+        base = index_path(name)
+        if base is None:
+            raise ValueError(
+                f"unknown index {name!r} — build or attach it first")
+        ids = q.get("ids")
+        if not isinstance(ids, list) or not ids:
+            raise ValueError("purge needs a non-empty 'ids' list")
+        rewritten = PQ.purge_pq_codes(spark, base, ids)
+        return {"index": name, "verb": "purge",
+                "rewritten_dirs": int(rewritten)}
+    if verb != "build":
+        raise ValueError(f"unknown index verb {verb!r}: build|purge")
+    method = q.get("method", "pq")
+    if method not in ("pq", "ivfpq"):
+        raise ValueError(f"unknown index method {method!r}: pq|ivfpq")
+    src = q.get("from")
+    if not isinstance(src, str):
+        raise ValueError("build needs 'from' naming a registered view")
+    df = spark.table(src)
+    if "where" in q:
+        from .plans.expressions import compile_expr
+
+        df = df.filter(compile_expr(q["where"]))
+    rotation = q.get("rotation")
+    if rotation is not None and rotation != "pca" and not (
+            isinstance(rotation, list)
+            and all(isinstance(r, list) for r in rotation)):
+        raise ValueError(
+            "rotation must be 'pca' or an explicit dim×dim matrix")
+    dest = os.path.join(index_root, name)
+    kw = dict(
+        m=int(q.get("m", 4)), ksub=int(q.get("ksub", 8)),
+        n_iter=int(q.get("n_iter", 2)), dim=int(q.get("dim", 64)),
+        train_fraction=(float(q["train_fraction"])
+                        if "train_fraction" in q else None),
+        balance_dims=bool(q.get("balance_dims", False)),
+        rotation=rotation)
+    if method == "pq":
+        PQ.build_pq_index(df, q.get("id", "vec_id"),
+                          q.get("vec", "embedding"), dest, **kw)
+    else:
+        PQ.build_ivfpq_index(df, q.get("id", "vec_id"),
+                             q.get("vec", "embedding"), dest,
+                             nlist=int(q.get("nlist", 16)), **kw)
+    attach_indexes(spark, {name: dest})
+    with open(os.path.join(dest, "_pq_meta.json")) as f:
+        meta = json.load(f)
+    return {"index": name, "verb": "build", "method": method,
+            "m": meta["m"], "ksub": meta["ksub"], "dim": meta["dim"],
+            "nlist": meta.get("nlist"),
+            "balanced": meta.get("perm") is not None,
+            # the rotation itself is dim² floats — report that it is
+            # frozen, not the matrix (serving reads it from meta)
+            "rotation_frozen": meta.get("rot") is not None}
+
+
+def make_handler(spark, index_root: str | None = None):
+    import os
+    import tempfile
+
     from .plans.query import run_formatted
+
+    if index_root is None:
+        index_root = os.path.join(tempfile.gettempdir(),
+                                  "spark_graft_service_indexes")
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 for Transfer-Encoding: chunked (the stream format);
@@ -277,7 +375,8 @@ def make_handler(spark):
                     cls._release_new_caches(before)
 
         def do_POST(self):  # noqa: N802
-            if self.path.rstrip("/") not in ("", "/query", "/sql"):
+            if self.path.rstrip("/") not in ("", "/query", "/sql",
+                                             "/index"):
                 self._send(404, {"error": f"no such endpoint: {self.path}"})
                 return
             Handler._enter_request()
@@ -285,9 +384,23 @@ def make_handler(spark):
                 if self.path.rstrip("/") == "/sql":
                     self._handle_sql()
                     return
+                if self.path.rstrip("/") == "/index":
+                    self._handle_index()
+                    return
                 self._handle_query()
             finally:
                 Handler._exit_request()
+
+        def _handle_index(self) -> None:
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                q = json.loads(self.rfile.read(n))
+                out = handle_index_verb(spark, q, index_root)
+                self._send(200, out)
+            except (ValueError, KeyError, TypeError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # build/purge IO failures
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def _handle_query(self) -> None:
             try:
@@ -702,16 +815,19 @@ def attach_indexes(spark, indexes: dict[str, str]) -> list[str]:
 
 
 def serve(spark, data_dir: str, port: int = 0,
-          indexes: dict[str, str] | None = None) -> ThreadingHTTPServer:
+          indexes: dict[str, str] | None = None,
+          index_root: str | None = None) -> ThreadingHTTPServer:
     """Register ``data_dir`` views (plus any persisted ``indexes``) and
     return a ready (unstarted) server; port 0 picks a free port
-    (``server.server_address[1]``)."""
+    (``server.server_address[1]``). ``index_root`` is where POST /index
+    builds land (default: a stable tempdir path)."""
     from .io import register_views
 
     register_views(spark, data_dir)
     if indexes:
         attach_indexes(spark, indexes)
-    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(spark))
+    return ThreadingHTTPServer(("127.0.0.1", port),
+                               make_handler(spark, index_root))
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -31,6 +31,20 @@ printed alongside the median (stderr + "queries_min" in the JSON) so a
 calm floor is always visible to the 2x gate. Wall clock wraps a full
 materialization (collect for small outputs, count for wide ones so
 driver-side row transfer doesn't dominate).
+
+Pass ordering (VERDICT r12 #3, r13): the timed repetitions run
+ROUND-ROBIN — pass 1 of every query, then pass 2, … — never
+back-to-back per query. Three consecutive driver sessions (r10–r12)
+landed on drifted machines and each produced 2–4× single-query
+outliers that cost a round of calm-session adjudication: with
+back-to-back repetitions a single multi-second writeback excursion
+lands ENTIRELY inside whichever query is executing, overwhelming even
+its min. Interleaved, the same excursion smears across the whole set
+(one pass of each query), and the per-query min — taken across passes
+minutes apart — absorbs it. Per-query drift is sampled once per pass
+right after the query's run (n readings spread across the session,
+median reported), replacing the old 3-consecutive-probes sample that
+shared the excursion window it was trying to detect.
 """
 
 from __future__ import annotations
@@ -258,35 +272,49 @@ def main() -> None:
                 if only else HEADLINE)
     probe = _probe_frame(spark)
     calib = _calibrate(spark, n_runs, probe)
+
+    # Phase 1 — prepare every query once: build the plan (the timed
+    # region is execution, not Python plan construction / Catalyst
+    # re-analysis / parquet footer reads) and run the discarded warm-up,
+    # which doubles as the output-size probe.
+    prepared: dict[str, tuple] = {}
     for name in headline:
-        # Build the plan ONCE: the timed region is execution, not Python
-        # plan construction / Catalyst re-analysis / parquet footer reads.
         df = QUERIES[name](spark, SF_DIR)
         n = df.count()  # warm-up (discarded) + output-size probe
-        small = n <= WIDE_THRESHOLD
+        prepared[name] = (df, n <= WIDE_THRESHOLD)
 
-        def one_run() -> float:
-            t0 = time.perf_counter()
-            # One full materialization per run: collect when the output is
-            # small enough that driver transfer is negligible, else count.
-            df.collect() if small else df.count()
-            return time.perf_counter() - t0
+    def one_run(name: str) -> float:
+        df, small = prepared[name]
+        t0 = time.perf_counter()
+        # One full materialization per run: collect when the output is
+        # small enough that driver transfer is negligible, else count.
+        df.collect() if small else df.count()
+        return time.perf_counter() - t0
 
-        first = one_run()
-        # sub-150ms query: the first timed run doubles as a second warm-up
-        # (codegen/JIT for the collect path is not exercised by the count
-        # warm-up) — discard and re-time it
-        runs = [one_run() if first < 0.15 else first]
-        runs += [one_run() for _ in range(n_runs - 1)]
-        times[name] = round(sorted(runs)[len(runs) // 2], 3)
-        mins[name] = round(min(runs), 3)
-        # per-query LOCAL drift (VERDICT r10 #6): three probe collects
-        # right after this query's timed runs, so a transient load
-        # spike during THIS query's window is distinguishable from a
-        # real plan regression — session-level calib can't see a spike
-        # that lands on one 40ms query and is gone by the next (the
-        # corpus_global_shuffle 3.56× class of question)
-        qc = sorted(_probe_once(probe) for _ in range(3))[1]
+    # Phase 2 — timed passes, ROUND-ROBIN across the whole set (see the
+    # module docstring): an ambient excursion smears over one pass of
+    # every query instead of concentrating inside one query's median.
+    runs: dict[str, list[float]] = {name: [] for name in headline}
+    probes: dict[str, list[float]] = {name: [] for name in headline}
+    for p in range(n_runs):
+        for name in headline:
+            t = one_run(name)
+            if p == 0 and t < 0.15:
+                # sub-150ms query: the first timed run doubles as a
+                # second warm-up (codegen/JIT for the collect path is
+                # not exercised by the count warm-up) — discard, re-time
+                t = one_run(name)
+            runs[name].append(t)
+            # per-query LOCAL drift (VERDICT r10 #6): one probe collect
+            # right after each run — n readings per query spread across
+            # the session, so a load spike during any single window is
+            # distinguishable from a real plan regression
+            probes[name].append(_probe_once(probe))
+    for name in headline:
+        r = runs[name]
+        times[name] = round(sorted(r)[len(r) // 2], 3)
+        mins[name] = round(min(r), 3)
+        qc = sorted(probes[name])[len(probes[name]) // 2]
         qdrift[name] = round(qc / CALIB_FLOOR_SEC, 2)
         print(f"  {name}: {times[name]}s (min {mins[name]}s, "
               f"drift {qdrift[name]})", file=sys.stderr)
