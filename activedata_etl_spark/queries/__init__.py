@@ -43,11 +43,15 @@ from .registry import ORACLES, QUERIES
 # #4: the policy function is used here, not just asserted by a test, so
 # rotation can never drift from the module again).
 _NEW_THIS_ROUND: list[str] = [
-    # r12: the positional (sets-sidecar) verify for the stable-order
-    # prefix index, and the jx-queryable metadata catalog.
+    # r13: the index-served frozen-rotation PQ form (the serving shape
+    # of the r12 OPQ chain; also the path the new POST /index build
+    # verb exposes), plus the two queries whose PLANS changed this
+    # round — the registered 1% delta now auto-resolves to the
+    # positional verify (the r13 default flip), and the positional
+    # bulk fixture rides the same resolution code path.
+    "sim_pq_rotated_from_index",
+    "dedup_prefix_stable_small_delta",
     "dedup_prefix_stable_positional",
-    "meta_tables_catalog",
-    "meta_columns_jx",
 ]
 
 # The verify driver samples a 50-entry PREFIX of this dict each round.

@@ -560,3 +560,23 @@ def sim_pq_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_topk(emb, qs, "vec_id", "embedding", k=_K, m=_M,
                       ksub=_KSUB, n_iter=_ITER, dim=_DIM,
                       balance_dims=True, rotation="pca")
+
+
+@query("sim_pq_rotated_from_index", oracle=_pq_rotated_oracle())
+def sim_pq_rotated_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_pq_rotated_topk answered from a PERSISTED index whose
+    rotation + permutation were frozen at build (r13 — the serving
+    shape of the full-OPQ chain, and the exact path the r13 service
+    build verb exposes over HTTP): build_pq_index stores the literal
+    matrix and the variance permutation in the index meta; queries
+    rotate only their own batch and read 64×-compressed codes. Same
+    oracle as the inline twin — rotation, permutation, codebook, and
+    codes are all pure functions of (corpus, literal matrix), so
+    index-served == composed-inline bit for bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = scratch_dir(sf_dir, "pq_rot_index")
+    ensure_built(path, lambda: PQ.build_pq_index(
+        emb, "vec_id", "embedding", path, m=_M, ksub=_KSUB,
+        n_iter=_ITER, dim=_DIM, balance_dims=True, rotation=_ROT))
+    qs = emb.filter(F.col("vec_id") < _NQ)
+    return PQ.pq_index_topk(qs, "vec_id", "embedding", spark, path, k=_K)

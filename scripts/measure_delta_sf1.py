@@ -99,13 +99,46 @@ def _prefix_1pct_positional(spark, sf_dir):
                                        verify="positional")
 
 
-# family -> (delta callable, full-rerun registered twin)
+def _prefix_1pct_counts(spark, sf_dir):
+    """Explicit-counts twin of the 1% shape — the pre-r13 default.
+    Since the r13 flip the REGISTERED small-delta query auto-resolves
+    to positional, so the counts side of the same-day control must be
+    pinned explicitly here (the registered form no longer is one)."""
+    from pyspark.sql import functions as F
+
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.queries.q_ext9 import _PLANT_ID, _stable_index
+
+    d = load_table(spark, sf_dir, "documents")
+    path, order_path = _stable_index(spark, sf_dir, d)
+    has_sh = F.size(DD.shingles(DD.tokens(F.col("text")), 3)) > 0
+    anchor = (d.filter((F.pmod("doc_id", F.lit(4)) == 0) & has_sh)
+              .orderBy("doc_id").limit(1)
+              .select(F.lit(_PLANT_ID).cast("long").alias("doc_id"),
+                      "text"))
+    delta = (d.filter(F.pmod("doc_id", F.lit(100)) == 1)
+             .select("doc_id", "text").unionByName(anchor))
+    return DD.prefix_join_stable_delta(spark, path, order_path, delta,
+                                       "doc_id", "text", threshold=0.5,
+                                       verify="counts")
+
+
+# family -> (delta callable, full-rerun twin: registered name OR callable)
 REALISTIC = {
     "minhash_1pct": (_minhash_1pct_delta, "dedup_lsh_jaccard_pairs"),
-    # delta = positional 1% shape, "full" = the registered counts form
+    # delta = positional 1% shape, "full" = the explicit counts twin
     # (a twin comparison, not a delta-vs-rerun one)
     "prefix_1pct_positional": (_prefix_1pct_positional,
-                               "dedup_prefix_stable_small_delta"),
+                               _prefix_1pct_counts),
+    # r13 default-flip control: the REGISTERED 1% query (now resolving
+    # verify=None → positional) vs the explicit counts twin — the
+    # "1%-nightly same-day control not regressed" acceptance
+    "prefix_1pct_default": (
+        lambda spark, sf_dir: __import__(
+            "activedata_etl_spark.queries", fromlist=["QUERIES"]
+        ).QUERIES["dedup_prefix_stable_small_delta"](spark, sf_dir),
+        _prefix_1pct_counts),
 }
 
 
@@ -159,9 +192,10 @@ def main() -> None:
             continue
         out["realistic"][fam] = {}
         for scale, sf_dir in SCALES.items():
+            full_fn = QUERIES[full_q] if isinstance(full_q, str) else full_q
             rec = {
                 "delta": time_query(spark, delta_fn, sf_dir),
-                "full": time_query(spark, QUERIES[full_q], sf_dir),
+                "full": time_query(spark, full_fn, sf_dir),
             }
             out["realistic"][fam][scale] = rec
             print(json.dumps({"family": fam, "scale": scale, **rec}),
