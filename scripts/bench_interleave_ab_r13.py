@@ -108,34 +108,85 @@ def ratios(loaded: dict, calm: dict, key: str) -> dict[str, float]:
             for q in loaded[key]}
 
 
+def _combine(sessions: dict[str, dict]):
+    """Per-variant combination over its two sessions: per-query MIN of
+    mins (can an outlier survive both sessions?) and MIN of medians
+    (the best adjudicatable reading a reader would take); calm floor =
+    per-query min across both bracketing calm sessions."""
+
+    def merged(a: dict, b: dict) -> dict:
+        out = dict(a)
+        out["queries"] = {q: min(a["queries"][q], b["queries"][q])
+                          for q in a["queries"]}
+        out["queries_min"] = {q: min(a["queries_min"][q],
+                                     b["queries_min"][q])
+                              for q in a["queries_min"]}
+        out["drift_pair"] = [a["drift"], b["drift"]]
+        return out
+
+    return (merged(sessions["calm1"], sessions["calm2"]),
+            merged(sessions["old1"], sessions["old2"]),
+            merged(sessions["new1"], sessions["new2"]))
+
+
 def main() -> None:
     dest = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "scripts", "bench_interleave_ab_r13.json")
-    old_path = "/tmp/bench_old_r13.py"
+    # the old copy must live INSIDE the repo: bench.py derives both its
+    # import root and its BENCH_LOCAL.json output dir from __file__ (a
+    # /tmp copy silently left the previous session's artifact in place
+    # — the first A/B run recorded calm twice because of exactly this)
+    old_path = os.path.join(REPO, "bench_old_r13_ab.py")
     src = subprocess.run(["git", "show", f"{OLD_BENCH_COMMIT}:bench.py"],
                          cwd=REPO, capture_output=True, text=True,
                          check=True).stdout
     with open(old_path, "w") as f:
         f.write(src)
 
-    print("session 1/3: calm reference (new ordering, idle)", flush=True)
-    calm = run_bench(os.path.join(REPO, "bench.py"))
-    print("session 2/3: OLD ordering under periodic burst", flush=True)
-    with _Burster():
-        old_loaded = run_bench(old_path)
-    print("session 3/3: NEW ordering under periodic burst", flush=True)
-    with _Burster():
-        new_loaded = run_bench(os.path.join(REPO, "bench.py"))
+    # Session schedule (the first two attempts taught both lessons the
+    # hard way): a cache warm-up first — cold parquet IO inflated one
+    # "calm" reference 3x; loaded sessions in ABBA order — the machine
+    # settles monotonically after heavy prior work, so a fixed
+    # old-then-new order biases toward whichever runs later; calm
+    # bracketed FIRST AND LAST with the per-query floor taken across
+    # both, so a residual trend shows up as calm1/calm2 disagreement
+    # instead of silently skewing the ratios.
+    new_bench = os.path.join(REPO, "bench.py")
+    sessions: dict[str, dict] = {}
+    plan = [("warmup", new_bench, False), ("calm1", new_bench, False),
+            ("old1", old_path, True), ("new1", new_bench, True),
+            ("new2", new_bench, True), ("old2", old_path, True),
+            ("calm2", new_bench, False)]
+    try:
+        for i, (tag, path, loaded) in enumerate(plan):
+            print(f"session {i}/{len(plan) - 1}: {tag}"
+                  f"{' (burst)' if loaded else ''}", flush=True)
+            if loaded:
+                with _Burster():
+                    sessions[tag] = run_bench(path)
+            else:
+                sessions[tag] = run_bench(path)
+    finally:
+        os.unlink(old_path)
+    calm, old_loaded, new_loaded = _combine(sessions)
 
     summary = {}
     for tag, loaded in (("old", old_loaded), ("new", new_loaded)):
         med = ratios(loaded, calm, "queries")
         mn = ratios(loaded, calm, "queries_min")
+        # the adjudication signal: for queries whose MEDIAN inflated,
+        # how much of the calm floor does the MIN recover? Back-to-back
+        # reps inflate both together (median/min ≈ 1 — unreadable, the
+        # r10–r12 outlier class); interleaved reps sit minutes apart,
+        # so the min stays near calm and the ratio rises
+        spread = {q: round(med[q] / max(mn[q], 1e-9), 2) for q in med
+                  if med[q] > 1.5}
         summary[tag] = {
             "worst_median_ratio": max(med.values()),
             "n_median_over_2x": sum(1 for v in med.values() if v > 2),
             "worst_min_ratio": max(mn.values()),
             "n_min_over_1_5x": sum(1 for v in mn.values() if v > 1.5),
+            "med_over_min_spread_inflated_qs": spread,
             "median_ratios": med,
             "min_ratios": mn,
         }
@@ -143,6 +194,12 @@ def main() -> None:
         "burst": {"on_sec": BURST_ON, "period_sec": BURST_PERIOD,
                   "procs": BURST_PROCS},
         "subset_n": len(SUBSET.split(",")),
+        "schedule": "warmup, calm1, old1, new1, new2, old2, calm2 "
+                    "(ABBA + bracketing calm floor)",
+        "sessions": {k: {kk: v[kk] for kk in
+                         ("value", "total_min", "drift",
+                          "session_wall_sec")}
+                     for k, v in sessions.items()},
         "calm": calm, "old_loaded": old_loaded, "new_loaded": new_loaded,
         "summary": summary,
     }

@@ -47,7 +47,6 @@ Exit 0 iff every draw matches.
 from __future__ import annotations
 
 import json
-import math
 import os
 import random
 import shutil
