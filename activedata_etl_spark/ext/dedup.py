@@ -44,6 +44,26 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _staged_elems(df: DataFrame, text_col: str, shingle_n: int | None,
+                  keep: list[Column]):
+    """Materialize the token array in its own projection BEFORE the
+    shingle/element expression (r13, guide §4.1 — tokenize once).
+
+    ``shingles(tokens(x), n)`` inlined under a Generate re-embeds the
+    tokenizer regex in every shifted slice (~n+4 copies per row), and
+    generator input gets no subexpression elimination — the same blowup
+    class minhash_signature's docstring records for banding. Staging
+    ``tokens`` as its own column runs the regex once per row; the
+    n-gram slices then reference the materialized array (CollapseProject
+    keeps the stages apart: the alias is non-cheap and multiply
+    referenced). Returns (staged_df, elems_column); values identical.
+    """
+    staged = df.select(*keep, tokens(text_col).alias("__tk0__"))
+    col = (shingles(F.col("__tk0__"), shingle_n) if shingle_n
+           else F.array_distinct(F.col("__tk0__")))
+    return staged, col
+
+
 def _seeded_md5(seed: int):
     # NB: the lambda must be unary — a second parameter would make
     # F.transform pass the array index into it.
@@ -77,10 +97,9 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str,
     """
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
                             F.col(id_col))
-    return spread.select(
-        F.col(id_col),
-        F.explode(shingles(tokens(text_col), shingle_n)).alias("__s__"),
-    )
+    staged, elems = _staged_elems(spread, text_col, shingle_n,
+                                  keep=[F.col(id_col)])
+    return staged.select(F.col(id_col), F.explode(elems).alias("__s__"))
 
 
 def minhash_table(df: DataFrame, id_col: str, text_col: str,
@@ -179,8 +198,9 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
         sh = (sh_rows.groupBy(id_col).agg(F.collect_set("__s__").alias("sh"))
               .withColumnRenamed(id_col, "id"))
     else:
-        sh = df.select(F.col(id_col).alias("id"),
-                       shingles(tokens(text_col), shingle_n).alias("sh"))
+        staged, elems = _staged_elems(df, text_col, shingle_n,
+                                      keep=[F.col(id_col).alias("id")])
+        sh = staged.select("id", elems.alias("sh"))
     j = (
         candidates
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -899,15 +919,23 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     row). Hashes are md5-derived 32-bit ints, bit-reproducible by any
     engine. Output: (id, fpos, h) — selected position + fingerprint.
     """
+    from .text import ngrams
+
+    # r13 opt (guide §4.1): stage the token array too — the k-gram
+    # source re-embeds the tokenizer regex in every shifted slice
+    # (~k+4 evaluations per row, no CSE under the transform), the same
+    # class as the staged hash array below. Values unchanged.
+    toked = df.select(F.col(id_col).alias("id"),
+                      tokens(text_col).alias("__tk0__"))
     g_expr = F.transform(
-        _shingle_source(df, text_col, k),
+        ngrams(F.col("__tk0__"), k),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"))
     # STAGE the hash array into a column: inlined into every window
     # lambda, the md5 chain re-evaluates per window element (O(n²) md5
     # work per row — the ahash re-inlining lesson again; unstaged, the
     # sf0.1 fingerprint scan did not finish in 4 minutes, staged it is
     # sub-second).
-    staged = df.select(F.col(id_col).alias("id"), g_expr.alias("__g__"))
+    staged = toked.select("id", g_expr.alias("__g__"))
     g = F.col("__g__")
     n = F.size(g)
     starts = F.when(n >= w, F.sequence(F.lit(1), n - (w - 1))) \
@@ -919,14 +947,6 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
         F.array_min(F.slice(g, i, w)).alias("h")))
     return (staged.select("id", F.explode(F.array_distinct(sel)).alias("fp"))
             .select("id", "fp.fpos", "fp.h"))
-
-
-def _shingle_source(df: DataFrame, text_col: str, k: int) -> Column:
-    """Ordered k-gram strings (duplicates kept — winnowing is position-
-    sensitive, unlike the distinct-set shingles minhash uses)."""
-    from .text import ngrams
-
-    return ngrams(tokens(text_col), k)
 
 
 def winnowing_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -1142,8 +1162,6 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
             f"pair_bound must be 'positional' or 'aggregate', "
             f"got {pair_bound!r}")
     t = float(threshold)
-    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
-             else F.array_distinct(tokens(text_col)))
     # tok has FOUR consumers (df table, sizes, position window, verify) —
     # persist or the scan+explode recomputes per consumer (the same fix
     # as the LSH shingle table). No distinct(): the element arrays are
@@ -1153,9 +1171,10 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
     # (the source is a handful of parquet files). At cluster scale,
     # materialize to parquet instead of executor memory.
     par = df.sparkSession.sparkContext.defaultParallelism
-    tok = (df.repartition(par, F.col(id_col))
-           .select(F.col(id_col).alias("__id__"),
-                   F.explode(elems).alias("__s__"))
+    staged, elems = _staged_elems(df.repartition(par, F.col(id_col)),
+                                  text_col, shingle_n,
+                                  keep=[F.col(id_col).alias("__id__")])
+    tok = (staged.select("__id__", F.explode(elems).alias("__s__"))
            .persist())
     pref = _prefix_rows(tok, t)
     a = pref.select(F.col("__id__").alias("id_a"), F.col("n").alias("n_a"),
@@ -1253,15 +1272,14 @@ def prefix_filter_join(left: DataFrame, right: DataFrame, id_col: str,
     artifact. Output: (left_id, right_id, jaccard).
     """
     t = float(threshold)
-    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
-             else F.array_distinct(tokens(text_col)))
     par = left.sparkSession.sparkContext.defaultParallelism
 
     def side(df: DataFrame, tag: str) -> DataFrame:
-        return (df.repartition(par, F.col(id_col))
-                .select(F.col(id_col).alias("__id__"),
-                        F.explode(elems).alias("__s__"),
-                        F.lit(tag).alias("__t__")))
+        staged, elems = _staged_elems(df.repartition(par, F.col(id_col)),
+                                      text_col, shingle_n,
+                                      keep=[F.col(id_col).alias("__id__")])
+        return staged.select("__id__", F.explode(elems).alias("__s__"),
+                             F.lit(tag).alias("__t__"))
 
     tok = side(left, "L").unionByName(side(right, "R")).persist()
     pref = _prefix_rows(tok, t, tags=("__t__",))
@@ -1319,10 +1337,10 @@ def append_element_index(df: DataFrame, id_col: str, text_col: str,
     Partitioned by batch for pruning; dropDuplicates at read absorbs
     at-least-once replay (rows are deterministic per doc), the same
     contract as the chunk/BM25/winnowing indexes."""
-    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
-             else F.array_distinct(tokens(text_col)))
-    (df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"),
-               F.lit(int(batch)).alias("batch"))
+    staged, elems = _staged_elems(df, text_col, shingle_n,
+                                  keep=[F.col(id_col).alias("id")])
+    (staged.select("id", F.explode(elems).alias("s"),
+                   F.lit(int(batch)).alias("batch"))
      .write.partitionBy("batch").mode("append").parquet(path))
 
 
@@ -1349,13 +1367,12 @@ def prefix_join_index_delta(spark, path: str, delta: DataFrame,
     (id_a, id_b, jaccard) with id_a < id_b.
     """
     t = float(threshold)
-    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
-             else F.array_distinct(tokens(text_col)))
     par = delta.sparkSession.sparkContext.defaultParallelism
-    new_tok = (delta.repartition(par, F.col(id_col))
-               .select(F.col(id_col).alias("__id__"),
-                       F.explode(elems).alias("__s__"),
-                       F.lit("D").alias("__t__")))
+    staged, elems = _staged_elems(delta.repartition(par, F.col(id_col)),
+                                  text_col, shingle_n,
+                                  keep=[F.col(id_col).alias("__id__")])
+    new_tok = staged.select("__id__", F.explode(elems).alias("__s__"),
+                            F.lit("D").alias("__t__"))
     old_tok = (spark.read.option("basePath", path).parquet(path)
                .select(F.col("id").alias("__id__"),
                        F.col("s").alias("__s__"))
@@ -1435,9 +1452,9 @@ def freeze_prefix_order(df: DataFrame, id_col: str, text_col: str,
     carried over unchanged by every refresh (new vocabulary ranks
     above each bucket's old max), so per-doc int-arrays stored at
     ingest stay valid across refreshes forever."""
-    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
-             else F.array_distinct(tokens(text_col)))
-    agg = (df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"))
+    staged, elems = _staged_elems(df, text_col, shingle_n,
+                                  keep=[F.col(id_col).alias("id")])
+    agg = (staged.select("id", F.explode(elems).alias("s"))
            .groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
            .withColumn("epoch", F.lit(int(epoch))))
     _with_tids(agg, None).write.mode("overwrite").parquet(order_path)
@@ -1588,9 +1605,9 @@ def append_positioned_index(df: DataFrame, id_col: str, text_col: str,
     — the stored corpus is never re-tokenized for either purpose."""
     import os
 
-    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
-             else F.array_distinct(tokens(text_col)))
-    tok = df.select(F.col(id_col).alias("id"), F.explode(elems).alias("s"))
+    staged, elems = _staged_elems(df, text_col, shingle_n,
+                                  keep=[F.col(id_col).alias("id")])
+    tok = staged.select("id", F.explode(elems).alias("s"))
     order = spark.read.parquet(order_path)
     (_positioned_rows(tok, order.select("s", "df"))
      .withColumn("epoch", F.lit(_order_epoch(order)))
@@ -1670,11 +1687,11 @@ def prefix_join_stable_delta(spark, path: str, order_path: str,
         raise ValueError(
             f"verify must be counts|ids|positional, got {verify!r}")
     t = float(threshold)
-    elems = (shingles(tokens(text_col), shingle_n) if shingle_n
-             else F.array_distinct(tokens(text_col)))
     par = delta.sparkSession.sparkContext.defaultParallelism
-    new_tok = (delta.repartition(par, F.col(id_col))
-               .select(F.col(id_col).alias("id"), F.explode(elems).alias("s")))
+    staged, elems = _staged_elems(delta.repartition(par, F.col(id_col)),
+                                  text_col, shingle_n,
+                                  keep=[F.col(id_col).alias("id")])
+    new_tok = staged.select("id", F.explode(elems).alias("s"))
     order = spark.read.parquet(order_path)
     epoch = _order_epoch(order)
     if verify is None:

@@ -292,12 +292,15 @@ def hashed_feature_counts(df: DataFrame, id_col: str, text_col: str,
     bodies never shuffle, only (id, bucket) pairs."""
     from .text import ngrams, tokens
 
-    tk = tokens(text_col)
+    # r13 opt: tokenize once before the n-gram explode (guide §4.1 —
+    # ngrams re-embeds the tokenizer regex per slice under a Generate).
+    tk = F.col("__tk0__")
     g = tk if n == 1 else ngrams(tk, n)
     b = F.pmod(
         F.conv(F.substring(F.md5(F.col("__g__")), 1, 8), 16, 10)
         .cast("bigint"), F.lit(buckets))
-    return (df.select(F.col(id_col), F.explode(g).alias("__g__"))
+    return (df.select(F.col(id_col), tokens(text_col).alias("__tk0__"))
+            .select(F.col(id_col), F.explode(g).alias("__g__"))
             .select(id_col, b.alias("b"))
             .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c")))
 

@@ -364,9 +364,18 @@ def gopher_table(df, id_cols: list[str], text_col: str = "text"):
     expression-level CSE does not reach the three references the
     repetition ratio makes to its n-gram array, so a single projection
     evaluates the array pipeline three times."""
-    toks = tokens(text_col)
-    staged = df.select(*id_cols, toks.alias("__tk__"),
-                       ngrams(toks, 2).alias("__g2__"))
+    # r13 opt (guide §4.1/§1): tokenize ONCE. ngrams(toks, 2) expands to
+    # two shifted slices that each re-embed the split(lower(trim(text)))
+    # subtree — the old staged projection carried SIX copies of the
+    # tokenizer regex (plan-counted), and higher-order functions keep
+    # the projection out of whole-stage codegen's subexpression
+    # elimination, so every copy ran per row. Materializing __tk__ in
+    # its own projection makes the n-gram stage reference the token
+    # array instead; CollapseProject keeps the stages apart because the
+    # non-cheap alias is referenced more than once. Values unchanged.
+    staged0 = df.select(*id_cols, tokens(text_col).alias("__tk__"))
+    staged = staged0.select(*id_cols, "__tk__",
+                            ngrams(F.col("__tk__"), 2).alias("__g2__"))
     n = F.size("__tk__")
     return staged.select(
         *id_cols,
@@ -427,9 +436,13 @@ def bigram_lm_score(df, ref, id_col: str, text_col: str = "text"):
     keep them upstream with a left join if needed.
     """
     uni, bg, vocab = bigram_lm_tables(ref, text_col)
-    doc = df.select(
-        F.col(id_col),
-        F.posexplode(ngrams(tokens(text_col), 2)).alias("__pos__", "bg"))
+    # r13 opt (guide §4.1): tokenize once — ngrams inlined under the
+    # posexplode re-embedded the tokenizer regex per shifted slice (no
+    # CSE reaches generator input); stage the token array first.
+    doc = (df.select(F.col(id_col), tokens(text_col).alias("__tk0__"))
+           .select(F.col(id_col),
+                   F.posexplode(ngrams(F.col("__tk0__"), 2))
+                   .alias("__pos__", "bg")))
     joined = (
         doc.join(bg, "bg", "left")
         .withColumn("__w1__", F.split("bg", " ")[0])

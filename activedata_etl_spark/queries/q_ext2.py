@@ -108,20 +108,27 @@ def dedup_embedding_cosine_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply), so every cosine is bit-identical to the oracle's."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def scaled(i: int):
-        # one-arg lambda: F.transform must NOT pass the element index
-        return F.transform(
-            "embedding", lambda x: x.cast("double") * F.lit(float(i)))
-
-    copies = [
+    # r13 opt (guide §2.4/§6): the 10 scaled copies were a 10-way union
+    # of 10 SEPARATE parquet scans (plan: 10× Scan parquet + Union).
+    # One scan + a posexplode of the 10 per-row scaled vectors builds the
+    # identical corpus rows in a single Generate. Value equivalence: the
+    # scale factor is cast int→double exactly (i ≤ 10), and
+    # double(x) * double(i) is the same op order as before, so every
+    # vector is bit-identical; vec_id arithmetic is the same bigint
+    # expression. Plan diff: 10 Scan parquet → 1, Union(10) → Generate.
+    factors = F.sequence(F.lit(1), F.lit(10))
+    corpus = (
         emb.select(
-            (F.col("vec_id") + (i - 1) * 1000000).alias("vec_id"),
-            scaled(i).alias("embedding"))
-        for i in range(1, 11)
-    ]
-    corpus = copies[0]
-    for c in copies[1:]:
-        corpus = corpus.unionByName(c)
+            "vec_id",
+            F.posexplode(F.transform(
+                factors,
+                lambda i: F.transform(
+                    "embedding",
+                    lambda x: x.cast("double") * i.cast("double")),
+            )).alias("__i0__", "embedding"))
+        .select((F.col("vec_id") + F.col("__i0__") * 1000000)
+                .cast("bigint").alias("vec_id"),
+                "embedding"))
     return SIM.cosine_dedup_pairs(corpus, "vec_id", "embedding",
                                   threshold=0.95)
 

@@ -172,7 +172,9 @@ def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count rides along as a broadcast scalar."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.agg(F.count(F.lit(1)).alias("__nd__"))
-    ex = d.select("doc_id", F.explode(TX.shingles(TX.tokens("text"))).alias("s"))
+    # r13 opt: tokenize once before the shingle explode (guide §4.1).
+    ex = (d.select("doc_id", TX.tokens("text").alias("__tk0__"))
+          .select("doc_id", F.explode(TX.shingles(F.col("__tk0__"))).alias("s")))
     f = ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
     boiler = F.when(F.col("df") * 10 >= F.col("__nd__"), 1).otherwise(0)
     return (f.crossJoin(F.broadcast(n_docs))

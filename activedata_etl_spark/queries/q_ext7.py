@@ -2048,8 +2048,12 @@ def corpus_release_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select((F.col("doc_id") % 2).alias("half"),
-                  F.explode(shingles(tokens("text"), 3)).alias("s"))
+    # r13 opt: stage the token array before the shingle explode
+    # (tokenize once — guide §4.1, same as ext.dedup._staged_elems).
+    sh = (d.select((F.col("doc_id") % 2).alias("half"),
+                   tokens("text").alias("__tk0__"))
+          .select("half",
+                  F.explode(shingles(F.col("__tk0__"), 3)).alias("s")))
     mins = sh.groupBy("half").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
         for i in range(16)])

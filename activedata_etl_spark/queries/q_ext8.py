@@ -312,8 +312,10 @@ def text_dup_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext import text as TX
 
     d = load_table(spark, sf_dir, "documents")
-    occ = d.select("doc_id",
-                   F.explode(TX.ngrams(TX.tokens("text"), 5)).alias("g"))
+    # r13 opt: tokenize once before the n-gram explode (guide §4.1).
+    occ = (d.select("doc_id", TX.tokens("text").alias("__tk0__"))
+           .select("doc_id",
+                   F.explode(TX.ngrams(F.col("__tk0__"), 5)).alias("g")))
     return (occ.groupBy("g")
             .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
                  F.count(F.lit(1)).cast("bigint").alias("n_occ"),

@@ -19,9 +19,16 @@ from .registry import query, scratch_dir
 
 def _nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r13 opt (guide §2.3, project before the exchange): l_extendedprice
+    # was collected into every item struct but never read by either
+    # consumer (roundtrip selects linenumber+quantity; array_path
+    # aggregates the same two) — Catalyst cannot prune struct fields
+    # through collect_list, so the dead column rode the scan, the
+    # repartition exchange, and every array build. Plan diff: ReadSchema
+    # 4→3 columns, Exchange input 4→3, collect_list struct 3→2 fields.
     return N.nest(
         li, parent_keys=["l_orderkey"],
-        item_cols=["l_linenumber", "l_quantity", "l_extendedprice"],
+        item_cols=["l_linenumber", "l_quantity"],
         order_by="l_linenumber",
     )
 
