@@ -42,6 +42,15 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Arrow for any pandas_udf path (similarity / multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r13 (guide §6): zstd for everything the engine WRITES (persisted
+    # indexes, snowflake child tables, sink output). Measured on the
+    # snowflake scratch roundtrip at sf0.1: 31% smaller files AND the
+    # timed re-read ~25% faster than snappy (2969→2058 KB, read median
+    # 0.19–0.24→0.134s) — smaller IO wins even locally; at cluster
+    # scale the size delta is the dominant term. Read side is
+    # codec-agnostic (per-file metadata), so existing indexes stay
+    # readable.
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
 }
 
