@@ -169,22 +169,38 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
         F.array(*sign_band_keys(F.col("__v0__"), n_bits, n_bands)).alias("__bands__"),
     ).persist()
 
+    # r13 opt (guide §2.4, remove a shuffle): a pair agreeing on k bands
+    # used to be emitted k times and collapsed by a `.distinct()` — a
+    # full extra exchange + aggregate over the CANDIDATE set (which at
+    # scale is larger than the corpus). The first-shared-band guard from
+    # ahash_pairs / interval_overlap_join replaces it: each bucket
+    # member carries its full band array through the one bucket shuffle
+    # (+4 longs/row), and a pair is emitted only from the FIRST band the
+    # two sides agree on — exactly one emission per candidate pair, no
+    # distinct, plan loses Exchange+HashAggregate×2 over candidates.
     banded = canon.select(
         *cl,
         F.col("__cid__").alias("id"),
+        F.col("__bands__").alias("bs"),
         F.posexplode("__bands__").alias("band_idx", "band_sig"))
     buckets = (banded.groupBy(*cl, "band_idx", "band_sig")
-               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-               .filter(F.size("ids") >= 2))
+               .agg(F.array_sort(F.collect_list(F.struct("id", "bs")))
+                    .alias("mem"))
+               .filter(F.size("mem") >= 2))
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    cand = (buckets.select(F.explode(F.flatten(F.transform(
-        "ids",
+        buckets = buckets.filter(F.size("mem") <= max_bucket_size)
+    cand = (buckets.select("band_idx", F.explode(F.flatten(F.transform(
+        "mem",
         lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-            lambda y: F.struct(x.alias("ca"), y.alias("cb")),
+            F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
+            lambda y: F.struct(x["id"].alias("ca"), y["id"].alias("cb"),
+                               x["bs"].alias("ba"), y["bs"].alias("bb")),
         ),
-    ))).alias("p")).select("p.ca", "p.cb").distinct())
+    ))).alias("p"))
+        .filter(F.array_position(
+            F.zip_with("p.ba", "p.bb", lambda u, v: u == v), F.lit(True))
+            == F.col("band_idx").cast("long") + F.lit(1).cast("long"))
+        .select("p.ca", "p.cb"))
 
     a = canon.select(F.col("__cid__").alias("ca"), F.col("__ids__").alias("ids_a"),
                      F.col("__v__").alias("va"), F.col("__n__").alias("na"))
@@ -702,23 +718,39 @@ def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
                        F.collect_list("__bs__"))).alias("__bands__")))
     canon = groups.select(
         F.element_at("__ids__", 1).alias("__cid__"), "__ids__", "q",
-        "__bands__").persist()
+        F.array_sort("__bands__").alias("__bands__")).persist()
 
+    # r13 opt (guide §2.4, same rewrite as cosine_dedup_pairs): the
+    # `.distinct()` over candidates was a full extra exchange; the
+    # first-shared-band guard emits each pair once instead. Here a
+    # canonical's band set is the UNION over its group (multiple sigs
+    # per band_idx possible), so "first shared band" = the first
+    # element of the intersection of the two SORTED band-set arrays
+    # (array_sort above makes the order deterministic; array_intersect
+    # keeps left-array order) — emitted only from that bucket.
     banded = canon.select(F.col("__cid__").alias("id"),
+                          F.col("__bands__").alias("bs"),
                           F.explode("__bands__").alias("b")) \
-        .select("id", "b.band_idx", "b.band_sig")
+        .select("id", "bs", "b.band_idx", "b.band_sig")
     buckets = (banded.groupBy("band_idx", "band_sig")
-               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-               .filter(F.size("ids") >= 2))
+               .agg(F.array_sort(F.collect_list(F.struct("id", "bs")))
+                    .alias("mem"))
+               .filter(F.size("mem") >= 2))
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    cand = (buckets.select(F.explode(F.flatten(F.transform(
-        "ids",
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-            lambda y: F.struct(x.alias("ca"), y.alias("cb")),
-        ),
-    ))).alias("p")).select("p.ca", "p.cb").distinct())
+        buckets = buckets.filter(F.size("mem") <= max_bucket_size)
+    cand = (buckets.select(
+        "band_idx", "band_sig",
+        F.explode(F.flatten(F.transform(
+            "mem",
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
+                lambda y: F.struct(x["id"].alias("ca"), y["id"].alias("cb"),
+                                   x["bs"].alias("ba"), y["bs"].alias("bb")),
+            ),
+        ))).alias("p"))
+        .filter(F.element_at(F.array_intersect("p.ba", "p.bb"), 1)
+                == F.struct(F.col("band_idx"), F.col("band_sig")))
+        .select("p.ca", "p.cb"))
     a = canon.select(F.col("__cid__").alias("ca"),
                      F.col("__ids__").alias("ids_a"), F.col("q").alias("qa"))
     b = canon.select(F.col("__cid__").alias("cb"),

@@ -685,3 +685,37 @@ def test_pagerank_production_sum_matches_fold(spark, sf_dir):
                                 deterministic=False).collect()}
     assert det.keys() == fast.keys()
     assert all(abs(det[k] - fast[k]) < 1e-9 for k in det)
+
+
+def test_banded_pairs_multi_band_agreement_emitted_once(spark, tmp_path):
+    """r13 opt regression pin: the candidate `.distinct()` was replaced
+    by the first-shared-band guard, so a pair agreeing on SEVERAL bands
+    (the case the distinct used to collapse) must still be emitted
+    exactly once — in both the inline and the index-served form."""
+    from activedata_etl_spark.ext import similarity as SIM
+
+    # dim 64 -> 4 bands x 16 bits. All cosines ~0.98+.
+    v_a = [1.0] * 64                      # bands: 1111 (all-ones sigs)
+    v_b = [-0.01] + [1.0] * 63           # band 0 differs, agrees on 3
+    v_c = [1.0] * 63 + [2.0]             # agrees with v_a on all 4
+    v_d = [1e-9] + [1.0] * 63            # quantizes identically to v_e,
+    v_e = [-1e-9] + [1.0] * 63           # but band 0 sign bit differs
+    rows = [(1, v_a), (2, v_b), (3, v_c), (4, v_d), (5, v_e)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    pairs = SIM.cosine_dedup_pairs(df, "vec_id", "embedding",
+                                   threshold=0.95).collect()
+    ids = [(r.id_a, r.id_b) for r in pairs]
+    assert len(ids) == len(set(ids)), "pair emitted more than once"
+    assert set(ids) == {(a, b) for a in range(1, 6)
+                        for b in range(a + 1, 6)}
+
+    # index-served twin: v_d/v_e share a quantized code, so their group
+    # carries a band-0 sig UNION — the sorted-intersection guard must
+    # still emit each cross-group pair once.
+    idx = str(tmp_path / "band_idx")
+    SIM.build_band_index(df, "vec_id", "embedding", idx)
+    ipairs = SIM.pairs_from_band_index(spark, idx, threshold=0.95).collect()
+    iids = [(r.id_a, r.id_b) for r in ipairs]
+    assert len(iids) == len(set(iids)), "index pair emitted more than once"
+    assert set(iids) == set(ids)
