@@ -106,6 +106,38 @@ def sign_band_keys(vec: Column, n_bits: int = 16,
     ]
 
 
+def sign_band_ints(vec: Column, n_bits: int = 16,
+                   n_bands: int = 4) -> list[Column]:
+    """Integer twin of :func:`sign_band_keys` for INLINE blocking: band
+    *b* packs the sign bits of dimensions [b·n_bits, (b+1)·n_bits) into
+    the low bits of a long, with the band's present-dimension COUNT in
+    the bits above, so two vectors' int sigs are equal iff their string
+    sigs are equal (ragged vectors included: a 2-dim tail must not
+    collide with a 16-dim band whose higher signs are all "0" — the
+    count term separates them exactly like the string length does).
+
+    Why it exists (r13, guide §4.1/§2.3): the string form is a
+    ``concat_ws(transform(slice(...)))`` chain — a higher-order function
+    that drops the projection out of whole-stage codegen and builds a
+    16-char string per band per row, which then rides the bucket shuffle
+    as the groupBy key. The int form is flat bit arithmetic (16
+    element_at + conditional adds), stays inside codegen, and shuffles 8
+    bytes per band. The PERSISTED band index keeps the string columns —
+    that format is frozen on disk; this is for in-query blocking only."""
+    out = []
+    for b in range(n_bands):
+        bits: Column = F.lit(0)
+        for j in range(n_bits):
+            bits = bits + F.when(
+                F.element_at(vec, b * n_bits + j + 1) >= 0,
+                F.lit(1 << j)).otherwise(F.lit(0))
+        cnt = F.least(F.greatest(F.size(vec) - F.lit(b * n_bits), F.lit(0)),
+                      F.lit(n_bits))
+        out.append((cnt.cast("long") * F.lit(1 << n_bits).cast("long")
+                    + bits.cast("long")).alias(f"band_{b}"))
+    return out
+
+
 def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                        threshold: float = 0.95, n_bits: int = 16,
                        n_bands: int = 4,
@@ -166,54 +198,56 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
         "__ids__",
         F.transform(F.col("__v0__"), lambda x: x.cast("double")).alias("__v__"),
         norm(F.col("__v0__")).alias("__n__"),
-        F.array(*sign_band_keys(F.col("__v0__"), n_bits, n_bands)).alias("__bands__"),
+        F.array(*sign_band_ints(F.col("__v0__"), n_bits, n_bands)).alias("__bands__"),
     ).persist()
 
-    # r13 opt (guide §2.4, remove a shuffle): a pair agreeing on k bands
-    # used to be emitted k times and collapsed by a `.distinct()` — a
-    # full extra exchange + aggregate over the CANDIDATE set (which at
-    # scale is larger than the corpus). The first-shared-band guard from
-    # ahash_pairs / interval_overlap_join replaces it: each bucket
-    # member carries its full band array through the one bucket shuffle
-    # (+4 longs/row), and a pair is emitted only from the FIRST band the
-    # two sides agree on — exactly one emission per candidate pair, no
-    # distinct, plan loses Exchange+HashAggregate×2 over candidates.
+    # r13 opt (guide §2.4/§2.3, remove shuffles): three rewrites vs the
+    # r2 shape, all blocking-equivalent —
+    # 1. a pair agreeing on k bands used to be emitted k times and
+    #    collapsed by `.distinct()` (a full Exchange+HashAggregate over
+    #    the CANDIDATE set, which at scale is larger than the corpus);
+    #    the first-shared-band guard emits each pair exactly once.
+    # 2. band sigs are packed longs (sign_band_ints — bijective to the
+    #    string keys, see its docstring) instead of 16-char strings:
+    #    flat codegen arithmetic, 8-byte shuffle keys.
+    # 3. bucket members carry (ids, v, n) THROUGH the bucket shuffle, so
+    #    the verify cosine computes inside the fan-out projection — the
+    #    two candidate↔canonical shuffle joins (4 Exchanges: cand by
+    #    ca, canon, cand-out by cb, canon again) are gone. Cost: vector
+    #    bytes ride the bucket exchange n_bands×; saving: the canonical
+    #    table no longer shuffles twice and the candidate set — the
+    #    LARGEST intermediate in the family — never shuffles at all.
+    #    ``max_bucket_size`` bounds per-bucket state exactly as before
+    #    (now vectors, not just ids — set it on adversarial corpora).
     banded = canon.select(
         *cl,
-        F.col("__cid__").alias("id"),
-        F.col("__bands__").alias("bs"),
+        F.struct(F.col("__cid__").alias("id"), F.col("__bands__").alias("bs"),
+                 F.col("__ids__").alias("ids"), F.col("__v__").alias("v"),
+                 F.col("__n__").alias("n")).alias("m"),
         F.posexplode("__bands__").alias("band_idx", "band_sig"))
     buckets = (banded.groupBy(*cl, "band_idx", "band_sig")
-               .agg(F.array_sort(F.collect_list(F.struct("id", "bs")))
-                    .alias("mem"))
+               .agg(F.array_sort(F.collect_list("m")).alias("mem"))
                .filter(F.size("mem") >= 2))
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("mem") <= max_bucket_size)
-    cand = (buckets.select("band_idx", F.explode(F.flatten(F.transform(
+    cross = (buckets.select("band_idx", F.explode(F.flatten(F.transform(
         "mem",
         lambda x, i: F.transform(
             F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
-            lambda y: F.struct(x["id"].alias("ca"), y["id"].alias("cb"),
-                               x["bs"].alias("ba"), y["bs"].alias("bb")),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
         ),
     ))).alias("p"))
         .filter(F.array_position(
-            F.zip_with("p.ba", "p.bb", lambda u, v: u == v), F.lit(True))
+            F.zip_with("p.a.bs", "p.b.bs", lambda u, v: u == v), F.lit(True))
             == F.col("band_idx").cast("long") + F.lit(1).cast("long"))
-        .select("p.ca", "p.cb"))
-
-    a = canon.select(F.col("__cid__").alias("ca"), F.col("__ids__").alias("ids_a"),
-                     F.col("__v__").alias("va"), F.col("__n__").alias("na"))
-    b = canon.select(F.col("__cid__").alias("cb"), F.col("__ids__").alias("ids_b"),
-                     F.col("__v__").alias("vb"), F.col("__n__").alias("nb"))
-    cross = (cand.join(a, "ca").join(b, "cb")
-             .withColumn("cos", dot(F.col("va"), F.col("vb"))
-                         / (F.col("na") * F.col("nb")))
-             .filter(F.col("cos") >= threshold)
-             .select(F.explode("ids_a").alias("x"), F.col("ids_b"), "cos")
-             .select("x", F.explode("ids_b").alias("y"), "cos")
-             .select(F.least("x", "y").alias("id_a"),
-                     F.greatest("x", "y").alias("id_b"), "cos"))
+        .withColumn("cos", dot(F.col("p.a.v"), F.col("p.b.v"))
+                    / (F.col("p.a.n") * F.col("p.b.n")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.explode("p.a.ids").alias("x"), F.col("p.b.ids").alias("ids_b"),
+                "cos")
+        .select("x", F.explode("ids_b").alias("y"), "cos")
+        .select(F.least("x", "y").alias("id_a"),
+                F.greatest("x", "y").alias("id_b"), "cos"))
 
     within = (canon.filter(F.size("__ids__") >= 2)
               .withColumn("cos", dot(F.col("__v__"), F.col("__v__"))
@@ -720,48 +754,47 @@ def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
         F.element_at("__ids__", 1).alias("__cid__"), "__ids__", "q",
         F.array_sort("__bands__").alias("__bands__")).persist()
 
-    # r13 opt (guide §2.4, same rewrite as cosine_dedup_pairs): the
+    # r13 opt (guide §2.4, same rewrites as cosine_dedup_pairs): the
     # `.distinct()` over candidates was a full extra exchange; the
     # first-shared-band guard emits each pair once instead. Here a
     # canonical's band set is the UNION over its group (multiple sigs
     # per band_idx possible), so "first shared band" = the first
     # element of the intersection of the two SORTED band-set arrays
     # (array_sort above makes the order deterministic; array_intersect
-    # keeps left-array order) — emitted only from that bucket.
-    banded = canon.select(F.col("__cid__").alias("id"),
-                          F.col("__bands__").alias("bs"),
-                          F.explode("__bands__").alias("b")) \
-        .select("id", "bs", "b.band_idx", "b.band_sig")
+    # keeps left-array order) — emitted only from that bucket. Bucket
+    # members also carry (ids, q) through the bucket shuffle so the
+    # quantized-cosine verify computes inside the fan-out — the two
+    # candidate↔canonical shuffle joins are gone; the candidate set
+    # (the largest intermediate) never shuffles. Band sigs stay the
+    # persisted STRING columns — the on-disk index format is frozen.
+    banded = canon.select(
+        F.struct(F.col("__cid__").alias("id"), F.col("__bands__").alias("bs"),
+                 F.col("__ids__").alias("ids"), F.col("q").alias("q")).alias("m"),
+        F.explode("__bands__").alias("b")) \
+        .select("m", "b.band_idx", "b.band_sig")
     buckets = (banded.groupBy("band_idx", "band_sig")
-               .agg(F.array_sort(F.collect_list(F.struct("id", "bs")))
-                    .alias("mem"))
+               .agg(F.array_sort(F.collect_list("m")).alias("mem"))
                .filter(F.size("mem") >= 2))
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("mem") <= max_bucket_size)
-    cand = (buckets.select(
+    cross = (buckets.select(
         "band_idx", "band_sig",
         F.explode(F.flatten(F.transform(
             "mem",
             lambda x, i: F.transform(
                 F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
-                lambda y: F.struct(x["id"].alias("ca"), y["id"].alias("cb"),
-                                   x["bs"].alias("ba"), y["bs"].alias("bb")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         ))).alias("p"))
-        .filter(F.element_at(F.array_intersect("p.ba", "p.bb"), 1)
+        .filter(F.element_at(F.array_intersect("p.a.bs", "p.b.bs"), 1)
                 == F.struct(F.col("band_idx"), F.col("band_sig")))
-        .select("p.ca", "p.cb"))
-    a = canon.select(F.col("__cid__").alias("ca"),
-                     F.col("__ids__").alias("ids_a"), F.col("q").alias("qa"))
-    b = canon.select(F.col("__cid__").alias("cb"),
-                     F.col("__ids__").alias("ids_b"), F.col("q").alias("qb"))
-    cross = (cand.join(a, "ca").join(b, "cb")
-             .withColumn("qcos", quantized_cosine(F.col("qa"), F.col("qb")))
-             .filter(F.col("qcos") >= threshold)
-             .select(F.explode("ids_a").alias("x"), F.col("ids_b"), "qcos")
-             .select("x", F.explode("ids_b").alias("y"), "qcos")
-             .select(F.least("x", "y").alias("id_a"),
-                     F.greatest("x", "y").alias("id_b"), "qcos"))
+        .withColumn("qcos", quantized_cosine(F.col("p.a.q"), F.col("p.b.q")))
+        .filter(F.col("qcos") >= threshold)
+        .select(F.explode("p.a.ids").alias("x"), F.col("p.b.ids").alias("ids_b"),
+                "qcos")
+        .select("x", F.explode("ids_b").alias("y"), "qcos")
+        .select(F.least("x", "y").alias("id_a"),
+                F.greatest("x", "y").alias("id_b"), "qcos"))
     within = (canon.filter(F.size("__ids__") >= 2)
               .withColumn("qcos", quantized_cosine(F.col("q"), F.col("q")))
               .filter(F.col("qcos") >= threshold)
