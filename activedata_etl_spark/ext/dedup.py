@@ -166,25 +166,45 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     if sig is None:
         sig = minhash_table(df, id_col, text_col, n_hashes, shingle_n)
+    # r13 opt (guide §2.4): a pair colliding in k bands used to be
+    # emitted k times and collapsed by a trailing `.distinct()` — a full
+    # Exchange + HashAggregate over the CANDIDATE set. The
+    # first-shared-band guard (same rewrite as cosine_dedup_pairs):
+    # members carry their band array through the one bucket shuffle
+    # (+n_bands md5s/row) and a pair is emitted only from the FIRST band
+    # the two sides agree on — exactly one emission, no distinct.
     banded = sig.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.array(*[k for k in band_keys(n_hashes, n_bands)]))
-        .alias("band_idx", "band_sig"),
+        F.array(*[k for k in band_keys(n_hashes, n_bands)]).alias("bs"),
+    ).select(
+        F.struct("id", "bs").alias("m"),
+        F.posexplode("bs").alias("band_idx", "band_sig"),
     )
     buckets = (banded.groupBy("band_idx", "band_sig")
-               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-               .filter(F.size("ids") >= 2))
+               .agg(F.array_sort(F.collect_list("m")).alias("mem"))
+               .filter(F.size("mem") >= 2))
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    # ids sorted ascending → pairing each element with its suffix yields
-    # exactly the id_a < id_b pairs the old self-join produced.
-    pairs = buckets.select(F.explode(F.flatten(F.transform(
-        "ids",
+        buckets = buckets.filter(F.size("mem") <= max_bucket_size)
+    # members sorted ascending by unique id → pairing each element with
+    # its suffix yields exactly the id_a < id_b pairs the old self-join
+    # produced.
+    pairs = buckets.select("band_idx", F.explode(F.flatten(F.transform(
+        "mem",
         lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
+            lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                               x["bs"].alias("ba"), y["bs"].alias("bb")),
         ),
     ))).alias("p"))
+    if max_bucket_size is None:
+        return (pairs.filter(F.array_position(
+            F.zip_with("p.ba", "p.bb", lambda u, v: u == v), F.lit(True))
+            == F.col("band_idx").cast("long") + F.lit(1).cast("long"))
+            .select("p.id_a", "p.id_b"))
+    # Capped corpora keep the legacy distinct: the documented cap
+    # contract lets a pair whose first-shared-band bucket was dropped
+    # still surface from a later, smaller shared band — the guard would
+    # drop it. Uncapped (every registered query) the guard is exact.
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 

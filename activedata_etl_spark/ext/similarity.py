@@ -230,16 +230,27 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                .filter(F.size("mem") >= 2))
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("mem") <= max_bucket_size)
-    cross = (buckets.select("band_idx", F.explode(F.flatten(F.transform(
+    pair = buckets.select("band_idx", F.explode(F.flatten(F.transform(
         "mem",
         lambda x, i: F.transform(
             F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
             lambda y: F.struct(x.alias("a"), y.alias("b")),
         ),
     ))).alias("p"))
-        .filter(F.array_position(
+    if max_bucket_size is None:
+        pair = pair.filter(F.array_position(
             F.zip_with("p.a.bs", "p.b.bs", lambda u, v: u == v), F.lit(True))
             == F.col("band_idx").cast("long") + F.lit(1).cast("long"))
+    else:
+        # Capped corpora keep the legacy distinct semantics: a pair
+        # whose first-shared-band bucket was dropped by the cap must
+        # still surface from a later, smaller shared band — the guard
+        # would drop it. Uncapped (every registered query) the guard is
+        # exact and the exchange over candidates disappears.
+        pair = (pair.withColumn("__ka__", F.col("p.a.id"))
+                .withColumn("__kb__", F.col("p.b.id"))
+                .dropDuplicates(["__ka__", "__kb__"]))
+    cross = (pair
         .withColumn("cos", dot(F.col("p.a.v"), F.col("p.b.v"))
                     / (F.col("p.a.n") * F.col("p.b.n")))
         .filter(F.col("cos") >= threshold)
@@ -777,7 +788,7 @@ def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
                .filter(F.size("mem") >= 2))
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("mem") <= max_bucket_size)
-    cross = (buckets.select(
+    pair = buckets.select(
         "band_idx", "band_sig",
         F.explode(F.flatten(F.transform(
             "mem",
@@ -786,8 +797,18 @@ def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
                 lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         ))).alias("p"))
-        .filter(F.element_at(F.array_intersect("p.a.bs", "p.b.bs"), 1)
-                == F.struct(F.col("band_idx"), F.col("band_sig")))
+    if max_bucket_size is None:
+        pair = pair.filter(
+            F.element_at(F.array_intersect("p.a.bs", "p.b.bs"), 1)
+            == F.struct(F.col("band_idx"), F.col("band_sig")))
+    else:
+        # legacy distinct under a bucket cap — same rationale as
+        # cosine_dedup_pairs: the cap contract lets a pair surface from
+        # a later surviving shared band.
+        pair = (pair.withColumn("__ka__", F.col("p.a.id"))
+                .withColumn("__kb__", F.col("p.b.id"))
+                .dropDuplicates(["__ka__", "__kb__"]))
+    cross = (pair
         .withColumn("qcos", quantized_cosine(F.col("p.a.q"), F.col("p.b.q")))
         .filter(F.col("qcos") >= threshold)
         .select(F.explode("p.a.ids").alias("x"), F.col("p.b.ids").alias("ids_b"),

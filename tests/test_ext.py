@@ -719,3 +719,34 @@ def test_banded_pairs_multi_band_agreement_emitted_once(spark, tmp_path):
     iids = [(r.id_a, r.id_b) for r in ipairs]
     assert len(iids) == len(set(iids)), "index pair emitted more than once"
     assert set(iids) == set(ids)
+
+
+def test_lsh_cap_keeps_pair_from_later_shared_band(spark):
+    """Cap-contract pin (r13): with max_bucket_size set, a pair whose
+    FIRST shared band sits in an over-cap bucket must still surface
+    from a later, under-cap shared band (the documented cap semantics —
+    the uncapped exactly-once guard must not leak into the capped
+    path). Uncapped, the same pair appears exactly once."""
+    from activedata_etl_spark.ext.dedup import lsh_candidate_pairs
+
+    # Hand-crafted minhash signatures (h0..h15, 4 bands x 4 hashes):
+    # X and Y agree on ALL bands; fillers agree with them on band 0
+    # only, blowing that one bucket past the cap.
+    def sig_row(doc_id, tail):
+        return (doc_id, *(["S"] * 4), *tail)
+
+    cols = "doc_id long, " + ", ".join(f"h{i} string" for i in range(16))
+    x = sig_row(1, ["A"] * 12)
+    y = sig_row(2, ["A"] * 12)
+    fillers = [sig_row(100 + i, [f"F{100 + i}_{j}" for j in range(12)])
+               for i in range(10)]
+    sig = spark.createDataFrame([x, y] + fillers, cols)
+
+    capped = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+        None, "doc_id", None, sig=sig, max_bucket_size=5).collect()}
+    assert (1, 2) in capped, "cap dropped a pair that shares an under-cap band"
+    assert all(a < 100 for a, _ in capped), f"over-cap bucket leaked: {capped}"
+
+    uncapped = [(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+        None, "doc_id", None, sig=sig).collect()]
+    assert uncapped.count((1, 2)) == 1, "pair not emitted exactly once"
