@@ -51,6 +51,7 @@ DEFAULT_CONFS = {
     # codec-agnostic (per-file metadata), so existing indexes stay
     # readable.
     "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.codegen.cache.maxEntries": "5000",
     "spark.ui.enabled": "false",
 }
 
