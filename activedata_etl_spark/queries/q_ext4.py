@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..ext import dedup as DD
 from ..ext import text as TX
-from ..io import load_table
+from ..io import load_table, parallelize_narrow_scan
 from .registry import query
 from .q_ext import _near_dup_pairs_cte
 
@@ -55,8 +55,16 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean word length, symbol-to-word ratio, stopword presence, duplicate-
     2-gram fraction, folded into a keep flag. One scan-local projection —
     at 100 TB this runs inside the ingest scan, before any shuffle, and
-    the flag (not the text) is what downstream stages read."""
-    d = load_table(spark, sf_dir, "documents")
+    the flag (not the text) is what downstream stages read.
+
+    The local fixture is a single sub-split-size parquet file, so the
+    whole HOF projection lands in ONE scan task; parallelize_narrow_scan
+    spreads it (r13: bracketed noop 0.29–0.35 → 0.15/0.16 s, rows
+    bit-equal) and is a structural no-op at real scale (splits ≫ cores).
+    The same wrap measured NEGATIVE for aggregation-headed queries
+    (tpch_q18 0.22 → 0.74: it shuffles raw rows the partial agg would
+    have collapsed) — only this pure-projection shape qualifies."""
+    d = parallelize_narrow_scan(load_table(spark, sf_dir, "documents"))
     return (TX.gopher_table(d, ["doc_id"], "text")
             .withColumn("keep", TX.gopher_keep()))
 

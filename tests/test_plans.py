@@ -446,11 +446,20 @@ def test_chunk_delta_semijoin_before_dupcount(spark, sf_dir):
 
 def test_gopher_rules_scan_local(spark, sf_dir):
     """text_gopher_rules is one pass over the scan: per-doc column
-    math only — NO exchange, window, generate, or join of any kind may
-    ever appear (at 100 TB this query's cost must be the read)."""
+    math only — no window, generate, or join of any kind may ever
+    appear (at 100 TB this query's cost must be the read). r13: the
+    ONE permitted exchange is parallelize_narrow_scan's round-robin
+    widening of a sub-split-size local fixture (REPARTITION_BY_NUM);
+    it triggers only when splits < cores, so at scale the plan is
+    exchange-free and the cost is still the read. Any OTHER exchange
+    (hash/range — i.e. a real shuffle keyed on data) stays banned."""
     plan = _plan(spark, sf_dir, "text_gopher_rules")
-    for op in ("Exchange", "Window", "Generate", "Join", "CartesianProduct"):
+    for op in ("Window", "Generate", "Join", "CartesianProduct"):
         assert op not in plan, f"{op} crept into a scan-local plan"
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Arguments:" in ln and "Partitioning" in ln]
+    assert all("RoundRobinPartitioning" in ln for ln in exchanges), (
+        f"non-widening exchange crept into a scan-local plan: {exchanges}")
 
 
 def test_typed_encoding_compiled_scan_local(spark, sf_dir):
