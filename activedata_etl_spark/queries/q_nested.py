@@ -218,12 +218,21 @@ def typed_encoding_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit("]}")))
     )
     enc = d.withColumn("__enc__", TY.typed_encode_json(raw))
+    # r13 opt: one from_json parse serves all four typed paths (same
+    # rewrite as typed_encoding_compiled below, where it is documented
+    # and A/B-measured; the typed-encoding JSON shape is identical across
+    # the UDF-walk and compiled encoders — the twin queries share this
+    # oracle).
+    typed_schema = ("v struct<`~s~` string, `~n~` bigint, "
+                    "`~a~` array<struct<`~n~` bigint>>>, `~e~` int")
     return enc.select(
+        "doc_id", F.from_json("__enc__", typed_schema).alias("__j__"),
+    ).select(
         "doc_id",
-        F.get_json_object("__enc__", "$.v.~s~").alias("v_str"),
-        F.get_json_object("__enc__", "$.v.~n~").cast("bigint").alias("v_num"),
-        F.get_json_object("__enc__", "$.v.~a~[0].~n~").cast("bigint").alias("v_arr0"),
-        F.get_json_object("__enc__", "$.~e~").cast("int").alias("e"),
+        F.col("__j__.v.~s~").alias("v_str"),
+        F.col("__j__.v.~n~").alias("v_num"),
+        F.col("__j__.v.~a~")[0]["~n~"].alias("v_arr0"),
+        F.col("__j__.~e~").cast("int").alias("e"),
     )
 
 
@@ -263,12 +272,25 @@ def typed_encoding_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m == 0, TY.typed_encode_compiled(raw, "v string"))
         .when(m == 1, TY.typed_encode_compiled(raw, "v bigint"))
         .otherwise(TY.typed_encode_compiled(raw, "v array<bigint>"))))
+    # r13 opt (guide §4.1, fewer expression passes): the four typed paths
+    # were read back with four get_json_object calls — four independent
+    # parses of the SAME encoded string per row (plus the encoder's own
+    # from_json/to_json, 6 JSON ops/row). One from_json against the
+    # typed-key schema parses once and serves all four paths; values are
+    # bit-identical (typed paths hold engine-encoded integral bigints and
+    # strings, so the typed parse equals get_json_object + lenient cast —
+    # row-for-row equality verified on the full fixture, oracle-verified
+    # at sf0.01 and sf0.1).
+    typed_schema = ("v struct<`~s~` string, `~n~` bigint, "
+                    "`~a~` array<struct<`~n~` bigint>>>, `~e~` int")
     return enc.select(
+        "doc_id", F.from_json("__enc__", typed_schema).alias("__j__"),
+    ).select(
         "doc_id",
-        F.get_json_object("__enc__", "$.v.~s~").alias("v_str"),
-        F.get_json_object("__enc__", "$.v.~n~").cast("bigint").alias("v_num"),
-        F.get_json_object("__enc__", "$.v.~a~[0].~n~").cast("bigint").alias("v_arr0"),
-        F.get_json_object("__enc__", "$.~e~").cast("int").alias("e"),
+        F.col("__j__.v.~s~").alias("v_str"),
+        F.col("__j__.v.~n~").alias("v_num"),
+        F.col("__j__.v.~a~")[0]["~n~"].alias("v_arr0"),
+        F.col("__j__.~e~").cast("int").alias("e"),
     )
 
 

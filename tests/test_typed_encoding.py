@@ -107,3 +107,18 @@ def test_compiled_encoder_is_jvm_only(spark):
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
     assert [r["e"] for r in out.orderBy(F.col("e")).limit(1).collect()] \
         == ['{"~e~":1,"a":{"~n~":0}}']
+
+
+def test_typed_readback_single_parse(spark):
+    """r13 opt regression pin: the registered typed-encoding queries read
+    the four typed paths back through ONE from_json, not four independent
+    get_json_object parses of the same encoded string (guide §4.1 —
+    measured ~10% of the query at sf0.1; rows verified bit-equal to the
+    get_json_object form on the full fixture before the rewrite)."""
+    from activedata_etl_spark.queries import QUERIES
+
+    for name in ("typed_encoding_compiled", "typed_encoding_fields"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "get_json_object" not in plan, name
+        assert plan.count("from_json") >= 1, name
