@@ -140,11 +140,86 @@ def lsh_bands(sig: Column, n_bands: int = 4) -> list[Column]:
     ]
 
 
+# Members per band bucket above which the in-bucket pair fan-out leaves
+# the collect_list path (r14, guide §5 bounded state / §2.5 skew): the
+# fan-out holds ONE aggregation row per bucket — a value that cannot
+# spill — and its pair explode materializes an O(m²) array, so a hot
+# band signature (correlated dims put a big slice of a real embedding
+# corpus in one all-positive band; boilerplate docs share a minhash
+# band) would OOM an executor at corpus scale. 256 keeps the transient
+# pair array ≤ ~32k structs; fixture buckets top out at 20 members
+# (sf0.1 probe, OPTIMIZATION_r14.md), so every registered query stays
+# on the fast path and the hot leg plans empty.
+FANOUT_BUCKET_LIMIT = 256
+
+
+def bounded_bucket_pairs(banded: DataFrame, keys: list[str],
+                         limit: int = FANOUT_BUCKET_LIMIT) -> DataFrame:
+    """Every unordered in-bucket member pair, exactly once per bucket,
+    with per-task aggregation state bounded by ``limit`` members.
+
+    Input: ``banded`` with columns ``*keys`` (the bucket key) and ``m``
+    (the member struct, whose FIRST field ``id`` is unique and orderable
+    — both legs depend on it for the a<b orientation). Output:
+    ``*keys, p`` with ``p = struct(a, b)`` member pairs, ``a.id < b.id``.
+
+    Two legs (guide §5/§2.5):
+
+    - **cold** (size ≤ limit — every bucket of a normal corpus): the r13
+      shape — ONE shuffle, per-bucket sorted collect_list, pair fan-out
+      from the array, no join.
+    - **hot** (size > limit): a sort-merge SELF-JOIN on the bucket key.
+      Per-key join buffers spill to disk, the pair stream never
+      materializes as one array, and AQE skew-join can split the
+      oversized partition — none of which the collect_list leg can do.
+
+    The hot-key set comes from a keys-only count (narrow shuffle — a few
+    bytes/member vs the member payload on the main exchange) and is
+    broadcast: by the adversarial-bucket assumption it is tiny, and on a
+    normal corpus it is EMPTY, so the anti-join passes everything to the
+    cold leg untouched and the hot leg's stages scan zero rows. Callers
+    whose ``banded`` is expensive to recompute must stage it (persist or
+    scratch write) — this helper references it three times.
+
+    Measured-and-rejected alternative (r14): sizing via a count WINDOW
+    over the same (keys) partitioning — no count job, no broadcast —
+    but the cold/hot-a/hot-b branches fork above the member exchange
+    and exchange reuse does NOT fire across the re-aliased self-join
+    (final adaptive plan materialized ShuffleQueryStages 4/5/6 — three
+    separate MEMBER shuffles, i.e. 3× the vector-carrying exchange at
+    corpus scale, vs this form's one member exchange plus a keys-only
+    count). The fixed broadcast-build latency this form pays is a
+    bench-scale artifact; the window form's extra member shuffles grow
+    with the corpus.
+    """
+    hot = F.broadcast(banded.groupBy(*keys).count()
+                      .filter(F.col("count") > limit).select(*keys))
+    cold = banded.join(hot, keys, "left_anti")
+    buckets = (cold.groupBy(*keys)
+               .agg(F.array_sort(F.collect_list("m")).alias("mem"))
+               .filter(F.size("mem") >= 2))
+    pair_cold = buckets.select(*keys, F.explode(F.flatten(F.transform(
+        "mem",
+        lambda x, i: F.transform(
+            F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))).alias("p"))
+    hm = banded.join(hot, keys, "left_semi")
+    pair_hot = (hm.select(*keys, F.col("m").alias("__ma__"))
+                .join(hm.select(*keys, F.col("m").alias("__mb__")), keys)
+                .filter(F.col("__ma__.id") < F.col("__mb__.id"))
+                .select(*keys, F.struct(F.col("__ma__").alias("a"),
+                                        F.col("__mb__").alias("b")).alias("p")))
+    return pair_cold.unionByName(pair_hot)
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_hashes: int = 16, n_bands: int = 4,
                         shingle_n: int = 3,
                         sig: DataFrame | None = None,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        fanout_limit: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 band.
 
     Plan shape: scan → per-band explode (n_bands rows/doc) → ONE shuffle on
@@ -173,18 +248,34 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     # members carry their band array through the one bucket shuffle
     # (+n_bands md5s/row) and a pair is emitted only from the FIRST band
     # the two sides agree on — exactly one emission, no distinct.
-    banded = sig.select(
+    bsdf = sig.select(
         F.col(id_col).alias("id"),
         F.array(*[k for k in band_keys(n_hashes, n_bands)]).alias("bs"),
-    ).select(
-        F.struct("id", "bs").alias("m"),
-        F.posexplode("bs").alias("band_idx", "band_sig"),
     )
+    if max_bucket_size is None:
+        # r14 bounded fan-out (guide §5/§2.5): bounded_bucket_pairs
+        # references the banded table THREE times (hot-set count, cold
+        # leg, hot leg) and the signature pipeline above it — a full
+        # tokenize+shingle+minhash pass — must not run per reference.
+        # (id, bands) is ~150 B/doc, the natural stage boundary; on a
+        # cluster this is the signature table the pipeline would write
+        # to storage anyway (see near_dup_pairs' docstring).
+        bsdf = bsdf.persist()
+        banded = bsdf.select(F.struct("id", "bs").alias("m"),
+                             F.posexplode("bs").alias("band_idx", "band_sig"))
+        pairs = bounded_bucket_pairs(banded, ["band_idx", "band_sig"],
+                                     fanout_limit or FANOUT_BUCKET_LIMIT)
+        return (pairs.filter(F.array_position(
+            F.zip_with("p.a.bs", "p.b.bs", lambda u, v: u == v), F.lit(True))
+            == F.col("band_idx").cast("long") + F.lit(1).cast("long"))
+            .select(F.col("p.a.id").alias("id_a"),
+                    F.col("p.b.id").alias("id_b")))
+    banded = bsdf.select(F.struct("id", "bs").alias("m"),
+                         F.posexplode("bs").alias("band_idx", "band_sig"))
     buckets = (banded.groupBy("band_idx", "band_sig")
                .agg(F.array_sort(F.collect_list("m")).alias("mem"))
-               .filter(F.size("mem") >= 2))
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("mem") <= max_bucket_size)
+               .filter(F.size("mem") >= 2)
+               .filter(F.size("mem") <= max_bucket_size))
     # members sorted ascending by unique id → pairing each element with
     # its suffix yields exactly the id_a < id_b pairs the old self-join
     # produced.
@@ -196,11 +287,6 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                                x["bs"].alias("ba"), y["bs"].alias("bb")),
         ),
     ))).alias("p"))
-    if max_bucket_size is None:
-        return (pairs.filter(F.array_position(
-            F.zip_with("p.ba", "p.bb", lambda u, v: u == v), F.lit(True))
-            == F.col("band_idx").cast("long") + F.lit(1).cast("long"))
-            .select("p.id_a", "p.id_b"))
     # Capped corpora keep the legacy distinct: the documented cap
     # contract lets a pair whose first-shared-band bucket was dropped
     # still surface from a later, smaller shared band — the guard would

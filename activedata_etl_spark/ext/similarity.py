@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .dedup import FANOUT_BUCKET_LIMIT, bounded_bucket_pairs
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
@@ -142,7 +144,8 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                        threshold: float = 0.95, n_bits: int = 16,
                        n_bands: int = 4,
                        max_bucket_size: int | None = None,
-                       cluster_col: str | None = None) -> DataFrame:
+                       cluster_col: str | None = None,
+                       fanout_limit: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
     Scale shape (the r2 verdict's fix list, all three applied):
@@ -225,23 +228,33 @@ def cosine_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                  F.col("__ids__").alias("ids"), F.col("__v__").alias("v"),
                  F.col("__n__").alias("n")).alias("m"),
         F.posexplode("__bands__").alias("band_idx", "band_sig"))
-    buckets = (banded.groupBy(*cl, "band_idx", "band_sig")
-               .agg(F.array_sort(F.collect_list("m")).alias("mem"))
-               .filter(F.size("mem") >= 2))
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("mem") <= max_bucket_size)
-    pair = buckets.select("band_idx", F.explode(F.flatten(F.transform(
-        "mem",
-        lambda x, i: F.transform(
-            F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
-            lambda y: F.struct(x.alias("a"), y.alias("b")),
-        ),
-    ))).alias("p"))
     if max_bucket_size is None:
+        # r14 (guide §5/§2.5): members carry FULL VECTORS through the
+        # bucket shuffle (the r13 verify-join elimination), so an
+        # unbounded collect_list here is one aggregation row holding a
+        # hot band's whole population of vectors — bounded_bucket_pairs
+        # keeps the r13 fast path for normal buckets and routes hot
+        # ones to a spillable self-join. banded re-references read the
+        # PERSISTED canon, so the three-consumer cost is a cheap
+        # re-explode, not a corpus re-scan.
+        pair = bounded_bucket_pairs(
+            banded, [*cl, "band_idx", "band_sig"],
+            fanout_limit or FANOUT_BUCKET_LIMIT).select("band_idx", "p")
         pair = pair.filter(F.array_position(
             F.zip_with("p.a.bs", "p.b.bs", lambda u, v: u == v), F.lit(True))
             == F.col("band_idx").cast("long") + F.lit(1).cast("long"))
     else:
+        buckets = (banded.groupBy(*cl, "band_idx", "band_sig")
+                   .agg(F.array_sort(F.collect_list("m")).alias("mem"))
+                   .filter(F.size("mem") >= 2)
+                   .filter(F.size("mem") <= max_bucket_size))
+        pair = buckets.select("band_idx", F.explode(F.flatten(F.transform(
+            "mem",
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        ))).alias("p"))
         # Capped corpora keep the legacy distinct semantics: a pair
         # whose first-shared-band bucket was dropped by the cap must
         # still surface from a later, smaller shared band — the guard
@@ -733,7 +746,8 @@ def read_band_index(spark, path: str) -> DataFrame:
 
 def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
                           n_bands: int = 4,
-                          max_bucket_size: int | None = None) -> DataFrame:
+                          max_bucket_size: int | None = None,
+                          fanout_limit: int | None = None) -> DataFrame:
     """Near-dup pairs answered from the INDEX alone (id_a < id_b,
     quantized cosine ≥ threshold): band-bucket candidate fan-out (one
     shuffle, same construction as cosine_dedup_pairs) + integer-dot
@@ -783,25 +797,29 @@ def pairs_from_band_index(spark, path: str, threshold: float = 0.95,
                  F.col("__ids__").alias("ids"), F.col("q").alias("q")).alias("m"),
         F.explode("__bands__").alias("b")) \
         .select("m", "b.band_idx", "b.band_sig")
-    buckets = (banded.groupBy("band_idx", "band_sig")
-               .agg(F.array_sort(F.collect_list("m")).alias("mem"))
-               .filter(F.size("mem") >= 2))
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("mem") <= max_bucket_size)
-    pair = buckets.select(
-        "band_idx", "band_sig",
-        F.explode(F.flatten(F.transform(
-            "mem",
-            lambda x, i: F.transform(
-                F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        ))).alias("p"))
     if max_bucket_size is None:
+        # r14 bounded fan-out — same rationale as cosine_dedup_pairs:
+        # members carry (ids, codes) through the bucket shuffle; canon
+        # is persisted so the helper's re-references are cheap.
+        pair = bounded_bucket_pairs(banded, ["band_idx", "band_sig"],
+                                    fanout_limit or FANOUT_BUCKET_LIMIT)
         pair = pair.filter(
             F.element_at(F.array_intersect("p.a.bs", "p.b.bs"), 1)
             == F.struct(F.col("band_idx"), F.col("band_sig")))
     else:
+        buckets = (banded.groupBy("band_idx", "band_sig")
+                   .agg(F.array_sort(F.collect_list("m")).alias("mem"))
+                   .filter(F.size("mem") >= 2)
+                   .filter(F.size("mem") <= max_bucket_size))
+        pair = buckets.select(
+            "band_idx", "band_sig",
+            F.explode(F.flatten(F.transform(
+                "mem",
+                lambda x, i: F.transform(
+                    F.slice(F.col("mem"), i + F.lit(2), F.size(F.col("mem"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            ))).alias("p"))
         # legacy distinct under a bucket cap — same rationale as
         # cosine_dedup_pairs: the cap contract lets a pair surface from
         # a later surviving shared band.

@@ -750,3 +750,50 @@ def test_lsh_cap_keeps_pair_from_later_shared_band(spark):
     uncapped = [(r.id_a, r.id_b) for r in lsh_candidate_pairs(
         None, "doc_id", None, sig=sig).collect()]
     assert uncapped.count((1, 2)) == 1, "pair not emitted exactly once"
+
+
+def test_fanout_hot_bucket_leg_matches_cold_path(spark, tmp_path):
+    """r14 bounded fan-out pin (guide §5/§2.5): buckets above
+    ``fanout_limit`` leave the collect_list path for the spillable
+    self-join leg — the emitted pair set must be IDENTICAL. A tiny
+    limit forces every fixture bucket hot, so this exercises the leg
+    the registered queries (whose buckets sit far under the default
+    256) never reach."""
+    from activedata_etl_spark.ext import dedup as DD
+    from activedata_etl_spark.ext import similarity as SIM
+
+    # --- cosine: 6 vectors, all-positive first band → one 6-member
+    # bucket in band 0; later dims vary so other bands split.
+    rows = [(i, [1.0] * 16 + [float((i >> b) & 1) * 2 - 1
+                              for b in range(48)]) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cold = sorted((r.id_a, r.id_b, r.cos) for r in SIM.cosine_dedup_pairs(
+        df, "vec_id", "embedding", threshold=0.0).collect())
+    hot = sorted((r.id_a, r.id_b, r.cos) for r in SIM.cosine_dedup_pairs(
+        df, "vec_id", "embedding", threshold=0.0, fanout_limit=2).collect())
+    assert cold == hot and len(cold) == 15
+
+    # --- index-served twin over the same corpus
+    idx = str(tmp_path / "hot_band_idx")
+    SIM.build_band_index(df, "vec_id", "embedding", idx)
+    icold = sorted((r.id_a, r.id_b, r.qcos) for r in SIM.pairs_from_band_index(
+        spark, idx, threshold=0.0).collect())
+    ihot = sorted((r.id_a, r.id_b, r.qcos) for r in SIM.pairs_from_band_index(
+        spark, idx, threshold=0.0, fanout_limit=2).collect())
+    assert icold == ihot and len(icold) == 15
+
+    # --- minhash LSH: reuse the hand-crafted signature shape from the
+    # cap test — X/Y agree on every band, fillers crowd band 0 only.
+    def sig_row(doc_id, tail):
+        return (doc_id, *(["S"] * 4), *tail)
+
+    cols = "doc_id long, " + ", ".join(f"h{i} string" for i in range(16))
+    sig = spark.createDataFrame(
+        [sig_row(1, ["A"] * 12), sig_row(2, ["A"] * 12)]
+        + [sig_row(100 + i, [f"F{100 + i}_{j}" for j in range(12)])
+           for i in range(6)], cols)
+    lcold = sorted((r.id_a, r.id_b) for r in DD.lsh_candidate_pairs(
+        None, "doc_id", None, sig=sig).collect())
+    lhot = sorted((r.id_a, r.id_b) for r in DD.lsh_candidate_pairs(
+        None, "doc_id", None, sig=sig, fanout_limit=3).collect())
+    assert lcold == lhot and lcold.count((1, 2)) == 1

@@ -474,15 +474,20 @@ def test_embedding_cosine_bulk_banded_equijoins(spark, sf_dir):
     """dedup_embedding_cosine_bulk (the most expensive headline query)
     is the bulk banded-join form: band equi-joins + broadcast only —
     never a cartesian/nested-loop pairing of the vector table, and the
-    shuffle count stays at the audited 6 (band build, candidate join
-    sides, verify agg). Cache cleared first: leftover persisted inputs
-    from other tests change size estimates and join strategy, and this
-    guard pins the CANONICAL cold plan."""
+    shuffle count stays at the audited bound. Cache cleared first:
+    leftover persisted inputs from other tests change size estimates
+    and join strategy, and this guard pins the CANONICAL cold plan.
+
+    r14: the bounded fan-out raises the PRINTED exchange count — the
+    persisted canon subtree (1 exchange) is re-printed per reference
+    (hot-set count, cold anti leg, hot semi legs) and the keys-only
+    hot-set count adds one real narrow exchange; the MEMBER payload
+    still crosses exactly one exchange (OPTIMIZATION_r14.md)."""
     spark.catalog.clearCache()
     plan = _plan(spark, sf_dir, "dedup_embedding_cosine_bulk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 6, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") <= 11, plan[:1500]
 
 
 def test_nested_explode_roundtrip_single_shuffle(spark, sf_dir):
@@ -534,7 +539,11 @@ def test_semantic_banded_pairs_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_semantic_banded_pairs")
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") <= 2, plan[:1500]
-    assert plan.count("Exchange hashpartitioning") <= 38
+    # r14 bounded fan-out: the persisted canon subtree (which here
+    # carries the k-means chain) is re-PRINTED per helper reference;
+    # the member payload still crosses one exchange — see
+    # test_embedding_cosine_bulk_banded_equijoins.
+    assert plan.count("Exchange hashpartitioning") <= 64
 
 
 def test_silhouette_broadcast_centroid_geometry(spark, sf_dir):

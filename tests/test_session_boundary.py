@@ -1,0 +1,86 @@
+"""Session-window boundary pin (VERDICT r13 #5).
+
+The engine derives 30-minute gap sessions two ways: ``F.session_window``
+(events_sessionize_30m, and since r13 join_interval_overlap's session
+table) and the oracle's lag+cumsum formulation (``gap > 30 min`` starts
+a new session). The two could in principle disagree on an event at
+EXACTLY ``prev_ts + 30 min`` — the fixtures never hit that boundary, so
+these tests construct it. Measured (r14 probe): Spark's session_window
+MERGES the exact-boundary event (window end = last_ts + gap, and an
+event starting AT the end still extends the session), which equals the
+oracle's strict ``> INTERVAL 30 MINUTE`` flag — same session. Any Spark
+upgrade that flips session_window to a half-open boundary breaks these
+asserts before it breaks the driver's oracle gate.
+"""
+
+import datetime as dt
+
+from pyspark.sql import Window, functions as F
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark):
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: gap of exactly 30 min twice — ONE session of 3 events
+        (1, BASE), (1, BASE + 30 * m), (1, BASE + 60 * m),
+        # user 2: 30 min − 1 s (inside) then 30 min + 1 s (outside)
+        (2, BASE), (2, BASE + 30 * m - dt.timedelta(seconds=1)),
+        (2, BASE + 60 * m + dt.timedelta(seconds=1)),
+        # user 3: single event
+        (3, BASE),
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp")
+
+
+def _lag_cumsum_sessions(df):
+    """The oracle formulation, spelled in Spark: new session iff the gap
+    is STRICTLY greater than 30 minutes."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = df.withColumn(
+        "__new__",
+        F.when(F.col("ts").cast("long")
+               - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1)
+        .otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)))
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("__new__").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (numbered.groupBy("user_id", "session_no")
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def test_session_window_merges_exact_boundary_event(spark):
+    df = _events(spark)
+    sw = (df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+               F.count(F.lit(1)).alias("n")))
+    got = sorted((r.user_id, r.s, r.e, r.n) for r in sw.collect())
+    want = sorted((r.user_id, r.s, r.e, r.n)
+                  for r in _lag_cumsum_sessions(df).collect())
+    assert got == want
+    # and the boundary case specifically: user 1 is ONE session of 3
+    assert [g for g in got if g[0] == 1] == [(1, BASE,
+                                              BASE + dt.timedelta(minutes=60),
+                                              3)]
+
+
+def test_interval_overlap_session_table_matches_lag_cumsum(spark):
+    """join_interval_overlap derives (user_id, session_no, s, e) via
+    session_window + a session-level row_number; on boundary data that
+    table must equal the oracle's lag+cumsum derivation row for row."""
+    df = _events(spark)
+    sw = (df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    sess = sw.select(
+        "user_id",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("s"))
+        .cast("bigint").alias("session_no"),
+        "s", "e")
+    got = sorted((r.user_id, r.session_no, r.s, r.e) for r in sess.collect())
+    want = sorted((r.user_id, r.session_no, r.s, r.e)
+                  for r in _lag_cumsum_sessions(df)
+                  .select("user_id", F.col("session_no").cast("bigint"),
+                          "s", "e").collect())
+    assert got == want
