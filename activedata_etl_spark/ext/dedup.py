@@ -153,6 +153,35 @@ def lsh_bands(sig: Column, n_bands: int = 4) -> list[Column]:
 FANOUT_BUCKET_LIMIT = 256
 
 
+def _scratch_materialize(df: DataFrame, kind: str) -> DataFrame:
+    """Materialize a multi-consumer intermediate to SCRATCH PARQUET and
+    return a reader over it (guide §5/§6) — the disk-bounded alternative
+    to ``.persist()`` for intermediates too large to pin against
+    executor memory at corpus scale. Written fresh on every call
+    (mkdtemp, never existence-cached): each query invocation recomputes
+    the intermediate from its inputs; only the consumers within that
+    invocation share the materialization. Leftover directories from
+    dead sessions are swept age-gated, mirroring scratch_dir's rule."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prefix = f"spark_graft_{kind}_"
+    tmp = tempfile.gettempdir()
+    cutoff = time.time() - 24 * 3600
+    for d in glob.glob(os.path.join(tmp, prefix + "*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    path = os.path.join(tempfile.mkdtemp(prefix=prefix), "data")
+    df.write.parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def bounded_bucket_pairs(banded: DataFrame, keys: list[str],
                          limit: int = FANOUT_BUCKET_LIMIT) -> DataFrame:
     """Every unordered in-bucket member pair, exactly once per bucket,
@@ -192,8 +221,14 @@ def bounded_bucket_pairs(banded: DataFrame, keys: list[str],
     bench-scale artifact; the window form's extra member shuffles grow
     with the corpus.
     """
-    hot = F.broadcast(banded.groupBy(*keys).count()
-                      .filter(F.col("count") > limit).select(*keys))
+    # the hot-key table is persisted: it is tiny by construction, has
+    # two consumers (the anti and semi splits below), and each
+    # materialization's broadcast builds then scan a few cached rows
+    # instead of re-running the count aggregate (the same multi-consumer
+    # persist rationale as the callers' canon tables)
+    hot_keys = (banded.groupBy(*keys).count()
+                .filter(F.col("count") > limit).select(*keys).persist())
+    hot = F.broadcast(hot_keys)
     cold = banded.join(hot, keys, "left_anti")
     buckets = (cold.groupBy(*keys)
                .agg(F.array_sort(F.collect_list("m")).alias("mem"))
@@ -1268,20 +1303,29 @@ def prefix_candidates(df: DataFrame, id_col: str, text_col: str,
             f"pair_bound must be 'positional' or 'aggregate', "
             f"got {pair_bound!r}")
     t = float(threshold)
-    # tok has FOUR consumers (df table, sizes, position window, verify) —
-    # persist or the scan+explode recomputes per consumer (the same fix
-    # as the LSH shingle table). No distinct(): the element arrays are
-    # array_distinct'ed per doc, so (id, element) rows are unique by
-    # construction — a dedup shuffle here would be pure waste. The
-    # repartition spreads the explode across cores at cache-fill time
-    # (the source is a handful of parquet files). At cluster scale,
-    # materialize to parquet instead of executor memory.
+    # tok has FOUR consumers (df table, sizes, position window, verify).
+    # No distinct(): the element arrays are array_distinct'ed per doc,
+    # so (id, element) rows are unique by construction — a dedup shuffle
+    # here would be pure waste. The repartition spreads the explode
+    # across cores at materialization time (the source is a handful of
+    # parquet files).
+    #
+    # r14 (VERDICT r13 #6, guide §5/§6): the staging moved from
+    # .persist() to a SCRATCH PARQUET write — the executor-memory cache
+    # pinned the full token explode (the largest intermediate of the
+    # prefix family) against execution memory, unbounded at corpus
+    # scale; the parquet materialization is disk-bounded, each consumer
+    # is an ordinary pruned scan, and it is exactly the token table a
+    # 100 TB pipeline writes anyway. Written fresh per invocation
+    # (mkdtemp — never existence-cached, so every bench/oracle
+    # invocation recomputes from its inputs); stale siblings from dead
+    # sessions are age-swept like scratch_dir's.
     par = df.sparkSession.sparkContext.defaultParallelism
     staged, elems = _staged_elems(df.repartition(par, F.col(id_col)),
                                   text_col, shingle_n,
                                   keep=[F.col(id_col).alias("__id__")])
-    tok = (staged.select("__id__", F.explode(elems).alias("__s__"))
-           .persist())
+    tok = staged.select("__id__", F.explode(elems).alias("__s__"))
+    tok = _scratch_materialize(tok, "preftok")
     pref = _prefix_rows(tok, t)
     a = pref.select(F.col("__id__").alias("id_a"), F.col("n").alias("n_a"),
                     F.col("__pos__").alias("__pa__"), "__s__")

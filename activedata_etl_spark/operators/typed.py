@@ -44,6 +44,19 @@ from pyspark.sql import Column, functions as F
 
 BOOLEAN, NUMBER, STRING, ARRAY, EXISTS = "~b~", "~n~", "~s~", "~a~", "~e~"
 
+# Readback schema for the single-key typed-encoding corpus the two
+# registered typed_encoding_* queries build (one scalar/array value
+# under "v"): ONE from_json against this serves all four typed paths
+# (r13 opt, guide §4.1). Shared constant so the twin queries cannot
+# drift (ADVICE r13). NOTE from_json runs in PERMISSIVE mode: a
+# per-field type mismatch (e.g. a non-integral ~n~ under the bigint
+# field) nulls the ENTIRE parsed record, not just the offending path —
+# safe here because the engine's own encoders emit integral numbers
+# and one typed key per row, but load-bearing if the encoding ever
+# carries non-integral numerics (widen ~n~ before relying on it).
+TYPED_READBACK_SCHEMA = ("v struct<`~s~` string, `~n~` bigint, "
+                         "`~a~` array<struct<`~n~` bigint>>>, `~e~` int")
+
 
 def encode_value(v: Any) -> Any:
     """Python-side typed encoding of one JSON value (bools before ints:

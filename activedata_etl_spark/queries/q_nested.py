@@ -222,11 +222,10 @@ def typed_encoding_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rewrite as typed_encoding_compiled below, where it is documented
     # and A/B-measured; the typed-encoding JSON shape is identical across
     # the UDF-walk and compiled encoders — the twin queries share this
-    # oracle).
-    typed_schema = ("v struct<`~s~` string, `~n~` bigint, "
-                    "`~a~` array<struct<`~n~` bigint>>>, `~e~` int")
+    # oracle). Schema + PERMISSIVE-mode caveat live on the shared
+    # constant (operators/typed.py).
     return enc.select(
-        "doc_id", F.from_json("__enc__", typed_schema).alias("__j__"),
+        "doc_id", F.from_json("__enc__", TY.TYPED_READBACK_SCHEMA).alias("__j__"),
     ).select(
         "doc_id",
         F.col("__j__.v.~s~").alias("v_str"),
@@ -280,11 +279,10 @@ def typed_encoding_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical (typed paths hold engine-encoded integral bigints and
     # strings, so the typed parse equals get_json_object + lenient cast —
     # row-for-row equality verified on the full fixture, oracle-verified
-    # at sf0.01 and sf0.1).
-    typed_schema = ("v struct<`~s~` string, `~n~` bigint, "
-                    "`~a~` array<struct<`~n~` bigint>>>, `~e~` int")
+    # at sf0.01 and sf0.1). Schema + PERMISSIVE-mode caveat live on the
+    # shared constant (operators/typed.py).
     return enc.select(
-        "doc_id", F.from_json("__enc__", typed_schema).alias("__j__"),
+        "doc_id", F.from_json("__enc__", TY.TYPED_READBACK_SCHEMA).alias("__j__"),
     ).select(
         "doc_id",
         F.col("__j__.v.~s~").alias("v_str"),

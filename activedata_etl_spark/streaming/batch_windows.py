@@ -63,6 +63,61 @@ def sessionize(df: DataFrame, ts: str, gap: str, keys: list[str],
     )
 
 
+def sessionize_salted(df: DataFrame, ts: str, gap: str, keys: list[str],
+                      chunk_s: int = 86400) -> DataFrame:
+    """Gap-based sessions with TIME-CHUNK salting for hot keys — the
+    window analog of :mod:`operators.skew`'s salted join (guide §2.5:
+    AQE skew handling applies to joins only; a single hot key's events
+    otherwise land in ONE sessionize task however large).
+
+    Two passes, exact:
+
+    1. sessionize within (keys, time-chunk) — ``chunk_s``-second chunks
+       partition the timeline, so a hot key's events spread over
+       #chunks tasks instead of one. Within a chunk the session pieces
+       are exactly the global sessions clipped to the chunk.
+    2. merge adjacent per-chunk session PIECES on session rows (events ∕
+       sessions-fold fewer rows than pass 1's input): a piece starting
+       within ``gap`` of the previous piece's last event continues the
+       same session — the identical ≤/> boundary rule the one-pass form
+       uses (pinned by tests/test_session_boundary.py), so the merged
+       sessions equal ``sessionize``'s for ANY chunk width.
+
+    Residual skew: pass 2's per-key window sees one row per session
+    piece. For real corpora sessions ≪ events; a key whose every event
+    is its own session degenerates to the output's own size — no
+    algorithm can spread a per-key ordered merge below that.
+
+    Returns (session_start, session_end, *keys, n_events) — the
+    ``sessionize`` output shape for a count aggregate. NOT used by the
+    registered queries: fixture corpora have no hot keys and the
+    one-pass form wins at bench scale (see OPTIMIZATION_r14.md); this
+    exists for the 100 TB posture and is equality-tested + skew-rigged
+    against the one-pass form.
+    """
+    chunk = (F.col(ts).cast("double") / F.lit(chunk_s)).cast("long")
+    pieces = (
+        df.withColumn("__chunk__", chunk)
+        .groupBy(F.session_window(ts, gap).alias("w"), "__chunk__", *keys)
+        .agg(F.count(F.lit(1)).alias("__n__"),
+             F.min(ts).alias("__s__"), F.max(ts).alias("__e__")))
+    wo = Window.partitionBy(*keys).orderBy("__s__")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_e = F.lag("__e__").over(wo)
+    new_s = (prev_e.isNull()
+             | (F.col("__s__") > prev_e + F.expr(f"INTERVAL {gap}"))
+             ).cast("int")
+    merged = (pieces
+              .withColumn("__new__", new_s)
+              .withColumn("__grp__", F.sum("__new__").over(run)))
+    return (merged.groupBy(*keys, "__grp__")
+            .agg(F.min("__s__").alias("session_start"),
+                 (F.max("__e__") + F.expr(f"INTERVAL {gap}"))
+                 .alias("session_end"),
+                 F.sum("__n__").alias("n_events"))
+            .select("session_start", "session_end", *keys, "n_events"))
+
+
 def dedup_latest(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
     """Keep the latest row per key under an explicit TOTAL order — the
     batch form of the reference's idempotent `_id`-overwrite dedup

@@ -84,3 +84,37 @@ def test_interval_overlap_session_table_matches_lag_cumsum(spark):
                   .select("user_id", F.col("session_no").cast("bigint"),
                           "s", "e").collect())
     assert got == want
+
+
+def test_sessionize_salted_equals_one_pass(spark, sf_dir):
+    """r14 skew-salt operator (VERDICT r13 #4): the time-chunk salted
+    sessionize must produce EXACTLY the one-pass sessions — including
+    with a chunk width far below the gap (maximal piece splitting) and
+    on exact-boundary data."""
+    from activedata_etl_spark.io import load_table
+    from activedata_etl_spark.streaming import batch_windows as BW
+
+    e = load_table(spark, sf_dir, "events")
+    base = BW.sessionize(e, "ts", "30 minutes", ["user_id"],
+                         {"n_events": F.count(F.lit(1))})
+    want = sorted((r.user_id, r.session_start, r.session_end, r.n_events)
+                  for r in base.collect())
+    for chunk_s in (86400, 600, 23):
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in BW.sessionize_salted(e, "ts", "30 minutes",
+                                          ["user_id"],
+                                          chunk_s=chunk_s).collect())
+        assert got == want, f"chunk_s={chunk_s}"
+
+    # exact-boundary corpus (the _events fixture above): pieces split at
+    # a chunk edge must still merge across it by the <= gap rule
+    b = _events(spark)
+    want = sorted((r.user_id, r.s, r.e, r.n)
+                  for r in _lag_cumsum_sessions(b).collect())
+    got = sorted(
+        (r.user_id, r.session_start,
+         r.session_end - dt.timedelta(minutes=30), r.n_events)
+        for r in BW.sessionize_salted(b, "ts", "30 minutes", ["user_id"],
+                                      chunk_s=601).collect())
+    assert got == want

@@ -109,16 +109,29 @@ def test_compiled_encoder_is_jvm_only(spark):
         == ['{"~e~":1,"a":{"~n~":0}}']
 
 
-def test_typed_readback_single_parse(spark):
+def test_typed_readback_single_parse(spark, sf_dir):
     """r13 opt regression pin: the registered typed-encoding queries read
     the four typed paths back through ONE from_json, not four independent
     get_json_object parses of the same encoded string (guide §4.1 —
     measured ~10% of the query at sf0.1; rows verified bit-equal to the
-    get_json_object form on the full fixture before the rewrite)."""
+    get_json_object form on the full fixture before the rewrite).
+
+    ADVICE r13: typed_encoding_fields' encoder is a UDF with no
+    from_json of its own, so an EXACT count == 1 pins the single-parse
+    property (an optimizer duplicating the parse 4× would slip past a
+    >= 1 assert). The compiled twin's encoder branches carry their own
+    from_json calls (several textual copies per branch inside the
+    to_json(struct(...)) expression — physical CSE collapses those),
+    so there the pin counts the READBACK parse by its schema signature:
+    exactly one parse against the typed-key struct."""
     from activedata_etl_spark.queries import QUERIES
 
-    for name in ("typed_encoding_compiled", "typed_encoding_fields"):
-        df = QUERIES[name](spark, "/root/testdata/sf0.001")
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "get_json_object" not in plan, name
-        assert plan.count("from_json") >= 1, name
+    fields = QUERIES["typed_encoding_fields"](spark, sf_dir)
+    plan = fields._jdf.queryExecution().optimizedPlan().toString()
+    assert "get_json_object" not in plan
+    assert plan.count("from_json") == 1
+
+    compiled = QUERIES["typed_encoding_compiled"](spark, sf_dir)
+    plan = compiled._jdf.queryExecution().optimizedPlan().toString()
+    assert "get_json_object" not in plan
+    assert plan.count("from_json(StructField(v,StructType") == 1
