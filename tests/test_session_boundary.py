@@ -118,3 +118,38 @@ def test_sessionize_salted_equals_one_pass(spark, sf_dir):
         for r in BW.sessionize_salted(b, "ts", "30 minutes", ["user_id"],
                                       chunk_s=601).collect())
     assert got == want
+
+
+def test_sessionize_salted_fuzz_random_gaps(spark):
+    """Seeded fuzz (the r13 'new machinery lands WITH a fuzz family'
+    rule): random users/timestamps with gaps straddling the 30-min
+    boundary — including exact-boundary collisions and duplicate
+    timestamps — must sessionize identically through the one-pass and
+    the salted form at several chunk widths."""
+    import random
+
+    rng = random.Random(1402)
+    rows = []
+    for user in range(1, 21):
+        t = 0
+        for _ in range(rng.randint(1, 120)):
+            step = rng.choice([0, 1, 60, 1799, 1800, 1801, 3600,
+                               rng.randint(1, 5400)])
+            t += step
+            rows.append((user, t))
+    df = spark.createDataFrame(rows, "user_id int, epoch long").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"))
+
+    from activedata_etl_spark.streaming import batch_windows as BW
+
+    want = sorted((r.user_id, r.session_start, r.session_end, r.n_events)
+                  for r in BW.sessionize(
+                      df, "ts", "30 minutes", ["user_id"],
+                      {"n_events": F.count(F.lit(1))}).collect())
+    for chunk_s in (86400, 1800, 777):
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in BW.sessionize_salted(df, "ts", "30 minutes",
+                                          ["user_id"],
+                                          chunk_s=chunk_s).collect())
+        assert got == want, f"chunk_s={chunk_s}"
